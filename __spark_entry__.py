@@ -1,38 +1,480 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator surface (SURVEY.md §2) as
+(spark, sf_dir) → DataFrame callables; ``oracle_sql()`` carries the DuckDB
+equivalent for the driver's correctness gate. Column names/aliases match
+pairwise. Computed aggregates are cast to DECIMAL so both engines produce
+identical exact values; raw doubles appear only as source-column passthrough
+(bit-identical from parquet on both sides).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
+_T = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from cdc_connector_spark.tables import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# queries — each implements operators from SURVEY.md §2 (cited per entry)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-style scan+filter+agg (A1/A5 family; the analytics
+    surface Catalyst fully optimizes — filter pushdown + partial agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(30,6)"
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # sums accumulate in DECIMAL (exact, engine-independent), then
+            # surface as DOUBLE so both engines hash the identical value
+            F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(dec)).cast("double").alias("sum_base_price"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).cast(dec)
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast(dec)).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(F.col("l_extendedprice").cast(dec)).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast(dec)).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def rowcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Check 2 / A1: COUNT(*) per table (tests/validation.py:336-397)."""
+    parts = [
+        _t(spark, sf_dir, name).groupBy().agg(F.count(F.lit(1)).alias("row_count")).select(
+            F.lit(name).alias("table_name"), "row_count"
+        )
+        for name in _T
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def distinct_pk_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Check 3+4 / A2+A3: COUNT(*) + COUNT(DISTINCT pk-tuple) in one pass,
+    dupes = total − distinct (tests/validation.py:399-536), composite PK."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("total_count"),
+        F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber")).alias("distinct_pk_count"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber"))).alias(
+            "duplicate_count"
+        ),
+    )
+
+
+def dup_groups_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/W2: GROUP BY key HAVING COUNT(*)>1, top-100 by occurrence
+    (tests/drift_analysis.py:148-157) — plans as TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("occurrence_count"))
+        .filter(F.col("occurrence_count") > 1)
+        .orderBy(F.col("occurrence_count").desc(), F.col("l_orderkey").asc())
+        .limit(100)
+    )
+
+
+def anti_join_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Check 5 / J1: left-anti key join (tests/validation.py:579-629) —
+    distributed, replacing the reference's driver-memory hash probe."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders.select(F.col("o_custkey")), cust.c_custkey == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def key_equality_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: same-key row compare across two tables, report mismatching keys
+    (tests/test_cdc_live.py:267-311 analogue: lineitems shipped before their
+    order date)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") < F.col("o_orderdate"))
+        .select("l_orderkey", "l_linenumber")
+    )
+
+
+def null_pk_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/P6: rows with NULL primary key (tests/validation.py:491-497)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey").isNull()).agg(F.count(F.lit(1)).alias("null_pk_rows"))
+
+
+def pk_range_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/S3: MIN/MAX/COUNT over the chunking key in ONE pass
+    (migrate_v3.py:530-539)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.min("o_orderkey").alias("min_pk"),
+        F.max("o_orderkey").alias("max_pk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Check 6 / A6+A7: MAX(ts) on two sides + lag (tests/validation.py:640-709).
+    'Sink' = events without the trailing error events, so lag is non-zero."""
+    ev = _t(spark, sf_dir, "events")
+    src = ev.agg(F.max("ts").alias("max_source_ts"))
+    snk = ev.filter(F.col("event_type") != "error").agg(F.max("ts").alias("max_sink_ts"))
+    return src.crossJoin(snk).select(
+        "max_source_ts",
+        "max_sink_ts",
+        (F.unix_timestamp("max_source_ts") - F.unix_timestamp("max_sink_ts")).alias("lag_seconds"),
+    )
+
+
+def changelog_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5+ST2 (the core CDC operator): events as a changelog keyed by
+    user_id — latest event per key by (ts, event_id), delete ops
+    ('error' events) drop the key. SQL-expressible ⇒ oracle-checkable;
+    the stateful/streaming variant is exercised in tests/."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select("user_id", "event_id", "event_type", "value", "ts")
+    )
+
+
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: point lookup by PK (tests/test_cdc_live.py:128-153) — pushed to
+    the parquet scan as a PushedFilter."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") == 500).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: ORDER BY … DESC LIMIT k (TakeOrderedAndProject), deterministic
+    tie-break on the key."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()).limit(10).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+def segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join+agg: customer⋈orders revenue per market segment — the broadcast
+    dimension-join shape (customer side broadcastable at any SF)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("segment_revenue"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+    )
+
+
+def window_user_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface: per-user event ordering (row_number + lag)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("seq_in_user"),
+        F.lag("value").over(w).alias("prev_value"),
+    )
+
+
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction over the props column (F-surface: from_json /
+    get_json_object analogue) + aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def normalize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F3 normalization rules as an oracle-checkable projection:
+    boolean decode of a numeric and NUL-stripping of a string."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        (F.col("value") != 0).alias("value_bool"),
+        F.replace(F.col("props"), F.lit(chr(0)), F.lit("")).alias("props_clean"),
+    )
+
+
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops: exact (normalized-fingerprint) dedup over documents."""
+    from cdc_connector_spark.ops.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops: token/char counts + stopword hits per document."""
+    from cdc_connector_spark.ops.textstats import stopword_count, tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        stopword_count(toks, "en").alias("en_stopword_count"),
+    )
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops: exact cosine top-k against the vec_id=0 embedding (brute
+    force baseline; LSH variant is rows-only below)."""
+    from cdc_connector_spark.ops.ann import cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding").cast("array<double>"), F.col("q_vec").cast("array<double>")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+
+
+# ---- rows-only entries (not SQL-expressible; driver records weaker check) --
+
+def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_connector_spark.ops.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_t(spark, sf_dir, "documents"), jaccard_threshold=0.5)
+
+
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_connector_spark.ops.dedup import simhash_dedup_pairs
+
+    return simhash_dedup_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_connector_spark.ops.ann import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), planes=8, threshold=0.95)
+
+
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_connector_spark.ops.ann import lsh_bucket_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return lsh_bucket_topk(emb, q, k=10, planes=8)
+
+
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_connector_spark.ops.textstats import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", language_id("text").alias("lang_pred"))
+
+
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing_summary(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "rowcounts": rowcounts,
+        "distinct_pk_lineitem": distinct_pk_lineitem,
+        "dup_groups_topk": dup_groups_topk,
+        "anti_join_orphans": anti_join_orphans,
+        "key_equality_compare": key_equality_compare,
+        "null_pk_count": null_pk_count,
+        "pk_range_stats": pk_range_stats,
+        "freshness_lag": freshness_lag,
+        "changelog_latest_per_key": changelog_latest_per_key,
+        "point_lookup": point_lookup,
+        "topk_orders": topk_orders,
+        "segment_revenue": segment_revenue,
+        "window_user_sequence": window_user_sequence,
+        "json_extract_events": json_extract_events,
+        "normalize_values": normalize_values,
+        "dedup_exact_documents": dedup_exact_documents,
+        "text_stats_documents": text_stats_documents,
+        "ann_cosine_topk": ann_cosine_topk,
+        "minhash_neardup": minhash_neardup,
+        "simhash_neardup": simhash_neardup,
+        "embedding_neardup": embedding_neardup,
+        "lsh_ann_topk": lsh_ann_topk,
+        "lang_id_documents": lang_id_documents,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    rowcount_union = " UNION ALL ".join(
+        f"SELECT '{name}' AS table_name, COUNT(*) AS row_count FROM {name}" for name in _T
+    )
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "rowcounts": rowcount_union,
+        "distinct_pk_lineitem": """
+            SELECT COUNT(*) AS total_count,
+                   COUNT(DISTINCT (l_orderkey, l_linenumber)) AS distinct_pk_count,
+                   COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS duplicate_count
+            FROM lineitem
+        """,
+        "dup_groups_topk": """
+            SELECT l_orderkey, COUNT(*) AS occurrence_count
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING COUNT(*) > 1
+            ORDER BY occurrence_count DESC, l_orderkey ASC
+            LIMIT 100
+        """,
+        "anti_join_orphans": """
+            SELECT c_custkey, c_name
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "key_equality_compare": """
+            SELECT l_orderkey, l_linenumber
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate < o.o_orderdate
+        """,
+        "null_pk_count": "SELECT COUNT(*) AS null_pk_rows FROM orders WHERE o_orderkey IS NULL",
+        "pk_range_stats": """
+            SELECT MIN(o_orderkey) AS min_pk, MAX(o_orderkey) AS max_pk, COUNT(*) AS n_rows FROM orders
+        """,
+        "freshness_lag": """
+            SELECT s.max_source_ts, k.max_sink_ts,
+                   CAST(date_diff('second', k.max_sink_ts, s.max_source_ts) AS BIGINT) AS lag_seconds
+            FROM (SELECT CAST(MAX(ts) AS TIMESTAMP) AS max_source_ts FROM events) s,
+                 (SELECT CAST(MAX(ts) AS TIMESTAMP) AS max_sink_ts FROM events WHERE event_type <> 'error') k
+        """,
+        "changelog_latest_per_key": """
+            SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            )
+            WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "point_lookup": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey = 500
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "segment_revenue": """
+            SELECT c_mktsegment,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS segment_revenue,
+                   COUNT(*) AS order_count
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "window_user_sequence": """
+            SELECT event_id, user_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS seq_in_user,
+                   LAG(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_value
+            FROM events
+        """,
+        "json_extract_events": """
+            SELECT event_type,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   COUNT(*) AS n
+            FROM events
+            GROUP BY event_type
+        """,
+        "normalize_values": """
+            SELECT event_id, value <> 0 AS value_bool, replace(props, chr(0), '') AS props_clean
+            FROM events
+        """,
+        "dedup_exact_documents": """
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+            FROM (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+                FROM documents
+            )
+            GROUP BY fp
+        """,
+        "text_stats_documents": """
+            SELECT doc_id,
+                   length(text) AS n_chars_calc,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) END AS n_distinct_tokens,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 t -> list_contains(['the','and','of','to','is','in','that','with'], t))) END
+                       AS en_stopword_count
+            FROM documents
+        """,
+        "ann_cosine_topk": """
+            SELECT vec_id,
+                   round(
+                     list_inner_product(CAST(embedding AS DOUBLE[]), q.q_vec) /
+                     (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+                      sqrt(list_inner_product(q.q_vec, q.q_vec))),
+                     6) AS cos_sim
+            FROM embeddings,
+                 (SELECT CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings WHERE vec_id = 0) q
+            ORDER BY cos_sim DESC, vec_id ASC
+            LIMIT 20
+        """,
+        # minhash_neardup / simhash_neardup / embedding_neardup / lsh_ann_topk /
+        # lang_id_documents: not SQL-expressible (hash-family / LSH internals)
+        # → rows-only check by design.
+    }

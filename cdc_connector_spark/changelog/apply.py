@@ -1,0 +1,73 @@
+"""Changelog-apply: the engine's core custom operator (SURVEY.md §2.5 W5 + §2.7 ST2).
+
+Semantics (matching the reference's upsert sink,
+connectors/sinks/postgres/trading.json:13-15, under at-least-once delivery,
+tests/validation.py:8-12):
+
+1. Within a batch, deduplicate to the LATEST event per key, ordered by
+   (ts_ms, seq) descending — never by arrival order (ST3).
+2. op ∈ {c,u,r} → upsert; op = 'd' (or tombstone) → delete (ST2).
+3. Re-applying any suffix of the log is a no-op (idempotent MERGE) — this is
+   what absorbs snapshot↔stream overlap (ST4) and replays.
+
+Implemented as pure DataFrame algebra (window + anti-join + union), so it is
+the same code path for batch backfill and ``foreachBatch`` streaming. On a
+cluster the anti-join shuffles by key once; with the sink bucketed by key
+(see ParquetMergeSink) the shuffle is one-sided.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cdc_connector_spark.changelog.envelope import META_COLS, OP_DELETE
+
+
+def latest_per_key(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "__ts_ms",
+    seq_col: str = "__seq",
+) -> DataFrame:
+    """W5: last change event per key wins, ordered by (ts, seq) desc.
+
+    Same-timestamp events are broken by ``seq`` (the log offset) — the
+    documented danger case in SURVEY.md §7.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).desc(), F.col(seq_col).desc())
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_changes(
+    current: DataFrame | None,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "__op",
+    ts_col: str = "__ts_ms",
+    seq_col: str = "__seq",
+    drop_meta: bool = True,
+) -> DataFrame:
+    """MERGE semantics over an immutable current state:
+
+    - WHEN MATCHED AND op='d'  → delete
+    - WHEN MATCHED             → update (replace row)
+    - WHEN NOT MATCHED AND op!='d' → insert
+
+    Returns the new state. ``current=None`` means an empty sink (bootstrap).
+    """
+    latest = latest_per_key(changes, key_cols, ts_col, seq_col)
+    upserts = latest.filter(F.col(op_col) != OP_DELETE)
+    if drop_meta:
+        upserts = upserts.drop(*[c for c in META_COLS if c in upserts.columns])
+    if current is None:
+        return upserts
+    # rows in current whose key is NOT touched by this batch survive;
+    # touched keys are replaced by the upsert image (deletes contribute none).
+    keys = latest.select(*key_cols)
+    untouched = current.join(keys, on=key_cols, how="left_anti")
+    return untouched.unionByName(upserts.select(*current.columns))

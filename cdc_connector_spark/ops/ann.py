@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_similarity : pure-expression dot/norm (zip_with + aggregate), stays
+  JVM-side; no UDF.
+- brute_force_topk  : exact top-k vs one query vector — a single scan +
+  TakeOrderedAndProject; the correctness baseline.
+- lsh_bucket_topk   : sign-random-projection LSH buckets (deterministic
+  hyperplanes derived from xxhash64 — no RNG state to ship), probe only the
+  query's bucket(s), exact re-rank inside. The 100-TB path: bucketing makes
+  the scan partition-prunable when the table is written bucketed/partitioned
+  by ``bucket``.
+- embedding_neardup_pairs : all-pairs near-duplicates within LSH buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v.cast("double") * v)
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """cos(a,b) = dot / (|a| |b|); NULL/zero-norm-safe (returns NULL)."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.
+
+    One scan; Spark plans orderBy+limit as TakeOrderedAndProject (no full
+    sort). Ties broken by id for determinism.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _srp_bucket(vec: Column, planes: int = 16) -> Column:
+    """Sign-random-projection bucket id (int) from deterministic hyperplanes.
+
+    Plane p, dim d has weight ±1 chosen by parity of xxhash64(p*8192+d):
+    reproducible on any cluster with no broadcast state. bit_p = 1 iff
+    Σ_d vec[d]·w[p,d] > 0.
+    """
+    def plane_dot(p: int):
+        # closure (not default-arg) capture: pyspark checks lambda arity
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(vec) - 1),
+                    lambda d: F.pmod(F.xxhash64(F.lit(p) * 8192 + d), F.lit(2)) * 2 - 1,
+                ),
+                lambda v, w: v.cast("double") * w,
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = F.lit(0)
+    for p in range(planes):
+        bucket = bucket.bitwiseOR(F.when(plane_dot(p) > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    return bucket
+
+
+def add_lsh_bucket(embeddings: DataFrame, vec_col: str = "embedding", planes: int = 16) -> DataFrame:
+    return embeddings.withColumn("bucket", _srp_bucket(F.col(vec_col).cast("array<double>"), planes))
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    ``multiprobe_hamming`` bits of the query's bucket (multi-probe recall
+    boost), exact cosine re-rank inside the probed buckets.
+
+    With the table pre-bucketed on ``bucket`` the probe is a partition-pruned
+    scan of ~(1+planes)/2^planes of the data.
+    """
+    bucketed = add_lsh_bucket(embeddings, vec_col, planes)
+    qdf_bucket = (
+        embeddings.sparkSession.range(1)
+        .select(_srp_bucket(F.array(*[F.lit(float(v)) for v in query_vec]), planes).alias("qb"))
+        .collect()[0]["qb"]
+    )
+    probe = [qdf_bucket]
+    if multiprobe_hamming >= 1:
+        probe += [qdf_bucket ^ (1 << p) for p in range(planes)]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        bucketed.filter(F.col("bucket").isin(probe))
+        .select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 12,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate vector pairs: self-join within LSH bucket, verify exact
+    cosine ≥ threshold. Returns (id_a, id_b, cos_sim), id_a < id_b."""
+    b = add_lsh_bucket(embeddings, vec_col, planes).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "bucket"
+    )
+    l, r = b.alias("l"), b.alias("r")
+    cand = l.join(
+        r, on=[F.col("l.bucket") == F.col("r.bucket"), F.col("l.__id") < F.col("r.__id")]
+    ).select(
+        F.col("l.__id").alias("id_a"),
+        F.col("r.__id").alias("id_b"),
+        cosine_similarity(
+            F.col("l.__v").cast("array<double>"), F.col("r.__v").cast("array<double>")
+        ).alias("cos_sim"),
+    )
+    return cand.filter(F.col("cos_sim") >= threshold)

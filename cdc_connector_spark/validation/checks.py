@@ -1,0 +1,203 @@
+"""Reconciliation/validation suite: the reference's six checks as Spark jobs.
+
+Source: tests/validation.py of the reference —
+1 exists (:300-334) · 2 rowcount (:336-397) · 3 distinct-PK (:399-461) ·
+4 duplication (:463-536) · 5 anti-join orphans (:538-638) ·
+6 freshness (:640-717); thresholds :73-75 (WARN ≥0.1%, FAIL ≥1.0%) and
+:271 (15-min freshness SLO); verdict logic :735-788.
+
+Every check is a small DataFrame job: aggregates are computed in one pass
+where the reference issues separate SQL statements, the anti-join is a real
+distributed ``left_anti`` (no 10M-row driver-memory guard needed — the
+reference's guard at tests/validation.py:570-576 existed only because it
+built a Python set on one node).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PASS, WARN, FAIL, SKIP = "PASS", "WARN", "FAIL", "SKIP"
+
+# reference thresholds (tests/validation.py:73-75, :271)
+ROWCOUNT_WARN_PCT = 0.1
+ROWCOUNT_FAIL_PCT = 1.0
+FRESHNESS_FAIL_MINUTES = 15.0
+FRESHNESS_WARN_RATIO = 0.8
+
+
+@dataclass
+class CheckResult:
+    check: str
+    status: str
+    metrics: dict = field(default_factory=dict)
+    details: str = ""
+
+
+@dataclass
+class TableReport:
+    table: str
+    results: list[CheckResult] = field(default_factory=list)
+
+    @property
+    def verdict(self) -> str:
+        statuses = {r.status for r in self.results}
+        if FAIL in statuses:
+            return FAIL
+        if WARN in statuses:
+            return WARN
+        return PASS
+
+    @property
+    def cdc_consistent(self) -> bool:
+        return self.verdict == PASS
+
+
+def _status_from_pct(pct: float, warn: float = ROWCOUNT_WARN_PCT, fail: float = ROWCOUNT_FAIL_PCT) -> str:
+    if pct >= fail:
+        return FAIL
+    if pct >= warn:
+        return WARN
+    return PASS
+
+
+def check_exists(sink: DataFrame | None) -> CheckResult:
+    """Check 1: sink table exists and is readable."""
+    if sink is None:
+        return CheckResult("exists", FAIL, {}, "sink table missing")
+    return CheckResult("exists", PASS, {"columns": len(sink.columns)})
+
+
+def check_rowcount(source: DataFrame, sink: DataFrame) -> CheckResult:
+    """Check 2: COUNT(*) drift with 0.1% WARN / 1.0% FAIL thresholds."""
+    src_n, sink_n = source.count(), sink.count()
+    diff = abs(src_n - sink_n)
+    pct = (diff / src_n * 100.0) if src_n else (100.0 if sink_n else 0.0)
+    return CheckResult(
+        "rowcount",
+        _status_from_pct(pct),
+        {"source_count": src_n, "sink_count": sink_n, "diff": diff, "diff_pct": pct},
+    )
+
+
+def check_distinct_pk(source: DataFrame, sink: DataFrame, pk_cols: list[str]) -> CheckResult:
+    """Check 3: COUNT(DISTINCT pk…) equality — CDC key-cardinality parity."""
+    src_d = source.select(*pk_cols).distinct().count()
+    sink_d = sink.select(*pk_cols).distinct().count()
+    diff = sink_d - src_d
+    pct = (abs(diff) / src_d * 100.0) if src_d else (100.0 if sink_d else 0.0)
+    return CheckResult(
+        "distinct_pk",
+        _status_from_pct(pct),
+        {"source_distinct": src_d, "sink_distinct": sink_d, "diff": diff, "diff_pct": pct},
+    )
+
+
+def check_duplication(sink: DataFrame, pk_cols: list[str]) -> CheckResult:
+    """Check 4: total vs distinct-PK in ONE aggregation pass + NULL-PK count.
+
+    dupes = total − distinct; any duplicate or NULL-keyed row is a FAIL for
+    an upsert sink (keys must be unique).
+    """
+    any_null = reduce(or_, [F.col(c).isNull() for c in pk_cols])
+    row = sink.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count_distinct(*[F.col(c) for c in pk_cols]).alias("distinct"),
+        F.sum(F.when(any_null, 1).otherwise(0)).alias("null_pk"),
+    ).collect()[0]
+    null_pk = row["null_pk"] or 0
+    # count_distinct ignores NULL-keyed rows; exclude them from the dupe math
+    dupes = (row["total"] - null_pk) - row["distinct"]
+    status = FAIL if (dupes > 0 or null_pk > 0) else PASS
+    return CheckResult(
+        "duplication",
+        status,
+        {"total": row["total"], "distinct": row["distinct"], "duplicates": dupes, "null_pk_rows": null_pk},
+    )
+
+
+def check_orphans(source: DataFrame, sink: DataFrame, pk_cols: list[str], sample: int = 100) -> CheckResult:
+    """Check 5: sink keys absent from source (J1 anti-join).
+
+    The reference hand-rolled a hash anti-join in driver memory
+    (tests/validation.py:587-606); here it is a distributed ``left_anti``
+    that Catalyst plans as broadcast or shuffled hash join.
+    """
+    orphans = sink.select(*pk_cols).join(source.select(*pk_cols), on=pk_cols, how="left_anti")
+    n = orphans.count()
+    examples = [tuple(r) for r in orphans.limit(sample).collect()] if n else []
+    return CheckResult(
+        "orphans",
+        FAIL if n > 0 else PASS,
+        {"orphan_count": n, "examples": examples[:10]},
+    )
+
+
+def check_freshness(
+    source: DataFrame,
+    sink: DataFrame,
+    ts_col: str | None,
+    fail_minutes: float = FRESHNESS_FAIL_MINUTES,
+) -> CheckResult:
+    """Check 6: sink lag = max(ts) source − max(ts) sink, vs 15-min SLO
+    (WARN at 80% of the threshold)."""
+    if ts_col is None:
+        return CheckResult("freshness", SKIP, {}, "no timestamp column")
+    src_max = source.agg(F.max(ts_col).alias("m")).collect()[0]["m"]
+    sink_max = sink.agg(F.max(ts_col).alias("m")).collect()[0]["m"]
+    if src_max is None or sink_max is None:
+        return CheckResult("freshness", SKIP, {"source_max": str(src_max), "sink_max": str(sink_max)})
+    lag_min = (src_max - sink_max).total_seconds() / 60.0
+    if lag_min > fail_minutes:
+        status = FAIL
+    elif lag_min > fail_minutes * FRESHNESS_WARN_RATIO:
+        status = WARN
+    else:
+        status = PASS
+    return CheckResult(
+        "freshness",
+        status,
+        {"source_max": str(src_max), "sink_max": str(sink_max), "lag_minutes": lag_min},
+    )
+
+
+def run_all_checks(
+    table: str,
+    source: DataFrame,
+    sink: DataFrame | None,
+    pk_cols: list[str],
+    ts_col: str | None = None,
+) -> TableReport:
+    """Checks 1→6 sequentially; verdict FAIL > WARN > PASS
+    (tests/validation.py:747-768)."""
+    report = TableReport(table)
+    exists = check_exists(sink)
+    report.results.append(exists)
+    if exists.status == FAIL or sink is None:
+        return report
+    report.results.append(check_rowcount(source, sink))
+    report.results.append(check_distinct_pk(source, sink, pk_cols))
+    report.results.append(check_duplication(sink, pk_cols))
+    report.results.append(check_orphans(source, sink, pk_cols))
+    report.results.append(check_freshness(source, sink, ts_col))
+    return report
+
+
+def summarize(reports: list[TableReport]) -> dict:
+    """A9: roll-up — per-status counts + overall verdict + exit signal."""
+    counts = {PASS: 0, WARN: 0, FAIL: 0}
+    for r in reports:
+        counts[r.verdict] = counts.get(r.verdict, 0) + 1
+    return {
+        "tables": len(reports),
+        "pass": counts[PASS],
+        "warn": counts[WARN],
+        "fail": counts[FAIL],
+        "consistent": counts[FAIL] == 0 and counts[WARN] == 0,
+        "exit_code": 1 if counts[FAIL] > 0 else 0,
+    }

@@ -1,0 +1,62 @@
+"""Validation runner CLI — the Spark analogue of the reference's hourly
+validation job (tests/validation.py:1079-1159): run all six checks for each
+configured table pair, print a per-table report + summary, exit 1 when any
+table is inconsistent.
+
+Usage (parquet table pairs under two roots, same table names):
+
+    python -m cdc_connector_spark.validation.runner \
+        --source-root /data/source --sink-root /data/sink \
+        --tables orders:o_orderkey,lineitem:l_orderkey+l_linenumber
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from cdc_connector_spark.session import get_spark
+from cdc_connector_spark.tables import find_ts_column
+from cdc_connector_spark.validation.checks import run_all_checks, summarize
+
+
+def parse_tables(spec: str) -> list[tuple[str, list[str]]]:
+    """``orders:o_orderkey,lineitem:l_orderkey+l_linenumber`` →
+    [(table, [pk, ...]), ...]"""
+    out = []
+    for part in spec.split(","):
+        name, _, pks = part.partition(":")
+        out.append((name.strip(), [p.strip() for p in pks.split("+") if p.strip()]))
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--source-root", required=True)
+    ap.add_argument("--sink-root", required=True)
+    ap.add_argument("--tables", required=True, help="name:pk[+pk2][,name2:pk...]")
+    args = ap.parse_args(argv)
+
+    spark = get_spark("cdc-validation")
+    reports = []
+    for table, pks in parse_tables(args.tables):
+        source = spark.read.parquet(f"{args.source_root}/{table}")
+        try:
+            sink = spark.read.parquet(f"{args.sink_root}/{table}")
+        except Exception:  # noqa: BLE001 — missing sink is what check 1 reports
+            sink = None
+        ts_col = find_ts_column(source.columns)
+        report = run_all_checks(table, source, sink, pks, ts_col)
+        reports.append(report)
+        for r in report.results:
+            print(f"[{r.status:4s}] {table}.{r.check}  {json.dumps(r.metrics, default=str)}")
+        print(f"[{report.verdict:4s}] {table} overall")
+
+    s = summarize(reports)
+    print(json.dumps(s))
+    return s["exit_code"]
+
+
+if __name__ == "__main__":
+    sys.exit(main())

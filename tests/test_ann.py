@@ -1,0 +1,65 @@
+"""Embedding similarity search: exact brute force, LSH-bucketed ANN,
+near-dup pairs; recall of ANN vs the exact baseline on real testdata."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_connector_spark.ops.ann import (
+    add_lsh_bucket,
+    brute_force_topk,
+    cosine_similarity,
+    embedding_neardup_pairs,
+    lsh_bucket_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_cosine_identity_and_orthogonal(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [1.0, 0.0]), (2, [1.0, 0.0], [0.0, 1.0]), (3, [1.0, 1.0], [-1.0, -1.0])],
+        "id int, a array<double>, b array<double>",
+    )
+    got = {r["id"]: r["c"] for r in df.select("id", cosine_similarity(F.col("a"), F.col("b")).alias("c")).collect()}
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] == pytest.approx(0.0)
+    assert got[3] == pytest.approx(-1.0)
+
+
+def test_brute_force_topk_self_is_best(emb):
+    q = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    top = brute_force_topk(emb, list(q), k=5).collect()
+    assert top[0]["vec_id"] == 0
+    assert top[0]["cos_sim"] == pytest.approx(1.0, abs=1e-6)
+    sims = [r["cos_sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_recall_vs_exact(emb):
+    q = list(emb.filter("vec_id = 0").collect()[0]["embedding"])
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in lsh_bucket_topk(emb, q, k=10, planes=8).collect()]
+    # multi-probe LSH on 500 vecs: expect decent overlap incl. the query itself
+    assert 0 in approx
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 5, f"LSH recall too low: {overlap}/10 ({approx} vs {exact})"
+
+
+def test_bucket_assignment_deterministic(emb):
+    a = {r["vec_id"]: r["bucket"] for r in add_lsh_bucket(emb, planes=8).select("vec_id", "bucket").collect()}
+    b = {r["vec_id"]: r["bucket"] for r in add_lsh_bucket(emb, planes=8).select("vec_id", "bucket").collect()}
+    assert a == b
+    assert len(set(a.values())) > 1  # buckets actually split the space
+
+
+def test_neardup_pairs_finds_planted_duplicate(spark, emb):
+    # plant an exact duplicate vector with a new id
+    dup = emb.filter("vec_id = 7").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    with_dup = emb.unionByName(dup)
+    pairs = embedding_neardup_pairs(with_dup, planes=8, threshold=0.99).collect()
+    assert any(r["id_a"] == 7 and r["id_b"] == 100007 for r in pairs)

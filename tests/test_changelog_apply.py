@@ -1,0 +1,128 @@
+"""Changelog-apply semantics: W5 latest-per-key + ST2 merge, incl. the
+FIXTURES.md F3 event mix (dupes, deletes, snapshot-read overlap)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cdc_connector_spark.changelog.apply import apply_changes, latest_per_key
+from cdc_connector_spark.changelog.envelope import (
+    apply_casts,
+    apply_renames,
+    envelope_schema,
+    flatten_envelope,
+    parse_json_envelope,
+)
+from pyspark.sql import types as T
+
+ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("val", T.StringType()),
+    ]
+)
+
+
+def _env_rows():
+    # (before, after, op, ts_ms, seq)
+    return [
+        (None, {"id": 1, "val": "a"}, "c", 1000, 1),
+        (None, {"id": 2, "val": "b"}, "c", 1000, 2),
+        ({"id": 1, "val": "a"}, {"id": 1, "val": "a2"}, "u", 2000, 3),
+        ({"id": 2, "val": "b"}, None, "d", 3000, 4),           # delete
+        (None, {"id": 3, "val": "c"}, "c", 3000, 5),
+        # exact duplicate of seq 3 (at-least-once replay)
+        ({"id": 1, "val": "a"}, {"id": 1, "val": "a2"}, "u", 2000, 3),
+        # snapshot-read overlapping an applied key
+        (None, {"id": 3, "val": "c"}, "r", 2500, 6),
+        # same-ts_ms tie: seq must break the tie
+        (None, {"id": 4, "val": "x"}, "c", 5000, 7),
+        ({"id": 4, "val": "x"}, {"id": 4, "val": "y"}, "u", 5000, 8),
+    ]
+
+
+def _envelope_df(spark, rows=None):
+    schema = envelope_schema(ROW_SCHEMA)
+    data = []
+    for before, after, op, ts, seq in rows or _env_rows():
+        data.append((before, after, op, ts, "testdb", "t", seq))
+    return spark.createDataFrame(data, schema)
+
+
+def test_flatten_envelope_keeps_delete_keys(spark):
+    flat = flatten_envelope(_envelope_df(spark), key_cols=["id"])
+    assert set(flat.columns) == {"id", "val", "__op", "__ts_ms", "__source_db", "__source_table", "__seq"}
+    deletes = flat.filter(F.col("__op") == "d").collect()
+    assert len(deletes) == 1 and deletes[0]["id"] == 2  # key from `before`
+
+
+def test_latest_per_key_ts_then_seq(spark):
+    flat = flatten_envelope(_envelope_df(spark), key_cols=["id"])
+    latest = latest_per_key(flat, ["id"]).orderBy("id").collect()
+    by_id = {r["id"]: r for r in latest}
+    assert by_id[1]["val"] == "a2"
+    assert by_id[2]["__op"] == "d"
+    assert by_id[3]["val"] == "c" and by_id[3]["__ts_ms"] == 3000
+    assert by_id[4]["val"] == "y"  # same ts, higher seq wins
+
+
+def test_apply_changes_bootstrap_and_merge(spark):
+    flat = flatten_envelope(_envelope_df(spark), key_cols=["id"])
+    state = apply_changes(None, flat, ["id"])
+    rows = {r["id"]: r["val"] for r in state.collect()}
+    assert rows == {1: "a2", 3: "c", 4: "y"}  # id=2 deleted
+
+
+def test_apply_changes_idempotent_replay(spark):
+    flat = flatten_envelope(_envelope_df(spark), key_cols=["id"])
+    state1 = apply_changes(None, flat, ["id"])
+    # replay the ENTIRE log on top of the applied state: must be a no-op
+    state2 = apply_changes(state1, flat, ["id"])
+    assert sorted(map(tuple, state1.collect())) == sorted(map(tuple, state2.collect()))
+
+
+def test_apply_changes_incremental_batch(spark):
+    flat = flatten_envelope(_envelope_df(spark), key_cols=["id"])
+    state = apply_changes(None, flat, ["id"])
+    batch2 = flatten_envelope(
+        _envelope_df(
+            spark,
+            rows=[
+                ({"id": 3, "val": "c"}, None, "d", 6000, 9),
+                (None, {"id": 5, "val": "new"}, "c", 6000, 10),
+                ({"id": 1, "val": "a2"}, {"id": 1, "val": "a3"}, "u", 7000, 11),
+            ],
+        ),
+        key_cols=["id"],
+    )
+    state2 = apply_changes(state, batch2, ["id"])
+    rows = {r["id"]: r["val"] for r in state2.collect()}
+    assert rows == {1: "a3", 4: "y", 5: "new"}
+
+
+def test_parse_json_envelope(spark):
+    raw = spark.createDataFrame(
+        [
+            ('{"before": null, "after": {"id": 9, "val": "z"}, "op": "c", '
+             '"ts_ms": 123, "source_db": "d", "source_table": "t", "seq": 1}',)
+        ],
+        "value string",
+    )
+    env = parse_json_envelope(raw, ROW_SCHEMA)
+    r = env.collect()[0]
+    assert r["after"]["id"] == 9 and r["op"] == "c"
+
+
+def test_predicate_gated_rename(spark):
+    df = spark.createDataFrame([(1, "u1")], "id int, user string")
+    hit = apply_renames(df, {"user": "owner_user_id"}, table="T_CARRIER", table_pattern=".*T_CARRIER")
+    miss = apply_renames(df, {"user": "owner_user_id"}, table="T_OTHER", table_pattern=".*T_CARRIER")
+    assert "owner_user_id" in hit.columns and "user" not in hit.columns
+    assert "user" in miss.columns
+
+
+def test_apply_casts(spark):
+    df = spark.createDataFrame([(1, 1, 7)], "id int, damaged int, vents int")
+    out = apply_casts(df, {"damaged": "boolean", "vents": "short", "missing": "int"})
+    kinds = dict(out.dtypes)
+    assert kinds["damaged"] == "boolean" and kinds["vents"] == "smallint"

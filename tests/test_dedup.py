@@ -1,0 +1,77 @@
+"""Dedup operator family: exact, MinHash-LSH, SimHash, n-gram Jaccard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_connector_spark.ops.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    simhash_dedup_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "on the warm windowsill in the afternoon sun near the garden"
+)
+NEAR = BASE.replace("afternoon", "evening")  # one-word edit → near-dup
+FAR = (
+    "completely different text about database systems and distributed "
+    "query processing with shuffle partitions and broadcast joins everywhere"
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),          # exact dup of 1
+        (3, NEAR),          # near dup of 1
+        (4, FAR),
+        (5, "The  Quick Brown FOX jumps over the lazy dog while the cat sleeps on the warm windowsill in the afternoon sun near the garden"),  # case/ws variant of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalized(spark, docs):
+    kept = exact_dedup(docs).collect()
+    by_id = {r["doc_id"]: r["dup_count"] for r in kept}
+    # 1,2,5 collapse (normalized fingerprint); 3 and 4 stay
+    assert by_id == {1: 3, 3: 1, 4: 1}
+
+
+def test_shingles_and_signature_shapes(spark, docs):
+    out = docs.select(
+        F.size(shingles("text", 3)).alias("n_sh"),
+        F.size(minhash_signature(shingles("text", 3), 32)).alias("n_sig"),
+    ).collect()
+    assert all(r["n_sig"] == 32 for r in out)
+    assert all(r["n_sh"] > 5 for r in out)
+
+
+def test_minhash_finds_near_dup_not_far(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_dedup_pairs(docs, jaccard_threshold=0.5).collect()}
+    assert (1, 2) in pairs          # exact dup always caught
+    assert (1, 3) in pairs          # near dup caught
+    assert all(4 not in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_simhash_identical_and_near(spark, docs):
+    sigs = {r["doc_id"]: r["s"] for r in docs.select("doc_id", simhash("text").alias("s")).collect()}
+    assert sigs[1] == sigs[2]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_dedup_pairs(docs, max_hamming=6).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs
+    assert all(4 not in (a, b) for (a, b) in pairs)
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, threshold=0.4).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 < pairs[(1, 3)] < 1.0
+    assert all(4 not in (a, b) for (a, b) in pairs)

@@ -1,0 +1,68 @@
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_connector_spark.ops.textstats import (
+    bpe_ish_tokens,
+    fingerprint,
+    language_id,
+    quality_score,
+    text_stats,
+    token_count,
+    tokenize,
+)
+
+
+def test_tokenize_edges(spark):
+    df = spark.createDataFrame([(1, "a b  c"), (2, ""), (3, "   "), (4, None)], "id int, t string")
+    got = {r["id"]: r["n"] for r in df.select("id", F.size(tokenize("t")).alias("n")).collect()}
+    assert got == {1: 3, 2: 0, 3: 0, 4: 0}
+
+
+def test_bpe_ish_tokens(spark):
+    df = spark.createDataFrame([(1, "hello, world! x2")], "id int, t string")
+    toks = df.select(bpe_ish_tokens("t").alias("t")).collect()[0]["t"]
+    assert toks == ["hello", ",", "world", "!", "x", "2"]
+
+
+def test_language_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and the dog is with that"),
+            (2, "el perro y la casa de los gatos que es en madrid"),
+            (3, "der hund ist nicht mit der katze und das haus"),
+            (4, "le chien est dans les maisons que des chats une"),
+            (5, "我是不在和有的了"),
+            (6, "zzz qqq xxx"),
+        ],
+        "id int, t string",
+    )
+    got = {r["id"]: r["l"] for r in df.select("id", language_id("t").alias("l")).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "fr", 5: "zh", 6: "und"}
+
+
+def test_quality_score_ordering(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs to the forest with great speed " * 3
+    bad = "@@@@ #### !!!! %%%% ^^^^ &&&&"
+    df = spark.createDataFrame([(1, good), (2, bad), (3, "")], "id int, t string")
+    got = {r["id"]: r["q"] for r in df.select("id", quality_score("t").alias("q")).collect()}
+    assert got[1] > got[2] > got[3] or (got[1] > got[2] and got[3] <= got[2])
+    assert 0.0 <= got[2] < got[1] <= 1.0
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "different")], "id int, t string"
+    )
+    got = {r["id"]: r["f"] for r in df.select("id", fingerprint("t").alias("f")).collect()}
+    assert got[1] == got[2] != got[3]
+
+
+def test_text_stats_on_documents(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = text_stats(docs)
+    row = stats.limit(1).collect()[0]
+    assert row["n_tokens"] > 0 and row["n_distinct_tokens"] <= row["n_tokens"]
+    assert stats.count() == docs.count()
+    # n_chars matches the table's own n_chars column
+    joined = stats.join(docs, "doc_id").filter(F.col("n_chars_calc") != F.col("n_chars")).count()
+    assert joined == 0

@@ -1,0 +1,127 @@
+"""The six reconciliation checks: PASS on a faithful sink, FAIL on each
+seeded corruption (FIXTURES.md F4 negative tests)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from cdc_connector_spark.validation.checks import (
+    FAIL,
+    PASS,
+    SKIP,
+    WARN,
+    check_distinct_pk,
+    check_duplication,
+    check_exists,
+    check_freshness,
+    check_orphans,
+    check_rowcount,
+    run_all_checks,
+    summarize,
+)
+from cdc_connector_spark.validation.drift import duplicate_groups, orphan_sample, replay_window
+
+
+def _src(spark, n=1000):
+    return spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("v"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("updated_at"),
+    )
+
+
+def test_all_checks_pass_on_identical(spark):
+    src = _src(spark)
+    report = run_all_checks("t", src, src, ["id"], "updated_at")
+    assert report.verdict == PASS and report.cdc_consistent
+    assert [r.status for r in report.results] == [PASS] * 6
+
+
+def test_exists_fail_on_missing():
+    assert check_exists(None).status == FAIL
+
+
+def test_rowcount_thresholds(spark):
+    src = _src(spark, 1000)
+    assert check_rowcount(src, _src(spark, 1000)).status == PASS
+    warn = check_rowcount(src, _src(spark, 995))  # 0.5% drift → WARN
+    assert warn.status == WARN
+    fail = check_rowcount(src, _src(spark, 900))  # 10% drift → FAIL
+    assert fail.status == FAIL and fail.metrics["diff"] == 100
+
+
+def test_distinct_pk_detects_missing_and_phantom(spark):
+    src = _src(spark, 1000)
+    missing = check_distinct_pk(src, src.filter("id < 900"), ["id"])
+    assert missing.status == FAIL and missing.metrics["diff"] == -100
+    phantom = check_distinct_pk(src, src.union(spark.range(1000, 1100).select(
+        F.col("id"), (F.col("id") % 7).alias("v"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("updated_at"))), ["id"])
+    assert phantom.status == FAIL and phantom.metrics["diff"] == 100
+
+
+def test_duplication_detects_dupes_and_null_pks(spark):
+    src = _src(spark, 100)
+    dup_sink = src.union(src.filter("id < 5"))
+    res = check_duplication(dup_sink, ["id"])
+    assert res.status == FAIL and res.metrics["duplicates"] == 5
+
+    null_sink = src.union(
+        src.filter("id < 3").select(F.lit(None).cast("long").alias("id"), "v", "updated_at")
+    )
+    res2 = check_duplication(null_sink, ["id"])
+    assert res2.status == FAIL and res2.metrics["null_pk_rows"] == 3 and res2.metrics["duplicates"] == 0
+
+
+def test_orphans_anti_join(spark):
+    src = _src(spark, 100)
+    sink = _src(spark, 110)  # 10 keys beyond source
+    res = check_orphans(src, sink, ["id"])
+    assert res.status == FAIL and res.metrics["orphan_count"] == 10
+    assert check_orphans(src, src, ["id"]).status == PASS
+
+
+def test_freshness_slo(spark):
+    src = _src(spark, 1000)  # max ts = base + 999
+    fresh = check_freshness(src, src, "updated_at")
+    assert fresh.status == PASS
+    stale = src.filter("id < 10")  # sink max is 989 behind → 16.5 min
+    res = check_freshness(src, stale, "updated_at")
+    assert res.status == FAIL and res.metrics["lag_minutes"] > 15
+    warn_sink = src.filter(f"id < {1000 - 13 * 60}")  # ~13 min behind → WARN band
+    assert check_freshness(src, warn_sink, "updated_at").status == WARN
+    assert check_freshness(src, src, None).status == SKIP
+
+
+def test_composite_pk_checks(spark):
+    src = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "b", 2.0), (2, "a", 3.0)], "cid int, metric string, v double"
+    )
+    assert check_distinct_pk(src, src, ["cid", "metric"]).status == PASS
+    dup = src.union(spark.createDataFrame([(1, "a", 9.9)], "cid int, metric string, v double"))
+    assert check_duplication(dup, ["cid", "metric"]).metrics["duplicates"] == 1
+
+
+def test_summarize_exit_code(spark):
+    src = _src(spark, 100)
+    good = run_all_checks("g", src, src, ["id"], "updated_at")
+    bad = run_all_checks("b", src, src.filter("id < 10"), ["id"], "updated_at")
+    s = summarize([good, bad])
+    assert s["fail"] == 1 and s["exit_code"] == 1 and not s["consistent"]
+
+
+def test_drift_duplicate_groups(spark):
+    src = _src(spark, 50)
+    sink = src.union(src.filter("id = 7")).union(src.filter("id = 7")).union(src.filter("id = 9"))
+    groups = duplicate_groups(sink, ["id"]).collect()
+    assert [(r["id"], r["occurrence_count"]) for r in groups] == [(7, 3), (9, 2)]
+
+
+def test_drift_orphans_and_replay_window(spark):
+    src = _src(spark, 100)
+    sink = _src(spark, 120)
+    assert orphan_sample(src, sink, ["id"]).count() == 20
+    win = replay_window(src, sink, "updated_at")
+    assert win["verdict"].startswith("sink_inflated")
+    stale = replay_window(src, src.filter("id < 50"), "updated_at")
+    assert stale["verdict"] == "sink_stale"
