@@ -59,6 +59,10 @@ def apply_changes(
     - WHEN NOT MATCHED AND op!='d' → insert
 
     Returns the new state. ``current=None`` means an empty sink (bootstrap).
+
+    Schema evolution (ST8, the ``schema.evolution: basic`` analogue): a batch
+    carrying NEW columns widens the sink — pre-existing rows get NULLs;
+    columns missing from the batch survive as NULL on upserted rows.
     """
     latest = latest_per_key(changes, key_cols, ts_col, seq_col)
     upserts = latest.filter(F.col(op_col) != OP_DELETE)
@@ -70,4 +74,4 @@ def apply_changes(
     # touched keys are replaced by the upsert image (deletes contribute none).
     keys = latest.select(*key_cols)
     untouched = current.join(keys, on=key_cols, how="left_anti")
-    return untouched.unionByName(upserts.select(*current.columns))
+    return untouched.unionByName(upserts, allowMissingColumns=True)

@@ -58,12 +58,13 @@ def brute_force_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
-def _srp_bucket(vec: Column, planes: int = 16) -> Column:
+def _srp_bucket(vec: Column, planes: int = 16, table: int = 0) -> Column:
     """Sign-random-projection bucket id (int) from deterministic hyperplanes.
 
     Plane p, dim d has weight ±1 chosen by parity of xxhash64(p*8192+d):
     reproducible on any cluster with no broadcast state. bit_p = 1 iff
-    Σ_d vec[d]·w[p,d] > 0.
+    Σ_d vec[d]·w[p,d] > 0. ``table`` offsets the plane index so L
+    independent hash tables share one formula.
     """
     def plane_dot(p: int):
         # closure (not default-arg) capture: pyspark checks lambda arity
@@ -82,7 +83,9 @@ def _srp_bucket(vec: Column, planes: int = 16) -> Column:
 
     bucket = F.lit(0)
     for p in range(planes):
-        bucket = bucket.bitwiseOR(F.when(plane_dot(p) > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        bucket = bucket.bitwiseOR(
+            F.when(plane_dot(table * planes + p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        )
     return bucket
 
 
@@ -96,31 +99,43 @@ def lsh_bucket_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: int = 8,
+    planes: int = 6,
+    num_tables: int = 8,
     multiprobe_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors whose LSH bucket is within
-    ``multiprobe_hamming`` bits of the query's bucket (multi-probe recall
-    boost), exact cosine re-rank inside the probed buckets.
+    """Approximate top-k: standard multi-table LSH — L independent hash
+    tables of ``planes`` hyperplanes each; a vector is a candidate if ANY
+    table buckets it with the query (plus buckets within
+    ``multiprobe_hamming`` bit-flips). Exact cosine re-rank on candidates.
 
-    With the table pre-bucketed on ``bucket`` the probe is a partition-pruned
-    scan of ~(1+planes)/2^planes of the data.
+    Scale path: with the table written partitioned by (table 0's) bucket the
+    probe prunes to ~L·(1+planes)/2^planes of the data; candidate scoring is
+    a single scan with an OR-of-IN filter, no join, no shuffle.
     """
-    bucketed = add_lsh_bucket(embeddings, vec_col, planes)
-    qdf_bucket = (
-        embeddings.sparkSession.range(1)
-        .select(_srp_bucket(F.array(*[F.lit(float(v)) for v in query_vec]), planes).alias("qb"))
-        .collect()[0]["qb"]
-    )
-    probe = [qdf_bucket]
-    if multiprobe_hamming >= 1:
-        probe += [qdf_bucket ^ (1 << p) for p in range(planes)]
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    spark = embeddings.sparkSession
+    qarr = F.array(*[F.lit(float(v)) for v in query_vec])
+    qrow = spark.range(1).select(
+        *[_srp_bucket(qarr, planes, table=t).alias(f"qb{t}") for t in range(num_tables)]
+    ).collect()[0]
+
+    def probes(qb: int) -> list[int]:
+        out = [qb]
+        if multiprobe_hamming >= 1:
+            out += [qb ^ (1 << p) for p in range(planes)]
+        if multiprobe_hamming >= 2:
+            out += [qb ^ (1 << p) ^ (1 << r) for p in range(planes) for r in range(p + 1, planes)]
+        return out
+
+    vec = F.col(vec_col).cast("array<double>")
+    cond = None
+    for t in range(num_tables):
+        c = _srp_bucket(vec, planes, table=t).isin(probes(qrow[f"qb{t}"]))
+        cond = c if cond is None else (cond | c)
     return (
-        bucketed.filter(F.col("bucket").isin(probe))
+        embeddings.filter(cond)
         .select(
             F.col(id_col),
-            cosine_similarity(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"),
+            cosine_similarity(vec, qarr).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
@@ -136,17 +151,20 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Near-duplicate vector pairs: self-join within LSH bucket, verify exact
     cosine ≥ threshold. Returns (id_a, id_b, cos_sim), id_a < id_b."""
-    b = add_lsh_bucket(embeddings, vec_col, planes).select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "bucket"
+    from cdc_connector_spark.ops.dedup import _bucket_pairs
+
+    b = add_lsh_bucket(embeddings, vec_col, planes).select(F.col(id_col).alias("__id"), "bucket")
+    cand = _bucket_pairs(b, ["bucket"], "__id")
+    # vectors re-attach to candidate PAIRS only — the LSH grouping shuffles
+    # just (id, bucket), and the bucket expression evaluates once per row
+    vecs = embeddings.select(F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v"))
+    return (
+        cand.join(vecs.select(F.col("__id").alias("id_a"), F.col("__v").alias("v_a")), "id_a")
+        .join(vecs.select(F.col("__id").alias("id_b"), F.col("__v").alias("v_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("v_a"), F.col("v_b")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
     )
-    l, r = b.alias("l"), b.alias("r")
-    cand = l.join(
-        r, on=[F.col("l.bucket") == F.col("r.bucket"), F.col("l.__id") < F.col("r.__id")]
-    ).select(
-        F.col("l.__id").alias("id_a"),
-        F.col("r.__id").alias("id_b"),
-        cosine_similarity(
-            F.col("l.__v").cast("array<double>"), F.col("r.__v").cast("array<double>")
-        ).alias("cos_sim"),
-    )
-    return cand.filter(F.col("cos_sim") >= threshold)

@@ -28,6 +28,21 @@ from cdc_connector_spark.ops.textstats import fingerprint, tokenize
 _MERSENNE = (1 << 61) - 1
 
 
+def _barrier(df: DataFrame) -> DataFrame:
+    """Exchange barrier: force upstream expressions to materialize ONCE.
+
+    Catalyst's CollapseProject inlines a projected expression into every
+    downstream reference, and common-subexpression elimination does not
+    reach across higher-order functions — so e.g. a MinHash signature
+    referenced by 16 band expressions would be recomputed 16×. A round-robin
+    repartition inserts an exchange: below it the signature computes once;
+    above it, references are plain column reads. The shuffled payload is the
+    compact signature frame, so this is cheap at any scale.
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n)
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact (normalized) dedup: one representative row per fingerprint —
     the smallest id wins (deterministic). Single shuffle on the hash."""
@@ -51,24 +66,37 @@ def shingles(col, n: int = 3):
     return F.array_distinct(grams)
 
 
-def minhash_signature(shingle_col, num_hashes: int = 64):
-    """k-permutation MinHash signature (array<bigint>, length ``num_hashes``).
+def minhash_from_hashes(hashed_col, num_hashes: int = 64):
+    """k-permutation MinHash over PRE-HASHED shingles (array<bigint>).
 
-    Permutation i is the affine map ``(a_i * xxhash64(s) + b_i) mod p`` with
+    Permutation i is the affine map ``(a_i * h + b_i) mod p`` with
     deterministic a_i/b_i derived from i — no RNG, stable across runs.
+    Operating on pre-hashed longs matters: the string hashing happens once,
+    not once per permutation.
     """
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
             F.transform(
-                shingle_col,
-                lambda s: F.pmod(
-                    (F.lit(2) * i + 1) * F.xxhash64(s) + i * F.lit(0x27D4EB2F165667C5),
+                hashed_col,
+                lambda h: F.pmod(
+                    (F.lit(2) * i + 1) * h + i * F.lit(0x27D4EB2F165667C5),
                     F.lit(_MERSENNE),
                 ),
             )
         ),
     )
+
+
+def minhash_signature(shingle_col, num_hashes: int = 64):
+    """MinHash signature (array<bigint>) straight from a shingle array.
+
+    Single-expression convenience; pipelines should pre-hash shingles into
+    a materialized column and use ``minhash_from_hashes`` (see
+    ``minhash_dedup_pairs``) so the string hashing isn't re-inlined per
+    permutation by projection collapse.
+    """
+    return minhash_from_hashes(F.transform(shingle_col, lambda s: F.xxhash64(s)), num_hashes)
 
 
 def minhash_dedup_pairs(
@@ -82,59 +110,90 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding.
 
-    Plan shape: one scan → explode to ``bands`` rows/doc → shuffle on
-    (band, band_hash) → within-bucket self-join (small groups) → exact
-    Jaccard verification on shingle sets. Returns (id_a, id_b, jaccard)
-    with id_a < id_b.
+    Plan shape: one scan computes the signature → explode to ``bands``
+    compact (band, bucket) rows → group buckets → pair-explode →
+    signature-estimate Jaccard on candidates. The returned ``jaccard`` is
+    the MinHash ESTIMATE (matching components / k, standard MinHash
+    semantics, ±1/√k): verifying with exact shingle-set intersection is
+    ~50× more expensive per pair and O(pairs × shingles) at 100 TB — use
+    ``ngram_jaccard_pairs`` when exact values are required.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("__id"), shingles(text_col, shingle_n).alias("__sh")
-    ).withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+    hashed = _barrier(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s)).alias("__h"),
+        )
+    )
+    sig = _barrier(
+        hashed.select(
+            F.struct(
+                F.col("__id").alias("id"),
+                minhash_from_hashes(F.col("__h"), num_hashes).alias("sig"),
+            ).alias("__rec")
+        )
+    )
 
-    banded = base.select(
-        "__id",
-        "__sh",
+    # signatures are k longs — cheap enough to carry through the band
+    # explode, so the verify step needs no re-join and no shingle payload
+    banded = sig.select(
+        "__rec",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
                     F.xxhash64(
-                        F.concat_ws(",", F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band))
+                        F.concat_ws(",", F.slice(F.col("__rec.sig"), b * rows_per_band + 1, rows_per_band))
                     ).alias("bucket"),
                 ),
             )
         ).alias("bb"),
-    ).select("__id", "__sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("__rec", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (
-        left.join(
-            right,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.bucket") == F.col("r.bucket"),
-                F.col("l.__id") < F.col("r.__id"),
-            ],
+    cand = _bucket_pairs(banded, ["band", "bucket"], "__rec")
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("id_a.sig"), F.col("id_b.sig"), lambda a, b: a == b),
+            lambda x: x,
         )
-        .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
-            F.col("l.__sh").alias("sh_a"),
-            F.col("r.__sh").alias("sh_b"),
+    )
+    return (
+        cand.select(
+            F.col("id_a.id").alias("id_a"),
+            F.col("id_b.id").alias("id_b"),
+            (matches / F.lit(float(num_hashes))).alias("jaccard"),
         )
+        .filter(F.col("jaccard") >= jaccard_threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (
-        cand.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
+
+
+def _bucket_pairs(df: DataFrame, bucket_cols: list[str], id_col: str, max_bucket: int = 500) -> DataFrame:
+    """Candidate pairs (id_a < id_b) from rows sharing a bucket.
+
+    groupBy-collect instead of a self-join: the upstream plan (signatures)
+    executes ONCE, and the pair explosion happens bucket-locally. Buckets
+    larger than ``max_bucket`` are dropped — degenerate buckets (boilerplate
+    shingles, all-zero vectors) add quadratic cost and near-zero signal at
+    scale; tune per corpus.
+    """
+    buckets = (
+        df.groupBy(*bucket_cols)
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return buckets.select(F.explode(pair_expr).alias("p")).select("p.id_a", "p.id_b")
 
 
 def simhash(col, bits: int = 64):
@@ -181,10 +240,11 @@ def simhash_dedup_pairs(
     16-bit chunks — any pair within Hamming ≤ blocks-1 shares ≥1 exact chunk
     (pigeonhole), so the join is chunk-equality, then verify full distance."""
     bits_per = 64 // blocks
-    sig = df.select(F.col(id_col).alias("__id"), simhash(text_col).alias("__sig"))
+    sig = _barrier(df.select(F.col(id_col).alias("__id"), simhash(text_col).alias("__sig")))
+    # the signature is 8 bytes — cheap enough to CARRY through the bucket
+    # grouping (unlike minhash shingle sets), so no verify-side re-join
     chunked = sig.select(
-        "__id",
-        "__sig",
+        F.struct(F.col("__id").alias("id"), F.col("__sig").alias("sig")).alias("__rec"),
         F.explode(
             F.array(
                 *[
@@ -198,27 +258,15 @@ def simhash_dedup_pairs(
                 ]
             )
         ).alias("bc"),
-    ).select("__id", "__sig", F.col("bc.block").alias("block"), F.col("bc.chunk").alias("chunk"))
-    l, r = chunked.alias("l"), chunked.alias("r")
-    cand = (
-        l.join(
-            r,
-            on=[
-                F.col("l.block") == F.col("r.block"),
-                F.col("l.chunk") == F.col("r.chunk"),
-                F.col("l.__id") < F.col("r.__id"),
-            ],
-        )
-        .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
-            F.col("l.__sig").alias("sig_a"),
-            F.col("r.__sig").alias("sig_b"),
+    ).select("__rec", F.col("bc.block").alias("block"), F.col("bc.chunk").alias("chunk"))
+    cand = _bucket_pairs(chunked, ["block", "chunk"], "__rec")
+    return (
+        cand.select(
+            F.col("id_a.id").alias("id_a"),
+            F.col("id_b.id").alias("id_b"),
+            hamming64(F.col("id_a.sig"), F.col("id_b.sig")).alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cand.withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

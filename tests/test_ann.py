@@ -41,11 +41,12 @@ def test_brute_force_topk_self_is_best(emb):
 def test_lsh_recall_vs_exact(emb):
     q = list(emb.filter("vec_id = 0").collect()[0]["embedding"])
     exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
-    approx = [r["vec_id"] for r in lsh_bucket_topk(emb, q, k=10, planes=8).collect()]
-    # multi-probe LSH on 500 vecs: expect decent overlap incl. the query itself
+    approx = [r["vec_id"] for r in lsh_bucket_topk(emb, q, k=10).collect()]
+    # multi-table LSH (defaults: 6 planes × 8 tables, 1-bit multiprobe) on
+    # near-random synthetic vectors — the hardest case for SRP recall
     assert 0 in approx
     overlap = len(set(exact) & set(approx))
-    assert overlap >= 5, f"LSH recall too low: {overlap}/10 ({approx} vs {exact})"
+    assert overlap >= 6, f"LSH recall too low: {overlap}/10 ({approx} vs {exact})"
 
 
 def test_bucket_assignment_deterministic(emb):

@@ -126,3 +126,15 @@ def test_apply_casts(spark):
     out = apply_casts(df, {"damaged": "boolean", "vents": "short", "missing": "int"})
     kinds = dict(out.dtypes)
     assert kinds["damaged"] == "boolean" and kinds["vents"] == "smallint"
+
+
+def test_schema_evolution_additive_column(spark):
+    """ST8: a batch with a NEW column widens the sink; old rows get NULL."""
+    current = spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string")
+    batch = spark.createDataFrame(
+        [(2, "b2", "extra", "u", 100, 1), (3, "c", "x", "c", 100, 2)],
+        "id long, val string, note string, __op string, __ts_ms long, __seq long",
+    )
+    state = apply_changes(current, batch, ["id"])
+    rows = {r["id"]: (r["val"], r["note"]) for r in state.collect()}
+    assert rows == {1: ("a", None), 2: ("b2", "extra"), 3: ("c", "x")}
