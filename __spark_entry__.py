@@ -328,6 +328,123 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: LEFT OUTER join + two-level aggregation — the outer
+    join + count(col) null-skipping shape."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def semi_join_discounted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style EXISTS: orders with ≥1 heavily-discounted lineitem,
+    counted per priority — plans as a left-semi join (no row duplication)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    hits = li.filter(F.col("l_discount") >= 0.09).select("l_orderkey")
+    return (
+        orders.join(hits, orders.o_orderkey == hits.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def set_ops_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers ordering in BOTH 1997 and 1998 (INTERSECT)
+    and in 1997 only (EXCEPT), as one summary row."""
+    orders = _t(spark, sf_dir, "orders")
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    y98 = orders.filter(F.year("o_orderdate") == 1998).select("o_custkey")
+    both = y97.intersect(y98).agg(F.count(F.lit(1)).alias("both_years"))
+    only97 = y97.distinct().subtract(y98).agg(F.count(F.lit(1)).alias("only_1997"))
+    return both.crossJoin(only97)
+
+
+def rollup_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP (status, priority): hierarchical totals incl. grand
+    total — Spark's native rollup, absent in the reference's SQL surface."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def percentile_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) of order price per status —
+    matches DuckDB quantile_cont semantics."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.25)), 6).alias("p25"),
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.75)), 6).alias("p75"),
+            F.round(F.avg("o_totalprice"), 6).alias("mean_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator, ops/asof.py): each purchase event matched
+    with the user's latest click at-or-before it — union-window plan, one
+    shuffle on user_id. Oracle: DuckDB native ASOF LEFT JOIN."""
+    from cdc_connector_spark.ops.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            "ts",
+            F.col("value").alias("click_value"),
+            F.col("event_id").alias("click_event_id"),
+        )
+        .withColumn("rn", F.row_number().over(Window.partitionBy("user_id", "ts").orderBy(F.col("click_event_id").desc())))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return asof_join(purchases, clicks, on="ts", by="user_id")
+
+
+def cosine_pairs_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops: exact all-pairs cosine ≥ threshold on a keyed subset — the
+    value-verified baseline for embedding_neardup's LSH path."""
+    from cdc_connector_spark.ops.ann import cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("v_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("v_b"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+
+
 # ---- rows-only entries (not SQL-expressible; driver records weaker check) --
 
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,6 +510,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": dedup_exact_documents,
         "text_stats_documents": text_stats_documents,
         "ann_cosine_topk": ann_cosine_topk,
+        "q13_customer_distribution": q13_customer_distribution,
+        "semi_join_discounted": semi_join_discounted,
+        "set_ops_active_customers": set_ops_active_customers,
+        "rollup_order_revenue": rollup_order_revenue,
+        "percentile_order_price": percentile_order_price,
+        "asof_purchase_last_click": asof_purchase_last_click,
+        "cosine_pairs_bruteforce": cosine_pairs_bruteforce,
         "minhash_neardup": minhash_neardup,
         "simhash_neardup": simhash_neardup,
         "embedding_neardup": embedding_neardup,
@@ -554,7 +678,112 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cos_sim DESC, vec_id ASC
             LIMIT 20
         """,
-        # minhash_neardup / simhash_neardup / embedding_neardup / lsh_ann_topk /
-        # lang_id_documents: not SQL-expressible (hash-family / LSH internals)
-        # → rows-only check by design.
+        "q13_customer_distribution": """
+            SELECT c_count, COUNT(*) AS custdist
+            FROM (
+                SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "semi_join_discounted": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_discount >= 0.09
+            )
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "set_ops_active_customers": """
+            WITH y97 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+                 y98 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+            SELECT
+                (SELECT COUNT(*) FROM (SELECT o_custkey FROM y97 INTERSECT SELECT o_custkey FROM y98)) AS both_years,
+                (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y98)) AS only_1997
+        """,
+        "rollup_order_revenue": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """,
+        "percentile_order_price": """
+            SELECT o_orderstatus,
+                   round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+                   round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+                   round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+                   round(avg(o_totalprice), 6) AS mean_price
+            FROM orders
+            GROUP BY o_orderstatus
+            ORDER BY o_orderstatus
+        """,
+        "asof_purchase_last_click": """
+            WITH purchases AS (
+                SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+            ), clicks AS (
+                SELECT user_id, ts, value AS click_value, event_id AS click_event_id
+                FROM events WHERE event_type = 'click'
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+            )
+            SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
+                   c.click_value, c.click_event_id, CAST(c.ts AS TIMESTAMP) AS ts_right
+            FROM purchases p ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "cosine_pairs_bruteforce": """
+            WITH sub AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id % 10 = 0
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_inner_product(a.v, b.v) /
+                         (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))),
+                         6) AS cos_sim
+            FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+            WHERE round(list_inner_product(a.v, b.v) /
+                        (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))),
+                        6) >= 0.3
+        """,
+        "lang_id_documents": """
+            WITH c AS (
+                SELECT doc_id, lang,
+                       CASE WHEN trim(lower(coalesce(text,''))) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(lower(coalesce(text,''))), '\\s+') END AS toks,
+                       coalesce(text, '') AS t
+                FROM documents
+            ), s AS (
+                SELECT doc_id, lang,
+                       len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','with'], x))) AS s_en,
+                       len(list_filter(toks, x -> list_contains(['el','la','los','las','de','que','es','en'], x))) AS s_es,
+                       len(list_filter(toks, x -> list_contains(['le','la','les','des','est','dans','que','une'], x))) AS s_fr,
+                       len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS s_de,
+                       (length(t) - length(replace(t, '的', '')))
+                     + (length(t) - length(replace(t, '是', '')))
+                     + (length(t) - length(replace(t, '了', '')))
+                     + (length(t) - length(replace(t, '在', '')))
+                     + (length(t) - length(replace(t, '和', '')))
+                     + (length(t) - length(replace(t, '有', '')))
+                     + (length(t) - length(replace(t, '我', '')))
+                     + (length(t) - length(replace(t, '不', ''))) AS s_zh
+                FROM c
+            )
+            SELECT doc_id, lang,
+                   CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) <= 0 THEN 'und'
+                        WHEN s_en >= greatest(s_es, s_fr, s_de, s_zh) THEN 'en'
+                        WHEN s_es >= greatest(s_fr, s_de, s_zh) THEN 'es'
+                        WHEN s_fr >= greatest(s_de, s_zh) THEN 'fr'
+                        WHEN s_de >= s_zh THEN 'de'
+                        ELSE 'zh' END AS lang_pred
+            FROM s
+        """,
+        # minhash_neardup / simhash_neardup / embedding_neardup / lsh_ann_topk:
+        # not SQL-expressible (hash-family / LSH internals) → rows-only check
+        # by design; their semantics are value-verified by the brute-force /
+        # exact twins above (cosine_pairs_bruteforce, ngram-Jaccard tests).
     }

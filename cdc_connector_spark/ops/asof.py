@@ -1,0 +1,115 @@
+"""As-of (temporal) join — a custom operator the reference lacks but a
+time-series/CDC analytics engine needs (reference's nearest analogue is the
+freshness comparison of max timestamps, tests/validation.py:640-709).
+
+``asof_join(left, right, on, by)`` matches each left row with the latest
+right row whose ``on`` timestamp is <= the left's (``backward``; ``forward``
+is the mirror). Semantics match pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
+(backward inclusive).
+
+Spark-first design — the union-window formulation, NOT a range join:
+tag both sides, union them, and run ``last(payload, ignorenulls=True)`` over
+a window partitioned by key and ordered by (ts, side). One shuffle on the
+key, no join explosion, no per-row range probe; at 100 TB this is a single
+exchange + sort, and skew in ``by`` is handled by AQE like any window. A
+broadcast-range join would instead explode candidates quadratically in hot
+keys.
+
+Ties: right rows sort BEFORE left rows at equal ts (inclusive match); among
+equal-ts right rows the one with the greatest ``seq_col`` (when given) wins,
+else the physically-last one in the sort — pass ``seq_col`` for full
+determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | list[str] | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    suffix: str = "_right",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Left as-of join. Every left row survives; right payload columns come
+    back NULL when no right row qualifies (or the match exceeds
+    ``tolerance_seconds``).
+
+    Parameters
+    ----------
+    on : timestamp/numeric ordering column, present in both frames.
+    by : equality key(s) — the shuffle partitioning key.
+    direction : 'backward' (latest right.ts <= left.ts, inclusive) or
+        'forward' (earliest right.ts >= left.ts, inclusive).
+    tolerance_seconds : max |left.ts - right.ts| for a timestamp ``on``
+        column (interpreted as plain numeric distance when ``on`` is
+        numeric).
+    seq_col : optional right-side column breaking ties among equal-ts right
+        rows (greatest wins).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+
+    payload = [c for c in right.columns if c not in by_cols and c != on]
+    out_names = {c: (c + suffix if c in left.columns else c) for c in payload}
+    matched_on = on + suffix  # right-side ts surfaced for tolerance/debug
+
+    lhs = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload],
+        F.lit(None).cast(right.schema[on].dataType).alias("__r_on"),
+        (F.lit(None).cast(right.schema[seq_col].dataType) if seq_col else F.lit(0)).alias("__asof_seq"),
+    )
+    rhs = right.select(
+        *[F.col(c) for c in by_cols],
+        F.col(on),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in by_cols and c != on],
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in payload],
+        F.col(on).alias("__r_on"),
+        (F.col(seq_col) if seq_col else F.lit(0)).alias("__asof_seq"),
+    )
+    u = lhs.unionByName(rhs)
+
+    asc = direction == "backward"
+    order = [
+        F.col(on).asc() if asc else F.col(on).desc(),
+        F.col("__side").asc(),  # right rows visible to equal-ts left rows
+        F.col("__asof_seq").asc() if asc else F.col("__asof_seq").desc(),
+    ]
+    w = (
+        Window.partitionBy(*by_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    filled = u.select(
+        *[F.col(c) for c in u.columns],
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in payload],
+        F.last("__r_on", ignorenulls=True).over(w).alias("__f_on"),
+    ).filter(F.col("__side") == 1)
+
+    if tolerance_seconds is not None:
+        if "timestamp" in right.schema[on].dataType.simpleString():
+            dist = F.abs(
+                F.unix_timestamp(F.col(on)).cast("double") - F.unix_timestamp(F.col("__f_on")).cast("double")
+            )
+        else:
+            dist = F.abs(F.col(on).cast("double") - F.col("__f_on").cast("double"))
+        ok = dist <= F.lit(float(tolerance_seconds))
+    else:
+        ok = F.lit(True)
+
+    return filled.select(
+        *[F.col(c) for c in left.columns],
+        *[F.when(ok, F.col(f"__f_{c}")).alias(out_names[c]) for c in payload],
+        F.when(ok, F.col("__f_on")).alias(matched_on),
+    )

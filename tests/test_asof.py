@@ -1,0 +1,126 @@
+"""As-of join: hand-built cases + randomized cross-check vs pandas merge_asof."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from cdc_connector_spark.ops.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    trades = spark.createDataFrame(
+        [(1, 10.0, "A"), (1, 20.0, "A"), (1, 25.0, "B"), (1, 5.0, "B")],
+        "trade_id int, ts double, sym string",
+    ).select("trade_id", "sym", "ts")
+    quotes = spark.createDataFrame(
+        [
+            ("A", 9.0, 100.0),
+            ("A", 20.0, 110.0),  # equal-ts: inclusive match
+            ("A", 21.0, 120.0),
+            ("B", 6.0, 200.0),
+        ],
+        "sym string, ts double, px double",
+    )
+    return trades, quotes
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_backward_inclusive(quotes_trades):
+    trades, quotes = quotes_trades
+    out = asof_join(trades, quotes, on="ts", by="sym")
+    got = _rows(out, "sym", "ts", "px")
+    assert got == [
+        ("A", 10.0, 100.0),  # latest quote <= 10 is 9.0
+        ("A", 20.0, 110.0),  # equal ts matches
+        ("B", 5.0, None),    # nothing at or before 5
+        ("B", 25.0, 200.0),
+    ]
+
+
+def test_forward(quotes_trades):
+    trades, quotes = quotes_trades
+    out = asof_join(trades, quotes, on="ts", by="sym", direction="forward")
+    got = _rows(out, "sym", "ts", "px")
+    assert got == [
+        ("A", 10.0, 110.0),  # earliest quote >= 10 is 20.0
+        ("A", 20.0, 110.0),  # inclusive
+        ("B", 5.0, 200.0),
+        ("B", 25.0, None),
+    ]
+
+
+def test_tolerance(quotes_trades):
+    trades, quotes = quotes_trades
+    out = asof_join(trades, quotes, on="ts", by="sym", tolerance_seconds=1.5)
+    got = _rows(out, "sym", "ts", "px")
+    assert got == [
+        ("A", 10.0, 100.0),  # |10-9| = 1 <= 1.5
+        ("A", 20.0, 110.0),  # 0
+        ("B", 5.0, None),
+        ("B", 25.0, None),   # |25-6| = 19 > 1.5 → nulled out
+    ]
+
+
+def test_equal_ts_right_rows_seq_tiebreak(spark):
+    left = spark.createDataFrame([(1, 10.0)], "k int, ts double")
+    right = spark.createDataFrame(
+        [(1, 10.0, 1, "first"), (1, 10.0, 2, "second")],
+        "k int, ts double, seq int, v string",
+    )
+    out = asof_join(left, right, on="ts", by="k", seq_col="seq")
+    assert out.collect()[0]["v"] == "second"  # greatest seq wins
+
+
+def test_randomized_vs_pandas_merge_asof(spark):
+    rng = np.random.default_rng(7)
+    n_l, n_r = 400, 300
+    lpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n_l),
+            "ts": rng.uniform(0, 1000, n_l).round(3),
+            "lval": np.arange(n_l),
+        }
+    )
+    rpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n_r),
+            "ts": rng.uniform(0, 1000, n_r).round(3),
+            "rval": np.arange(n_r).astype(float),
+        }
+    )
+    # merge_asof needs unique (k, ts) on the right for a deterministic match
+    rpd = rpd.drop_duplicates(subset=["k", "ts"], keep="last")
+
+    expected = pd.merge_asof(
+        lpd.sort_values("ts", kind="mergesort"),
+        rpd.sort_values("ts", kind="mergesort"),
+        on="ts",
+        by="k",
+        direction="backward",
+    ).sort_values("lval")
+
+    out = asof_join(
+        spark.createDataFrame(lpd),
+        spark.createDataFrame(rpd),
+        on="ts",
+        by="k",
+    )
+    got = out.toPandas().sort_values("lval")
+    exp_r = expected["rval"].to_numpy()
+    got_r = got["rval"].to_numpy()
+    both_nan = np.isnan(exp_r) & np.isnan(got_r)
+    assert bool(np.all(both_nan | (exp_r == got_r)))
+
+
+def test_no_by_key_global_asof(spark):
+    left = spark.createDataFrame([(10.0,), (1.0,)], "ts double")
+    right = spark.createDataFrame([(2.0, "x"), (9.0, "y")], "ts double, v string")
+    out = asof_join(left, right, on="ts")
+    got = _rows(out, "ts", "v")
+    assert got == [(1.0, None), (10.0, "y")]
