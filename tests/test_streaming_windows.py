@@ -1,0 +1,121 @@
+"""Windowed/session aggregation and the applyInPandasWithState latest-per-key
+operator — batch parity plus streaming mechanics (memory sink)."""
+
+import os
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cdc_connector_spark.streaming.stateful import latest_state_stream
+from cdc_connector_spark.streaming.windows import session_windows, windowed_event_stats
+
+
+def test_windowed_stats_batch_parity(spark):
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:05:00", "click", 1.0),
+            ("2024-01-01 00:55:00", "click", 2.0),
+            ("2024-01-01 01:05:00", "click", 4.0),
+            ("2024-01-01 00:10:00", "view", 8.0),
+        ],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = windowed_event_stats(df, window="1 hour").collect()
+    got = {(r["window_start"].hour, r["event_type"]): (r["n_events"], r["sum_value"]) for r in out}
+    assert got == {(0, "click"): (2, 3.0), (1, "click"): (1, 4.0), (0, "view"): (1, 8.0)}
+
+
+def test_sliding_window(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:10:00", "a", 1.0), ("2024-01-01 00:40:00", "a", 2.0)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = windowed_event_stats(df, window="1 hour", slide="30 minutes").collect()
+    # event at 00:10 belongs to [23:30,00:30) and [00:00,01:00); at 00:40 to
+    # [00:00,01:00) and [00:30,01:30)
+    counts = sorted(r["n_events"] for r in out)
+    assert counts == [1, 1, 2]
+
+
+def test_session_windows_gap_merge(spark):
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", 1),
+            ("2024-01-01 00:10:00", 1),   # same session (gap 30m)
+            ("2024-01-01 02:00:00", 1),   # new session
+            ("2024-01-01 00:00:00", 2),
+        ],
+        "ts string, user_id int",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = session_windows(df, gap="30 minutes")
+    rows = sorted((r["user_id"], r["n_events"]) for r in out.collect())
+    assert rows == [(1, 1), (1, 2), (2, 1)]
+
+
+@pytest.fixture
+def changelog_dir(spark, tmp_path):
+    """Two changelog parquet files: inserts then update+delete."""
+    d = str(tmp_path / "log")
+    schema = "id bigint, v string, __op string, __ts_ms bigint, __seq bigint"
+    spark.createDataFrame(
+        [(1, "a", "c", 100, 1), (2, "b", "c", 100, 2)], schema
+    ).repartition(1).write.mode("overwrite").parquet(os.path.join(d, "f0"))
+    spark.createDataFrame(
+        [(1, "a2", "u", 200, 3), (2, None, "d", 200, 4), (3, "c", "c", 200, 5)], schema
+    ).repartition(1).write.mode("overwrite").parquet(os.path.join(d, "f1"))
+    return d
+
+
+def test_latest_state_stream_applyinpandaswithstate(spark, tmp_path, changelog_dir):
+    schema = "id bigint, v string, __op string, __ts_ms bigint, __seq bigint"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(changelog_dir)
+    )
+    out = latest_state_stream(stream, key_cols=["id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("latest_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from latest_state").collect()
+    # final emission per key: id=1 updated to a2, id=2 deleted, id=3 inserted
+    final = {}
+    for r in rows:
+        cur = final.get(r["id"])
+        if cur is None or (r["__ts_ms"], r["__seq"]) >= (cur["__ts_ms"], cur["__seq"]):
+            final[r["id"]] = r
+    assert final[1]["v"] == "a2" and final[1]["__deleted"] is False
+    assert final[2]["__deleted"] is True
+    assert final[3]["v"] == "c" and final[3]["__deleted"] is False
+
+
+def test_windowed_stats_streaming_with_watermark(spark, tmp_path):
+    src = str(tmp_path / "events")
+    schema = "ts timestamp, event_type string, value double"
+    spark.createDataFrame(
+        [("2024-01-01 00:05:00", "click", 1.0), ("2024-01-01 00:20:00", "click", 2.0)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts")).repartition(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = windowed_event_stats(stream, window="1 hour", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from win_stats").collect()
+    assert any(r["n_events"] == 2 and r["sum_value"] == 3.0 for r in rows)
