@@ -35,6 +35,70 @@ HEADLINE = [
 ]
 
 
+def bench_snapshot_throughput(spark, sf_dir: str) -> tuple[float, float]:
+    """End-to-end snapshot load (S2→S10 analogue): lineitem → normalize →
+    partitioned parquet write. Mirrors the reference's rows/sec progress
+    metric (migrate_v3.py:656,827,848)."""
+    import shutil
+    import tempfile
+
+    from cdc_connector_spark.snapshot.engine import snapshot_table
+    from cdc_connector_spark.tables import load_table, meta_from_df
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n_rows = li.count()
+    meta = meta_from_df("bench", "lineitem", li, ["l_orderkey", "l_linenumber"])
+    out = tempfile.mkdtemp(prefix="bench_snap_")
+    try:
+        t0 = time.time()
+        snapshot_table(spark, li, meta, out, mode="overwrite")
+        dt = time.time() - t0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return dt, n_rows / dt
+
+
+def bench_changelog_apply(spark, sf_dir: str) -> tuple[float, float]:
+    """Changelog-apply throughput (ST2): bootstrap sink from orders, then
+    MERGE one batch of updates+deletes (20% of keys). Mirrors the
+    reference's sink batch apply (batch.size 3000,
+    connectors/sinks/postgres/performance.json:30)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cdc_connector_spark.changelog.sink import ParquetMergeSink
+    from cdc_connector_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    changes = (
+        orders.filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+            "o_orderdate",
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 20 == 0, "d").otherwise("u").alias("__op"),
+            F.lit(1).cast("bigint").alias("__ts_ms"),
+            F.col("o_orderkey").alias("__seq"),
+        )
+    )
+    n_events = changes.count()
+    root = tempfile.mkdtemp(prefix="bench_apply_")
+    try:
+        sink = ParquetMergeSink(spark, os.path.join(root, "orders"), ["o_orderkey"], num_buckets=32)
+        sink.overwrite(orders)
+        t0 = time.time()
+        sink.apply(changes)
+        dt = time.time() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return dt, n_events / dt
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -60,6 +124,16 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
 
+    snap_dt, snap_rps = bench_snapshot_throughput(spark, sf_dir)
+    timings["snapshot_load_lineitem"] = round(snap_dt, 3)
+    total += snap_dt
+    print(f"# snapshot_load_lineitem: {snap_dt:.2f}s ({snap_rps:,.0f} rows/s)", file=sys.stderr)
+
+    apply_dt, apply_eps = bench_changelog_apply(spark, sf_dir)
+    timings["changelog_apply_orders"] = round(apply_dt, 3)
+    total += apply_dt
+    print(f"# changelog_apply_orders: {apply_dt:.2f}s ({apply_eps:,.0f} events/s)", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -68,6 +142,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "snapshot_rows_per_sec": round(snap_rps),
+                "apply_events_per_sec": round(apply_eps),
             }
         )
     )

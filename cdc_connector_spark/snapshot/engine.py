@@ -42,8 +42,14 @@ def snapshot_table(
         strip_nul_cols=meta.strip_nul_cols,
         casts=meta.casts,
     )
-    # size output files: one partition per ~rows_per_partition rows, floor 1
-    n = plan_num_partitions(source.count(), rows_per_partition)
+    # size output files: one partition per ~rows_per_partition rows — but
+    # never leave the cluster idle on a small table: use up to
+    # defaultParallelism writers as long as each still gets ≥10k rows
+    # (avoids both a serial write and a spray of tiny files)
+    n_rows = source.count()
+    n = plan_num_partitions(n_rows, rows_per_partition)
+    parallel_floor = min(spark.sparkContext.defaultParallelism, max(1, n_rows // 10_000))
+    n = max(n, parallel_floor)
     writer = df.repartition(n, *meta.pk_cols) if meta.pk_cols else df.repartition(n)
     writer.write.mode(mode).parquet(out_path)
     return out_path
