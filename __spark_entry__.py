@@ -403,6 +403,23 @@ def percentile_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM operator (ops/rollup.py): hourly rollup maintained incrementally
+    from two batches — oracle proves merge(partial(b1), partial(b2)) equals
+    a full GROUP BY over all events."""
+    from cdc_connector_spark.ops.rollup import merge_rollup, rollup_delta
+
+    ev = _t(spark, sf_dir, "events")
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    r = merge_rollup(
+        merge_rollup(None, rollup_delta(b1, key_cols=["event_type"]), ["event_type"]),
+        rollup_delta(b2, key_cols=["event_type"]),
+        ["event_type"],
+    )
+    return r.withColumn("sum_value", F.col("sum_value").cast("double"))
+
+
 def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (custom operator, ops/asof.py): each purchase event matched
     with the user's latest click at-or-before it — union-window plan, one
@@ -515,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_active_customers": set_ops_active_customers,
         "rollup_order_revenue": rollup_order_revenue,
         "percentile_order_price": percentile_order_price,
+        "incremental_rollup_events": incremental_rollup_events,
         "asof_purchase_last_click": asof_purchase_last_click,
         "cosine_pairs_bruteforce": cosine_pairs_bruteforce,
         "minhash_neardup": minhash_neardup,
@@ -722,6 +740,15 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY o_orderstatus
             ORDER BY o_orderstatus
+        """,
+        "incremental_rollup_events": """
+            SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+                   time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour' AS window_end,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY 1, 2, 3
         """,
         "asof_purchase_last_click": """
             WITH purchases AS (

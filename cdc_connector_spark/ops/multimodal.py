@@ -90,6 +90,46 @@ def decode_image_features(
     return df.select(id_col, media_col).mapInPandas(batches, schema=IMAGE_FEATURES)
 
 
+AUDIO_FEATURES = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms_level", T.DoubleType()),
+    ]
+)
+
+
+def decode_audio_features(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "media_id",
+    fake: bool = False,
+) -> DataFrame:
+    """Audio decode + feature stub over ``mapInPandas`` (same plumbing shape
+    as the image path; real decoders slot in unchanged)."""
+    if not fake:
+        raise NotImplementedError("audio codecs not available; pass fake=True")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, b in zip(pdf[id_col], pdf[media_col]):
+                raw = bytes(b) if b is not None else b""
+                h = hashlib.sha256(raw).digest()
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "sample_rate": 8000 * (1 + h[0] % 6),
+                        "duration_ms": int(len(raw)) * 10,
+                        "rms_level": h[1] / 255.0,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES.fields])
+
+    return df.select(id_col, media_col).mapInPandas(batches, schema=AUDIO_FEATURES)
+
+
 def sample_frames(
     df: DataFrame,
     media_col: str = "media",

@@ -1,0 +1,93 @@
+"""Incremental rollup (IVM) parity + salted-join equivalence."""
+
+from pyspark.sql import functions as F
+
+from cdc_connector_spark.ops.rollup import merge_rollup, rollup_delta, rollup_read
+from cdc_connector_spark.ops.skew import salted_join
+
+
+def _events(spark):
+    rows = [
+        # (event_id, ts, event_type, value, op)
+        (1, "2024-01-01 00:10:00", "click", 1.0, "c"),
+        (2, "2024-01-01 00:20:00", "click", 2.0, "c"),
+        (3, "2024-01-01 00:30:00", "view", 4.0, "c"),
+        (4, "2024-01-01 01:10:00", "click", 8.0, "c"),
+        (5, "2024-01-01 00:20:00", "click", 2.0, "d"),  # retracts event 2
+        (6, "2024-01-01 01:30:00", "view", 16.0, "c"),
+        (7, "2024-01-01 01:10:00", "click", 8.0, "d"),  # retracts event 4
+    ]
+    return spark.createDataFrame(
+        rows, "event_id int, ts string, event_type string, value double, op string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def _as_dict(df):
+    return {
+        (r["window_start"].isoformat(), r["event_type"]): (r["n_events"], float(r["sum_value"]))
+        for r in rollup_read(df).collect()
+    }
+
+
+def test_incremental_equals_full_recompute(spark):
+    ev = _events(spark)
+    full = rollup_delta(ev, key_cols=["event_type"], op_col="op")
+
+    b1 = ev.filter(F.col("event_id") <= 3)
+    b2 = ev.filter(F.col("event_id") > 3)
+    inc = merge_rollup(
+        merge_rollup(None, rollup_delta(b1, key_cols=["event_type"], op_col="op"), ["event_type"]),
+        rollup_delta(b2, key_cols=["event_type"], op_col="op"),
+        ["event_type"],
+    )
+    assert _as_dict(inc) == _as_dict(merge_rollup(None, full, ["event_type"]))
+
+
+def test_batch_order_does_not_matter(spark):
+    ev = _events(spark)
+    b1 = ev.filter(F.col("event_id") <= 3)
+    b2 = ev.filter(F.col("event_id") > 3)
+    d1 = rollup_delta(b1, key_cols=["event_type"], op_col="op")
+    d2 = rollup_delta(b2, key_cols=["event_type"], op_col="op")
+    a = merge_rollup(merge_rollup(None, d1, ["event_type"]), d2, ["event_type"])
+    b = merge_rollup(merge_rollup(None, d2, ["event_type"]), d1, ["event_type"])
+    assert _as_dict(a) == _as_dict(b)
+
+
+def test_fully_retracted_window_vanishes(spark):
+    ev = _events(spark)
+    # hour 01 'click': event 4 inserted then retracted by event 7 → gone
+    out = _as_dict(merge_rollup(None, rollup_delta(ev, key_cols=["event_type"], op_col="op"), ["event_type"]))
+    assert ("2024-01-01T01:00:00", "click") not in out
+    assert out[("2024-01-01T00:00:00", "click")] == (1, 1.0)  # only event 1 survives
+    assert out[("2024-01-01T01:00:00", "view")] == (1, 16.0)
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = spark.range(0, 5000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("payload")
+    )
+    # skew: key 0 on 50% of rows
+    big = big.withColumn("k", F.when(F.col("payload") % 2 == 0, 0).otherwise(F.col("k")))
+    small = spark.createDataFrame([(i, f"dim_{i}") for i in range(7)], "k long, name string")
+
+    plain = big.join(small, "k").select("k", "payload", "name")
+    salted = salted_join(big, small, on="k").select("k", "payload", "name")
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).count() == 0 and salted.exceptAll(plain).count() == 0
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, "a"), (99, "b")], "k int, v string")
+    small = spark.createDataFrame([(1, "dim")], "k int, name string")
+    out = {r["k"]: r["name"] for r in salted_join(big, small, on="k", how="left").collect()}
+    assert out == {1: "dim", 99: None}
+
+
+def test_audio_decode_stub(spark):
+    from cdc_connector_spark.ops.multimodal import decode_audio_features
+
+    df = spark.createDataFrame([(1, bytearray(b"abc")), (2, None)], "media_id long, media binary")
+    rows = {r["media_id"]: r for r in decode_audio_features(df, fake=True).collect()}
+    assert rows[1]["duration_ms"] == 30 and 8000 <= rows[1]["sample_rate"] <= 48000
+    assert rows[2]["duration_ms"] == 0
