@@ -1,0 +1,106 @@
+"""Snapshot/migration CLI — the `migrate_v3.py` entry-point analogue.
+
+Reference trace (SURVEY.md §3.1): ``python3 migrate_v3.py --database trading
+--tables all`` → discover tables → 3-phase per-table migrate with thread
+pools. Here: discover parquet tables (or a JDBC source) → parallel
+``snapshot_table`` jobs (read → normalize → partitioned write), flags
+mirroring migrate_v3.py:960-1015:
+
+    python -m cdc_connector_spark.snapshot.cli \
+        --source-root /root/testdata/sf0.001 --database tpch --tables all \
+        --sink-root /tmp/sink [--max-workers 8] [--rows-per-partition 1000000] \
+        [--overwrite] [--pk table=col1,col2 ...]
+
+The reference's ``--batch-size`` / ``--threshold`` collapse into
+``--rows-per-partition`` (partition-count planning replaces both, SURVEY.md
+§4). Exit 0 on success; 1 if any table fails.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+from cdc_connector_spark.session import get_spark
+from cdc_connector_spark.snapshot.engine import snapshot_database
+from cdc_connector_spark.tables import meta_from_df
+
+# default PK registry for the driver testdata; --pk overrides/extends (S4/S6)
+DEFAULT_PKS = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def discover_tables(source_root: str, pattern: str = "*") -> list[str]:
+    """S5: table discovery — parquet files/dirs under the source root."""
+    names = []
+    for p in sorted(glob.glob(os.path.join(source_root, f"{pattern}.parquet"))):
+        names.append(os.path.basename(p)[: -len(".parquet")])
+    return names
+
+
+def parse_pk_overrides(specs: list[str]) -> dict[str, list[str]]:
+    out = {}
+    for spec in specs:
+        table, _, cols = spec.partition("=")
+        out[table] = [c for c in cols.split(",") if c]
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--source-root", required=True, help="directory of <table>.parquet sources")
+    ap.add_argument("--database", default="db", help="logical database name (sink prefix)")
+    ap.add_argument("--tables", default="all", help="'all' or comma-separated table list")
+    ap.add_argument("--sink-root", required=True)
+    ap.add_argument("--max-workers", type=int, default=8, help="parallel tables (O1)")
+    ap.add_argument("--rows-per-partition", type=int, default=1_000_000)
+    ap.add_argument("--overwrite", action="store_true", help="re-load existing sinks (default: idempotent skip)")
+    ap.add_argument("--pk", action="append", default=[], metavar="TABLE=COL[,COL]", help="primary-key override")
+    args = ap.parse_args(argv)
+
+    spark = get_spark("cdc-connector-spark-migrate")
+    pks = dict(DEFAULT_PKS)
+    pks.update(parse_pk_overrides(args.pk))
+
+    names = discover_tables(args.source_root) if args.tables == "all" else [
+        t.strip() for t in args.tables.split(",") if t.strip()
+    ]
+    if not names:
+        print(f"no tables found under {args.source_root}", file=sys.stderr)
+        return 1
+
+    from cdc_connector_spark.tables import load_table
+
+    jobs = []
+    for name in names:
+        df = load_table(spark, args.source_root, name)
+        jobs.append((df, meta_from_df(args.database, name, df, pks.get(name, []))))
+
+    failed = False
+    results = snapshot_database(
+        spark,
+        jobs,
+        args.sink_root,
+        max_workers=args.max_workers,
+        mode="overwrite" if args.overwrite else "ignore",
+    )
+    for name, path in sorted(results.items()):
+        n = spark.read.parquet(path).count()
+        print(f"[OK] {name}: {n} rows -> {path}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

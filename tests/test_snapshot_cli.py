@@ -1,0 +1,24 @@
+"""Snapshot CLI: discovery, idempotent skip, overwrite, PK overrides."""
+
+from cdc_connector_spark.snapshot.cli import discover_tables, main, parse_pk_overrides
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_discover_tables():
+    names = discover_tables(SF)
+    assert "lineitem" in names and "documents" in names and len(names) == 10
+
+
+def test_parse_pk_overrides():
+    assert parse_pk_overrides(["t1=a,b", "t2=x"]) == {"t1": ["a", "b"], "t2": ["x"]}
+
+
+def test_cli_migrate_and_idempotent_skip(spark, tmp_path):
+    sink = str(tmp_path / "sink")
+    assert main(["--source-root", SF, "--database", "tpch", "--tables", "region,nation", "--sink-root", sink]) == 0
+    n0 = spark.read.parquet(f"{sink}/tpch_region").count()
+    assert n0 == 5
+    # second run: mode=ignore → no error, data unchanged
+    assert main(["--source-root", SF, "--database", "tpch", "--tables", "region,nation", "--sink-root", sink]) == 0
+    assert spark.read.parquet(f"{sink}/tpch_region").count() == 5
