@@ -14,6 +14,9 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -93,6 +96,62 @@ def add_lsh_bucket(embeddings: DataFrame, vec_col: str = "embedding", planes: in
     return embeddings.withColumn("bucket", _srp_bucket(F.col(vec_col).cast("array<double>"), planes))
 
 
+# ---- Arrow fast path: dense linear algebra belongs in numpy ---------------
+#
+# SRP bucketing is a (rows × dim) · (dim × planes·L) matrix multiply — the
+# canonical case where an Arrow-batched pandas_udf beats interpreted
+# higher-order expressions by an order of magnitude. Hyperplane weights are
+# ±1 from a fixed-seed RNG: deterministic across runs/executors with no
+# broadcast state. The expression path (_srp_bucket) remains for pure-SQL
+# contexts; the two use different (both deterministic) hyperplane families —
+# LSH needs only internal consistency between row and query bucketing.
+
+_SRP_SEED = 0x5EED
+
+
+def _srp_weight_matrix(dim: int, planes: int, num_tables: int):
+    rng = np.random.default_rng(_SRP_SEED)
+    return rng.choice((-1.0, 1.0), size=(dim, planes * num_tables))
+
+
+def _bucket_ids_np(M, planes: int, num_tables: int):
+    """(rows × planes·L) sign matrix → (rows × L) int bucket ids."""
+    bits = (M > 0).astype(np.int64)
+    out = np.zeros((M.shape[0], num_tables), dtype=np.int64)
+    for t in range(num_tables):
+        for p in range(planes):
+            out[:, t] |= bits[:, t * planes + p] << p
+    return out
+
+
+def add_lsh_buckets_arrow(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    planes: int = 16,
+    num_tables: int = 1,
+    out_col: str = "buckets",
+) -> DataFrame:
+    """Append ``out_col``: array<long> of per-table SRP bucket ids, computed
+    as one numpy matmul per Arrow batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def buckets(vs: pd.Series) -> pd.Series:
+        M = np.vstack([np.asarray(v, dtype=np.float64) for v in vs]) if len(vs) else np.zeros((0, 1))
+        W = _srp_weight_matrix(M.shape[1], planes, num_tables)
+        ids = _bucket_ids_np(M @ W, planes, num_tables)
+        return pd.Series(list(ids))
+
+    return embeddings.withColumn(out_col, buckets(F.col(vec_col)))
+
+
+def query_buckets_arrow(query_vec: list[float], planes: int, num_tables: int) -> list[int]:
+    """Bucket ids of the query vector under the same weight family."""
+    q = np.asarray(query_vec, dtype=np.float64)[None, :]
+    W = _srp_weight_matrix(q.shape[1], planes, num_tables)
+    return [int(b) for b in _bucket_ids_np(q @ W, planes, num_tables)[0]]
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -110,29 +169,28 @@ def lsh_bucket_topk(
 
     Scale path: with the table written partitioned by (table 0's) bucket the
     probe prunes to ~L·(1+planes)/2^planes of the data; candidate scoring is
-    a single scan with an OR-of-IN filter, no join, no shuffle.
+    a single scan with an OR-of-IN filter, no join, no shuffle. Bucketing
+    runs on the Arrow fast path (one matmul per batch).
     """
-    spark = embeddings.sparkSession
     qarr = F.array(*[F.lit(float(v)) for v in query_vec])
-    qrow = spark.range(1).select(
-        *[_srp_bucket(qarr, planes, table=t).alias(f"qb{t}") for t in range(num_tables)]
-    ).collect()[0]
+    qb = query_buckets_arrow(query_vec, planes, num_tables)
 
-    def probes(qb: int) -> list[int]:
-        out = [qb]
+    def probes(b: int) -> list[int]:
+        out = [b]
         if multiprobe_hamming >= 1:
-            out += [qb ^ (1 << p) for p in range(planes)]
+            out += [b ^ (1 << p) for p in range(planes)]
         if multiprobe_hamming >= 2:
-            out += [qb ^ (1 << p) ^ (1 << r) for p in range(planes) for r in range(p + 1, planes)]
+            out += [b ^ (1 << p) ^ (1 << r) for p in range(planes) for r in range(p + 1, planes)]
         return out
 
     vec = F.col(vec_col).cast("array<double>")
+    bucketed = add_lsh_buckets_arrow(embeddings, vec_col, planes, num_tables)
     cond = None
     for t in range(num_tables):
-        c = _srp_bucket(vec, planes, table=t).isin(probes(qrow[f"qb{t}"]))
+        c = F.element_at("buckets", t + 1).isin(probes(qb[t]))
         cond = c if cond is None else (cond | c)
     return (
-        embeddings.filter(cond)
+        bucketed.filter(cond)
         .select(
             F.col(id_col),
             cosine_similarity(vec, qarr).alias("cos_sim"),
@@ -153,7 +211,10 @@ def embedding_neardup_pairs(
     cosine ≥ threshold. Returns (id_a, id_b, cos_sim), id_a < id_b."""
     from cdc_connector_spark.ops.dedup import _bucket_pairs
 
-    b = add_lsh_bucket(embeddings, vec_col, planes).select(F.col(id_col).alias("__id"), "bucket")
+    b = (
+        add_lsh_buckets_arrow(embeddings, vec_col, planes, num_tables=1)
+        .select(F.col(id_col).alias("__id"), F.element_at("buckets", 1).alias("bucket"))
+    )
     cand = _bucket_pairs(b, ["bucket"], "__id")
     # vectors re-attach to candidate PAIRS only — the LSH grouping shuffles
     # just (id, bucket), and the bucket expression evaluates once per row

@@ -75,3 +75,17 @@ def test_ngram_jaccard_exact_values(spark, docs):
     assert pairs[(1, 2)] == 1.0
     assert 0.5 < pairs[(1, 3)] < 1.0
     assert all(4 not in (a, b) for (a, b) in pairs)
+
+
+def test_simhash_arrow_matches_expression(spark):
+    from pyspark.sql import functions as F
+
+    from cdc_connector_spark.ops.dedup import simhash, simhash_arrow
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, ""), (3, "der schnelle braune fuchs")],
+        "doc_id int, text string",
+    )
+    expr = {r["doc_id"]: r["sig"] for r in df.select("doc_id", simhash("text").alias("sig")).collect()}
+    arrow = {r["id"]: r["sig"] for r in simhash_arrow(df).collect()}
+    assert expr == arrow
