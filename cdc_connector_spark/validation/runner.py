@@ -36,6 +36,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--source-root", required=True)
     ap.add_argument("--sink-root", required=True)
     ap.add_argument("--tables", required=True, help="name:pk[+pk2][,name2:pk...]")
+    ap.add_argument("--database", default="db", help="label for the report header")
+    ap.add_argument(
+        "--slack",
+        action="store_true",
+        help="emit the Slack Block-Kit payload (reference SlackNotifier parity, "
+        "tests/validation.py:795-935) to stdout; POSTing it to "
+        "$SLACK_WEBHOOK_URL is the deployer's wrapper's job — this tool "
+        "never performs network IO",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark("cdc-validation")
@@ -54,6 +63,18 @@ def main(argv: list[str] | None = None) -> int:
         print(f"[{report.verdict:4s}] {table} overall")
 
     s = summarize(reports)
+    if args.slack:
+        from cdc_connector_spark.validation.report import build_slack_summary, to_json
+
+        payload_reports = [
+            {
+                "table": rep.table,
+                "status": rep.verdict,
+                "checks": [{"name": r.check, "status": r.status} for r in rep.results],
+            }
+            for rep in reports
+        ]
+        print(to_json(build_slack_summary(args.database, payload_reports)))
     print(json.dumps(s))
     return s["exit_code"]
 
