@@ -118,3 +118,13 @@ def load_table(spark, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark, sf_dir: str, names: list[str] | None = None) -> list[str]:
+    """SQL front-end: register every testdata table as a temp view so the
+    whole engine surface is reachable via ``spark.sql`` (the reference's
+    users speak SQL; S5 catalog analogue)."""
+    names = names or TESTDATA_TABLES
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return list(names)

@@ -91,3 +91,37 @@ def test_streaming_changelog_end_to_end(spark, tmp_path):
     stream.run_until_caught_up(timeout_s=60)
     rows2 = {r["id"]: r["val"] for r in sink.read().collect()}
     assert rows2 == rows
+
+
+def test_quarantine_dlq_on_bad_batch(spark, tmp_path, monkeypatch):
+    """ST7/S12: a failing batch parks under _quarantine/batch=<id> and does
+    NOT kill the stream or corrupt the sink."""
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    sink = ParquetMergeSink(spark, str(tmp_path / "sink"), ["id"])
+    sink.overwrite(spark.createDataFrame([(1, "a")], ROW_SCHEMA))
+
+    _env_df(spark, [(None, {"id": 2, "val": "b"}, "c", 10, 1)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    stream = ChangelogStream(
+        spark,
+        source_dir=str(src),
+        sink=sink,
+        row_schema=ROW_SCHEMA,
+        key_cols=["id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    # sabotage the sink apply for this stream instance only
+    def boom(df):
+        raise RuntimeError("sink unavailable")
+
+    monkeypatch.setattr(stream.sink, "apply", boom)
+    stream.run_until_caught_up(timeout_s=120)
+
+    qdirs = os.listdir(stream.quarantine_dir)
+    assert any(d.startswith("batch=") for d in qdirs)
+    parked = spark.read.parquet(os.path.join(stream.quarantine_dir, qdirs[0]))
+    assert parked.count() == 1  # the bad batch is preserved for replay
+    assert sink.count() == 1  # sink state untouched

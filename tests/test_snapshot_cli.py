@@ -22,3 +22,14 @@ def test_cli_migrate_and_idempotent_skip(spark, tmp_path):
     # second run: mode=ignore → no error, data unchanged
     assert main(["--source-root", SF, "--database", "tpch", "--tables", "region,nation", "--sink-root", sink]) == 0
     assert spark.read.parquet(f"{sink}/tpch_region").count() == 5
+
+
+def test_register_views_sql_frontend(spark):
+    from cdc_connector_spark.tables import register_views
+
+    names = register_views(spark, SF)
+    assert len(names) == 10
+    n = spark.sql("select count(*) as n from lineitem join orders on l_orderkey = o_orderkey").first()["n"]
+    assert n > 0
+    top = spark.sql("select o_orderkey from orders order by o_totalprice desc limit 1").count()
+    assert top == 1
