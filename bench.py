@@ -87,16 +87,23 @@ def bench_changelog_apply(spark, sf_dir: str) -> tuple[float, float]:
         )
     )
     n_events = changes.count()
+    # small trigger batch: 64 keys — the realistic per-trigger CDC shape,
+    # where bucket-level file pruning makes apply O(batch), not O(table)
+    small = changes.filter(F.col("o_orderkey") % 2500 == 0)
+    n_small = small.count()
     root = tempfile.mkdtemp(prefix="bench_apply_")
     try:
-        sink = ParquetMergeSink(spark, os.path.join(root, "orders"), ["o_orderkey"], num_buckets=32)
+        sink = ParquetMergeSink(spark, os.path.join(root, "orders"), ["o_orderkey"], num_buckets=64)
         sink.overwrite(orders)
         t0 = time.time()
         sink.apply(changes)
         dt = time.time() - t0
+        t0 = time.time()
+        sink.apply(small)
+        dt_small = time.time() - t0
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return dt, n_events / dt
+    return dt, n_events / dt, dt_small, n_small
 
 
 def main() -> None:
@@ -129,10 +136,12 @@ def main() -> None:
     total += snap_dt
     print(f"# snapshot_load_lineitem: {snap_dt:.2f}s ({snap_rps:,.0f} rows/s)", file=sys.stderr)
 
-    apply_dt, apply_eps = bench_changelog_apply(spark, sf_dir)
+    apply_dt, apply_eps, small_dt, n_small = bench_changelog_apply(spark, sf_dir)
     timings["changelog_apply_orders"] = round(apply_dt, 3)
-    total += apply_dt
+    timings["changelog_apply_small_batch"] = round(small_dt, 3)
+    total += apply_dt + small_dt
     print(f"# changelog_apply_orders: {apply_dt:.2f}s ({apply_eps:,.0f} events/s)", file=sys.stderr)
+    print(f"# changelog_apply_small_batch: {small_dt:.2f}s ({n_small} events, bucket-pruned)", file=sys.stderr)
 
     print(
         json.dumps(

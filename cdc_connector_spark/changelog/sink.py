@@ -1,29 +1,36 @@
-"""Versioned parquet merge-sink: copy-on-write table state with MERGE apply.
+"""Versioned parquet merge-sink: bucketed copy-on-write with file pruning.
 
 Without a transactional table format in this environment (no Delta/Iceberg),
 the sink keeps MVCC-style versioned snapshots::
 
-    <path>/_VERSION      current version number (atomic pointer)
-    <path>/v=0/ …        immutable parquet snapshot per version
+    <path>/_VERSION                 current version number (atomic pointer)
+    <path>/v=K/__bucket=i/ …        hash-bucketed parquet per version
 
-``apply()`` = read current → ``apply_changes`` (dedup-latest + merge) → write
-next version → flip pointer. Each version write is a full rewrite here; on a
-real deployment the same ``apply_changes`` plugs into Delta/Iceberg
-``MERGE INTO`` inside ``foreachBatch`` so only touched files rewrite. The
-copy-on-write pattern is still scale-sane: data is hash-distributed across
-``num_buckets`` files by key so the anti-join co-partitions with the batch.
+Data is hash-distributed by key into ``num_buckets`` directories. ``apply()``
+prunes at FILE level the way Delta's MERGE does: only buckets containing a
+key touched by the batch are read+merged+rewritten; untouched bucket
+directories are hard-linked (fallback: copied) into the new version — O(1)
+metadata per bucket, no data movement. A small CDC batch therefore costs
+O(batch ∪ touched-buckets), not O(table): at 100 TB with 100k buckets a
+3000-event trigger rewrites ≤3% of files, which is the difference between a
+streaming apply that keeps up and one that falls behind quadratically.
 
-Replaces the reference's JDBC upsert sink (S9) + COPY bulk load (S10).
+Replaces the reference's JDBC upsert sink (S9) + COPY bulk load (S10);
+the reference's per-batch upsert (batch.size 3000,
+connectors/sinks/postgres/performance.json:30) maps to one ``apply()``.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cdc_connector_spark.changelog.apply import apply_changes
+from cdc_connector_spark.changelog.apply import apply_changes, latest_per_key
+
+_BUCKET = "__bucket"
 
 
 class ParquetMergeSink:
@@ -34,12 +41,16 @@ class ParquetMergeSink:
         key_cols: list[str],
         num_buckets: int | None = None,
         keep_versions: int = 2,
+        merge_schema: bool = False,
     ) -> None:
         self.spark = spark
         self.path = path.rstrip("/")
         self.key_cols = key_cols
-        self.num_buckets = num_buckets
+        self.num_buckets = num_buckets or 32
         self.keep_versions = keep_versions
+        # schema evolution (ST8) mixes schemas across bucket files; footer
+        # merging costs a listing pass, so it's opt-in
+        self.merge_schema = merge_schema
         os.makedirs(self.path, exist_ok=True)
 
     # -- version pointer ----------------------------------------------------
@@ -60,19 +71,59 @@ class ParquetMergeSink:
     def exists(self) -> bool:
         return self.current_version() is not None
 
+    # -- bucketing ----------------------------------------------------------
+    def _bucket_expr(self):
+        return F.pmod(F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.num_buckets)).cast("int")
+
     # -- read / write -------------------------------------------------------
     def read(self) -> DataFrame | None:
         v = self.current_version()
         if v is None:
             return None
-        return self.spark.read.parquet(self._data_dir(v))
+        return (
+            self.spark.read.option("mergeSchema", str(self.merge_schema).lower())
+            .option("basePath", self._data_dir(v))
+            .parquet(self._data_dir(v))
+            .drop(_BUCKET)
+        )
 
-    def _write_version(self, df: DataFrame, version: int) -> None:
-        out = df
-        if self.num_buckets:
-            # hash-distribute by key: co-partitions future merges, bounds file count
-            out = out.repartition(self.num_buckets, *self.key_cols)
-        out.write.mode("overwrite").parquet(self._data_dir(version))
+    def _read_buckets(self, version: int, buckets: list[int]) -> DataFrame | None:
+        """Partition-pruned read of just the touched bucket dirs."""
+        existing = [
+            os.path.join(self._data_dir(version), f"{_BUCKET}={b}")
+            for b in buckets
+            if os.path.isdir(os.path.join(self._data_dir(version), f"{_BUCKET}={b}"))
+        ]
+        if not existing:
+            return None
+        return (
+            self.spark.read.option("mergeSchema", str(self.merge_schema).lower())
+            .option("basePath", self._data_dir(version))
+            .parquet(*existing)
+            .drop(_BUCKET)
+        )
+
+    def _write_buckets(self, df: DataFrame, version_dir: str) -> None:
+        out = df.withColumn(_BUCKET, self._bucket_expr())
+        n_shuffle = min(self.num_buckets, int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4)
+        (
+            out.repartition(n_shuffle, F.col(_BUCKET))
+            .write.mode("append")
+            .partitionBy(_BUCKET)
+            .parquet(version_dir)
+        )
+
+    def _link_forward(self, src_bucket_dir: str, dst_bucket_dir: str) -> None:
+        os.makedirs(dst_bucket_dir, exist_ok=True)
+        for name in os.listdir(src_bucket_dir):
+            s, d = os.path.join(src_bucket_dir, name), os.path.join(dst_bucket_dir, name)
+            if os.path.isfile(s):
+                try:
+                    os.link(s, d)  # O(1) metadata; same-filesystem guarantee here
+                except OSError:
+                    shutil.copy2(s, d)
+
+    def _flip(self, version: int) -> None:
         tmp = self._version_file + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(version))
@@ -80,8 +131,6 @@ class ParquetMergeSink:
         self._vacuum(version)
 
     def _vacuum(self, latest: int) -> None:
-        import shutil
-
         for name in os.listdir(self.path):
             if name.startswith("v="):
                 v = int(name.split("=", 1)[1])
@@ -92,14 +141,43 @@ class ParquetMergeSink:
     def overwrite(self, df: DataFrame) -> None:
         """Full snapshot load (bootstrap, S10 analogue)."""
         cur = self.current_version()
-        self._write_version(df, 0 if cur is None else cur + 1)
+        version = 0 if cur is None else cur + 1
+        self._write_buckets(df, self._data_dir(version))
+        self._flip(version)
 
     def apply(self, changes: DataFrame) -> None:
-        """MERGE one micro-batch of flattened change events (ST2)."""
-        current = self.read()
-        new_state = apply_changes(current, changes, self.key_cols)
+        """MERGE one micro-batch of flattened change events (ST2) with
+        bucket-level file pruning: only buckets holding touched keys are
+        read+merged+rewritten; the rest hard-link forward."""
         cur = self.current_version()
-        self._write_version(new_state, 0 if cur is None else cur + 1)
+        if cur is None:
+            self.overwrite(apply_changes(None, changes, self.key_cols))
+            return
+
+        latest = latest_per_key(changes, self.key_cols)
+        touched = sorted(
+            r[0]
+            for r in latest.select(
+                F.pmod(F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.num_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        version = cur + 1
+        vdir = self._data_dir(version)
+        os.makedirs(vdir, exist_ok=True)
+
+        current_touched = self._read_buckets(cur, touched)
+        merged = apply_changes(current_touched, changes, self.key_cols)
+        self._write_buckets(merged, vdir)
+
+        touched_set = {f"{_BUCKET}={b}" for b in touched}
+        for name in os.listdir(self._data_dir(cur)):
+            if name.startswith(f"{_BUCKET}=") and name not in touched_set:
+                self._link_forward(os.path.join(self._data_dir(cur), name), os.path.join(vdir, name))
+        self._flip(version)
 
     def count(self) -> int:
         df = self.read()

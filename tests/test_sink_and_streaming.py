@@ -125,3 +125,47 @@ def test_quarantine_dlq_on_bad_batch(spark, tmp_path, monkeypatch):
     parked = spark.read.parquet(os.path.join(stream.quarantine_dir, qdirs[0]))
     assert parked.count() == 1  # the bad batch is preserved for replay
     assert sink.count() == 1  # sink state untouched
+
+
+def test_apply_prunes_untouched_buckets(spark, tmp_path):
+    """File-pruning MERGE: a 1-key batch rewrites only that key's bucket;
+    every other bucket hard-links forward (same inode)."""
+    sink = ParquetMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=8)
+    sink.overwrite(spark.createDataFrame([(i, f"v{i}") for i in range(100)], ROW_SCHEMA))
+
+    batch = flatten_envelope(
+        _env_df(spark, [({"id": 7, "val": "v7"}, {"id": 7, "val": "V7!"}, "u", 10, 1)]),
+        key_cols=["id"],
+    )
+    sink.apply(batch)
+
+    v0, v1 = sink.path + "/v=0", sink.path + "/v=1"
+    rewritten, linked = [], []
+    for name in sorted(os.listdir(v1)):
+        if not name.startswith("__bucket="):
+            continue
+        old = os.path.join(v0, name)
+        new = os.path.join(v1, name)
+        old_inodes = {os.stat(os.path.join(old, f)).st_ino for f in os.listdir(old) if f.endswith(".parquet")}
+        new_inodes = {os.stat(os.path.join(new, f)).st_ino for f in os.listdir(new) if f.endswith(".parquet")}
+        (linked if old_inodes == new_inodes else rewritten).append(name)
+    assert len(rewritten) == 1 and len(linked) == 7  # only key 7's bucket rewrote
+
+    rows = {r["id"]: r["val"] for r in sink.read().collect()}
+    assert rows[7] == "V7!" and rows[0] == "v0" and len(rows) == 100
+
+
+def test_sink_schema_evolution_merge_schema(spark, tmp_path):
+    """ST8 at the sink level: a batch carrying a NEW column widens the table;
+    merge_schema=True reconciles mixed bucket schemas on read."""
+    sink = ParquetMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=4, merge_schema=True)
+    sink.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], ROW_SCHEMA))
+
+    widened = spark.createDataFrame(
+        [(1, "a2", "extra", "u", 10, 1)],
+        "id bigint, val string, new_col string, __op string, __ts_ms bigint, __seq bigint",
+    )
+    sink.apply(widened)
+    rows = {r["id"]: (r["val"], r["new_col"]) for r in sink.read().collect()}
+    assert rows[1] == ("a2", "extra")
+    assert rows[2] == ("b", None)  # untouched row: new col backfills NULL
