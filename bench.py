@@ -32,6 +32,8 @@ HEADLINE = [
     "text_stats_documents",
     "ann_cosine_topk",
     "minhash_neardup",
+    "asof_purchase_last_click",
+    "incremental_rollup_events",
 ]
 
 

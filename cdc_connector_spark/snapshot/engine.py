@@ -29,11 +29,33 @@ def snapshot_table(
     sink_root: str,
     rows_per_partition: int = 1_000_000,
     mode: str = "ignore",
+    zorder_cols: list[str] | None = None,
 ) -> str:
     """Snapshot one table: normalize → write parquet at
     ``<sink_root>/<db>_<table>``. ``mode='ignore'`` = idempotent skip when
-    the sink already exists; 'overwrite' forces a re-load."""
+    the sink already exists; 'overwrite' forces a re-load.
+
+    ``zorder_cols`` is the phase-3 analogue of the reference's index
+    re-creation (migrate_v3.py:430-511): instead of CREATE INDEX, cluster
+    the layout so parquet row-group stats prune scans on those columns
+    (ops/zorder.py)."""
     out_path = os.path.join(sink_root, meta.sink_name)
+    if zorder_cols:
+        from cdc_connector_spark.ops.zorder import zorder_write
+
+        if mode == "ignore" and os.path.exists(out_path):
+            return out_path
+        df = normalize_row(
+            source,
+            bit_bool_cols=meta.bit_bool_cols,
+            tinyint_bool_cols=meta.tinyint_bool_cols,
+            zero_date_cols=meta.zero_date_cols,
+            strip_nul_cols=meta.strip_nul_cols,
+            casts=meta.casts,
+        )
+        n = max(plan_num_partitions(source.count(), rows_per_partition), 1)
+        zorder_write(df, out_path, zorder_cols, num_files=n, mode="overwrite" if mode != "ignore" else "error")
+        return out_path
     df = normalize_row(
         source,
         bit_bool_cols=meta.bit_bool_cols,
