@@ -403,6 +403,67 @@ def percentile_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style correlated scalar subquery: lineitems below 20% of
+    their part's average quantity — planned as an agg + re-join (the
+    decorrelated form Catalyst produces for correlated subqueries)."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_q = li.groupBy(F.col("l_partkey").alias("pk")).agg((F.avg("l_quantity") * 0.2).alias("limit_q"))
+    return (
+        li.join(avg_q, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("limit_q"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast("double") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def string_funcs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: LIKE, regexp_extract, upper, substring,
+    length — grouped per brand."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").like("%e%"))
+        .select(
+            "p_brand",
+            F.upper(F.substring("p_name", 1, 3)).alias("prefix3"),
+            F.regexp_extract("p_type", r"^(\w+)", 1).alias("first_word"),
+            F.length("p_name").alias("name_len"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("prefix3").alias("min_prefix"),
+            F.max("first_word").alias("max_first_word"),
+            F.sum("name_len").alias("sum_name_len"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def date_arith_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic surface: month truncation, day-diff from an epoch
+    date, quarter extraction — monthly order stats."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.date_trunc("month", "o_orderdate").alias("order_month"),
+            F.quarter("o_orderdate").alias("q"),
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since"),
+            "o_totalprice",
+        )
+        .groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("q").alias("quarter"),
+            F.max("days_since").alias("max_days_since"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("month_revenue"),
+        )
+        .orderBy("order_month")
+    )
+
+
 def incremental_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVM operator (ops/rollup.py): hourly rollup maintained incrementally
     from two batches — oracle proves merge(partial(b1), partial(b2)) equals
@@ -532,6 +593,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_active_customers": set_ops_active_customers,
         "rollup_order_revenue": rollup_order_revenue,
         "percentile_order_price": percentile_order_price,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "string_funcs_parts": string_funcs_parts,
+        "date_arith_orders": date_arith_orders,
         "incremental_rollup_events": incremental_rollup_events,
         "asof_purchase_last_click": asof_purchase_last_click,
         "cosine_pairs_bruteforce": cosine_pairs_bruteforce,
@@ -740,6 +804,37 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY o_orderstatus
             ORDER BY o_orderstatus
+        """,
+        "q17_small_quantity_revenue": """
+            WITH avg_q AS (
+                SELECT l_partkey AS pk, 0.2 * AVG(l_quantity) AS limit_q
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+                   COUNT(*) AS n_rows
+            FROM lineitem JOIN avg_q ON l_partkey = pk
+            WHERE l_quantity < limit_q
+        """,
+        "string_funcs_parts": """
+            SELECT p_brand,
+                   COUNT(*) AS n,
+                   MIN(upper(substring(p_name, 1, 3))) AS min_prefix,
+                   MAX(regexp_extract(p_type, '^(\\w+)', 1)) AS max_first_word,
+                   CAST(SUM(length(p_name)) AS BIGINT) AS sum_name_len
+            FROM part
+            WHERE p_name LIKE '%e%'
+            GROUP BY p_brand
+            ORDER BY p_brand
+        """,
+        "date_arith_orders": """
+            SELECT date_trunc('month', o_orderdate) AS order_month,
+                   COUNT(*) AS n_orders,
+                   MIN(quarter(o_orderdate)) AS quarter,
+                   MAX(date_diff('day', DATE '1995-01-01', o_orderdate)) AS max_days_since,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS month_revenue
+            FROM orders
+            GROUP BY 1
+            ORDER BY 1
         """,
         "incremental_rollup_events": """
             SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
