@@ -1,0 +1,76 @@
+"""End-to-end corpus cleaning — the composed LLM-preprocessing recipe.
+
+``clean_corpus`` chains the engine's text operators into the standard
+training-data pipeline shape:
+
+    language filter → quality filter → exact dedup (best-quality
+    representative) → optional near-dup pruning (MinHash)
+
+Everything stays one lazy DataFrame plan until the near-dup stage (which
+needs its own candidate-pair job); Catalyst pipelines the filters into the
+scan, so the cheap rejections (language, quality) run before any hashing.
+Stage costs drop monotonically in selectivity — the 100 TB ordering rule:
+cheapest-and-most-selective first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cdc_connector_spark.ops.dedup import minhash_dedup_pairs
+from cdc_connector_spark.ops.textstats import fingerprint, language_id, quality_score
+
+
+def clean_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_langs: tuple[str, ...] | None = ("en",),
+    min_quality: float = 0.3,
+    near_dup: bool = False,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Return the cleaned corpus with added ``lang_pred``/``quality`` cols.
+
+    Exact dedup keeps the HIGHEST-QUALITY document per fingerprint (ties →
+    smallest id), not merely the smallest id — the representative choice
+    that matters for training data. Near-dup pruning drops the lower-quality
+    member of each MinHash pair (transitively, via keeping only docs never
+    appearing as a 'loser').
+    """
+    scored = docs.withColumn("lang_pred", language_id(text_col)).withColumn(
+        "quality", quality_score(text_col)
+    )
+    if keep_langs:
+        scored = scored.filter(F.col("lang_pred").isin(list(keep_langs)))
+    scored = scored.filter(F.col("quality") >= min_quality)
+
+    # exact dedup: best-quality representative per normalized fingerprint
+    w = Window.partitionBy(fingerprint(text_col)).orderBy(
+        F.col("quality").desc(), F.col(id_col).asc()
+    )
+    deduped = scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+    if not near_dup:
+        return deduped
+
+    pairs = minhash_dedup_pairs(
+        deduped, text_col=text_col, id_col=id_col, jaccard_threshold=jaccard_threshold
+    )
+    q = deduped.select(F.col(id_col).alias("__qid"), F.col("quality").alias("__q"))
+    ranked = (
+        pairs.join(q.withColumnRenamed("__qid", "id_a").withColumnRenamed("__q", "q_a"), "id_a")
+        .join(q.withColumnRenamed("__qid", "id_b").withColumnRenamed("__q", "q_b"), "id_b")
+        .select(
+            F.when(
+                (F.col("q_b") > F.col("q_a"))
+                | ((F.col("q_b") == F.col("q_a")) & (F.col("id_b") < F.col("id_a"))),
+                F.col("id_a"),
+            )
+            .otherwise(F.col("id_b"))
+            .alias("loser")
+        )
+        .distinct()
+    )
+    return deduped.join(ranked, deduped[id_col] == ranked.loser, "left_anti")

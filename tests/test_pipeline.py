@@ -1,0 +1,55 @@
+"""clean_corpus: language/quality gates, best-quality dedup, near-dup prune."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cdc_connector_spark.ops.pipeline import clean_corpus
+
+GOOD_EN = (
+    "the quick brown fox jumps over the lazy dog and the cat is in the house "
+    "with that other dog and the weather is fine today in the park"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, GOOD_EN),                       # keeper
+        (2, GOOD_EN),                       # exact dup of 1 (same fingerprint)
+        (3, "el la los de que es en la casa grande de los amigos es que la"),  # spanish
+        (4, "zz"),                          # junk: too short, low quality
+        (5, GOOD_EN + " extra tail words here making it a near duplicate of one"),  # near-dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_language_and_quality_gates(corpus):
+    out = clean_corpus(corpus, keep_langs=("en",), min_quality=0.3)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 3 not in ids and 4 not in ids  # es + junk gone
+    assert 1 in ids or 2 in ids
+
+
+def test_exact_dedup_keeps_one_best(corpus):
+    out = clean_corpus(corpus, keep_langs=("en",), min_quality=0.0)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids.count(1) + ids.count(2) == 1  # one representative of the pair
+    assert 1 in ids  # equal quality → smallest id wins
+
+
+def test_near_dup_prunes_lower_quality_member(corpus):
+    base = clean_corpus(corpus, keep_langs=("en",), min_quality=0.0)
+    n_base = base.count()
+    pruned = clean_corpus(
+        corpus, keep_langs=("en",), min_quality=0.0, near_dup=True, jaccard_threshold=0.5
+    )
+    ids = {r["doc_id"] for r in pruned.collect()}
+    assert pruned.count() <= n_base
+    assert len({1, 5} & ids) == 1  # exactly one of the near-dup pair survives
+
+
+def test_output_carries_scores(corpus):
+    out = clean_corpus(corpus)
+    assert {"lang_pred", "quality"} <= set(out.columns)
+    assert out.filter(F.col("quality").isNull()).count() == 0
