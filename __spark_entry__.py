@@ -523,6 +523,17 @@ def cosine_pairs_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_jaccard_pairs_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs — value-verified against DuckDB
+    list-comprehension shingles (the hashed inverted index produces
+    identical Jaccard values modulo 2^-64 hash collisions)."""
+    from cdc_connector_spark.ops.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 # ---- rows-only entries (not SQL-expressible; driver records weaker check) --
 
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -597,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs_parts": string_funcs_parts,
         "date_arith_orders": date_arith_orders,
         "incremental_rollup_events": incremental_rollup_events,
+        "ngram_jaccard_pairs_subset": ngram_jaccard_pairs_subset,
         "asof_purchase_last_click": asof_purchase_last_click,
         "cosine_pairs_bruteforce": cosine_pairs_bruteforce,
         "minhash_neardup": minhash_neardup,
@@ -844,6 +856,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2, 3
+        """,
+        "ngram_jaccard_pairs_subset": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text,'')) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                            ELSE [array_to_string(toks, ' ')] END AS sh
+                FROM t
+            )
+            SELECT id_a, id_b, jaccard FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+                FROM s a JOIN s b ON a.doc_id < b.doc_id
+            )
+            WHERE jaccard >= 0.5
         """,
         "asof_purchase_last_click": """
             WITH purchases AS (

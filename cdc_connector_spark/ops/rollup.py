@@ -65,8 +65,11 @@ def rollup_delta(
 def merge_rollup(current: DataFrame | None, delta: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
     """Merge a batch's partial rollup into the current rollup state.
 
-    Additive merge on (window, key); groups whose count reaches 0 vanish
-    (fully-retracted windows). Associative — batch order doesn't matter.
+    Additive merge on (window, key). Only the ALL-ZERO group (count 0 AND
+    sum 0 — the additive identity, i.e. a fully-retracted window) may be
+    dropped: a zero count with a nonzero sum is legitimate transient state
+    when a retraction lands in an earlier batch than its insert, and
+    dropping it would break associativity (caught by property test).
     """
     keys = key_cols or []
     if current is None:
@@ -80,7 +83,7 @@ def merge_rollup(current: DataFrame | None, delta: DataFrame, key_cols: list[str
                 F.sum(F.col("sum_value").cast(_DEC)).alias("sum_value"),
             )
         )
-    return merged.filter(F.col("n_events") != 0)
+    return merged.filter((F.col("n_events") != 0) | (F.col("sum_value") != 0))
 
 
 def rollup_read(rollup: DataFrame) -> DataFrame:
