@@ -534,6 +534,22 @@ def ngram_jaccard_pairs_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def multimodal_decode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, value-verified end-to-end: document text cast to
+    a BINARY media column, pushed through the Arrow-batched mapInPandas
+    decode stub (ops/multimodal.py) — the deterministic sha256-derived fake
+    features reproduce exactly in DuckDB, so the oracle checks the whole
+    binary-column → pandas-batch → typed-features path."""
+    from cdc_connector_spark.ops.multimodal import decode_image_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.col("text").cast("binary").alias("media"),
+    )
+    out = decode_image_features(docs, id_col="media_id", fake=True)
+    return out.withColumn("mean_luma", F.round("mean_luma", 6))
+
+
 # ---- rows-only entries (not SQL-expressible; driver records weaker check) --
 
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -552,6 +568,15 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_connector_spark.ops.ann import embedding_neardup_pairs
 
     return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), planes=8, threshold=0.95)
+
+
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_connector_spark.ops.ann import ivf_topk, ivf_train_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    C = ivf_train_centroids(emb, n_centroids=16)
+    return ivf_topk(emb, C, q, k=10, n_probe=4)
 
 
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -609,12 +634,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_arith_orders": date_arith_orders,
         "incremental_rollup_events": incremental_rollup_events,
         "ngram_jaccard_pairs_subset": ngram_jaccard_pairs_subset,
+        "multimodal_decode_documents": multimodal_decode_documents,
         "asof_purchase_last_click": asof_purchase_last_click,
         "cosine_pairs_bruteforce": cosine_pairs_bruteforce,
         "minhash_neardup": minhash_neardup,
         "simhash_neardup": simhash_neardup,
         "embedding_neardup": embedding_neardup,
         "lsh_ann_topk": lsh_ann_topk,
+        "ivf_ann_topk": ivf_ann_topk,
         "lang_id_documents": lang_id_documents,
     }
 
@@ -857,6 +884,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2, 3
         """,
+        "multimodal_decode_documents": """
+            SELECT doc_id AS media_id,
+                   CAST(64 + (('0x' || substr(sha256(text), 1, 2))::INT % 192) AS INT) AS width,
+                   CAST(64 + (('0x' || substr(sha256(text), 3, 2))::INT % 192) AS INT) AS height,
+                   round((('0x' || substr(sha256(text), 5, 2))::INT) / 255.0, 6) AS mean_luma,
+                   substr(sha256(text), 1, 16) AS phash
+            FROM documents
+        """,
         "ngram_jaccard_pairs_subset": """
             WITH t AS (
                 SELECT doc_id,
@@ -938,7 +973,8 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'zh' END AS lang_pred
             FROM s
         """,
-        # minhash_neardup / simhash_neardup / embedding_neardup / lsh_ann_topk:
+        # minhash_neardup / simhash_neardup / embedding_neardup / lsh_ann_topk /
+        # ivf_ann_topk:
         # not SQL-expressible (hash-family / LSH internals) → rows-only check
         # by design; their semantics are value-verified by the brute-force /
         # exact twins above (cosine_pairs_bruteforce, ngram-Jaccard tests).

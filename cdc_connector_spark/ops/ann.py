@@ -200,6 +200,87 @@ def lsh_bucket_topk(
     )
 
 
+# ---- IVF (inverted-file) ANN: the partition-pruned scale path -------------
+#
+# Coarse quantization: spherical k-means centroids trained on a BOUNDED
+# seeded sample (driver-side numpy — O(sample × dim), independent of table
+# size), then every vector is assigned to its nearest centroid with the
+# Arrow matmul path. A query probes only the n_probe nearest centroid
+# partitions and re-ranks exactly. With the table written partitioned by
+# ``centroid_id``, the probe is partition pruning: it reads n_probe/k of
+# the data — the standard IVF trade (recall vs fraction scanned).
+
+
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_size: int = 4096,
+    iters: int = 12,
+    seed: int = 7,
+):
+    """Spherical k-means on a seeded bounded sample → (n_centroids × dim)
+    numpy array (unit-norm rows). Deterministic for fixed inputs/seed."""
+    frac_rows = embeddings.select(vec_col).limit(sample_size).collect()
+    M = np.vstack([np.asarray(r[0], dtype=np.float64) for r in frac_rows])
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = M[rng.choice(len(M), size=min(n_centroids, len(M)), replace=False)]
+    for _ in range(iters):
+        assign = (M @ C.T).argmax(axis=1)
+        for j in range(len(C)):
+            members = M[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                C[j] = c / np.maximum(np.linalg.norm(c), 1e-12)
+    return C
+
+
+def ivf_assign(embeddings: DataFrame, centroids, vec_col: str = "embedding") -> DataFrame:
+    """Append ``centroid_id``: nearest (cosine) centroid, one Arrow matmul
+    per batch. Write the result partitioned by centroid_id for pruning."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def nearest(vs: pd.Series) -> pd.Series:
+        M = np.vstack([np.asarray(v, dtype=np.float64) for v in vs]) if len(vs) else np.zeros((0, C.shape[1]))
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series((M @ C.T).argmax(axis=1).astype(np.int32))
+
+    return embeddings.withColumn("centroid_id", nearest(F.col(vec_col)))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    centroids,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: score only vectors in the n_probe centroid cells nearest
+    the query, exact cosine re-rank inside."""
+    C = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q), 1e-12)
+    probe = [int(i) for i in (C @ qn).argsort()[::-1][:n_probe]]
+
+    qarr = F.array(*[F.lit(float(v)) for v in query_vec])
+    assigned = ivf_assign(embeddings, C, vec_col)
+    return (
+        assigned.filter(F.col("centroid_id").isin(probe))
+        .select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col).cast("array<double>"), qarr).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

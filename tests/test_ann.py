@@ -64,3 +64,23 @@ def test_neardup_pairs_finds_planted_duplicate(spark, emb):
     with_dup = emb.unionByName(dup)
     pairs = embedding_neardup_pairs(with_dup, planes=8, threshold=0.99).collect()
     assert any(r["id_a"] == 7 and r["id_b"] == 100007 for r in pairs)
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from cdc_connector_spark.ops.ann import brute_force_topk, ivf_topk, ivf_train_centroids
+    from cdc_connector_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    C = ivf_train_centroids(emb, n_centroids=16, sample_size=500)
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
+    approx1 = [r["vec_id"] for r in ivf_topk(emb, C, q, k=10, n_probe=4).collect()]
+    approx2 = [r["vec_id"] for r in ivf_topk(emb, C, q, k=10, n_probe=4).collect()]
+    assert approx1 == approx2  # deterministic
+    recall = len(set(exact) & set(approx1)) / 10
+    assert recall >= 0.5, f"recall {recall}"
+    # full probe == exact
+    full = [r["vec_id"] for r in ivf_topk(emb, C, q, k=10, n_probe=16).collect()]
+    assert full == exact
