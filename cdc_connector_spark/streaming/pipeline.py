@@ -86,3 +86,40 @@ class ChangelogStream:
         q.awaitTermination(timeout_s)
         if q.isActive:
             q.stop()
+
+
+def kafka_changelog_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    row_schema: T.StructType,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """S7, Kafka flavor: one topic per table of Debezium-style JSON envelopes
+    (connectors/sources/mariadb/trading.json:13-16,68-71) → streaming
+    DataFrame of parsed envelopes, drop-in upstream of ``flatten_envelope``.
+
+    The per-key ordering the reference gets from 1-partition topics
+    (trading.json:61) is NOT assumed — downstream latest-per-key orders by
+    (ts_ms, seq) explicitly, so multi-partition topics are safe here.
+    Offset/checkpoint management (ST6): `startingOffsets` for first start,
+    then the query's checkpoint owns progress; `maxOffsetsPerTrigger` maps
+    the sink batch-size tuning (performance.json:25-30).
+
+    No broker exists in this container, so this builder is exercised by
+    parsing tests (``parse_json_envelope``) rather than a live stream —
+    the returned plan is identical either way.
+    """
+    from cdc_connector_spark.changelog.envelope import parse_json_envelope
+
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    raw = reader.load()
+    return parse_json_envelope(raw, row_schema, value_col="value")
