@@ -403,6 +403,57 @@ def percentile_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q12_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style conditional aggregation: CASE WHEN inside SUM over a
+    join — per linestatus, how many high- vs low-priority orders shipped."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive predicate push: OR-of-ANDs across join
+    sides — Catalyst splits the common conjuncts below the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 40))
+        | ((F.col("p_size") >= 5) & (F.col("l_discount") >= 0.05))
+    )
+    return joined.filter(cond).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: NOT EXISTS anti-join + scalar-average subquery —
+    customers with above-average balance and no 1998 orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    recent = orders.filter(F.year("o_orderdate") == 1998).select("o_custkey")
+    idle = rich.join(recent, rich.c_custkey == F.col("o_custkey"), "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(30,6)")).cast("double").alias("total_balance"),
+    ).orderBy("c_mktsegment")
+
+
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17-style correlated scalar subquery: lineitems below 20% of
     their part's average quantity — planned as an agg + re-join (the
@@ -629,6 +680,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_active_customers": set_ops_active_customers,
         "rollup_order_revenue": rollup_order_revenue,
         "percentile_order_price": percentile_order_price,
+        "q12_priority_shipmode": q12_priority_shipmode,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q22_idle_customers": q22_idle_customers,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "string_funcs_parts": string_funcs_parts,
         "date_arith_orders": date_arith_orders,
@@ -843,6 +897,32 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY o_orderstatus
             ORDER BY o_orderstatus
+        """,
+        "q12_priority_shipmode": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_linestatus
+            ORDER BY l_linestatus
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 30)
+               OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 40)
+               OR (p_size >= 5 AND l_discount >= 0.05)
+        """,
+        "q22_idle_customers": """
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_customers,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_balance
+            FROM customer c
+            WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey AND year(o_orderdate) = 1998)
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
         """,
         "q17_small_quantity_revenue": """
             WITH avg_q AS (
