@@ -403,6 +403,19 @@ def percentile_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (reshape) surface: order counts as a priority × status matrix —
+    Spark's groupBy().pivot() vs DuckDB native PIVOT. Pivot values are
+    pinned so the plan is one pass (no distinct-values pre-query)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .orderBy("o_orderpriority")
+    )
+
+
 def q12_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12-style conditional aggregation: CASE WHEN inside SUM over a
     join — per linestatus, how many high- vs low-priority orders shipped."""
@@ -680,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_active_customers": set_ops_active_customers,
         "rollup_order_revenue": rollup_order_revenue,
         "percentile_order_price": percentile_order_price,
+        "pivot_status_by_priority": pivot_status_by_priority,
         "q12_priority_shipmode": q12_priority_shipmode,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q22_idle_customers": q22_idle_customers,
@@ -897,6 +911,11 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY o_orderstatus
             ORDER BY o_orderstatus
+        """,
+        "pivot_status_by_priority": """
+            PIVOT orders ON o_orderstatus IN ('F', 'O', 'P') USING count(*)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "q12_priority_shipmode": """
             SELECT l_linestatus,

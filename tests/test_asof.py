@@ -124,3 +124,16 @@ def test_no_by_key_global_asof(spark):
     out = asof_join(left, right, on="ts")
     got = _rows(out, "ts", "v")
     assert got == [(1.0, None), (10.0, "y")]
+
+
+def test_composite_by_keys(spark):
+    left = spark.createDataFrame(
+        [(1, "x", 10.0), (1, "y", 10.0), (2, "x", 10.0)], "region int, sym string, ts double"
+    )
+    right = spark.createDataFrame(
+        [(1, "x", 5.0, 100.0), (1, "y", 6.0, 200.0), (2, "x", 20.0, 300.0)],
+        "region int, sym string, ts double, px double",
+    )
+    out = asof_join(left, right, on="ts", by=["region", "sym"])
+    got = {(r["region"], r["sym"]): r["px"] for r in out.collect()}
+    assert got == {(1, "x"): 100.0, (1, "y"): 200.0, (2, "x"): None}

@@ -169,3 +169,29 @@ def test_sink_schema_evolution_merge_schema(spark, tmp_path):
     rows = {r["id"]: (r["val"], r["new_col"]) for r in sink.read().collect()}
     assert rows[1] == ("a2", "extra")
     assert rows[2] == ("b", None)  # untouched row: new col backfills NULL
+
+
+def test_sink_composite_key(spark, tmp_path):
+    """Composite-PK MERGE (the lineitem-style (orderkey, linenumber) shape)."""
+    schema = T.StructType(
+        [
+            T.StructField("ok", T.LongType()),
+            T.StructField("ln", T.LongType()),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    sink = ParquetMergeSink(spark, str(tmp_path / "t"), ["ok", "ln"], num_buckets=4)
+    sink.overwrite(spark.createDataFrame([(1, 1, "a"), (1, 2, "b"), (2, 1, "c")], schema))
+    batch = flatten_envelope(
+        spark.createDataFrame(
+            [
+                ({"ok": 1, "ln": 2, "val": "b"}, {"ok": 1, "ln": 2, "val": "B2"}, "u", 10, "db", "t", 1),
+                ({"ok": 2, "ln": 1, "val": "c"}, None, "d", 11, "db", "t", 2),
+            ],
+            envelope_schema(schema),
+        ),
+        key_cols=["ok", "ln"],
+    )
+    sink.apply(batch)
+    rows = {(r["ok"], r["ln"]): r["val"] for r in sink.read().collect()}
+    assert rows == {(1, 1): "a", (1, 2): "B2"}
