@@ -17,3 +17,15 @@ from cdc_connector_spark.ops.ann import (  # noqa: F401
     cosine_similarity,
     lsh_bucket_topk,
 )
+from cdc_connector_spark.ops.asof import asof_join  # noqa: F401
+from cdc_connector_spark.ops.rollup import merge_rollup, rollup_delta, rollup_read  # noqa: F401
+from cdc_connector_spark.ops.skew import salted_join  # noqa: F401
+from cdc_connector_spark.ops.pipeline import clean_corpus  # noqa: F401
+from cdc_connector_spark.ops.zorder import zorder_write, zvalue  # noqa: F401
+from cdc_connector_spark.ops.ann import (  # noqa: F401
+    ivf_assign,
+    ivf_topk,
+    ivf_train_centroids,
+    add_lsh_buckets_arrow,
+)
+from cdc_connector_spark.ops.dedup import hashed_shingles, simhash_arrow  # noqa: F401
