@@ -403,6 +403,59 @@ def percentile_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via window functions (lag + cumulative sum
+    of session starts) — the batch formulation of streaming session windows
+    (streaming/windows.py::session_windows is the stateful twin)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_s = 30 * 60
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull() | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > gap_s), 1
+    ).otherwise(0)
+    with_sess = ev.withColumn("session_seq", F.sum(is_new).over(w))
+    return (
+        with_sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group: rank() window + filter — the classic per-group
+    leaderboard shape."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("c_mktsegment", "rk")
+    )
+
+
+def word_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode/lateral surface: tokenize → explode → count, top-20 words
+    (deterministic tie-break on the word)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
 def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (reshape) surface: order counts as a priority × status matrix —
     Spark's groupBy().pivot() vs DuckDB native PIVOT. Pivot values are
@@ -693,6 +746,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_active_customers": set_ops_active_customers,
         "rollup_order_revenue": rollup_order_revenue,
         "percentile_order_price": percentile_order_price,
+        "sessionize_events": sessionize_events,
+        "top3_orders_per_segment": top3_orders_per_segment,
+        "word_counts_documents": word_counts_documents,
         "pivot_status_by_priority": pivot_status_by_priority,
         "q12_priority_shipmode": q12_priority_shipmode,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
@@ -911,6 +967,48 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY o_orderstatus
             ORDER BY o_orderstatus
+        """,
+        "sessionize_events": """
+            WITH marked AS (
+                SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR date_diff('second', LAG(CAST(ts AS TIMESTAMP)) OVER w, CAST(ts AS TIMESTAMP)) > 1800
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            ), sess AS (
+                SELECT user_id, ts,
+                       SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                         ROWS UNBOUNDED PRECEDING) AS session_seq
+                FROM marked
+            )
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   COUNT(*) AS n_events,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end
+            FROM sess
+            GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq
+        """,
+        "top3_orders_per_segment": """
+            SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+                SELECT c_mktsegment, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            )
+            WHERE rk <= 3
+            ORDER BY c_mktsegment, rk
+        """,
+        "word_counts_documents": """
+            SELECT word, COUNT(*) AS n
+            FROM (
+                SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+                FROM documents WHERE trim(coalesce(text,'')) <> ''
+            )
+            WHERE word <> ''
+            GROUP BY word
+            ORDER BY n DESC, word ASC
+            LIMIT 20
         """,
         "pivot_status_by_priority": """
             PIVOT orders ON o_orderstatus IN ('F', 'O', 'P') USING count(*)
