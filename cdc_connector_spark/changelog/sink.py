@@ -22,6 +22,7 @@ connectors/sinks/postgres/performance.json:30) maps to one ``apply()``.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -52,6 +53,22 @@ class ParquetMergeSink:
         # merging costs a listing pass, so it's opt-in
         self.merge_schema = merge_schema
         os.makedirs(self.path, exist_ok=True)
+        # bucket layout is part of the TABLE, not the session: a reopen with
+        # a different num_buckets would compute touched buckets with the
+        # wrong modulus and silently corrupt the merge — persist and reload
+        meta_file = os.path.join(self.path, "_META")
+        if os.path.exists(meta_file):
+            with open(meta_file) as f:
+                stored = json.load(f)
+            if num_buckets is not None and num_buckets != stored["num_buckets"]:
+                raise ValueError(
+                    f"sink at {self.path} was created with num_buckets="
+                    f"{stored['num_buckets']}; cannot reopen with {num_buckets}"
+                )
+            self.num_buckets = stored["num_buckets"]
+        else:
+            with open(meta_file, "w") as f:
+                json.dump({"num_buckets": self.num_buckets, "key_cols": key_cols}, f)
 
     # -- version pointer ----------------------------------------------------
     @property
@@ -104,6 +121,10 @@ class ParquetMergeSink:
         )
 
     def _write_buckets(self, df: DataFrame, version_dir: str) -> None:
+        # a crashed previous attempt may have left a partial, never-flipped
+        # version dir; appending into it would duplicate rows — clobber it
+        if os.path.exists(version_dir):
+            shutil.rmtree(version_dir)
         out = df.withColumn(_BUCKET, self._bucket_expr())
         n_shuffle = min(self.num_buckets, int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4)
         (
@@ -156,22 +177,28 @@ class ParquetMergeSink:
 
         latest = latest_per_key(changes, self.key_cols)
         touched = sorted(
-            r[0]
-            for r in latest.select(
-                F.pmod(F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.num_buckets))
-                .cast("int")
-                .alias("b")
-            )
-            .distinct()
-            .collect()
+            r[0] for r in latest.select(self._bucket_expr().alias("b")).distinct().collect()
         )
         version = cur + 1
         vdir = self._data_dir(version)
-        os.makedirs(vdir, exist_ok=True)
 
         current_touched = self._read_buckets(cur, touched)
+        # ST8 guard: a widened batch writes the new column only into touched
+        # buckets; without mergeSchema the read side would nondeterministically
+        # drop it — refuse instead of silently losing data
+        if current_touched is not None and not self.merge_schema:
+            new_cols = set(changes.columns) - set(current_touched.columns) - {
+                "__op", "__ts_ms", "__source_db", "__source_table", "__seq"
+            }
+            if new_cols:
+                raise ValueError(
+                    f"batch widens the schema with {sorted(new_cols)} but the sink "
+                    "was opened with merge_schema=False; reopen with "
+                    "merge_schema=True to evolve the schema (ST8)"
+                )
         merged = apply_changes(current_touched, changes, self.key_cols)
         self._write_buckets(merged, vdir)
+        os.makedirs(vdir, exist_ok=True)  # empty merge may write nothing
 
         touched_set = {f"{_BUCKET}={b}" for b in touched}
         for name in os.listdir(self._data_dir(cur)):

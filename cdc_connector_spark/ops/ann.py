@@ -220,8 +220,21 @@ def ivf_train_centroids(
     seed: int = 7,
 ):
     """Spherical k-means on a seeded bounded sample → (n_centroids × dim)
-    numpy array (unit-norm rows). Deterministic for fixed inputs/seed."""
-    frac_rows = embeddings.select(vec_col).limit(sample_size).collect()
+    numpy array (unit-norm rows). Deterministic for a fixed input layout and
+    seed. The sample is a seeded random draw across ALL partitions — a plain
+    ``limit()`` would take the first files in layout order, which on data
+    clustered by anything vector-correlated trains every centroid on one
+    region and collapses recall."""
+    n_total = embeddings.count()
+    if n_total <= sample_size:
+        frac_rows = embeddings.select(vec_col).collect()
+    else:
+        frac = min(1.0, (sample_size * 1.3) / n_total)
+        frac_rows = (
+            embeddings.select(vec_col).sample(withReplacement=False, fraction=frac, seed=seed)
+            .limit(sample_size)
+            .collect()
+        )
     M = np.vstack([np.asarray(r[0], dtype=np.float64) for r in frac_rows])
     M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -61,11 +62,18 @@ def asof_join(
     out_names = {c: (c + suffix if c in left.columns else c) for c in payload}
     matched_on = on + suffix  # right-side ts surfaced for tolerance/debug
 
+    # the right row travels as ONE struct (NULL on left rows), so
+    # last(ignorenulls) picks the matched right row ATOMICALLY — filling
+    # payload columns independently would stitch together values from
+    # different right rows whenever the matched row holds NULLs
+    r_struct_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in payload]
+        + [T.StructField("__asof_on", right.schema[on].dataType)]
+    )
     lhs = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload],
-        F.lit(None).cast(right.schema[on].dataType).alias("__r_on"),
+        F.lit(None).cast(r_struct_type).alias("__r"),
         (F.lit(None).cast(right.schema[seq_col].dataType) if seq_col else F.lit(0)).alias("__asof_seq"),
     )
     rhs = right.select(
@@ -73,8 +81,9 @@ def asof_join(
         F.col(on),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in by_cols and c != on],
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in payload],
-        F.col(on).alias("__r_on"),
+        F.struct(
+            *[F.col(c) for c in payload], F.col(on).alias("__asof_on")
+        ).alias("__r"),
         (F.col(seq_col) if seq_col else F.lit(0)).alias("__asof_seq"),
     )
     u = lhs.unionByName(rhs)
@@ -83,7 +92,7 @@ def asof_join(
     order = [
         F.col(on).asc() if asc else F.col(on).desc(),
         F.col("__side").asc(),  # right rows visible to equal-ts left rows
-        F.col("__asof_seq").asc() if asc else F.col("__asof_seq").desc(),
+        F.col("__asof_seq").asc(),  # greatest seq wins in BOTH directions
     ]
     w = (
         Window.partitionBy(*by_cols)
@@ -93,23 +102,23 @@ def asof_join(
 
     filled = u.select(
         *[F.col(c) for c in u.columns],
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in payload],
-        F.last("__r_on", ignorenulls=True).over(w).alias("__f_on"),
+        F.last("__r", ignorenulls=True).over(w).alias("__f"),
     ).filter(F.col("__side") == 1)
 
     if tolerance_seconds is not None:
         if "timestamp" in right.schema[on].dataType.simpleString():
             dist = F.abs(
-                F.unix_timestamp(F.col(on)).cast("double") - F.unix_timestamp(F.col("__f_on")).cast("double")
+                F.unix_timestamp(F.col(on)).cast("double")
+                - F.unix_timestamp(F.col("__f.__asof_on")).cast("double")
             )
         else:
-            dist = F.abs(F.col(on).cast("double") - F.col("__f_on").cast("double"))
+            dist = F.abs(F.col(on).cast("double") - F.col("__f.__asof_on").cast("double"))
         ok = dist <= F.lit(float(tolerance_seconds))
     else:
         ok = F.lit(True)
 
     return filled.select(
         *[F.col(c) for c in left.columns],
-        *[F.when(ok, F.col(f"__f_{c}")).alias(out_names[c]) for c in payload],
-        F.when(ok, F.col("__f_on")).alias(matched_on),
+        *[F.when(ok, F.col(f"__f.{c}")).alias(out_names[c]) for c in payload],
+        F.when(ok, F.col("__f.__asof_on")).alias(matched_on),
     )

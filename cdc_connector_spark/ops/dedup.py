@@ -210,6 +210,19 @@ def minhash_dedup_pairs(
     )
 
 
+def oversized_buckets(df: DataFrame, bucket_cols: list[str], max_bucket: int = 500) -> DataFrame:
+    """The buckets ``_bucket_pairs`` will DROP (size > max_bucket), with
+    sizes — run this to quantify what the cap costs on a given corpus
+    before trusting near-dup output (the cap is a recall/cost dial, and an
+    unexamined cap is a silent recall hole)."""
+    return (
+        df.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
+        .orderBy(F.col("bucket_size").desc())
+    )
+
+
 def _bucket_pairs(df: DataFrame, bucket_cols: list[str], id_col: str, max_bucket: int = 500) -> DataFrame:
     """Candidate pairs (id_a < id_b) from rows sharing a bucket.
 
@@ -217,7 +230,7 @@ def _bucket_pairs(df: DataFrame, bucket_cols: list[str], id_col: str, max_bucket
     executes ONCE, and the pair explosion happens bucket-locally. Buckets
     larger than ``max_bucket`` are dropped — degenerate buckets (boilerplate
     shingles, all-zero vectors) add quadratic cost and near-zero signal at
-    scale; tune per corpus.
+    scale; audit what a given corpus loses with ``oversized_buckets``.
     """
     buckets = (
         df.groupBy(*bucket_cols)

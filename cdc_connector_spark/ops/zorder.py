@@ -10,12 +10,16 @@ file the full min..max range. ``zorder_by`` interleaves the bits of the
 sorts by it, so each output file covers a small hyper-rectangle of the key
 space and point/range predicates on ANY clustered column prune most files.
 
-All expression-level (codegen); ranks come from ``percent_rank`` windows —
-one pass per column, same cost family as any global sort. For one column
-this degenerates to a plain range-sorted write (clustered index analogue).
+Rank normalization defaults to the scalable quantile path: one
+``approxQuantile`` sketch pass per column + vectorized ``searchsorted`` per
+Arrow batch — no global sort anywhere. For one column this degenerates to a
+plain range-clustered write (clustered index analogue).
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -34,20 +38,55 @@ def _interleave(cols: list, bits: int = _BITS):
     return z
 
 
-def zvalue(df: DataFrame, cluster_cols: list[str], bits: int = _BITS):
+def zvalue(df: DataFrame, cluster_cols: list[str], bits: int = _BITS, method: str = "quantile"):
     """DataFrame + ``__z`` column: z-value over rank-normalized cluster cols.
 
-    Rank normalization (percent_rank → fixed-width integer) makes the
-    interleave robust to skewed/unbounded domains — raw values would let one
-    hot range dominate the curve.
+    Rank normalization makes the interleave robust to skewed/unbounded
+    domains — raw values would let one hot range dominate the curve. Two
+    normalizers:
+
+    - ``quantile`` (default, the scale path): one ``approxQuantile`` pass
+      per column computes ≤4095 boundaries on the driver, then ranks are a
+      vectorized ``searchsorted`` per Arrow batch — no global sort, no
+      single-partition window.
+    - ``rank``: exact ``percent_rank`` over an UNPARTITIONED window — Spark
+      funnels the whole table through one task per column; only for small
+      tables / exactness checks.
     """
     out = df
     ranked = []
-    for c in cluster_cols:
-        w = Window.orderBy(F.col(c))
-        rc = f"__r_{c}"
-        out = out.withColumn(rc, (F.percent_rank().over(w) * ((1 << bits) - 1)).cast("long"))
-        ranked.append(F.col(rc))
+    if method == "rank":
+        for c in cluster_cols:
+            w = Window.orderBy(F.col(c))
+            rc = f"__r_{c}"
+            out = out.withColumn(rc, (F.percent_rank().over(w) * ((1 << bits) - 1)).cast("long"))
+            ranked.append(F.col(rc))
+    elif method == "quantile":
+        from pyspark.sql.functions import pandas_udf
+
+        qbits = min(bits, 12)  # 4095 boundaries is ample rank resolution
+        scale = 1 << (bits - qbits)  # stretch back to the full bit width
+        n_b = (1 << qbits) - 1
+        probs = [i / n_b for i in range(1, n_b)]
+        for c in cluster_cols:
+            bounds = np.asarray(
+                df.select(F.col(c).cast("double").alias("v")).approxQuantile("v", probs, 1e-4),
+                dtype=np.float64,
+            )
+
+            def make_udf(b):
+                @pandas_udf("long")
+                def ranks(v: pd.Series) -> pd.Series:
+                    arr = v.to_numpy(dtype=np.float64)
+                    return pd.Series(np.searchsorted(b, arr, side="right").astype(np.int64))
+
+                return ranks
+
+            rc = f"__r_{c}"
+            out = out.withColumn(rc, make_udf(bounds)(F.col(c).cast("double")) * scale)
+            ranked.append(F.col(rc))
+    else:
+        raise ValueError("method must be 'quantile' or 'rank'")
     out = out.withColumn("__z", _interleave(ranked, bits))
     return out.drop(*[f"__r_{c}" for c in cluster_cols])
 

@@ -81,24 +81,30 @@ def main(argv: list[str] | None = None) -> int:
         print(f"no tables found under {args.source_root}", file=sys.stderr)
         return 1
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    from cdc_connector_spark.snapshot.engine import snapshot_table
     from cdc_connector_spark.tables import load_table
 
-    jobs = []
-    for name in names:
-        df = load_table(spark, args.source_root, name)
-        jobs.append((df, meta_from_df(args.database, name, df, pks.get(name, []))))
+    mode = "overwrite" if args.overwrite else "ignore"
+
+    def one(name: str) -> tuple[str, str | None, str | None]:
+        try:
+            df = load_table(spark, args.source_root, name)
+            meta = meta_from_df(args.database, name, df, pks.get(name, []))
+            return name, snapshot_table(spark, df, meta, args.sink_root, mode=mode), None
+        except Exception as e:  # noqa: BLE001 — per-table isolation (O1)
+            return name, None, f"{type(e).__name__}: {e}"
 
     failed = False
-    results = snapshot_database(
-        spark,
-        jobs,
-        args.sink_root,
-        max_workers=args.max_workers,
-        mode="overwrite" if args.overwrite else "ignore",
-    )
-    for name, path in sorted(results.items()):
-        n = spark.read.parquet(path).count()
-        print(f"[OK] {name}: {n} rows -> {path}")
+    with ThreadPoolExecutor(max_workers=args.max_workers) as ex:
+        for name, path, err in sorted(ex.map(one, names)):
+            if err:
+                failed = True
+                print(f"[FAIL] {name}: {err}", file=sys.stderr)
+            else:
+                n = spark.read.parquet(path).count()
+                print(f"[OK] {name}: {n} rows -> {path}")
     return 1 if failed else 0
 
 

@@ -137,3 +137,26 @@ def test_composite_by_keys(spark):
     out = asof_join(left, right, on="ts", by=["region", "sym"])
     got = {(r["region"], r["sym"]): r["px"] for r in out.collect()}
     assert got == {(1, "x"): 100.0, (1, "y"): 200.0, (2, "x"): None}
+
+
+def test_null_in_matched_right_row_stays_null(spark):
+    """The matched right row's NULL must NOT be backfilled from an older
+    right row (regression: per-column fill stitched rows together)."""
+    left = spark.createDataFrame([(1, 3.0)], "k int, ts double")
+    right = spark.createDataFrame(
+        [(1, 1.0, 5.0), (1, 2.0, None)], "k int, ts double, px double"
+    )
+    out = asof_join(left, right, on="ts", by="k").collect()[0]
+    assert out["ts_right"] == 2.0  # matched the ts=2.0 row...
+    assert out["px"] is None       # ...whose px is NULL, and stays NULL
+
+
+def test_forward_equal_ts_seq_tiebreak(spark):
+    """Greatest seq wins at equal ts in BOTH directions."""
+    left = spark.createDataFrame([(1, 10.0)], "k int, ts double")
+    right = spark.createDataFrame(
+        [(1, 10.0, 1, "first"), (1, 10.0, 2, "second")],
+        "k int, ts double, seq int, v string",
+    )
+    out = asof_join(left, right, on="ts", by="k", direction="forward", seq_col="seq")
+    assert out.collect()[0]["v"] == "second"

@@ -195,3 +195,47 @@ def test_sink_composite_key(spark, tmp_path):
     sink.apply(batch)
     rows = {(r["ok"], r["ln"]): r["val"] for r in sink.read().collect()}
     assert rows == {(1, 1): "a", (1, 2): "B2"}
+
+
+def test_sink_num_buckets_persisted(spark, tmp_path):
+    """Reopening with a different num_buckets must fail, and a reopen with
+    no num_buckets must adopt the stored layout (regression: silent
+    modulus mismatch corrupted the merge)."""
+    sink = ParquetMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=8)
+    sink.overwrite(spark.createDataFrame([(1, "a")], ROW_SCHEMA))
+    reopened = ParquetMergeSink(spark, str(tmp_path / "t"), ["id"])
+    assert reopened.num_buckets == 8
+    with pytest.raises(ValueError, match="num_buckets"):
+        ParquetMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=32)
+
+
+def test_sink_retry_after_partial_write_is_clean(spark, tmp_path):
+    """A stale never-flipped version dir from a crashed attempt must be
+    clobbered, not appended into (regression: duplicate rows on retry)."""
+    sink = ParquetMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=2)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ROW_SCHEMA)
+    sink.overwrite(df)
+    # simulate a crashed apply: partial v=1 exists, _VERSION still 0
+    df.withColumn("__bucket", F.lit(0)).write.partitionBy("__bucket").parquet(
+        str(tmp_path / "t" / "v=1")
+    )
+    assert sink.current_version() == 0
+    batch = flatten_envelope(
+        _env_df(spark, [({"id": 1, "val": "a"}, {"id": 1, "val": "a2"}, "u", 10, 1)]),
+        key_cols=["id"],
+    )
+    sink.apply(batch)  # retried apply writes v=1 again
+    rows = {r["id"]: r["val"] for r in sink.read().collect()}
+    assert rows == {1: "a2", 2: "b"}
+    assert sink.count() == 2  # no duplicates from the stale partial
+
+
+def test_sink_schema_widening_requires_merge_schema(spark, tmp_path):
+    sink = ParquetMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=2)
+    sink.overwrite(spark.createDataFrame([(1, "a")], ROW_SCHEMA))
+    widened = spark.createDataFrame(
+        [(1, "a2", "x", "u", 10, 1)],
+        "id bigint, val string, new_col string, __op string, __ts_ms bigint, __seq bigint",
+    )
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        sink.apply(widened)

@@ -33,3 +33,11 @@ def test_register_views_sql_frontend(spark):
     assert n > 0
     top = spark.sql("select o_orderkey from orders order by o_totalprice desc limit 1").count()
     assert top == 1
+
+
+def test_cli_reports_failed_table_and_exits_1(tmp_path):
+    code = main(
+        ["--source-root", SF, "--database", "t", "--tables", "region,no_such_table",
+         "--sink-root", str(tmp_path / "s")]
+    )
+    assert code == 1

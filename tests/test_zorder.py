@@ -58,3 +58,13 @@ def test_snapshot_with_zorder_phase3(spark, orders, tmp_path):
     assert out.count() == orders.count()
     spans = file_stats(spark, path, "o_custkey")
     assert len(spans) > 1  # actually produced a clustered multi-file layout
+
+
+def test_quantile_and_rank_methods_both_tighten(spark, orders, tmp_path):
+    for method in ("quantile", "rank"):
+        z = zvalue(orders.select("o_custkey", "o_orderkey"), ["o_custkey", "o_orderkey"], method=method)
+        assert z.filter(F.col("__z").isNull()).count() == 0
+    rand_path, q_path = str(tmp_path / "r"), str(tmp_path / "q")
+    orders.repartition(16).write.parquet(rand_path)
+    zorder_write(orders, q_path, ["o_custkey"], num_files=16)  # default quantile path
+    assert _avg_span(file_stats(spark, q_path, "o_custkey")) < _avg_span(file_stats(spark, rand_path, "o_custkey")) / 2
