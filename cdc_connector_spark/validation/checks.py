@@ -85,16 +85,32 @@ def check_rowcount(source: DataFrame, sink: DataFrame) -> CheckResult:
     )
 
 
-def check_distinct_pk(source: DataFrame, sink: DataFrame, pk_cols: list[str]) -> CheckResult:
-    """Check 3: COUNT(DISTINCT pk…) equality — CDC key-cardinality parity."""
-    src_d = source.select(*pk_cols).distinct().count()
-    sink_d = sink.select(*pk_cols).distinct().count()
+def check_distinct_pk(
+    source: DataFrame, sink: DataFrame, pk_cols: list[str], approx: bool = False, rsd: float = 0.01
+) -> CheckResult:
+    """Check 3: COUNT(DISTINCT pk…) equality — CDC key-cardinality parity.
+
+    ``approx=True`` uses HyperLogLog++ (``approx_count_distinct``, relative
+    error ``rsd``) — the scale mode for monitoring sweeps over 100 TB
+    tables, where an exact distinct costs a full shuffle per side. The WARN
+    threshold (0.1%) is below a 1% rsd, so approx mode widens the
+    effective thresholds accordingly: use it for trend monitoring, exact
+    mode for the gate after a migration."""
+    if approx:
+        src_d = source.agg(F.approx_count_distinct(F.struct(*pk_cols), rsd=rsd)).collect()[0][0]
+        sink_d = sink.agg(F.approx_count_distinct(F.struct(*pk_cols), rsd=rsd)).collect()[0][0]
+    else:
+        src_d = source.select(*pk_cols).distinct().count()
+        sink_d = sink.select(*pk_cols).distinct().count()
     diff = sink_d - src_d
     pct = (abs(diff) / src_d * 100.0) if src_d else (100.0 if sink_d else 0.0)
+    warn, fail = (max(ROWCOUNT_WARN_PCT, rsd * 100), max(ROWCOUNT_FAIL_PCT, 2 * rsd * 100)) if approx else (
+        ROWCOUNT_WARN_PCT, ROWCOUNT_FAIL_PCT
+    )
     return CheckResult(
         "distinct_pk",
-        _status_from_pct(pct),
-        {"source_distinct": src_d, "sink_distinct": sink_d, "diff": diff, "diff_pct": pct},
+        _status_from_pct(pct, warn, fail),
+        {"source_distinct": src_d, "sink_distinct": sink_d, "diff": diff, "diff_pct": pct, "approx": approx},
     )
 
 

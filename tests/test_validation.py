@@ -125,3 +125,13 @@ def test_drift_orphans_and_replay_window(spark):
     assert win["verdict"].startswith("sink_inflated")
     stale = replay_window(src, src.filter("id < 50"), "updated_at")
     assert stale["verdict"] == "sink_stale"
+
+
+def test_distinct_pk_approx_mode(spark):
+    from cdc_connector_spark.validation.checks import check_distinct_pk
+
+    src = spark.range(10000).withColumnRenamed("id", "pk")
+    r = check_distinct_pk(src, src, ["pk"], approx=True)
+    assert r.status == "PASS" and r.metrics["approx"] is True
+    # HLL estimate within rsd of truth on both sides
+    assert abs(r.metrics["source_distinct"] - 10000) / 10000 < 0.05
