@@ -188,16 +188,18 @@ def run_all_checks(
     sink: DataFrame | None,
     pk_cols: list[str],
     ts_col: str | None = None,
+    approx: bool = False,
 ) -> TableReport:
     """Checks 1→6 sequentially; verdict FAIL > WARN > PASS
-    (tests/validation.py:747-768)."""
+    (tests/validation.py:747-768). ``approx`` switches the distinct-PK
+    check to the HLL scale mode."""
     report = TableReport(table)
     exists = check_exists(sink)
     report.results.append(exists)
     if exists.status == FAIL or sink is None:
         return report
     report.results.append(check_rowcount(source, sink))
-    report.results.append(check_distinct_pk(source, sink, pk_cols))
+    report.results.append(check_distinct_pk(source, sink, pk_cols, approx=approx))
     report.results.append(check_duplication(sink, pk_cols))
     report.results.append(check_orphans(source, sink, pk_cols))
     report.results.append(check_freshness(source, sink, ts_col))
