@@ -89,3 +89,34 @@ def test_simhash_arrow_matches_expression(spark):
     expr = {r["doc_id"]: r["sig"] for r in df.select("doc_id", simhash("text").alias("sig")).collect()}
     arrow = {r["id"]: r["sig"] for r in simhash_arrow(df).collect()}
     assert expr == arrow
+
+
+def test_minhash_arrow_matches_expression_pipeline(spark):
+    """The fused Arrow kernel must be BIT-identical to hashed_shingles +
+    minhash_from_hashes (int64 wrap + pmod parity)."""
+    from pyspark.sql import functions as F
+
+    from cdc_connector_spark.ops.dedup import (
+        hashed_shingles,
+        minhash_from_hashes,
+        minhash_signatures_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "two words"),
+            (3, "one"),
+            (4, ""),
+            (5, "the quick brown fox jumps over the lazy cat"),
+        ],
+        "doc_id int, text string",
+    )
+    expr = {
+        r["doc_id"]: list(r["sig"])
+        for r in df.select(
+            "doc_id", minhash_from_hashes(hashed_shingles("text", 3), 64).alias("sig")
+        ).collect()
+    }
+    arrow = {r["id"]: list(r["sig"]) for r in minhash_signatures_arrow(df).collect()}
+    assert expr == arrow
