@@ -22,9 +22,11 @@ connectors/sinks/postgres/performance.json:30) maps to one ``apply()``.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,6 +71,41 @@ class ParquetMergeSink:
         else:
             with open(meta_file, "w") as f:
                 json.dump({"num_buckets": self.num_buckets, "key_cols": key_cols}, f)
+
+    # -- writer lock ---------------------------------------------------------
+    @contextlib.contextmanager
+    def _writer_lock(self, timeout_s: float = 60.0, stale_s: float = 3600.0):
+        """Single-writer guard: versions are MVCC for READERS (atomic pointer
+        flip), but two concurrent writers would race the version number and
+        the touched-bucket link set. O_CREAT|O_EXCL lockfile; a lock older
+        than ``stale_s`` is presumed abandoned (crashed writer) and
+        reclaimed — safe because an unflipped version dir is clobbered on
+        retry anyway."""
+        lock = os.path.join(self.path, "_LOCK")
+        deadline = time.monotonic() + timeout_s
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()} {time.time()}".encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > stale_s:
+                        os.unlink(lock)  # reclaim abandoned lock
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"another writer holds {lock}; still present after {timeout_s}s"
+                    ) from None
+                time.sleep(0.2)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(lock)
 
     # -- version pointer ----------------------------------------------------
     @property
@@ -161,10 +198,11 @@ class ParquetMergeSink:
     # -- operations ---------------------------------------------------------
     def overwrite(self, df: DataFrame) -> None:
         """Full snapshot load (bootstrap, S10 analogue)."""
-        cur = self.current_version()
-        version = 0 if cur is None else cur + 1
-        self._write_buckets(df, self._data_dir(version))
-        self._flip(version)
+        with self._writer_lock():
+            cur = self.current_version()
+            version = 0 if cur is None else cur + 1
+            self._write_buckets(df, self._data_dir(version))
+            self._flip(version)
 
     def apply(self, changes: DataFrame) -> None:
         """MERGE one micro-batch of flattened change events (ST2) with
@@ -175,6 +213,10 @@ class ParquetMergeSink:
             self.overwrite(apply_changes(None, changes, self.key_cols))
             return
 
+        with self._writer_lock():
+            self._apply_locked(changes, cur)
+
+    def _apply_locked(self, changes: DataFrame, cur: int) -> None:
         latest = latest_per_key(changes, self.key_cols)
         touched = sorted(
             r[0] for r in latest.select(self._bucket_expr().alias("b")).distinct().collect()

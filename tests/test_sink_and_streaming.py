@@ -1,6 +1,7 @@
 """ParquetMergeSink versioning + end-to-end streaming changelog apply."""
 
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -239,3 +240,30 @@ def test_sink_schema_widening_requires_merge_schema(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="merge_schema=True"):
         sink.apply(widened)
+
+
+def test_writer_lock_blocks_and_reclaims(spark, tmp_path):
+    sink = ParquetMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=2)
+    df = spark.createDataFrame([(1, "a")], ROW_SCHEMA)
+    sink.overwrite(df)
+    lock = os.path.join(sink.path, "_LOCK")
+    assert not os.path.exists(lock)  # released after write
+
+    # a held (fresh) lock makes the next writer time out
+    with open(lock, "w") as f:
+        f.write("held")
+    import pytest as _pytest
+
+    batch = flatten_envelope(
+        _env_df(spark, [(None, {"id": 2, "val": "b"}, "c", 10, 1)]), key_cols=["id"]
+    )
+    with _pytest.raises(TimeoutError):
+        with sink._writer_lock(timeout_s=0.5):
+            pass
+
+    # a STALE lock is reclaimed and the write proceeds
+    old = time.time() - 7200
+    os.utime(lock, (old, old))
+    sink.apply(batch)
+    assert sink.count() == 2
+    assert not os.path.exists(lock)
