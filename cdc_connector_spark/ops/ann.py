@@ -294,6 +294,58 @@ def ivf_topk(
     )
 
 
+def ivf_write(
+    embeddings: DataFrame,
+    path: str,
+    centroids,
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the IVF layout: rows partitioned by ``centroid_id`` (one
+    directory per cell) with the centroid matrix stored alongside. Probes
+    then read only n_probe/k of the files — real partition pruning, the
+    production shape of the IVF trade."""
+    import json
+    import os
+
+    ivf_assign(embeddings, centroids, vec_col).write.mode(mode).partitionBy("centroid_id").parquet(path)
+    with open(os.path.join(path, "_CENTROIDS"), "w") as f:
+        json.dump(np.asarray(centroids, dtype=np.float64).tolist(), f)
+
+
+def ivf_read_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF layout: rank stored centroids against the
+    query, read ONLY the n_probe nearest cell directories (partition
+    pruning on ``centroid_id``), exact cosine re-rank inside."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_CENTROIDS")) as f:
+        C = np.asarray(json.load(f), dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q), 1e-12)
+    probe = [int(i) for i in (C @ qn).argsort()[::-1][:n_probe]]
+
+    qarr = F.array(*[F.lit(float(v)) for v in query_vec])
+    cells = spark.read.parquet(path).filter(F.col("centroid_id").isin(probe))
+    return (
+        cells.select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col).cast("array<double>"), qarr).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

