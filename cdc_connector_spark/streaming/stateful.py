@@ -25,6 +25,65 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def latest_state_stream_tws(
+    flat: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "__ts_ms",
+    seq_col: str = "__seq",
+    op_col: str = "__op",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Same semantics as ``latest_state_stream`` on the Spark 4
+    ``transformWithStateInPandas`` API: typed ValueState per key with
+    optional TTL — idle keys' state evicts after ``state_ttl_ms``, the knob
+    the older applyInPandasWithState API lacks. At 100 TB key cardinality,
+    TTL is what keeps the state store bounded when the key space churns."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    data_cols = [c for c in flat.columns if c not in key_cols]
+    ordered = key_cols + data_cols
+    out_schema = T.StructType(
+        [flat.schema[c] for c in ordered] + [T.StructField("__deleted", T.BooleanType(), False)]
+    )
+    state_schema = T.StructType([flat.schema[c] for c in ordered])
+
+    class LatestPerKey(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("latest", state_schema, state_ttl_ms)
+
+        def handleInputRows(self, key, rows, timerValues):
+            batch = pd.concat(list(rows), ignore_index=True)
+            batch = batch.sort_values([ts_col, seq_col], kind="mergesort")
+            newest = batch.iloc[-1]
+            if self._state.exists():
+                cur = dict(zip(ordered, self._state.get()))
+                if (cur[ts_col], cur[seq_col]) >= (newest[ts_col], newest[seq_col]):
+                    return iter(())  # stale replay — no-op
+            row = {c: newest[c] for c in ordered}
+            if newest[op_col] == "d":
+                self._state.clear()
+                row["__deleted"] = True
+            else:
+                self._state.update(tuple(newest[c] for c in ordered))
+                row["__deleted"] = False
+            yield pd.DataFrame([row], columns=ordered + ["__deleted"])
+
+        def close(self) -> None:
+            pass
+
+    return flat.groupBy(*key_cols).transformWithStateInPandas(
+        LatestPerKey(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def latest_state_stream(
     flat: DataFrame,
     key_cols: list[str],

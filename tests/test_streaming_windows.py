@@ -119,3 +119,38 @@ def test_windowed_stats_streaming_with_watermark(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("select * from win_stats").collect()
     assert any(r["n_events"] == 2 and r["sum_value"] == 3.0 for r in rows)
+
+
+def test_latest_state_stream_transformwithstate(spark, tmp_path, changelog_dir):
+    """Spark 4 transformWithStateInPandas variant: same final state as the
+    applyInPandasWithState operator. Skips where Spark's state-server
+    protocol dependency (protobuf) is unavailable."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from cdc_connector_spark.streaming.stateful import latest_state_stream_tws
+
+    schema = "id bigint, v string, __op string, __ts_ms bigint, __seq bigint"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(changelog_dir)
+    )
+    out = latest_state_stream_tws(stream, key_cols=["id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("latest_state_tws")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from latest_state_tws").collect()
+    final = {}
+    for r in rows:
+        cur = final.get(r["id"])
+        if cur is None or (r["__ts_ms"], r["__seq"]) >= (cur["__ts_ms"], cur["__seq"]):
+            final[r["id"]] = r
+    assert final[1]["v"] == "a2" and final[1]["__deleted"] is False
+    assert final[2]["__deleted"] is True
+    assert final[3]["v"] == "c" and final[3]["__deleted"] is False
