@@ -8,10 +8,14 @@ from cdc_connector_spark.ops.dedup import (  # noqa: F401
     exact_dedup,
     minhash_dedup_pairs,
     minhash_signature,
+    minhash_verified_pairs,
     ngram_jaccard_pairs,
     simhash,
     simhash_dedup_pairs,
+    simhash_dropped_buckets,
+    simhash_pairs_from_sigs,
 )
+from cdc_connector_spark.ops.ann import embedding_neardup_pairs  # noqa: F401
 from cdc_connector_spark.ops.ann import (  # noqa: F401
     brute_force_topk,
     cosine_similarity,

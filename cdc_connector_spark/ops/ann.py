@@ -236,6 +236,10 @@ def ivf_train_centroids(
             .collect()
         )
     M = np.vstack([np.asarray(r[0], dtype=np.float64) for r in frac_rows])
+    # collect() order follows partition splits, which vary with session
+    # parallelism — lexsort the sample so training is layout-independent
+    # (same centroids on any cluster size for the same logical sample)
+    M = M[np.lexsort(M.T)]
     M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     C = M[rng.choice(len(M), size=min(n_centroids, len(M)), replace=False)]
@@ -350,18 +354,28 @@ def embedding_neardup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: int = 12,
+    planes: int = 8,
+    num_tables: int = 8,
     threshold: float = 0.95,
 ) -> DataFrame:
-    """Near-duplicate vector pairs: self-join within LSH bucket, verify exact
-    cosine ≥ threshold. Returns (id_a, id_b, cos_sim), id_a < id_b."""
+    """Near-duplicate vector pairs: self-join within LSH buckets across
+    ``num_tables`` independent hash tables (OR-amplification), verify exact
+    cosine ≥ threshold. Returns (id_a, id_b, cos_sim), id_a < id_b.
+
+    Recall math: a cos≥0.95 pair agrees on one hyperplane with
+    p = 1 − θ/π ≈ 0.90, so a single 8-plane table catches it with
+    p⁸ ≈ 0.43 — a coin flip. OR across L=8 tables lifts that to
+    1 − (1 − p⁸)⁸ ≈ 0.99. All L bucketings come out of ONE Arrow matmul
+    (the weight matrix is (dim × planes·L)), and the pair-explode stays
+    bucket-local per (table, bucket) — candidate volume grows ~linearly in
+    L, never O(n²)."""
     from cdc_connector_spark.ops.dedup import _bucket_pairs
 
     b = (
-        add_lsh_buckets_arrow(embeddings, vec_col, planes, num_tables=1)
-        .select(F.col(id_col).alias("__id"), F.element_at("buckets", 1).alias("bucket"))
+        add_lsh_buckets_arrow(embeddings, vec_col, planes, num_tables)
+        .select(F.col(id_col).alias("__id"), F.posexplode("buckets").alias("table", "bucket"))
     )
-    cand = _bucket_pairs(b, ["bucket"], "__id")
+    cand = _bucket_pairs(b, ["table", "bucket"], "__id").dropDuplicates(["id_a", "id_b"])
     # vectors re-attach to candidate PAIRS only — the LSH grouping shuffles
     # just (id, bucket), and the bucket expression evaluates once per row
     vecs = embeddings.select(F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v"))

@@ -27,8 +27,38 @@ from pyspark.sql import functions as F
 
 from cdc_connector_spark.ops.textstats import fingerprint, tokenize
 
-# a large prime for affine minhash permutations
-_MERSENNE = (1 << 61) - 1
+# XXH64 primes (public xxHash constants, as used by Spark's xxhash64)
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_U64 = (1 << 64) - 1
+
+
+def _xxh64_long_np(x, seed):
+    """Vectorized XXH64 of a single 8-byte (long) input — bit-identical to
+    Spark's ``xxhash64`` applied to one BIGINT column with the given seed.
+
+    ``x`` and ``seed`` are broadcastable ``np.uint64`` arrays. Chaining
+    ``_xxh64_long_np(b, _xxh64_long_np(a, 42))`` reproduces
+    ``F.xxhash64(a, b)`` exactly (Spark folds multi-column hashes left to
+    right with the running hash as seed; parity-asserted in tests).
+    """
+    x = np.asarray(x, dtype=np.uint64)
+    seed = np.asarray(seed, dtype=np.uint64)
+    p1, p2 = np.uint64(_XXP1), np.uint64(_XXP2)
+    h = seed + np.uint64((_XXP5 + 8) & _U64)
+    k = x * p2
+    k = ((k << np.uint64(31)) | (k >> np.uint64(33))) * p1
+    h = h ^ k
+    h = ((h << np.uint64(27)) | (h >> np.uint64(37))) * p1 + np.uint64(_XXP4)
+    h ^= h >> np.uint64(33)
+    h *= p2
+    h ^= h >> np.uint64(29)
+    h *= np.uint64(_XXP3)
+    h ^= h >> np.uint64(32)
+    return h
 
 
 def _barrier(df: DataFrame) -> DataFrame:
@@ -81,9 +111,12 @@ def hashed_shingles(col, n: int = 3):
     materializing shingle strings.
 
     Each token is xxhash64'd once (single array pass); a shingle hash is the
-    polynomial combination of its n consecutive token hashes, computed by
-    ``zip_with`` over n shifted views of the hash array — n elementwise
-    passes total, no per-element slicing, no string concatenation. At 100 TB
+    chained ``xxhash64(prev, next)`` combination of its n consecutive token
+    hashes, computed by ``zip_with`` over n shifted views of the hash array —
+    n elementwise passes total, no per-element slicing, no string
+    concatenation, and no arithmetic that can overflow under ANSI mode (the
+    earlier polynomial combine relied on silent 64-bit wraparound, which
+    Spark 4's default ``spark.sql.ansi.enabled=true`` rejects). At 100 TB
     this is the difference between shuffling longs and shuffling strings in
     every dedup candidate-generation exchange.
 
@@ -99,7 +132,7 @@ def hashed_shingles(col, n: int = 3):
         comb = F.zip_with(
             comb,
             F.slice(h, i + 1, k),
-            lambda a, b: a * F.lit(1000003) + F.coalesce(b, F.lit(0)),
+            lambda a, b: F.xxhash64(a, F.coalesce(b, F.lit(0).cast("long"))),
         )
     return F.when(F.size(h) == 0, F.array(F.xxhash64(F.lit("")))).otherwise(
         F.array_distinct(comb)
@@ -109,21 +142,18 @@ def hashed_shingles(col, n: int = 3):
 def minhash_from_hashes(hashed_col, num_hashes: int = 64):
     """k-permutation MinHash over PRE-HASHED shingles (array<bigint>).
 
-    Permutation i is the affine map ``(a_i * h + b_i) mod p`` with
-    deterministic a_i/b_i derived from i — no RNG, stable across runs.
-    Operating on pre-hashed longs matters: the string hashing happens once,
-    not once per permutation.
+    Permutation i is the keyed hash ``xxhash64(h, i)`` — an independent
+    uniform 64-bit map per i, no RNG, stable across runs, and ANSI-safe
+    (the earlier affine ``(2i+1)*h + c mod p`` form multiplies arbitrary
+    longs, which overflows under Spark 4's default ANSI mode). The min is
+    taken in signed bigint order, matching ``array_min``. Operating on
+    pre-hashed longs matters: the string hashing happens once, not once per
+    permutation.
     """
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
-            F.transform(
-                hashed_col,
-                lambda h: F.pmod(
-                    (F.lit(2) * i + 1) * h + i * F.lit(0x27D4EB2F165667C5),
-                    F.lit(_MERSENNE),
-                ),
-            )
+            F.transform(hashed_col, lambda h: F.xxhash64(h, i.cast("long")))
         ),
     )
 
@@ -151,38 +181,41 @@ def minhash_signatures_arrow(
     ``num_hashes`` permutations run as vectorized numpy per batch.
 
     BIT-IDENTICAL to the expression pipeline
-    (``hashed_shingles`` + ``minhash_from_hashes``) — int64 wrap and
-    Python-sign ``%`` reproduce Spark's long arithmetic and ``pmod``
-    exactly (parity-asserted in tests) — and ~2× faster: the expression
-    form pays interpreted higher-order-function evaluation per element.
+    (``hashed_shingles`` + ``minhash_from_hashes``) — ``_xxh64_long_np``
+    reproduces Spark's ``xxhash64`` long path exactly (parity-asserted in
+    tests) — and faster: the expression form pays interpreted
+    higher-order-function evaluation per element.
     Returns (id, sig: array<bigint>).
     """
     from pyspark.sql.functions import pandas_udf
 
     spark = df.sparkSession
     empty_hash = spark.range(1).select(F.xxhash64(F.lit("")).alias("h")).collect()[0]["h"]
-    A = 2 * np.arange(num_hashes, dtype=np.int64) + 1
-    B = np.arange(num_hashes, dtype=np.int64) * np.int64(0x27D4EB2F165667C5)
+    perm = np.arange(num_hashes, dtype=np.uint64)
 
     @pandas_udf("array<bigint>")
     def fused(hs: pd.Series) -> pd.Series:
         out = []
+        seed42 = np.uint64(42)
         with np.errstate(over="ignore"):
             for h in hs:
-                a = np.asarray(h, dtype=np.int64)
+                a = np.asarray(h, dtype=np.int64).view(np.uint64)
                 n = a.size
                 if n == 0:
-                    sh = np.asarray([empty_hash], dtype=np.int64)
+                    sh = np.asarray([empty_hash], dtype=np.int64).view(np.uint64)
                 else:
                     k = max(n - (shingle_n - 1), 1)
                     c = a[:k].copy()
                     for i in range(1, shingle_n):
-                        nxt = np.zeros(k, dtype=np.int64)
+                        nxt = np.zeros(k, dtype=np.uint64)
                         avail = a[i : i + k]
                         nxt[: avail.size] = avail
-                        c = c * np.int64(1000003) + nxt
+                        # F.xxhash64(a, b) == hashLong(b, hashLong(a, 42))
+                        c = _xxh64_long_np(nxt, _xxh64_long_np(c, seed42))
                     sh = np.unique(c)
-                m = (sh[:, None] * A + B) % np.int64(_MERSENNE)
+                # permutation i = xxhash64(shingle, i); min in SIGNED order
+                hh = _xxh64_long_np(sh, seed42)
+                m = _xxh64_long_np(perm[None, :], hh[:, None]).view(np.int64)
                 out.append(m.min(axis=0))
         return pd.Series(out)
 
@@ -250,6 +283,61 @@ def minhash_dedup_pairs(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 32,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + EXACT Jaccard verification.
+
+    Same banded candidate flow as ``minhash_dedup_pairs``, but candidates are
+    re-joined to their hashed shingle SETS and filtered on exact
+    ``|A∩B| / |A∪B|`` instead of the signature estimate. With r =
+    num_hashes/bands rows per band, a pair at Jaccard J survives candidate
+    generation with 1 − (1 − J^r)^bands — at the r=2, b=32 default a J=0.5
+    pair is missed with p ≈ 1e-4, so the output is the exact
+    threshold-filtered pair set (SQL-oracle-checkable) at LSH cost: the
+    per-pair exact verify runs only on candidates, never all pairs.
+    ``minhash_dedup_pairs`` remains the cheaper scale path when the ±1/√k
+    estimate is acceptable; lower r (more bands) buys recall with more
+    candidates — the standard LSH dial.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures_arrow(df, text_col, id_col, num_hashes, shingle_n)
+    banded = sig.select(
+        F.col("id").alias("__id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = _bucket_pairs(banded, ["band", "bucket"], "__id").dropDuplicates(["id_a", "id_b"])
+
+    sh = df.select(F.col(id_col).alias("__id"), hashed_shingles(text_col, shingle_n).alias("__sh"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter / (F.size("sh_a") + F.size("sh_b") - inter)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
     )
 
 
@@ -355,32 +443,20 @@ def hamming64(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_dedup_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_hamming: int = 3,
-    blocks: int = 4,
-) -> DataFrame:
-    """SimHash near-dup pairs: block the 64-bit signature into ``blocks``
-    16-bit chunks — any pair within Hamming ≤ blocks-1 shares ≥1 exact chunk
-    (pigeonhole), so the join is chunk-equality, then verify full distance."""
+def _simhash_chunked(sig: DataFrame, blocks: int) -> DataFrame:
+    """(id, sig) → one row per (block, chunk): the signature split into
+    ``blocks`` equal bit-ranges. The signature is 8 bytes — cheap enough to
+    CARRY through the bucket grouping (unlike minhash shingle sets), so the
+    verify step needs no re-join."""
     bits_per = 64 // blocks
-    sig = _barrier(
-        simhash_arrow(df, text_col, id_col).select(
-            F.col("id").alias("__id"), F.col("sig").alias("__sig")
-        )
-    )
-    # the signature is 8 bytes — cheap enough to CARRY through the bucket
-    # grouping (unlike minhash shingle sets), so no verify-side re-join
-    chunked = sig.select(
-        F.struct(F.col("__id").alias("id"), F.col("__sig").alias("sig")).alias("__rec"),
+    return sig.select(
+        F.struct(F.col("id"), F.col("sig")).alias("__rec"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("block"),
-                        F.shiftrightunsigned(F.col("__sig"), b * bits_per)
+                        F.shiftrightunsigned(F.col("sig"), b * bits_per)
                         .bitwiseAND(F.lit((1 << bits_per) - 1))
                         .alias("chunk"),
                     )
@@ -389,7 +465,37 @@ def simhash_dedup_pairs(
             )
         ).alias("bc"),
     ).select("__rec", F.col("bc.block").alias("block"), F.col("bc.chunk").alias("chunk"))
-    cand = _bucket_pairs(chunked, ["block", "chunk"], "__rec")
+
+
+def simhash_pairs_from_sigs(
+    sig: DataFrame,
+    max_hamming: int = 6,
+    blocks: int = 8,
+    max_bucket: int = 4000,
+) -> DataFrame:
+    """Near-dup pairs from precomputed (id, sig) SimHash signatures.
+
+    Pigeonhole blocking: a pair within Hamming ≤ blocks−1 differs in at most
+    blocks−1 bit-ranges, so it MUST share ≥1 exact chunk — candidate
+    generation is exact for ``max_hamming ≤ blocks−1`` (enforced; the old
+    4×16-bit default silently missed Hamming-4..6 pairs split across all
+    four blocks). 8×8-bit is the guarantee-preserving default for the
+    common max_hamming=6.
+
+    The trade: 8-bit chunks (256 values) collide far more than 16-bit ones,
+    so buckets are denser — ``max_bucket`` defaults high because dropping a
+    bucket here DROPS RECALL; quantify the cost on a given corpus with
+    ``simhash_dropped_buckets`` before trusting output at scale (multi-index
+    Hamming search's standard dial: fewer blocks = smaller buckets but a
+    weaker distance guarantee).
+    """
+    if max_hamming > blocks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs blocks >= {max_hamming + 1} for exact "
+            f"pigeonhole coverage (got blocks={blocks}); raise blocks or lower max_hamming"
+        )
+    chunked = _simhash_chunked(sig, blocks)
+    cand = _bucket_pairs(chunked, ["block", "chunk"], "__rec", max_bucket=max_bucket)
     return (
         cand.select(
             F.col("id_a.id").alias("id_a"),
@@ -400,6 +506,31 @@ def simhash_dedup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_dropped_buckets(
+    sig: DataFrame, blocks: int = 8, max_bucket: int = 4000
+) -> DataFrame:
+    """The (block, chunk) buckets ``simhash_pairs_from_sigs`` will DROP at
+    the same parameters, with sizes — each dropped bucket is a potential
+    recall hole; run this audit before trusting near-dup output on a new
+    corpus."""
+    return oversized_buckets(_simhash_chunked(sig, blocks), ["block", "chunk"], max_bucket)
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    blocks: int = 8,
+    max_bucket: int = 4000,
+) -> DataFrame:
+    """SimHash near-dup pairs from raw text: Arrow-fused signatures →
+    pigeonhole-blocked candidate join → exact Hamming verify. See
+    ``simhash_pairs_from_sigs`` for the blocking guarantee and audit."""
+    sig = _barrier(simhash_arrow(df, text_col, id_col))
+    return simhash_pairs_from_sigs(sig, max_hamming, blocks, max_bucket)
 
 
 def ngram_jaccard_pairs(

@@ -66,6 +66,34 @@ def test_neardup_pairs_finds_planted_duplicate(spark, emb):
     assert any(r["id_a"] == 7 and r["id_b"] == 100007 for r in pairs)
 
 
+def test_neardup_or_amplification_catches_planted_near_dups(spark, emb):
+    """NEAR (not exact) duplicates at cos≈0.95: a single 8-plane table
+    catches such a pair with p≈0.43 — OR across 8 tables lifts per-pair
+    recall to ≈0.99, so ALL planted pairs must surface (deterministic
+    hyperplanes: this is a fixed outcome, not a flaky draw)."""
+    import numpy as np
+
+    base = {r["vec_id"]: list(r["embedding"]) for r in emb.filter("vec_id < 12").collect()}
+    rng = np.random.default_rng(3)
+    planted = []
+    for vid, v in base.items():
+        a = np.asarray(v, dtype=np.float64)
+        # perturb to land near cos 0.95: add scaled orthogonal noise
+        noise = rng.standard_normal(a.size)
+        noise -= noise @ a / (a @ a) * a
+        noise *= np.linalg.norm(a) * 0.33 / np.linalg.norm(noise)  # tan(18°)≈0.325
+        planted.append((vid + 200000, [float(x) for x in a + noise], "dup"))
+    with_dups = emb.unionByName(spark.createDataFrame(planted, "vec_id long, embedding array<float>, label string"))
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(
+            with_dups, planes=8, num_tables=8, threshold=0.90
+        ).collect()
+    }
+    found = sum(1 for vid in base if (vid, vid + 200000) in pairs)
+    assert found == len(base), f"OR-amplified LSH missed planted near-dups: {found}/{len(base)}"
+
+
 def test_ivf_topk_recall_and_determinism(spark):
     from pyspark.sql import functions as F
 

@@ -120,3 +120,61 @@ def test_minhash_arrow_matches_expression_pipeline(spark):
     }
     arrow = {r["id"]: list(r["sig"]) for r in minhash_signatures_arrow(df).collect()}
     assert expr == arrow
+
+
+def test_simhash_pigeonhole_guarantee(spark):
+    """A Hamming-6 pair whose differing bits touch ALL four 16-bit blocks:
+    the old 4×16 blocking could never generate it as a candidate; 8×8-bit
+    pigeonhole must (≤7 differing bits leave ≥1 of 8 blocks intact)."""
+    from cdc_connector_spark.ops.dedup import simhash_pairs_from_sigs
+
+    # bits 0,1 | 16,17 | 32 | 48 → every 16-bit block differs, Hamming = 6
+    sig_b = (1 | 2 | (1 << 16) | (1 << 17) | (1 << 32) | (1 << 48))
+    sigs = spark.createDataFrame(
+        [(1, 0), (2, sig_b), (3, -4611686018427387904)], "id long, sig long"
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs_from_sigs(sigs, max_hamming=6, blocks=8).collect()}
+    assert pairs.get((1, 2)) == 6
+    # the old default (4 blocks) with max_hamming=6 is a silent recall hole —
+    # now rejected outright
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs_from_sigs(sigs, max_hamming=6, blocks=4)
+
+
+def test_simhash_dense_corpus_cap_audit(spark):
+    """On a near-dup-dense corpus, small caps silently drop whole buckets;
+    the audit must quantify exactly what the pair path would lose, and the
+    default cap must keep the planted pair."""
+    from cdc_connector_spark.ops.dedup import simhash_dropped_buckets, simhash_pairs_from_sigs
+
+    # 600 identical signatures (all-zero) + one Hamming-2 neighbor
+    rows = [(i, 0) for i in range(600)] + [(9999, 3)]
+    sigs = spark.createDataFrame(rows, "id long, sig long")
+    dropped = simhash_dropped_buckets(sigs, blocks=8, max_bucket=500).collect()
+    assert len(dropped) == 8 and all(r["bucket_size"] >= 600 for r in dropped)
+    # with the tight cap every bucket is dropped → planted pair lost
+    lost = simhash_pairs_from_sigs(sigs, max_hamming=6, blocks=8, max_bucket=500)
+    assert not any(r["id_b"] == 9999 for r in lost.collect())
+    # at the default cap the pair (and the dense clique) survives
+    kept = simhash_pairs_from_sigs(sigs, max_hamming=6, blocks=8).collect()
+    assert any(r["id_b"] == 9999 and r["hamming"] == 2 for r in kept)
+
+
+def test_dedup_hashes_survive_ansi_mode(spark, docs):
+    """The driver's oracle harness runs on a default session where
+    ``spark.sql.ansi.enabled=true`` — every hash combine must be
+    overflow-free (regression for the round-1 ARITHMETIC_OVERFLOW in
+    hashed_shingles' old polynomial combine)."""
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, threshold=0.4).collect()
+        }
+        assert pairs[(1, 2)] == 1.0
+        mh = {(r["id_a"], r["id_b"]) for r in minhash_dedup_pairs(docs, jaccard_threshold=0.5).collect()}
+        assert (1, 2) in mh and (1, 3) in mh
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)

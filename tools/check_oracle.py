@@ -61,6 +61,10 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     spark = get_spark("oracle-check")
+    # the driver's harness runs on a DEFAULT session where Spark 4's
+    # ANSI mode is ON — mirror that here or overflow bugs hide locally
+    # (round-1 lesson: ngram_jaccard_pairs_subset failed only at the driver)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
