@@ -87,6 +87,60 @@ class ChangelogStream:
         if q.isActive:
             q.stop()
 
+    # -- quarantine lifecycle (ST7 continued) -------------------------------
+
+    def quarantined_batch_ids(self) -> list[int]:
+        return quarantined_batch_ids(self.quarantine_dir)
+
+    def replay_quarantine(self, batch_id: int | None = None) -> list[int]:
+        """Re-apply parked batches through the SAME transform+merge path the
+        stream uses (operator fix deployed → replay drains the DLQ). A batch
+        that fails again stays parked. Replayed batches are removed; MERGE
+        idempotence (ST1) makes a replay-after-partial-crash safe."""
+        import shutil
+
+        replayed = []
+        ids = [batch_id] if batch_id is not None else self.quarantined_batch_ids()
+        for bid in ids:
+            bdir = os.path.join(self.quarantine_dir, f"batch={bid}")
+            batch = self.spark.read.parquet(bdir)
+            self.sink.apply(self._transform(batch))  # raises → stays parked
+            shutil.rmtree(bdir)
+            replayed.append(bid)
+        return replayed
+
+    def vacuum_quarantine(self, retention_s: float = 7 * 24 * 3600.0) -> list[int]:
+        return vacuum_quarantine(self.quarantine_dir, retention_s)
+
+
+def quarantined_batch_ids(quarantine_dir: str) -> list[int]:
+    """Batch ids currently parked under ``<sink>/_quarantine/batch=*``."""
+    if not os.path.isdir(quarantine_dir):
+        return []
+    return sorted(
+        int(name.split("=", 1)[1])
+        for name in os.listdir(quarantine_dir)
+        if name.startswith("batch=")
+    )
+
+
+def vacuum_quarantine(quarantine_dir: str, retention_s: float = 7 * 24 * 3600.0) -> list[int]:
+    """Drop quarantined batches older than ``retention_s`` (default 7 days —
+    a DLQ is a holding pen, not an archive; unreplayed batches past
+    retention are operationally dead and their disk should come back).
+    Returns the removed batch ids."""
+    import shutil
+    import time
+
+    removed = []
+    now = time.time()
+    for bid in quarantined_batch_ids(quarantine_dir):
+        bdir = os.path.join(quarantine_dir, f"batch={bid}")
+        if now - os.path.getmtime(bdir) > retention_s:
+            shutil.rmtree(bdir, ignore_errors=True)
+            removed.append(bid)
+    return removed
+
 
 def kafka_changelog_source(
     spark: SparkSession,

@@ -50,6 +50,34 @@ def find_ts_column(columns: list[str]) -> str | None:
 
 
 @dataclass
+class IndexMeta:
+    """One secondary index at the SOURCE (migrate_v3.py:307-336 extracts
+    these from SHOW INDEX; :459-482 re-creates them post-load). In a
+    parquet/lakehouse sink there is no btree to build — the physical
+    analogue is clustering (Z-order on the index columns, ops/zorder.py),
+    but the metadata itself must survive so a migration report can say
+    'these indexes existed at the source'."""
+
+    name: str
+    columns: list[str]
+    unique: bool = False
+    type: str = "BTREE"
+
+
+@dataclass
+class ForeignKeyMeta:
+    """One FK constraint at the source (migrate_v3.py:338-369,
+    INFORMATION_SCHEMA.KEY_COLUMN_USAGE). The sink-side analogue of
+    enforcement is the J1 orphan anti-join (validation.checks.check_orphans)
+    run child→parent over these columns."""
+
+    name: str
+    columns: list[str]
+    ref_table: str
+    ref_columns: list[str]
+
+
+@dataclass
 class TableMeta:
     """Identity + keys + freshness column for one replicated table."""
 
@@ -65,6 +93,9 @@ class TableMeta:
     tinyint_bool_cols: list[str] = field(default_factory=list)  # F1
     zero_date_cols: list[str] = field(default_factory=list)     # F2
     strip_nul_cols: list[str] = field(default_factory=list)     # F3
+    # source physical metadata (captured, reported, mapped to clustering)
+    indexes: list[IndexMeta] = field(default_factory=list)
+    foreign_keys: list[ForeignKeyMeta] = field(default_factory=list)
 
     @property
     def sink_name(self) -> str:
@@ -74,8 +105,41 @@ class TableMeta:
     def has_pk(self) -> bool:
         return bool(self.pk_cols)
 
+    def cluster_columns(self) -> list[str]:
+        """The sink-side clustering suggestion derived from source indexes:
+        columns of the first (most-selective-by-convention) secondary
+        index — feed to ``zorder_write`` for the physical effect a btree
+        gave readers at the source."""
+        return list(self.indexes[0].columns) if self.indexes else []
 
-def meta_from_df(db: str, table: str, df: DataFrame, pk_cols: list[str]) -> TableMeta:
+    def to_dict(self) -> dict:
+        """JSON-serializable migration record (schema as DDL JSON)."""
+        from dataclasses import asdict
+
+        d = asdict(self)
+        d["schema"] = self.schema.json() if self.schema is not None else None
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "TableMeta":
+        d = dict(d)
+        if d.get("schema"):
+            import json as _json
+
+            d["schema"] = T.StructType.fromJson(_json.loads(d["schema"]))
+        d["indexes"] = [IndexMeta(**i) for i in d.get("indexes", [])]
+        d["foreign_keys"] = [ForeignKeyMeta(**f) for f in d.get("foreign_keys", [])]
+        return cls(**d)
+
+
+def meta_from_df(
+    db: str,
+    table: str,
+    df: DataFrame,
+    pk_cols: list[str],
+    indexes: list[IndexMeta] | None = None,
+    foreign_keys: list[ForeignKeyMeta] | None = None,
+) -> TableMeta:
     """Build TableMeta for a DataFrame-backed table, inferring the ts column."""
     return TableMeta(
         db=db,
@@ -83,7 +147,25 @@ def meta_from_df(db: str, table: str, df: DataFrame, pk_cols: list[str]) -> Tabl
         pk_cols=pk_cols,
         ts_col=find_ts_column(df.columns),
         schema=df.schema,
+        indexes=list(indexes or []),
+        foreign_keys=list(foreign_keys or []),
     )
+
+
+def fk_orphans(child: DataFrame, parent: DataFrame, fk: ForeignKeyMeta) -> DataFrame:
+    """Rows of ``child`` violating ``fk`` (no matching parent key) — the
+    distributed analogue of FK enforcement for an append-only sink: run
+    post-load, alert on count > 0. NULL FK values are excluded (SQL FK
+    semantics: NULLs never violate)."""
+    from pyspark.sql import functions as F
+
+    cond = None
+    for c in fk.columns:
+        notnull = F.col(c).isNotNull()
+        cond = notnull if cond is None else (cond & notnull)
+    pairs = list(zip(fk.columns, fk.ref_columns))
+    parent_keys = parent.select(*[F.col(r).alias(c) for c, r in pairs]).dropDuplicates()
+    return child.filter(cond).join(parent_keys, on=[c for c, _ in pairs], how="left_anti")
 
 
 # The driver-provided analytics tables (TESTDATA.md) with their natural keys.

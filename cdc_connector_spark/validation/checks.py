@@ -161,14 +161,25 @@ def check_freshness(
     fail_minutes: float = FRESHNESS_FAIL_MINUTES,
 ) -> CheckResult:
     """Check 6: sink lag = max(ts) source − max(ts) sink, vs 15-min SLO
-    (WARN at 80% of the threshold)."""
+    (WARN at 80% of the threshold).
+
+    ``ts_col`` may be a timestamp/date column OR a numeric epoch column —
+    the envelope's own ``__ts_ms`` convention is a bigint of epoch millis.
+    Numeric columns are interpreted as epoch milliseconds when their
+    magnitude says so (≥ 1e12 ≈ dates past 2001-09-09), else epoch seconds,
+    matching the reference's freshness check behavior."""
     if ts_col is None:
         return CheckResult("freshness", SKIP, {}, "no timestamp column")
     src_max = source.agg(F.max(ts_col).alias("m")).collect()[0]["m"]
     sink_max = sink.agg(F.max(ts_col).alias("m")).collect()[0]["m"]
     if src_max is None or sink_max is None:
         return CheckResult("freshness", SKIP, {"source_max": str(src_max), "sink_max": str(sink_max)})
-    lag_min = (src_max - sink_max).total_seconds() / 60.0
+    diff = src_max - sink_max
+    if hasattr(diff, "total_seconds"):  # timestamp/date column → timedelta
+        lag_min = diff.total_seconds() / 60.0
+    else:  # numeric epoch column
+        divisor = 1000.0 if abs(float(src_max)) >= 1e12 else 1.0
+        lag_min = float(diff) / divisor / 60.0
     if lag_min > fail_minutes:
         status = FAIL
     elif lag_min > fail_minutes * FRESHNESS_WARN_RATIO:

@@ -127,6 +127,50 @@ def test_quarantine_dlq_on_bad_batch(spark, tmp_path, monkeypatch):
     assert parked.count() == 1  # the bad batch is preserved for replay
     assert sink.count() == 1  # sink state untouched
 
+    # -- replay drains the DLQ through the same transform+MERGE path --------
+    monkeypatch.undo()  # sink healthy again
+    assert stream.quarantined_batch_ids() != []
+    replayed = stream.replay_quarantine()
+    assert replayed != []
+    assert stream.quarantined_batch_ids() == []  # parked dir removed
+    assert sink.count() == 2  # the parked event finally applied
+    assert {r["val"] for r in sink.read().filter("id = 2").collect()} == {"b"}
+
+
+def test_quarantine_vacuum_retention(spark, tmp_path):
+    """Vacuum removes only batches older than retention."""
+    import time as _time
+
+    from cdc_connector_spark.streaming.pipeline import (
+        quarantined_batch_ids,
+        vacuum_quarantine,
+    )
+
+    qdir = str(tmp_path / "sink" / "_quarantine")
+    for bid in (1, 2):
+        os.makedirs(os.path.join(qdir, f"batch={bid}"))
+    old = _time.time() - 10 * 24 * 3600
+    os.utime(os.path.join(qdir, "batch=1"), (old, old))
+    removed = vacuum_quarantine(qdir, retention_s=7 * 24 * 3600.0)
+    assert removed == [1]
+    assert quarantined_batch_ids(qdir) == [2]
+
+
+def test_dlq_cli_list_and_vacuum(tmp_path, capsys):
+    import json as _json
+
+    from cdc_connector_spark.streaming.dlq import main as dlq_main
+
+    sink_path = tmp_path / "sink"
+    qdir = sink_path / "_quarantine"
+    (qdir / "batch=3").mkdir(parents=True)
+    assert dlq_main(["list", "--sink-path", str(sink_path)]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out == {"quarantined": [3]}
+    assert dlq_main(["vacuum", "--sink-path", str(sink_path), "--retention-hours", "0"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["removed"] == [3] and out["remaining"] == []
+
 
 def test_apply_prunes_untouched_buckets(spark, tmp_path):
     """File-pruning MERGE: a 1-key batch rewrites only that key's bucket;
@@ -240,6 +284,118 @@ def test_sink_schema_widening_requires_merge_schema(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="merge_schema=True"):
         sink.apply(widened)
+
+
+def test_sink_schema_widening_guard_covers_new_buckets(spark, tmp_path):
+    """ST8 guard hole: a widening batch whose keys all land in buckets that
+    do NOT yet exist in the current version (current_touched is None) must
+    still be refused — the comparison falls back to the table schema."""
+    sink = ParquetMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=8)
+    # find two ids hashing to DIFFERENT buckets
+    probe = spark.createDataFrame([(i,) for i in range(1, 50)], "id bigint")
+    by_bucket = {
+        r["b"]: r["id"]
+        for r in probe.select("id", sink._bucket_expr().alias("b")).collect()
+    }
+    assert len(by_bucket) >= 2
+    buckets = sorted(by_bucket)
+    id_a, id_b = by_bucket[buckets[0]], by_bucket[buckets[1]]
+    sink.overwrite(spark.createDataFrame([(id_a, "a")], ROW_SCHEMA))
+    # only bucket[0] exists; widen via a key landing in absent bucket[1]
+    widened = spark.createDataFrame(
+        [(id_b, "b", "x", "c", 10, 1)],
+        "id bigint, val string, new_col string, __op string, __ts_ms bigint, __seq bigint",
+    )
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        sink.apply(widened)
+
+
+def test_sink_bootstrap_apply_holds_lock(spark, tmp_path):
+    """The bootstrap branch of apply() must respect the writer lock (two
+    first-writers racing would both take the overwrite path)."""
+    sink = ParquetMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=2)
+    lock = os.path.join(sink.path, "_LOCK")
+    with open(lock, "w") as f:
+        f.write("held")
+    batch = flatten_envelope(
+        _env_df(spark, [(None, {"id": 1, "val": "a"}, "c", 10, 1)]), key_cols=["id"]
+    )
+    t0 = time.monotonic()
+    with pytest.raises(TimeoutError):
+        orig = sink._writer_lock
+
+        def short_lock(timeout_s=0.5, stale_s=3600.0):
+            return orig(timeout_s=timeout_s, stale_s=stale_s)
+
+        sink._writer_lock = short_lock
+        sink.apply(batch)
+    assert time.monotonic() - t0 < 30
+    os.unlink(lock)
+    sink._writer_lock = orig
+    sink.apply(batch)
+    assert sink.count() == 1
+
+
+def test_link_forward_many_buckets(spark, tmp_path):
+    """Untouched buckets link forward via the thread pool: a 256-bucket
+    table applying a 1-key batch must keep every row and stay metadata-only
+    for the other ~255 buckets."""
+    sink = ParquetMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=256)
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(600)], ROW_SCHEMA)
+    sink.overwrite(base)
+    batch = flatten_envelope(
+        _env_df(spark, [({"id": 5, "val": "v5"}, {"id": 5, "val": "NEW"}, "u", 10, 1)]),
+        key_cols=["id"],
+    )
+    t0 = time.monotonic()
+    sink.apply(batch)
+    link_wall = time.monotonic() - t0
+    assert sink.count() == 600
+    assert {r["val"] for r in sink.read().filter("id = 5").collect()} == {"NEW"}
+    # hard links, not copies: same inode in v0 and v1 for an untouched file
+    v0 = os.path.join(sink.path, "v=0")
+    v1 = os.path.join(sink.path, "v=1")
+    shared = 0
+    for d in os.listdir(v0):
+        if not d.startswith("__bucket="):
+            continue
+        for fn in os.listdir(os.path.join(v0, d)):
+            f0, f1 = os.path.join(v0, d, fn), os.path.join(v1, d, fn)
+            if os.path.isfile(f0) and os.path.isfile(f1):
+                if os.stat(f0).st_ino == os.stat(f1).st_ino:
+                    shared += 1
+    assert shared > 100, f"expected linked files across versions, got {shared}"
+    assert link_wall < 120, f"apply with 256-bucket link-forward took {link_wall:.1f}s"
+
+
+def test_link_forward_10k_buckets_wall_clock(spark, tmp_path):
+    """The threaded link loop must hold the O(1)-per-bucket claim at 10k+
+    buckets: pure-filesystem drive of the exact code path _apply_locked
+    runs (no Spark jobs), asserting seconds, not minutes."""
+    sink = ParquetMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=10_000)
+    src_root = tmp_path / "t" / "v=0"
+    dst_root = tmp_path / "t" / "v=1"
+    for b in range(10_000):
+        d = src_root / f"__bucket={b}"
+        d.mkdir(parents=True)
+        (d / "part-0.parquet").write_bytes(b"x")
+    names = [f"__bucket={b}" for b in range(10_000)]
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = time.monotonic()
+    with ThreadPoolExecutor(max_workers=32) as pool:
+        list(
+            pool.map(
+                lambda name: sink._link_forward(str(src_root / name), str(dst_root / name)),
+                names,
+            )
+        )
+    wall = time.monotonic() - t0
+    assert sum(1 for _ in os.listdir(dst_root)) == 10_000
+    assert os.stat(src_root / "__bucket=7" / "part-0.parquet").st_ino == os.stat(
+        dst_root / "__bucket=7" / "part-0.parquet"
+    ).st_ino
+    assert wall < 30, f"10k-bucket link-forward took {wall:.1f}s"
 
 
 def test_writer_lock_blocks_and_reclaims(spark, tmp_path):

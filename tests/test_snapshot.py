@@ -43,6 +43,40 @@ def test_jdbc_read_options_partitioned(spark):
     assert opts["fetchsize"] == "100000"
 
 
+def test_table_meta_index_fk_round_trip(spark):
+    """Source index/FK metadata (migrate_v3.py:307-369 analogue) must
+    survive a serialize→deserialize round trip and surface the clustering
+    suggestion for the sink."""
+    from cdc_connector_spark.tables import ForeignKeyMeta, IndexMeta
+
+    df = spark.createDataFrame([(1, 2, "x")], "id bigint, cust_id bigint, updated_at string")
+    meta = meta_from_df(
+        "shop", "orders", df, ["id"],
+        indexes=[IndexMeta(name="ix_cust", columns=["cust_id"], unique=False)],
+        foreign_keys=[ForeignKeyMeta(name="fk_cust", columns=["cust_id"],
+                                     ref_table="customer", ref_columns=["c_id"])],
+    )
+    assert meta.cluster_columns() == ["cust_id"]
+    back = type(meta).from_dict(meta.to_dict())
+    assert back.indexes == meta.indexes
+    assert back.foreign_keys == meta.foreign_keys
+    assert back.schema == meta.schema
+    assert back.ts_col == "updated_at"
+
+
+def test_fk_orphans_anti_join(spark):
+    from cdc_connector_spark.tables import ForeignKeyMeta, fk_orphans
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id bigint, cust_id bigint"
+    )
+    parent = spark.createDataFrame([(10, "a"), (20, "b")], "c_id bigint, name string")
+    fk = ForeignKeyMeta("fk_cust", ["cust_id"], "customer", ["c_id"])
+    bad = fk_orphans(child, parent, fk).collect()
+    # id=3 violates; id=4 (NULL FK) does not, per SQL FK semantics
+    assert [r["id"] for r in bad] == [3]
+
+
 def test_find_ts_column():
     assert find_ts_column(["id", "LAST_MODIFIED_DATE"]) == "LAST_MODIFIED_DATE"
     assert find_ts_column(["id", "created_date", "updated_at"]) == "updated_at"

@@ -3,6 +3,7 @@ seeded corruption (FIXTURES.md F4 negative tests)."""
 
 import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from cdc_connector_spark.validation.checks import (
@@ -91,6 +92,22 @@ def test_freshness_slo(spark):
     warn_sink = src.filter(f"id < {1000 - 13 * 60}")  # ~13 min behind → WARN band
     assert check_freshness(src, warn_sink, "updated_at").status == WARN
     assert check_freshness(src, src, None).status == SKIP
+
+
+def test_freshness_numeric_epoch_ts(spark):
+    """ts_col may be a bigint epoch column (the envelope's __ts_ms
+    convention) — the lag must compute numerically, not crash on a missing
+    .total_seconds()."""
+    base_ms = 1_700_000_000_000  # epoch millis scale
+    src = spark.createDataFrame([(1, base_ms + 20 * 60_000)], "id long, __ts_ms long")
+    sink = spark.createDataFrame([(1, base_ms)], "id long, __ts_ms long")
+    res = check_freshness(src, sink, "__ts_ms")
+    assert res.status == FAIL and res.metrics["lag_minutes"] == pytest.approx(20.0)
+    # epoch-seconds magnitude → divisor 1, same 20-minute lag
+    src_s = spark.createDataFrame([(1, 1_700_000_000 + 20 * 60)], "id long, ts_s long")
+    sink_s = spark.createDataFrame([(1, 1_700_000_000)], "id long, ts_s long")
+    res_s = check_freshness(src_s, sink_s, "ts_s")
+    assert res_s.status == FAIL and res_s.metrics["lag_minutes"] == pytest.approx(20.0)
 
 
 def test_composite_pk_checks(spark):
