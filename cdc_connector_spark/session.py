@@ -46,6 +46,9 @@ def get_spark(
         # parquet scans: keep pushdown + pruning on (defaults, pinned explicitly)
         "spark.sql.parquet.filterPushdown": "true",
         "spark.sql.parquet.aggregatePushdown": "true",
+        # Python DataSource predicate pushdown (pgcopy source pushes WHERE
+        # clauses into the database); off by default in Spark 4.1
+        "spark.sql.python.filterPushdown.enabled": "true",
         # broadcast threshold: small dims (region/nation/supplier) always broadcast
         "spark.sql.autoBroadcastJoinThreshold": "64m",
         "spark.sql.files.maxPartitionBytes": "128m",

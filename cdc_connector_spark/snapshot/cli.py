@@ -60,7 +60,11 @@ def parse_pk_overrides(specs: list[str]) -> dict[str, list[str]]:
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    ap.add_argument("--source-root", required=True, help="directory of <table>.parquet sources")
+    ap.add_argument("--source-root", help="directory of <table>.parquet sources")
+    ap.add_argument("--pg-host", help="LIVE source: PostgreSQL host or unix-socket dir (S1/S2 executed)")
+    ap.add_argument("--pg-dbname", default="postgres")
+    ap.add_argument("--pg-user", default="postgres")
+    ap.add_argument("--pg-port", type=int, default=5432)
     ap.add_argument("--database", default="db", help="logical database name (sink prefix)")
     ap.add_argument("--tables", default="all", help="'all' or comma-separated table list")
     ap.add_argument("--sink-root", required=True)
@@ -69,30 +73,76 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--overwrite", action="store_true", help="re-load existing sinks (default: idempotent skip)")
     ap.add_argument("--pk", action="append", default=[], metavar="TABLE=COL[,COL]", help="primary-key override")
     args = ap.parse_args(argv)
+    if not args.source_root and not args.pg_host:
+        ap.error("one of --source-root or --pg-host is required")
 
     spark = get_spark("cdc-connector-spark-migrate")
     pks = dict(DEFAULT_PKS)
     pks.update(parse_pk_overrides(args.pk))
 
-    names = discover_tables(args.source_root) if args.tables == "all" else [
-        t.strip() for t in args.tables.split(",") if t.strip()
-    ]
+    pg = None
+    if args.pg_host:
+        from cdc_connector_spark.sources.pg_copy import (
+            PgConn,
+            PostgresCopyDataSource,
+            run_sql,
+        )
+
+        pg = PgConn(host=args.pg_host, dbname=args.pg_dbname, user=args.pg_user, port=args.pg_port)
+        spark.dataSource.register(PostgresCopyDataSource)
+
+    if args.tables != "all":
+        names = [t.strip() for t in args.tables.split(",") if t.strip()]
+    elif pg is not None:
+        names = run_sql(pg, "SELECT tablename FROM pg_tables WHERE schemaname = 'public' ORDER BY 1").split()
+    else:
+        names = discover_tables(args.source_root)
     if not names:
-        print(f"no tables found under {args.source_root}", file=sys.stderr)
+        print("no tables found", file=sys.stderr)
         return 1
 
+    import json
     from concurrent.futures import ThreadPoolExecutor
 
     from cdc_connector_spark.snapshot.engine import snapshot_table
+    from cdc_connector_spark.snapshot.planner import choose_partition_column
     from cdc_connector_spark.tables import load_table
 
     mode = "overwrite" if args.overwrite else "ignore"
 
+    def read_live(name: str):
+        """Partitioned live read (S1/S2): range-planned by the source's own
+        stats; index/FK metadata captured for the migration report."""
+        from cdc_connector_spark.sources.pg_copy import (
+            pg_foreign_keys,
+            pg_table_indexes,
+            pg_table_schema,
+        )
+
+        schema = pg_table_schema(pg, name)
+        pk = pks.get(name, [])
+        pcol = choose_partition_column(pk, schema)
+        opts = dict(pg.options(), table=name, rows_per_partition=str(args.rows_per_partition))
+        if pcol:
+            opts["partition_column"] = pcol
+        df = spark.read.format("pgcopy").options(**opts).load()
+        return df, pg_table_indexes(pg, name), pg_foreign_keys(pg, name)
+
     def one(name: str) -> tuple[str, str | None, str | None]:
         try:
-            df = load_table(spark, args.source_root, name)
-            meta = meta_from_df(args.database, name, df, pks.get(name, []))
-            return name, snapshot_table(spark, df, meta, args.sink_root, mode=mode), None
+            if pg is not None:
+                df, indexes, fks = read_live(name)
+            else:
+                df, indexes, fks = load_table(spark, args.source_root, name), [], []
+            meta = meta_from_df(
+                args.database, name, df, pks.get(name, []),
+                indexes=indexes, foreign_keys=fks,
+            )
+            path = snapshot_table(spark, df, meta, args.sink_root, mode=mode)
+            # migration report: what physical metadata existed at the source
+            with open(os.path.join(args.sink_root, f"{meta.sink_name}.meta.json"), "w") as f:
+                json.dump(meta.to_dict(), f, default=str)
+            return name, path, None
         except Exception as e:  # noqa: BLE001 — per-table isolation (O1)
             return name, None, f"{type(e).__name__}: {e}"
 
