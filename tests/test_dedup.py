@@ -151,8 +151,9 @@ def test_simhash_dense_corpus_cap_audit(spark):
     # 600 identical signatures (all-zero) + one Hamming-2 neighbor
     rows = [(i, 0) for i in range(600)] + [(9999, 3)]
     sigs = spark.createDataFrame(rows, "id long, sig long")
+    # identical sigs share every m=2 block-pair key → C(8,2)=28 oversized
     dropped = simhash_dropped_buckets(sigs, blocks=8, max_bucket=500).collect()
-    assert len(dropped) == 8 and all(r["bucket_size"] >= 600 for r in dropped)
+    assert len(dropped) == 28 and all(r["bucket_size"] >= 600 for r in dropped)
     # with the tight cap every bucket is dropped → planted pair lost
     lost = simhash_pairs_from_sigs(sigs, max_hamming=6, blocks=8, max_bucket=500)
     assert not any(r["id_b"] == 9999 for r in lost.collect())
