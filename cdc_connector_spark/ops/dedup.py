@@ -169,6 +169,66 @@ def minhash_signature(shingle_col, num_hashes: int = 64):
     return minhash_from_hashes(F.transform(shingle_col, lambda s: F.xxhash64(s)), num_hashes)
 
 
+def _minhash_sig_matrix(hs, shingle_n: int, num_hashes: int, empty_hash: int, perm):
+    """Core whole-batch MinHash kernel: pandas Series of token-hash arrays →
+    (docs × num_hashes) int64 signature matrix. See the docstring inside
+    ``minhash_signatures_arrow`` for the vectorization story."""
+    n_docs = len(hs)
+    seed42 = np.uint64(42)
+    with np.errstate(over="ignore"):
+        lens = np.fromiter((len(h) for h in hs), dtype=np.int64, count=n_docs)
+        k = np.maximum(lens - (shingle_n - 1), 1)  # shingle slots per doc
+        total = int(k.sum())
+        doc_of = np.repeat(np.arange(n_docs), k)
+        out_start = np.concatenate(([0], np.cumsum(k)[:-1]))
+        pos = np.arange(total) - out_start[doc_of]
+        flat = (
+            np.concatenate([np.asarray(h, dtype=np.int64) for h in hs if len(h)])
+            if lens.sum()
+            else np.empty(0, dtype=np.int64)
+        ).view(np.uint64)
+        in_start = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        base = in_start[doc_of] + pos
+        nonempty = lens[doc_of] > 0
+        c = np.full(total, np.uint64(empty_hash & _U64), dtype=np.uint64)
+        c[nonempty] = flat[base[nonempty]]
+        for i in range(1, shingle_n):
+            nxt = np.zeros(total, dtype=np.uint64)
+            valid = nonempty & (pos + i < lens[doc_of])
+            nxt[valid] = flat[base[valid] + i]
+            # F.xxhash64(a, b) == hashLong(b, hashLong(a, 42)); empty docs
+            # keep the bare empty-token hash (no combine), matching the
+            # expression path's whole-text fallback
+            cn = _xxh64_long_np(nxt, _xxh64_long_np(c, seed42))
+            c[nonempty] = cn[nonempty]
+        # per-doc distinct: one lexsort + neighbor mask over the batch
+        order = np.lexsort((c, doc_of))
+        ds, cs = doc_of[order], c[order]
+        keep = np.ones(len(ds), dtype=bool)
+        keep[1:] = (ds[1:] != ds[:-1]) | (cs[1:] != cs[:-1])
+        ds, cs = ds[keep], cs[keep]
+        # permutation i = xxhash64(shingle, i); min in SIGNED order, via
+        # reduceat over doc segments. Tiled on doc boundaries so the
+        # (tile × num_hashes) temporaries stay cache-resident — one giant
+        # (total × k) matrix churns ~15 multi-MB temporaries per mix call
+        # and goes memory-bandwidth-bound (measured 6× slower)
+        hh = _xxh64_long_np(cs, seed42)
+        starts = np.searchsorted(ds, np.arange(n_docs))
+        sig = np.empty((n_docs, num_hashes), dtype=np.int64)
+        tile = 8192
+        edge_docs = np.unique(np.searchsorted(starts, np.arange(0, len(cs), tile)))
+        edge_docs = np.append(edge_docs, n_docs)
+        for ti in range(len(edge_docs) - 1):
+            d0, d1 = int(edge_docs[ti]), int(edge_docs[ti + 1])
+            if d0 == d1:
+                continue
+            s0 = int(starts[d0])
+            s1 = int(starts[d1]) if d1 < n_docs else len(cs)
+            m = _xxh64_long_np(perm[None, :], hh[s0:s1, None]).view(np.int64)
+            sig[d0:d1] = np.minimum.reduceat(m, starts[d0:d1] - s0, axis=0)
+    return sig
+
+
 def minhash_signatures_arrow(
     df: DataFrame,
     text_col: str = "text",
@@ -195,32 +255,38 @@ def minhash_signatures_arrow(
 
     @pandas_udf("array<bigint>")
     def fused(hs: pd.Series) -> pd.Series:
-        out = []
-        seed42 = np.uint64(42)
-        with np.errstate(over="ignore"):
-            for h in hs:
-                a = np.asarray(h, dtype=np.int64).view(np.uint64)
-                n = a.size
-                if n == 0:
-                    sh = np.asarray([empty_hash], dtype=np.int64).view(np.uint64)
-                else:
-                    k = max(n - (shingle_n - 1), 1)
-                    c = a[:k].copy()
-                    for i in range(1, shingle_n):
-                        nxt = np.zeros(k, dtype=np.uint64)
-                        avail = a[i : i + k]
-                        nxt[: avail.size] = avail
-                        # F.xxhash64(a, b) == hashLong(b, hashLong(a, 42))
-                        c = _xxh64_long_np(nxt, _xxh64_long_np(c, seed42))
-                    sh = np.unique(c)
-                # permutation i = xxhash64(shingle, i); min in SIGNED order
-                hh = _xxh64_long_np(sh, seed42)
-                m = _xxh64_long_np(perm[None, :], hh[:, None]).view(np.int64)
-                out.append(m.min(axis=0))
-        return pd.Series(out)
+        """Whole-batch vectorization: a per-document numpy loop pays numpy
+        call overhead ~15× per ~50-element doc, which dominates at corpus
+        scale. Instead the BATCH is one flat array — shingle combine via
+        shifted views with doc-boundary masks, per-doc dedupe via a single
+        lexsort, per-doc minima via minimum.reduceat — so kernel cost is a
+        handful of O(total_shingles) numpy passes regardless of row count
+        (measured ~10× over the per-doc loop)."""
+        if not len(hs):
+            return pd.Series([], dtype=object)
+        sig = _minhash_sig_matrix(hs, shingle_n, num_hashes, empty_hash, perm)
+        return pd.Series(list(sig))
 
     token_hashes = F.transform(tokenize(text_col), lambda t: F.xxhash64(t))
     return df.select(F.col(id_col).alias("id"), fused(token_hashes).alias("sig"))
+
+
+def _band_bucket_exprs(bands: int, rows_per_band: int) -> list:
+    """Per-band LSH bucket columns over a ``sig`` array column: each bucket
+    is ``xxhash64`` of the band's signature rows as LONGS — string-free (a
+    ``concat_ws`` formulation builds a string per band per row; the long
+    chain measured meaningfully faster at corpus scale). Stays JVM-side:
+    the signature is already a plain column after the Arrow kernel, so
+    banding adds zero Python stages."""
+    return [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.element_at("sig", b * rows_per_band + j + 1) for j in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
 
 
 def minhash_dedup_pairs(
@@ -313,20 +379,13 @@ def minhash_verified_pairs(
     sig = minhash_signatures_arrow(df, text_col, id_col, num_hashes, shingle_n)
     banded = sig.select(
         F.col("id").alias("__id"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
+        F.explode(F.array(*_band_bucket_exprs(bands, rows_per_band))).alias("bb"),
     ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     cand = _bucket_pairs(banded, ["band", "bucket"], "__id").dropDuplicates(["id_a", "id_b"])
 
+    # exact verify stays JVM-side: candidates are tiny next to the corpus,
+    # and a Python verify stage costs a worker spin-up + Arrow round trip
+    # that dwarfs the interpreted array_intersect on a few thousand pairs
     sh = df.select(F.col(id_col).alias("__id"), hashed_shingles(text_col, shingle_n).alias("__sh"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
