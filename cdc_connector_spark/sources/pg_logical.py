@@ -1,0 +1,175 @@
+"""LIVE change-data-capture from PostgreSQL logical decoding.
+
+The reference's streaming plane consumes Debezium change events produced
+from the database's WAL/binlog (SURVEY.md §1.1; connectors/sources/mariadb/
+trading.json). This module is the capture side executed directly against a
+real PostgreSQL server: a logical replication slot with the built-in
+``test_decoding`` output plugin, drained via psql and parsed into the same
+``{before, after, op, ts_ms, source, seq}`` envelope the rest of the engine
+speaks — so live DML (INSERT/UPDATE/DELETE) flows WAL → envelope →
+``flatten_envelope`` → ``ParquetMergeSink.apply`` with per-key ordering by
+(commit-ts, lsn).
+
+Semantics mapped from the WAL:
+- op: INSERT→'c', UPDATE→'u', DELETE→'d' (Debezium's codes)
+- seq: the change's LSN as a monotonically increasing long — the
+  total-order stand-in the reference gets from 1-partition Kafka topics
+- ts_ms: the surrounding transaction's COMMIT timestamp
+  (``include-timestamp``), epoch millis — all changes of one transaction
+  share it, and (ts_ms, seq) preserves commit order
+- DELETE rows carry only replica-identity (key) columns → envelope
+  ``before`` holds the keys, ``after`` is NULL, matching what
+  ``flatten_envelope`` expects for deletes
+
+Scale notes: a replication slot is a single ordered stream (like one
+binlog): capture parallelism is per-slot/per-database, while everything
+downstream of the envelope is fully distributed. Each ``fetch`` consumes
+the slot (peek=False) or leaves it (peek=True) — at-least-once delivery
+with the engine's idempotent MERGE giving exactly-once effect (ST1).
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from cdc_connector_spark.changelog.envelope import envelope_schema
+from cdc_connector_spark.sources.pg_copy import PgConn, _qlit, run_sql
+
+_CHANGE = re.compile(r"^table (\w+)\.(\w+): (INSERT|UPDATE|DELETE): (.*)$")
+_COMMIT = re.compile(r"^COMMIT \d+ \(at ([^)]+)\)$")
+_BEGIN = re.compile(r"^BEGIN \d+$")
+# col[type with spaces]:value — value is a ''-escaped quoted string or a bare token
+_COLVAL = re.compile(r"(\w+)\[([\w \[\]]+)\]:('(?:[^']|'')*'|[^ ]+)")
+
+_OP = {"INSERT": "c", "UPDATE": "u", "DELETE": "d"}
+
+
+def create_slot(conn: PgConn, slot: str) -> None:
+    run_sql(conn, f"SELECT pg_create_logical_replication_slot({_qlit(slot)}, 'test_decoding')")
+
+
+def drop_slot(conn: PgConn, slot: str) -> None:
+    run_sql(conn, f"SELECT pg_drop_replication_slot({_qlit(slot)})")
+
+
+def _lsn_to_long(lsn: str) -> int:
+    hi, lo = lsn.split("/")
+    return (int(hi, 16) << 32) | int(lo, 16)
+
+
+def _parse_value(token: str, type_name: str):
+    if token == "null":
+        return None
+    t = type_name.lower()
+    if token.startswith("'"):
+        s = token[1:-1].replace("''", "'")
+        if t.startswith("timestamp"):
+            return _parse_pg_ts(s)
+        if t == "bytea":
+            return bytes.fromhex(s[2:]) if s.startswith("\\x") else s.encode()
+        return s
+    if t in ("smallint", "integer", "bigint", "int2", "int4", "int8", "oid"):
+        return int(token)
+    if t in ("real", "double precision", "numeric", "float4", "float8"):
+        return float(token)
+    if t == "boolean":
+        return token == "true"
+    return token
+
+
+def _parse_pg_ts(s: str) -> datetime:
+    # '2026-08-13 10:23:04.502487+00' (tz offset may be +HH or +HH:MM)
+    if re.search(r"[+-]\d{2}$", s):
+        s += ":00"
+    for fmt in ("%Y-%m-%d %H:%M:%S.%f%z", "%Y-%m-%d %H:%M:%S%z"):
+        try:
+            return datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    raise ValueError(f"unparseable timestamp {s!r}")
+
+
+def fetch_changes(
+    conn: PgConn,
+    slot: str,
+    peek: bool = False,
+    upto_n: int | None = None,
+) -> list[dict]:
+    """Drain (or peek) the slot → list of change dicts
+    ``{db, table, op, columns, seq, ts_ms}`` in commit order.
+
+    test_decoding emits BEGIN/data/COMMIT lines; the commit timestamp is
+    assigned retroactively to the transaction's changes, preserving the
+    invariant that (ts_ms, seq) sorts in WAL order."""
+    fn = "pg_logical_slot_peek_changes" if peek else "pg_logical_slot_get_changes"
+    limit = "NULL" if upto_n is None else str(upto_n)
+    out = run_sql(
+        conn,
+        f"SELECT lsn || E'\\t' || data FROM {fn}({_qlit(slot)}, NULL, {limit}, "
+        "'include-timestamp', 'on')",
+    )
+    pending: list[dict] = []
+    changes: list[dict] = []
+    for line in out.splitlines():
+        if "\t" not in line:
+            continue
+        lsn, data = line.split("\t", 1)
+        if _BEGIN.match(data):
+            continue
+        mc = _COMMIT.match(data)
+        if mc:
+            ts = _parse_pg_ts(mc.group(1))
+            ts_ms = int(ts.astimezone(timezone.utc).timestamp() * 1000)
+            for ch in pending:
+                ch["ts_ms"] = ts_ms
+            changes.extend(pending)
+            pending = []
+            continue
+        m = _CHANGE.match(data)
+        if not m:
+            continue
+        schema_name, table, kind, rest = m.groups()
+        cols = {
+            name: _parse_value(tok, typ) for name, typ, tok in _COLVAL.findall(rest)
+        }
+        pending.append(
+            {
+                "db": schema_name,
+                "table": table,
+                "op": _OP[kind],
+                "columns": cols,
+                "seq": _lsn_to_long(lsn),
+            }
+        )
+    # a trailing open transaction (no COMMIT seen) is not emitted — it will
+    # reappear complete on the next fetch (slot get returns whole txns, so
+    # this is defensive)
+    return changes
+
+
+def changes_to_envelope(
+    spark: SparkSession,
+    changes: list[dict],
+    row_schema: T.StructType,
+    table: str | None = None,
+) -> DataFrame:
+    """Parsed WAL changes → typed envelope DataFrame (the same frame
+    ``parse_json_envelope`` yields from Kafka), ready for
+    ``flatten_envelope`` + sink apply."""
+    names = [f.name for f in row_schema.fields]
+
+    def row_of(cols: dict):
+        return tuple(cols.get(n) for n in names)
+
+    rows = []
+    for ch in changes:
+        if table is not None and ch["table"] != table:
+            continue
+        before = row_of(ch["columns"]) if ch["op"] == "d" else None
+        after = row_of(ch["columns"]) if ch["op"] != "d" else None
+        rows.append((before, after, ch["op"], ch["ts_ms"], ch["db"], ch["table"], ch["seq"]))
+    return spark.createDataFrame(rows, envelope_schema(row_schema))

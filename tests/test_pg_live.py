@@ -59,7 +59,10 @@ def pg(tmp_path_factory):
     r = subprocess.run(
         _as_pg_user([
             "pg_ctl", "-D", data, "-l", os.path.join(data, "server.log"),
-            "-o", f"-c listen_addresses='' -c unix_socket_directories={sock} -c fsync=off",
+            "-o", (
+                f"-c listen_addresses='' -c unix_socket_directories={sock} -c fsync=off "
+                "-c wal_level=logical -c max_replication_slots=4 -c max_wal_senders=4"
+            ),
             "-w", "-t", "60", "start",
         ]),
         capture_output=True, text=True,
@@ -219,6 +222,69 @@ def test_live_snapshot_cli(spark, pg, lineitem, tmp_path):
     with open(f"{sink_root}/live_cli_li.meta.json") as f:
         meta = json.load(f)
     assert meta["indexes"] and meta["indexes"][0]["columns"] == ["l_partkey"]
+
+
+def test_live_logical_decoding_cdc_end_to_end(spark, pg, tmp_path):
+    """LIVE CDC (S7 executed): snapshot bootstrap, then real INSERT/UPDATE/
+    DELETE drained from a logical replication slot, parsed into the
+    Debezium-shaped envelope, and MERGEd — the sink must converge to the
+    database's live state."""
+    from pyspark.sql import types as T
+
+    from cdc_connector_spark.changelog.envelope import flatten_envelope
+    from cdc_connector_spark.changelog.sink import ParquetMergeSink
+    from cdc_connector_spark.sources.pg_logical import (
+        changes_to_envelope,
+        create_slot,
+        drop_slot,
+        fetch_changes,
+    )
+
+    run_sql(pg, "DROP TABLE IF EXISTS acct")
+    run_sql(pg, "CREATE TABLE acct (id bigint PRIMARY KEY, name text, bal double precision)")
+    run_sql(pg, "INSERT INTO acct VALUES (1, 'alice', 10.5), (2, 'bob', 20.0), (3, 'eve', 0)")
+
+    # snapshot bootstrap (op 'r' analogue: plain overwrite)
+    spark.dataSource.register(PostgresCopyDataSource)
+    snap = spark.read.format("pgcopy").options(**pg.options(), table="acct").load()
+    sink = ParquetMergeSink(spark, str(tmp_path / "acct"), ["id"], num_buckets=4)
+    sink.overwrite(snap)
+
+    create_slot(pg, "cdc_test")
+    try:
+        # live DML across several transactions, with quoting edge cases
+        run_sql(pg, "INSERT INTO acct VALUES (4, 'd''arcy, the ''quoted''', 1.25)")
+        run_sql(pg, "UPDATE acct SET bal = bal + 5 WHERE id = 1; DELETE FROM acct WHERE id = 3")
+        run_sql(pg, "UPDATE acct SET name = NULL WHERE id = 2")
+
+        # peek leaves the slot; get drains it
+        peeked = fetch_changes(pg, "cdc_test", peek=True)
+        changes = fetch_changes(pg, "cdc_test")
+        assert [c["op"] for c in changes] == ["c", "u", "d", "u"]
+        assert changes == peeked
+        assert fetch_changes(pg, "cdc_test") == []  # drained
+        assert all(c["ts_ms"] > 0 for c in changes)
+        assert [c["seq"] for c in changes] == sorted(c["seq"] for c in changes)
+        # DELETE carries only the replica-identity key
+        assert changes[2]["columns"] == {"id": 3}
+
+        row_schema = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("bal", T.DoubleType()),
+        ])
+        env = changes_to_envelope(spark, changes, row_schema, table="acct")
+        sink.apply(flatten_envelope(env, key_cols=["id"]))
+
+        # the sink converged to the database's live state
+        live = {(r["id"], r["name"], r["bal"]) for r in
+                spark.read.format("pgcopy").options(**pg.options(), table="acct").load().collect()}
+        sunk = {(r["id"], r["name"], r["bal"]) for r in sink.read().collect()}
+        assert sunk == live
+        assert (1, "alice", 15.5) in sunk and (4, "d'arcy, the 'quoted'", 1.25) in sunk
+        assert all(t[0] != 3 for t in sunk)  # delete applied
+    finally:
+        drop_slot(pg, "cdc_test")
 
 
 def test_live_snapshot_to_merge_sink_end_to_end(spark, pg, lineitem, tmp_path):
