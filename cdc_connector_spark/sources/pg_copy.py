@@ -524,3 +524,68 @@ def copy_to_postgres(
 
     counts = df.mapInPandas(load_partition, schema="rows_copied long")
     return counts.agg(F.sum("rows_copied").alias("n")).collect()[0]["n"] or 0
+
+
+def upsert_to_postgres(
+    changes: DataFrame,
+    conn: PgConn,
+    table: str,
+    key_cols: list[str],
+    create: bool = True,
+) -> dict:
+    """LIVE upsert sink (S9): apply one flattened changelog micro-batch to a
+    PostgreSQL table — the reference's actual sink semantics
+    (insert.mode upsert + delete.enabled, connectors/sinks/postgres/
+    trading.json:24-28) executed against a real server.
+
+    Shape: COPY the batch into an UNLOGGED staging table (the fast path —
+    never row-at-a-time INSERT), then one set-based
+    ``INSERT … ON CONFLICT DO UPDATE`` for upserts and one ``DELETE USING``
+    for tombstones, in a single transaction. Latest-per-key reduction
+    (ts, seq) happens Spark-side first, so the merge is deterministic
+    regardless of batch-internal ordering — same contract as
+    ``ParquetMergeSink.apply``. Returns counts.
+    """
+    from cdc_connector_spark.changelog.apply import latest_per_key
+    from cdc_connector_spark.changelog.envelope import META_COLS, OP_DELETE
+
+    latest = latest_per_key(changes, key_cols)
+    data_cols = [c for c in latest.columns if c not in META_COLS]
+    row_schema = T.StructType([latest.schema[c] for c in data_cols])
+
+    if create:
+        run_sql(conn, _create_table_sql(table, row_schema, key_cols))
+
+    staging = f"_stage_{table}"
+    run_sql(conn, f"DROP TABLE IF EXISTS {_qident(staging)}")
+    stage_schema = T.StructType(
+        list(row_schema.fields) + [T.StructField("__op", T.StringType())]
+    )
+    cols = ", ".join(f"{_qident(f.name)} {spark_to_pg_type(f.dataType)}" for f in stage_schema.fields)
+    run_sql(conn, f"CREATE UNLOGGED TABLE {_qident(staging)} ({cols})")
+
+    staged = latest.select(*data_cols, "__op")
+    n_staged = copy_to_postgres(staged, conn, staging, mode="append", create=False)
+
+    keys = ", ".join(_qident(c) for c in key_cols)
+    collist = ", ".join(_qident(c) for c in data_cols)
+    sets = ", ".join(
+        f"{_qident(c)} = EXCLUDED.{_qident(c)}" for c in data_cols if c not in key_cols
+    )
+    key_match = " AND ".join(f"t.{_qident(c)} = s.{_qident(c)}" for c in key_cols)
+    conflict = f"DO UPDATE SET {sets}" if sets else "DO NOTHING"
+    upsert = (
+        f"INSERT INTO {_qident(table)} ({collist}) "
+        f"SELECT {collist} FROM {_qident(staging)} WHERE __op <> {_qlit(OP_DELETE)} "
+        f"ON CONFLICT ({keys}) {conflict}"
+    )
+    delete = (
+        f"DELETE FROM {_qident(table)} t USING {_qident(staging)} s "
+        f"WHERE s.__op = {_qlit(OP_DELETE)} AND {key_match}"
+    )
+    run_sql(
+        conn,
+        f"BEGIN; {upsert}; {delete}; DROP TABLE {_qident(staging)}; COMMIT",
+    )
+    n_total = int(run_sql(conn, f"SELECT count(*) FROM {_qident(table)}").strip())
+    return {"staged": n_staged, "table_rows": n_total}

@@ -151,6 +151,43 @@ def fetch_changes(
     return changes
 
 
+def run_cdc_poll(
+    spark: SparkSession,
+    conn: PgConn,
+    slot: str,
+    sink,
+    row_schema: T.StructType,
+    table: str,
+    key_cols: list[str],
+    max_polls: int = 1,
+    poll_interval_s: float = 0.5,
+    on_progress=None,
+) -> int:
+    """Micro-batch CDC loop (O5/ST5 live analogue): each poll drains the
+    slot, converts to the envelope, and MERGEs into ``sink`` (any object
+    with ``.apply``, e.g. ParquetMergeSink). ``on_progress`` receives a
+    heartbeat dict per poll — the liveness hook the reference surfaces via
+    connector status. Returns total events applied. Empty polls are cheap
+    (one psql round trip), so the interval tunes end-to-end latency the
+    same way the sink's batch cadence does in the reference."""
+    import time
+
+    from cdc_connector_spark.changelog.envelope import flatten_envelope
+
+    applied = 0
+    for i in range(max_polls):
+        changes = fetch_changes(conn, slot)
+        if changes:
+            env = changes_to_envelope(spark, changes, row_schema, table)
+            sink.apply(flatten_envelope(env, key_cols=key_cols))
+            applied += len(changes)
+        if on_progress is not None:
+            on_progress({"poll": i, "events": len(changes), "total_applied": applied})
+        if i < max_polls - 1:
+            time.sleep(poll_interval_s)
+    return applied
+
+
 def changes_to_envelope(
     spark: SparkSession,
     changes: list[dict],

@@ -287,6 +287,86 @@ def test_live_logical_decoding_cdc_end_to_end(spark, pg, tmp_path):
         drop_slot(pg, "cdc_test")
 
 
+def test_live_db_to_db_replication_with_upsert_sink(spark, pg):
+    """The reference's FULL flow executed live: snapshot a source table into
+    a replica, capture subsequent DML from the WAL, and apply it to the
+    replica through the set-based upsert sink (staging COPY + INSERT ON
+    CONFLICT + DELETE USING) — both tables must converge."""
+    from pyspark.sql import types as T
+
+    from cdc_connector_spark.changelog.envelope import flatten_envelope
+    from cdc_connector_spark.sources.pg_copy import upsert_to_postgres
+    from cdc_connector_spark.sources.pg_logical import (
+        changes_to_envelope,
+        create_slot,
+        drop_slot,
+        fetch_changes,
+    )
+
+    run_sql(pg, "DROP TABLE IF EXISTS src_t; DROP TABLE IF EXISTS dst_t")
+    run_sql(pg, "CREATE TABLE src_t (id bigint PRIMARY KEY, v text, n double precision)")
+    run_sql(pg, "INSERT INTO src_t VALUES (1,'a',1.0),(2,'b',2.0)")
+
+    spark.dataSource.register(PostgresCopyDataSource)
+    snap = spark.read.format("pgcopy").options(**pg.options(), table="src_t").load()
+    copy_to_postgres(snap, pg, "dst_t", mode="overwrite", pk_cols=["id"])
+
+    create_slot(pg, "repl_test")
+    try:
+        run_sql(pg, "INSERT INTO src_t VALUES (3,'c',3.0)")
+        run_sql(pg, "UPDATE src_t SET v='a2', n=1.5 WHERE id=1")
+        run_sql(pg, "DELETE FROM src_t WHERE id=2")
+        # same-key churn in one batch: latest-per-key must win
+        run_sql(pg, "UPDATE src_t SET v='c2' WHERE id=3; UPDATE src_t SET v='c3' WHERE id=3")
+
+        row_schema = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("n", T.DoubleType()),
+        ])
+        env = changes_to_envelope(spark, fetch_changes(pg, "repl_test"), row_schema, table="src_t")
+        stats = upsert_to_postgres(
+            flatten_envelope(env, key_cols=["id"]), pg, "dst_t", key_cols=["id"]
+        )
+        assert stats["staged"] == 3  # latest-per-key reduced 5 events → 3 keys
+
+        src = {tuple(r) for r in spark.read.format("pgcopy").options(**pg.options(), table="src_t").load().collect()}
+        dst = {tuple(r) for r in spark.read.format("pgcopy").options(**pg.options(), table="dst_t").load().collect()}
+        assert src == dst == {(1, "a2", 1.5), (3, "c3", 3.0)}
+    finally:
+        drop_slot(pg, "repl_test")
+
+
+def test_live_cdc_poll_loop_heartbeat(spark, pg, tmp_path):
+    """Micro-batch CDC polling: two polls with DML between them, heartbeat
+    per poll, sink converges after each."""
+    from pyspark.sql import types as T
+
+    from cdc_connector_spark.changelog.sink import ParquetMergeSink
+    from cdc_connector_spark.sources.pg_logical import create_slot, drop_slot, run_cdc_poll
+
+    run_sql(pg, "DROP TABLE IF EXISTS poll_t")
+    run_sql(pg, "CREATE TABLE poll_t (id bigint PRIMARY KEY, v text)")
+    spark.dataSource.register(PostgresCopyDataSource)
+    sink = ParquetMergeSink(spark, str(tmp_path / "poll_t"), ["id"], num_buckets=2)
+    row_schema = T.StructType([T.StructField("id", T.LongType()), T.StructField("v", T.StringType())])
+
+    create_slot(pg, "poll_test")
+    try:
+        beats = []
+        run_sql(pg, "INSERT INTO poll_t VALUES (1,'x')")
+        n = run_cdc_poll(spark, pg, "poll_test", sink, row_schema, "poll_t", ["id"],
+                         max_polls=1, on_progress=beats.append)
+        assert n == 1 and beats[0]["events"] == 1
+        run_sql(pg, "INSERT INTO poll_t VALUES (2,'y'); UPDATE poll_t SET v='x2' WHERE id=1")
+        n = run_cdc_poll(spark, pg, "poll_test", sink, row_schema, "poll_t", ["id"],
+                         max_polls=2, poll_interval_s=0.1, on_progress=beats.append)
+        assert n == 2 and len(beats) == 3
+        assert {(r["id"], r["v"]) for r in sink.read().collect()} == {(1, "x2"), (2, "y")}
+    finally:
+        drop_slot(pg, "poll_test")
+
+
 def test_live_snapshot_to_merge_sink_end_to_end(spark, pg, lineitem, tmp_path):
     """The reference's migration flow, engine-shaped: live DB → partitioned
     snapshot → merge sink → validation checks all green."""
