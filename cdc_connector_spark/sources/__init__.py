@@ -9,8 +9,10 @@ from cdc_connector_spark.sources.pg_copy import (  # noqa: F401
     pg_table_schema,
 )
 from cdc_connector_spark.sources.pg_logical import (  # noqa: F401
+    PostgresCdcStreamSource,
     changes_to_envelope,
     create_slot,
     drop_slot,
     fetch_changes,
+    run_cdc_poll,
 )

@@ -35,6 +35,7 @@ from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 
 from cdc_connector_spark.changelog.envelope import envelope_schema
 from cdc_connector_spark.sources.pg_copy import PgConn, _qlit, run_sql
@@ -124,8 +125,14 @@ def fetch_changes(
         if mc:
             ts = _parse_pg_ts(mc.group(1))
             ts_ms = int(ts.astimezone(timezone.utc).timestamp() * 1000)
+            commit_lsn = _lsn_to_long(lsn)
             for ch in pending:
                 ch["ts_ms"] = ts_ms
+                # the txn's COMMIT record position: the stream-offset unit.
+                # (Advancing a slot to a mid-transaction LSN re-emits the
+                # whole transaction on the next read — offsets must sit on
+                # commit boundaries.)
+                ch["commit_lsn"] = commit_lsn
             changes.extend(pending)
             pending = []
             continue
@@ -149,6 +156,101 @@ def fetch_changes(
     # reappear complete on the next fetch (slot get returns whole txns, so
     # this is defensive)
     return changes
+
+
+def _long_to_lsn(v: int) -> str:
+    return f"{v >> 32:X}/{v & 0xFFFFFFFF:X}"
+
+
+class PostgresCdcStreamSource(DataSource):
+    """``spark.readStream.format("pglogical")`` — live CDC as a REAL
+    Structured Streaming source over a logical replication slot.
+
+    Options: host, dbname, user, port, slot, table. Emits ENVELOPE rows
+    (before, after, op, ts_ms, source_db, source_table, seq) for the given
+    table; pipe through ``flatten_envelope`` + ``foreachBatch`` MERGE.
+
+    Offset design: the offset is the transaction COMMIT LSN. ``read`` PEEKS
+    the slot (never consumes) and filters to commits past the start offset,
+    so a failed batch replays identically (``readBetweenOffsets``);
+    ``commit`` advances the slot's confirmed position — WAL retention is
+    bounded by streaming progress, and restarts resume from the last
+    committed offset. At-least-once delivery composing with the engine's
+    idempotent MERGE = exactly-once effect (ST1), the same contract as the
+    reference's Kafka pipeline.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "pglogical"
+
+    def _conn(self) -> PgConn:
+        return PgConn(
+            host=self.options["host"],
+            dbname=self.options.get("dbname", "postgres"),
+            user=self.options.get("user", "postgres"),
+            port=int(self.options.get("port", "5432")),
+        )
+
+    def schema(self) -> T.StructType:
+        from cdc_connector_spark.sources.pg_copy import pg_table_schema
+
+        return envelope_schema(pg_table_schema(self._conn(), self.options["table"]))
+
+    def simpleStreamReader(self, schema: T.StructType):
+        return _PgCdcStreamReader(self._conn(), self.options, schema)
+
+
+class _PgCdcStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, conn: PgConn, options, schema: T.StructType):
+        self.conn = conn
+        self.slot = options["slot"]
+        self.table = options["table"]
+        self.row_names = [f.name for f in schema["after"].dataType.fields]
+
+    def initialOffset(self) -> dict:
+        out = run_sql(
+            self.conn,
+            "SELECT confirmed_flush_lsn FROM pg_replication_slots "
+            f"WHERE slot_name = {_qlit(self.slot)}",
+        ).strip()
+        if not out:
+            raise ValueError(f"replication slot {self.slot!r} does not exist")
+        return {"lsn": _lsn_to_long(out)}
+
+    def _rows_between(self, start_lsn: int, end_lsn: int | None):
+        changes = fetch_changes(self.conn, self.slot, peek=True)
+        names = self.row_names
+        rows = []
+        max_commit = start_lsn
+        for ch in changes:
+            cl = ch["commit_lsn"]
+            max_commit = max(max_commit, cl)
+            if ch["table"] != self.table or cl <= start_lsn:
+                continue
+            if end_lsn is not None and cl > end_lsn:
+                continue
+            vals = tuple(ch["columns"].get(n) for n in names)
+            before = vals if ch["op"] == "d" else None
+            after = vals if ch["op"] != "d" else None
+            rows.append((before, after, ch["op"], ch["ts_ms"], ch["db"], ch["table"], ch["seq"]))
+        return rows, max_commit
+
+    def read(self, start: dict):
+        rows, max_commit = self._rows_between(start["lsn"], None)
+        return iter(rows), {"lsn": max_commit}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows, _ = self._rows_between(start["lsn"], end["lsn"])
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        if end["lsn"]:
+            run_sql(
+                self.conn,
+                f"SELECT pg_replication_slot_advance({_qlit(self.slot)}, "
+                f"{_qlit(_long_to_lsn(end['lsn']))}::pg_lsn)",
+            )
 
 
 def run_cdc_poll(

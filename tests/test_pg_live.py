@@ -337,6 +337,63 @@ def test_live_db_to_db_replication_with_upsert_sink(spark, pg):
         drop_slot(pg, "repl_test")
 
 
+def test_live_cdc_structured_streaming_source(spark, pg, tmp_path):
+    """LIVE CDC as a real Structured Streaming source: readStream over the
+    replication slot → flatten → foreachBatch MERGE. The slot's confirmed
+    position must advance with stream commits (bounded WAL retention), and
+    the sink must converge across multiple micro-batches."""
+    from pyspark.sql import types as T
+
+    from cdc_connector_spark.changelog.envelope import flatten_envelope
+    from cdc_connector_spark.changelog.sink import ParquetMergeSink
+    from cdc_connector_spark.sources.pg_logical import (
+        PostgresCdcStreamSource,
+        create_slot,
+        drop_slot,
+    )
+
+    run_sql(pg, "DROP TABLE IF EXISTS st_t")
+    run_sql(pg, "CREATE TABLE st_t (id bigint PRIMARY KEY, v text)")
+    spark.dataSource.register(PostgresCdcStreamSource)
+    sink = ParquetMergeSink(spark, str(tmp_path / "st_t"), ["id"], num_buckets=2)
+
+    create_slot(pg, "stream_test")
+    try:
+        def lsn():
+            return run_sql(pg, "SELECT confirmed_flush_lsn FROM pg_replication_slots WHERE slot_name='stream_test'").strip()
+
+        lsn0 = lsn()
+        env_stream = (
+            spark.readStream.format("pglogical")
+            .options(**pg.options(), slot="stream_test", table="st_t")
+            .load()
+        )
+
+        def apply_batch(batch_df, batch_id):
+            if batch_df.count():
+                sink.apply(flatten_envelope(batch_df, key_cols=["id"]))
+
+        q = (
+            env_stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+        try:
+            run_sql(pg, "INSERT INTO st_t VALUES (1,'a'),(2,'b')")
+            q.processAllAvailable()
+            assert {(r["id"], r["v"]) for r in sink.read().collect()} == {(1, "a"), (2, "b")}
+
+            run_sql(pg, "UPDATE st_t SET v='a2' WHERE id=1; DELETE FROM st_t WHERE id=2")
+            q.processAllAvailable()
+            assert {(r["id"], r["v"]) for r in sink.read().collect()} == {(1, "a2")}
+        finally:
+            q.stop()
+        assert lsn() != lsn0  # slot advanced: WAL retention is bounded
+    finally:
+        drop_slot(pg, "stream_test")
+
+
 def test_live_cdc_poll_loop_heartbeat(spark, pg, tmp_path):
     """Micro-batch CDC polling: two polls with DML between them, heartbeat
     per poll, sink converges after each."""
