@@ -736,6 +736,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the n_probe nearest cells are read via partition pruning. Rows-only:
     pruned-probe recall on an unclustered corpus is < 1 by design —
     ivf_recall_topk pins the measured recall as a value-verified row."""
+    import hashlib
     import tempfile
 
     from cdc_connector_spark.ops.ann import ivf_read_topk, ivf_train_centroids, ivf_write
@@ -743,7 +744,9 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     C = ivf_train_centroids(emb, n_centroids=16)
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{abs(hash(sf_dir)) % (1 << 32)}")
+    # stable digest (not salted hash()) → one layout dir per sf_dir, reused
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{tag}")
     ivf_write(emb, path, C)
     return ivf_read_topk(spark, path, q, k=10, n_probe=4)
 
