@@ -668,6 +668,16 @@ def multimodal_decode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("mean_luma", F.round("mean_luma", 6))
 
 
+def quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops: heuristic [0,1] document quality score (length, mean token
+    length, stopword presence, alpha ratio) — pure codegen expression,
+    value-verified against the same arithmetic in DuckDB."""
+    from cdc_connector_spark.ops.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.round(quality_score("text"), 6).alias("quality"))
+
+
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banding + exact-Jaccard verify — VALUE-VERIFIED against
     the same DuckDB shingle-Jaccard oracle as ngram_jaccard_pairs_subset:
@@ -840,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_documents": multimodal_decode_documents,
         "asof_purchase_last_click": asof_purchase_last_click,
         "cosine_pairs_bruteforce": cosine_pairs_bruteforce,
+        "quality_score_documents": quality_score_documents,
         "minhash_neardup": minhash_neardup,
         "simhash_neardup": simhash_neardup,
         "embedding_neardup": embedding_neardup,
@@ -1249,6 +1260,31 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s_fr >= greatest(s_de, s_zh) THEN 'fr'
                         WHEN s_de >= s_zh THEN 'de'
                         ELSE 'zh' END AS lang_pred
+            FROM s
+        """,
+        "quality_score_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       coalesce(text, '') AS txt,
+                       length(coalesce(text, '')) AS n_chars,
+                       CASE WHEN trim(coalesce(text,'')) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, n_chars,
+                       len(toks) AS n_toks,
+                       CASE WHEN len(toks) > 0 THEN CAST(n_chars AS DOUBLE) / len(toks) ELSE 0.0 END AS mean_tok,
+                       len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','with'], x))) AS sw,
+                       length(regexp_replace(txt, '[^A-Za-z ]', '', 'g')) AS alpha
+                FROM t
+            )
+            SELECT doc_id,
+                   round(
+                     least(n_chars / 200.0, 1.0) * 0.3
+                   + (CASE WHEN mean_tok >= 3 AND mean_tok <= 12 THEN 1.0 ELSE 0.5 END) * 0.2
+                   + (CASE WHEN n_toks > 0 THEN least(sw / (n_toks * 0.02), 1.0) ELSE 0.0 END) * 0.2
+                   + (CASE WHEN n_chars > 0 THEN CAST(alpha AS DOUBLE) / n_chars ELSE 0.0 END) * 0.3,
+                   6) AS quality
             FROM s
         """,
         # MinHash-LSH banding with exact-Jaccard verify: candidate recall at
