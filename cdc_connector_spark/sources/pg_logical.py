@@ -43,8 +43,13 @@ from cdc_connector_spark.sources.pg_copy import PgConn, _qlit, run_sql
 _CHANGE = re.compile(r"^table (\w+)\.(\w+): (INSERT|UPDATE|DELETE): (.*)$")
 _COMMIT = re.compile(r"^COMMIT \d+ \(at ([^)]+)\)$")
 _BEGIN = re.compile(r"^BEGIN \d+$")
-# col[type with spaces]:value — value is a ''-escaped quoted string or a bare token
-_COLVAL = re.compile(r"(\w+)\[([\w \[\]]+)\]:('(?:[^']|'')*'|[^ ]+)")
+# col[type]:value — value is a ''-escaped quoted string or a bare token.
+# The type class must admit everything format_type() can emit: spaces
+# ("double precision"), array brackets ("integer[]"), and parameterized
+# types with parens/commas ("character varying(20)", "numeric(10,2)",
+# "timestamp(3) with time zone") — a narrower class silently drops those
+# columns from every change event.
+_COLVAL = re.compile(r"(\w+)\[([\w \[\](),]+)\]:('(?:[^']|'')*'|[^ ]+)")
 
 _OP = {"INSERT": "c", "UPDATE": "u", "DELETE": "d"}
 
@@ -66,18 +71,27 @@ def _parse_value(token: str, type_name: str):
     if token == "null":
         return None
     t = type_name.lower()
+    # strip the parameter suffix so "numeric(10,2)" / "character varying(20)"
+    # resolve to their base type for the dispatch below
+    base = t.split("(", 1)[0].strip()
     if token.startswith("'"):
         s = token[1:-1].replace("''", "'")
-        if t.startswith("timestamp"):
+        if base.startswith("timestamp") or t.startswith("timestamp"):
             return _parse_pg_ts(s)
-        if t == "bytea":
+        if base == "bytea":
             return bytes.fromhex(s[2:]) if s.startswith("\\x") else s.encode()
         return s
-    if t in ("smallint", "integer", "bigint", "int2", "int4", "int8", "oid"):
+    if base in ("smallint", "integer", "bigint", "int2", "int4", "int8", "oid"):
         return int(token)
-    if t in ("real", "double precision", "numeric", "float4", "float8"):
+    if base in ("numeric", "decimal"):
+        # exact — pg_table_schema maps numeric(p,s) to DecimalType(p,s) and
+        # Spark's DecimalType only accepts decimal.Decimal values
+        from decimal import Decimal
+
+        return Decimal(token)
+    if base in ("real", "double precision", "float4", "float8"):
         return float(token)
-    if t == "boolean":
+    if base == "boolean":
         return token == "true"
     return token
 
@@ -207,6 +221,14 @@ class _PgCdcStreamReader(SimpleDataSourceStreamReader):
         self.slot = options["slot"]
         self.table = options["table"]
         self.row_names = [f.name for f in schema["after"].dataType.fields]
+        # per-batch peek bound (maps to pg_logical_slot_peek_changes
+        # upto_nchanges, which stops on the next txn boundary): without it
+        # every micro-batch re-peeks the WHOLE backlog from the slot's
+        # confirmed position, so a lagging consumer degrades quadratically.
+        # Replay safety: commit() never advances the slot past a batch's end
+        # offset, and peek is deterministic from the confirmed position, so
+        # readBetweenOffsets with the same bound always re-covers the window.
+        self.max_changes = int(options.get("max_changes_per_batch", "10000"))
 
     def initialOffset(self) -> dict:
         out = run_sql(
@@ -219,7 +241,7 @@ class _PgCdcStreamReader(SimpleDataSourceStreamReader):
         return {"lsn": _lsn_to_long(out)}
 
     def _rows_between(self, start_lsn: int, end_lsn: int | None):
-        changes = fetch_changes(self.conn, self.slot, peek=True)
+        changes = fetch_changes(self.conn, self.slot, peek=True, upto_n=self.max_changes)
         names = self.row_names
         rows = []
         max_commit = start_lsn
