@@ -72,6 +72,10 @@ def apply_changes(
         return upserts
     # rows in current whose key is NOT touched by this batch survive;
     # touched keys are replaced by the upsert image (deletes contribute none).
-    keys = latest.select(*key_cols)
+    # The touched-key set comes from the RAW batch, not from `latest`: the
+    # dedup window never changes the key set, and deriving keys from changes
+    # drops a whole sort+window branch from the merge plan (the anti-join
+    # build side becomes a plain distinct).
+    keys = changes.select(*key_cols).distinct()
     untouched = current.join(keys, on=key_cols, how="left_anti")
     return untouched.unionByName(upserts, allowMissingColumns=True)

@@ -219,13 +219,14 @@ class ParquetMergeSink:
             .drop(_BUCKET)
         )
 
-    def _write_buckets(self, df: DataFrame, version_dir: str) -> None:
+    def _write_buckets(self, df: DataFrame, version_dir: str, n_shuffle: int | None = None) -> None:
         # a crashed previous attempt may have left a partial, never-flipped
         # version dir; appending into it would duplicate rows — clobber it
         if os.path.exists(version_dir):
             shutil.rmtree(version_dir)
         out = df.withColumn(_BUCKET, self._bucket_expr())
-        n_shuffle = min(self.num_buckets, int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4)
+        if n_shuffle is None:
+            n_shuffle = min(self.num_buckets, int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4)
         (
             out.repartition(n_shuffle, F.col(_BUCKET))
             .write.mode("append")
@@ -288,9 +289,13 @@ class ParquetMergeSink:
             self._apply_locked(changes, cur)
 
     def _apply_locked(self, changes: DataFrame, cur: int) -> None:
-        latest = latest_per_key(changes, self.key_cols)
+        # touched buckets from the RAW batch: dedup-to-latest never changes
+        # the key set, so the discovery job needs no sort+window — just a
+        # distinct over the bucket hash. (Also measured: materializing the
+        # deduped batch via localCheckpoint/persist costs more than the
+        # re-computation it saves at trigger-batch sizes.)
         touched = sorted(
-            r[0] for r in latest.select(self._bucket_expr().alias("b")).distinct().collect()
+            r[0] for r in changes.select(self._bucket_expr().alias("b")).distinct().collect()
         )
         version = cur + 1
         vdir = self._data_dir(version)
@@ -337,8 +342,10 @@ class ParquetMergeSink:
                         "was opened with merge_schema=False; reopen with "
                         "merge_schema=True to evolve the schema (ST8)"
                     )
+        # shuffle width tracks the touched buckets — a 12-bucket merge does
+        # not need 64 write tasks
         merged = apply_changes(current_touched, changes, self.key_cols)
-        self._write_buckets(merged, vdir)
+        self._write_buckets(merged, vdir, n_shuffle=max(1, len(touched)))
         os.makedirs(vdir, exist_ok=True)  # empty merge may write nothing
 
         touched_set = {f"{_BUCKET}={b}" for b in touched}
