@@ -316,6 +316,109 @@ def ivf_write(
     ivf_assign(embeddings, centroids, vec_col).write.mode(mode).partitionBy("centroid_id").parquet(path)
     with open(os.path.join(path, "_CENTROIDS"), "w") as f:
         json.dump(np.asarray(centroids, dtype=np.float64).tolist(), f)
+    _ivf_save_cell_counts(embeddings.sparkSession, path)
+
+
+def _ivf_save_cell_counts(spark, path: str) -> dict[int, int]:
+    """Refresh the per-cell row counts stored in ``_CELLS`` (metadata-only
+    count over the partitioned layout — parquet footers, no data read)."""
+    import json
+    import os
+
+    counts = {
+        int(r["centroid_id"]): int(r["n"])
+        for r in spark.read.parquet(path)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    tmp = os.path.join(path, "_CELLS.tmp")
+    with open(tmp, "w") as f:
+        json.dump({str(k): v for k, v in counts.items()}, f)
+    os.replace(tmp, os.path.join(path, "_CELLS"))
+    return counts
+
+
+def ivf_cell_imbalance(counts: dict[int, int]) -> float:
+    """Cell-size imbalance factor: max/mean. 1.0 = perfectly balanced; a
+    probe of the largest cell costs ``imbalance ×`` the average probe."""
+    if not counts:
+        return 1.0
+    vals = list(counts.values())
+    return max(vals) / (sum(vals) / len(vals))
+
+
+def ivf_append(
+    spark,
+    path: str,
+    new_embeddings: DataFrame,
+    vec_col: str = "embedding",
+    imbalance_threshold: float = 3.0,
+) -> dict:
+    """Incremental IVF maintenance: assign a NEW batch of vectors against the
+    layout's EXISTING centroids and append files into only the affected cell
+    directories — no retrain, no rewrite of any existing file. Probes see the
+    new vectors immediately (partition append is visible to the next read).
+
+    Returns stats including ``imbalance`` (max cell / mean cell, from the
+    refreshed ``_CELLS`` metadata) and ``recluster_recommended`` — True once
+    drift pushes imbalance past ``imbalance_threshold``, at which point the
+    biggest probe costs ``imbalance×`` the average and ``ivf_recluster``
+    should run. The threshold is the standard freshness/cost dial: appends
+    are O(batch), recluster is O(table) — run it off the hot path.
+
+    At 100 TB: the append is one Spark job over the batch (Arrow matmul
+    assignment + partitioned write); drift detection reads parquet FOOTERS
+    only. Nothing scales with table size except the deliberate recluster.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "_CENTROIDS")) as f:
+        C = np.asarray(json.load(f), dtype=np.float64)
+    assigned = ivf_assign(new_embeddings, C, vec_col)
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
+    counts = _ivf_save_cell_counts(spark, path)
+    imb = ivf_cell_imbalance(counts)
+    return {
+        "cells": len(counts),
+        "total_rows": sum(counts.values()),
+        "imbalance": imb,
+        "recluster_recommended": imb > imbalance_threshold,
+    }
+
+
+def ivf_recluster(
+    spark,
+    path: str,
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+    sample_size: int = 4096,
+    seed: int = 7,
+) -> dict:
+    """Full re-cluster of a drifted IVF layout: retrain centroids on the
+    CURRENT table (bounded sample), rewrite the layout into a temp dir, then
+    atomically swap it in. The expensive O(table) rewrite runs off to the
+    side; readers keep probing the old layout until the swap."""
+    import json
+    import os
+    import shutil
+
+    with open(os.path.join(path, "_CENTROIDS")) as f:
+        k = n_centroids or len(json.load(f))
+    current = spark.read.parquet(path).drop("centroid_id")
+    C = ivf_train_centroids(current, vec_col, n_centroids=k, sample_size=sample_size, seed=seed)
+    tmp = path.rstrip("/") + ".recluster.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ivf_write(current, tmp, C, vec_col=vec_col, mode="overwrite")
+    old = path.rstrip("/") + ".recluster.old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(path, old)
+    os.replace(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    with open(os.path.join(path, "_CELLS")) as f:
+        counts = {int(a): b for a, b in json.load(f).items()}
+    return {"cells": len(counts), "imbalance": ivf_cell_imbalance(counts)}
 
 
 def ivf_read_topk(

@@ -145,3 +145,100 @@ def test_ivf_persisted_layout_prunes_partitions(spark, tmp_path):
     n_cells = sum(1 for d in os.listdir(path) if d.startswith("centroid_id="))
     assert n_cells > 2  # layout actually has many cells; probe reads 2
     assert probed.count() == 10
+
+
+def test_ivf_append_only_touches_affected_cells(spark, tmp_path):
+    """Incremental maintenance: appending a batch writes new files into ONLY
+    the cells the batch lands in; no existing file is rewritten or removed,
+    and the appended vectors are immediately probe-visible."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cdc_connector_spark.ops.ann import (
+        ivf_append,
+        ivf_read_topk,
+        ivf_train_centroids,
+        ivf_write,
+    )
+    from cdc_connector_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    C = ivf_train_centroids(emb, n_centroids=16, sample_size=500)
+    path = str(tmp_path / "ivf")
+    ivf_write(emb, path, C)
+
+    def files_by_cell():
+        return {
+            d: {f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")}
+            for d in os.listdir(path)
+            if d.startswith("centroid_id=")
+        }
+
+    before = files_by_cell()
+    base = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    new = spark.createDataFrame(
+        [(100000 + i, base, 0) for i in range(20)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    stats = ivf_append(spark, path, new, imbalance_threshold=50.0)
+    assert stats["total_rows"] == 520
+    assert not stats["recluster_recommended"]
+
+    after = files_by_cell()
+    changed = [c for c in after if after[c] != before.get(c, set())]
+    assert len(changed) == 1  # 20 identical vectors → exactly one cell gained files
+    for c in before:
+        assert before[c] <= after[c]  # append-only: nothing rewritten/removed
+
+    # the appended vectors are probe-visible at n_probe=1 (their own cell is
+    # the query's top probe for an exact-match query)
+    got = [r["vec_id"] for r in ivf_read_topk(spark, path, base, k=5, n_probe=1).collect()]
+    assert set(got) <= {0} | {100000 + i for i in range(20)}
+
+
+def test_ivf_drift_detection_and_recluster(spark, tmp_path):
+    """Distribution drift: a large batch from a NEW region funnels into a few
+    old cells (imbalance spike → recluster_recommended), and ivf_recluster
+    retrains + atomically swaps a balanced layout with identical content."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cdc_connector_spark.ops.ann import (
+        ivf_append,
+        ivf_cell_imbalance,
+        ivf_read_topk,
+        ivf_recluster,
+        ivf_train_centroids,
+        ivf_write,
+    )
+    from cdc_connector_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    C = ivf_train_centroids(emb, n_centroids=16, sample_size=500)
+    path = str(tmp_path / "ivf")
+    ivf_write(emb, path, C)
+
+    dim = len(emb.first()["embedding"])
+    rng = np.random.default_rng(11)
+    center = np.zeros(dim)
+    center[: dim // 4] = 1.0  # a corner of the space the corpus doesn't occupy
+    region = center + 0.25 * rng.standard_normal((600, dim))
+    region = region / np.linalg.norm(region, axis=1, keepdims=True)
+    new = spark.createDataFrame(
+        [(200000 + i, [float(v) for v in region[i]], 1) for i in range(len(region))],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    stats = ivf_append(spark, path, new, imbalance_threshold=3.0)
+    assert stats["total_rows"] == 1100
+    assert stats["imbalance"] > 3.0 and stats["recluster_recommended"]
+
+    n_before = spark.read.parquet(path).count()
+    r = ivf_recluster(spark, path, sample_size=500)
+    assert spark.read.parquet(path).count() == n_before  # content preserved
+    assert r["imbalance"] < stats["imbalance"]  # the new region got split up
+
+    # probe quality survives the swap: an appended vector finds itself
+    q = [float(v) for v in region[0]]
+    got = [r2["vec_id"] for r2 in ivf_read_topk(spark, path, q, k=3, n_probe=2).collect()]
+    assert 200000 in got
