@@ -121,6 +121,89 @@ def bench_changelog_apply(spark, sf_dir: str) -> tuple[float, float]:
     return dt, n_events / dt, dt_small, n_small
 
 
+def bench_live_plane(spark, sf_dir: str):
+    """LIVE database plane wall-clock (runs only when server binaries exist):
+
+    - snapshot_load_live: lineitem → executor-side COPY into a real
+      PostgreSQL server, then a 4-partition pgcopy range read back out to
+      parquet — the reference's actual migrate path (migrate_v3.py:570-680,
+      770-818) end to end.
+    - upsert_live: one flattened changelog batch (20% of orders keys,
+      updates+deletes) applied through the staging-COPY + INSERT ON
+      CONFLICT + DELETE USING sink (connectors/sinks/postgres semantics).
+
+    Returns (timings dict, rates dict); empty dicts when no server."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cdc_connector_spark.sources.pg_copy import (
+        PostgresCopyDataSource,
+        copy_to_postgres,
+        upsert_to_postgres,
+    )
+    from cdc_connector_spark.sources.pg_sandbox import start_local_postgres
+    from cdc_connector_spark.tables import load_table
+
+    server = start_local_postgres()
+    if server is None:
+        print("# live plane: no postgres server binaries — skipped", file=sys.stderr)
+        return {}, {}
+    timings, rates = {}, {}
+    out = tempfile.mkdtemp(prefix="bench_live_")
+    try:
+        pg = server.conn
+        li = load_table(spark, sf_dir, "lineitem")
+        n_rows = li.count()
+        spark.dataSource.register(PostgresCopyDataSource)
+        dt = None
+        for _ in range(2):
+            t0 = time.time()
+            copy_to_postgres(li, pg, "li_bench", mode="overwrite")
+            (
+                spark.read.format("pgcopy")
+                .options(**pg.options(), table="li_bench",
+                         partition_column="l_orderkey", num_partitions="8")
+                .load()
+                .write.mode("overwrite")
+                .parquet(os.path.join(out, "li_back"))
+            )
+            cur = time.time() - t0
+            dt = cur if dt is None or cur < dt else dt
+        timings["snapshot_load_live"] = round(dt, 3)
+        rates["live_snapshot_rows_per_sec"] = round(n_rows / dt)
+        print(f"# snapshot_load_live: {dt:.2f}s ({n_rows / dt:,.0f} rows/s round trip)", file=sys.stderr)
+
+        orders = load_table(spark, sf_dir, "orders")
+        copy_to_postgres(orders, pg, "ord_bench", mode="overwrite", pk_cols=["o_orderkey"])
+        changes = (
+            orders.filter(F.col("o_orderkey") % 5 == 0)
+            .select(
+                "o_orderkey", "o_custkey", "o_orderstatus",
+                (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+                "o_orderdate", "o_orderpriority",
+                F.when(F.col("o_orderkey") % 20 == 0, "d").otherwise("u").alias("__op"),
+                F.lit(1).cast("bigint").alias("__ts_ms"),
+                F.col("o_orderkey").alias("__seq"),
+            )
+        )
+        n_events = changes.count()
+        dt = None
+        for _ in range(2):  # idempotent: re-applying the same batch merges to the same state
+            t0 = time.time()
+            upsert_to_postgres(changes, pg, "ord_bench", key_cols=["o_orderkey"])
+            cur = time.time() - t0
+            dt = cur if dt is None or cur < dt else dt
+        timings["upsert_live"] = round(dt, 3)
+        rates["live_upsert_events_per_sec"] = round(n_events / dt)
+        print(f"# upsert_live: {dt:.2f}s ({n_events / dt:,.0f} events/s)", file=sys.stderr)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        server.stop()
+    return timings, rates
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -163,6 +246,10 @@ def main() -> None:
     print(f"# changelog_apply_orders: {apply_dt:.2f}s ({apply_eps:,.0f} events/s)", file=sys.stderr)
     print(f"# changelog_apply_small_batch: {small_dt:.2f}s ({n_small} events, bucket-pruned)", file=sys.stderr)
 
+    live_timings, live_rates = bench_live_plane(spark, sf_dir)
+    timings.update(live_timings)
+    total += sum(live_timings.values())
+
     print(
         json.dumps(
             {
@@ -173,6 +260,7 @@ def main() -> None:
                 "sf": sf,
                 "snapshot_rows_per_sec": round(snap_rps),
                 "apply_events_per_sec": round(apply_eps),
+                **live_rates,
             }
         )
     )
