@@ -69,11 +69,12 @@ def bench_snapshot_throughput(spark, sf_dir: str) -> tuple[float, float]:
     return dt, n_rows / dt
 
 
-def bench_changelog_apply(spark, sf_dir: str) -> tuple[float, float]:
+def bench_changelog_apply(spark, sf_dir: str, sink_cls=None) -> tuple[float, float]:
     """Changelog-apply throughput (ST2): bootstrap sink from orders, then
     MERGE one batch of updates+deletes (20% of keys). Mirrors the
     reference's sink batch apply (batch.size 3000,
-    connectors/sinks/postgres/performance.json:30)."""
+    connectors/sinks/postgres/performance.json:30). ``sink_cls`` selects the
+    merge-sink implementation (link-forward MVCC vs transaction log)."""
     import shutil
     import tempfile
 
@@ -81,6 +82,9 @@ def bench_changelog_apply(spark, sf_dir: str) -> tuple[float, float]:
 
     from cdc_connector_spark.changelog.sink import ParquetMergeSink
     from cdc_connector_spark.tables import load_table
+
+    if sink_cls is None:
+        sink_cls = ParquetMergeSink
 
     orders = load_table(spark, sf_dir, "orders")
     changes = (
@@ -104,7 +108,7 @@ def bench_changelog_apply(spark, sf_dir: str) -> tuple[float, float]:
     n_small = small.count()
     root = tempfile.mkdtemp(prefix="bench_apply_")
     try:
-        sink = ParquetMergeSink(spark, os.path.join(root, "orders"), ["o_orderkey"], num_buckets=64)
+        sink = sink_cls(spark, os.path.join(root, "orders"), ["o_orderkey"], num_buckets=64)
         sink.overwrite(orders)
         dt = dt_small = None
         for _ in range(2):  # best of 2; replay is idempotent (same merge work)
@@ -245,6 +249,15 @@ def main() -> None:
     total += apply_dt + small_dt
     print(f"# changelog_apply_orders: {apply_dt:.2f}s ({apply_eps:,.0f} events/s)", file=sys.stderr)
     print(f"# changelog_apply_small_batch: {small_dt:.2f}s ({n_small} events, bucket-pruned)", file=sys.stderr)
+
+    from cdc_connector_spark.changelog.txlog import TxLogMergeSink
+
+    tx_dt, tx_eps, tx_small_dt, _ = bench_changelog_apply(spark, sf_dir, sink_cls=TxLogMergeSink)
+    timings["changelog_apply_txlog"] = round(tx_dt, 3)
+    timings["changelog_apply_txlog_small_batch"] = round(tx_small_dt, 3)
+    total += tx_dt + tx_small_dt
+    print(f"# changelog_apply_txlog: {tx_dt:.2f}s ({tx_eps:,.0f} events/s)", file=sys.stderr)
+    print(f"# changelog_apply_txlog_small_batch: {tx_small_dt:.2f}s", file=sys.stderr)
 
     live_timings, live_rates = bench_live_plane(spark, sf_dir)
     timings.update(live_timings)

@@ -1,0 +1,454 @@
+"""Transaction-log merge sink: a lakehouse-style table on plain parquet.
+
+``ParquetMergeSink`` (sink.py) keeps MVCC snapshots as whole version
+DIRECTORIES and carries untouched buckets forward with hard links — correct,
+but every commit still costs O(num_buckets) driver metadata work (one
+listdir+link per untouched bucket) and readers discover state by listing the
+filesystem. This module removes both scale limits with the design Delta Lake
+and Iceberg made standard (public format specs; no Delta/Iceberg jars exist
+in this environment, so the log protocol is implemented directly):
+
+- **Data files are immutable and never move.** Each commit writes its new
+  files under ``data/<commit-uuid>/__bucket=<b>/`` and leaves every other
+  file in place.
+- **The table state is the log, not the directory tree.** ``_log/<v>.json``
+  holds newline-JSON actions (``metaData`` / ``add`` / ``remove`` /
+  ``commitInfo``). A snapshot is "replay the log": the set of added-but-not-
+  removed files. No ``listdir`` of the data tree, ever — per-commit cost is
+  O(files touched), not O(table).
+- **Commits are atomic put-if-absent.** The writer stages the action file
+  and publishes it with ``os.link`` (fails if the version exists — the same
+  "win the name" protocol Delta uses on HDFS/ABFS). Readers can never see a
+  half-written commit; a crashed writer leaves only an invisible orphan
+  data dir.
+- **Optimistic concurrency, no lock.** On losing a version race the writer
+  re-reads the log; if the winning commit touched a DISJOINT bucket set it
+  simply re-publishes the same files at the next version (its merge inputs
+  are untouched), otherwise it recomputes the merge from the new snapshot.
+  Writers on different key ranges therefore never serialize a Spark job
+  behind each other — the property the lock-based sink cannot offer.
+- **Snapshot isolation + time travel.** A reader resolves a version's file
+  set once and is immune to concurrent commits; ``read(version=K)`` replays
+  to any retained version. ``vacuum`` deletes files *removed* more than
+  ``retain_versions`` ago, bounding reader staleness exactly like Delta's
+  ``VACUUM`` retention window.
+- **Checkpoints.** Every ``checkpoint_interval`` commits the full live-file
+  set is written to ``_log/_checkpoint.<v>.json`` and pointed to by
+  ``_last_checkpoint``, so snapshot resolution reads O(interval) small
+  files, not O(history). Commit JSONs are tiny and kept (they are the
+  history/time-travel record); only *data* files are vacuumed.
+
+MERGE semantics are identical to ``ParquetMergeSink.apply`` (the engine's
+ST2/W5 contract, reference ``connectors/sinks/postgres/trading.json:13-15``):
+hash-bucket the keys, read only touched buckets, ``apply_changes`` (latest
+per key wins, deletes drop), rewrite only touched buckets. At 100 TB with
+100k buckets a 3000-event trigger commits ~a dozen adds/removes and one
+4 KB JSON file — the reason every production lakehouse uses this shape.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_connector_spark.changelog.apply import apply_changes
+
+_BUCKET = "__bucket"
+_META_COLS = {"__op", "__ts_ms", "__source_db", "__source_table", "__seq"}
+
+
+class CommitConflict(Exception):
+    """Another writer won this version; caller rebases and retries."""
+
+
+class _Snapshot:
+    __slots__ = ("version", "files", "columns", "num_buckets", "key_cols", "removed")
+
+    def __init__(self):
+        self.version: int = -1
+        self.files: dict[str, int] = {}  # rel path -> bucket
+        self.removed: dict[str, int] = {}  # rel path -> version removed at
+        self.columns: list[str] | None = None
+        self.num_buckets: int | None = None
+        self.key_cols: list[str] | None = None
+
+    def bucket_files(self, buckets: set[int]) -> list[str]:
+        return [p for p, b in self.files.items() if b in buckets]
+
+
+class TxLogMergeSink:
+    """Drop-in peer of ``ParquetMergeSink`` (same ``overwrite`` / ``apply`` /
+    ``read`` / ``count`` / ``exists`` surface) backed by a transaction log."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str] | None = None,
+        num_buckets: int | None = None,
+        merge_schema: bool = False,
+        checkpoint_interval: int = 10,
+        max_commit_retries: int = 20,
+    ) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.log_dir = os.path.join(self.path, "_log")
+        self.data_dir = os.path.join(self.path, "data")
+        self.merge_schema = merge_schema
+        self.checkpoint_interval = checkpoint_interval
+        self.max_commit_retries = max_commit_retries
+        os.makedirs(self.log_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+        snap = self._snapshot()
+        if snap.version >= 0:
+            # table properties live in the log; a caller-supplied mismatch is
+            # the same corruption hazard sink.py guards against
+            if num_buckets is not None and num_buckets != snap.num_buckets:
+                raise ValueError(
+                    f"table at {self.path} has num_buckets={snap.num_buckets}; "
+                    f"cannot reopen with {num_buckets}"
+                )
+            if key_cols is not None and list(key_cols) != list(snap.key_cols):
+                raise ValueError(
+                    f"table at {self.path} has key_cols={snap.key_cols}; "
+                    f"cannot reopen with {key_cols}"
+                )
+            self.key_cols = list(snap.key_cols)
+            self.num_buckets = snap.num_buckets
+        else:
+            if key_cols is None:
+                raise ValueError("key_cols required to create a new table")
+            self.key_cols = list(key_cols)
+            self.num_buckets = num_buckets or 32
+
+    # -- log primitives ------------------------------------------------------
+    def _commit_file(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:020d}.json")
+
+    def _try_commit(self, version: int, actions: list[dict]) -> None:
+        """Atomic put-if-absent publish of one commit (stage + os.link — the
+        link fails with EEXIST if another writer won the version)."""
+        tmp = os.path.join(self.log_dir, f".tmp.{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            for a in actions:
+                f.write(json.dumps(a, separators=(",", ":")) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, self._commit_file(version))
+        except FileExistsError:
+            raise CommitConflict(version) from None
+        finally:
+            os.unlink(tmp)
+
+    def _read_commit(self, version: int) -> list[dict] | None:
+        try:
+            with open(self._commit_file(version)) as f:
+                return [json.loads(line) for line in f if line.strip()]
+        except FileNotFoundError:
+            return None
+
+    def _last_checkpoint(self) -> int | None:
+        try:
+            with open(os.path.join(self.log_dir, "_last_checkpoint")) as f:
+                return json.load(f)["version"]
+        except (FileNotFoundError, ValueError, KeyError):
+            return None
+
+    def _snapshot(self, version: int | None = None) -> _Snapshot:
+        """Replay the log (from the newest checkpoint ≤ target when allowed)
+        into a file-set snapshot. O(checkpoint_interval) commit files in the
+        steady state; O(version) only for deep time travel."""
+        snap = _Snapshot()
+        start = 0
+        cp = self._last_checkpoint()
+        if cp is not None and (version is None or cp <= version):
+            try:
+                with open(os.path.join(self.log_dir, f"_checkpoint.{cp:020d}.json")) as f:
+                    state = json.load(f)
+                snap.version = cp
+                snap.files = {p: int(b) for p, b in state["files"].items()}
+                snap.removed = {p: int(v) for p, v in state.get("removed", {}).items()}
+                snap.columns = state.get("columns")
+                snap.num_buckets = state.get("num_buckets")
+                snap.key_cols = state.get("key_cols")
+                start = cp + 1
+            except FileNotFoundError:
+                pass  # pointer ahead of a missing checkpoint: full replay
+        v = start
+        while version is None or v <= version:
+            actions = self._read_commit(v)
+            if actions is None:
+                break
+            for a in actions:
+                if "metaData" in a:
+                    md = a["metaData"]
+                    snap.columns = md.get("columns", snap.columns)
+                    snap.num_buckets = md.get("num_buckets", snap.num_buckets)
+                    snap.key_cols = md.get("key_cols", snap.key_cols)
+                elif "add" in a:
+                    snap.files[a["add"]["path"]] = a["add"]["bucket"]
+                    snap.removed.pop(a["add"]["path"], None)
+                elif "remove" in a:
+                    b = snap.files.pop(a["remove"]["path"], None)
+                    if b is not None:
+                        snap.removed[a["remove"]["path"]] = v
+            snap.version = v
+            v += 1
+        if version is not None and snap.version < version:
+            raise ValueError(f"version {version} does not exist (latest is {snap.version})")
+        return snap
+
+    def _maybe_checkpoint(self, snap_version: int) -> None:
+        if snap_version <= 0 or snap_version % self.checkpoint_interval != 0:
+            return
+        snap = self._snapshot(snap_version)
+        # bound checkpoint size: removed entries whose file was already
+        # vacuumed carry no information for any future reader
+        snap.removed = {
+            p: v
+            for p, v in snap.removed.items()
+            if os.path.exists(os.path.join(self.path, p))
+        }
+        state = {
+            "files": snap.files,
+            "removed": snap.removed,
+            "columns": snap.columns,
+            "num_buckets": snap.num_buckets,
+            "key_cols": snap.key_cols,
+        }
+        cp = os.path.join(self.log_dir, f"_checkpoint.{snap_version:020d}.json")
+        tmp = cp + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, cp)
+        ptr_tmp = os.path.join(self.log_dir, f"_last_checkpoint.tmp.{os.getpid()}")
+        with open(ptr_tmp, "w") as f:
+            json.dump({"version": snap_version}, f)
+        os.replace(ptr_tmp, os.path.join(self.log_dir, "_last_checkpoint"))
+
+    # -- data file IO --------------------------------------------------------
+    def _bucket_expr(self):
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.num_buckets)
+        ).cast("int")
+
+    def _write_files(self, df: DataFrame, n_shuffle: int) -> list[dict]:
+        """Write one commit's parquet under a unique dir; return add actions.
+        Only the just-written dir is listed — O(new files), the exact listing
+        Delta gets from task commit messages."""
+        commit_id = uuid.uuid4().hex
+        out_dir = os.path.join(self.data_dir, commit_id)
+        (
+            df.withColumn(_BUCKET, self._bucket_expr())
+            .repartition(n_shuffle, F.col(_BUCKET))
+            .write.mode("overwrite")
+            .partitionBy(_BUCKET)
+            .parquet(out_dir)
+        )
+        adds: list[dict] = []
+        for bdir in os.listdir(out_dir):
+            if not bdir.startswith(f"{_BUCKET}="):
+                continue
+            b = int(bdir.split("=", 1)[1])
+            for name in os.listdir(os.path.join(out_dir, bdir)):
+                if name.endswith(".parquet"):
+                    rel = os.path.join("data", commit_id, bdir, name)
+                    size = os.path.getsize(os.path.join(self.path, rel))
+                    adds.append({"add": {"path": rel, "bucket": b, "size": size}})
+        return adds
+
+    def _read_files(self, rel_paths: list[str]) -> DataFrame | None:
+        if not rel_paths:
+            return None
+        return self.spark.read.option(
+            "mergeSchema", str(self.merge_schema).lower()
+        ).parquet(*[os.path.join(self.path, p) for p in rel_paths])
+
+    # -- public surface ------------------------------------------------------
+    def exists(self) -> bool:
+        return self._read_commit(0) is not None
+
+    def current_version(self) -> int | None:
+        v = self._snapshot().version
+        return None if v < 0 else v
+
+    def read(self, version: int | None = None) -> DataFrame | None:
+        """Snapshot (or time-travel) read: the file set is resolved once from
+        the log, so concurrent commits cannot tear the result."""
+        snap = self._snapshot(version)
+        if snap.version < 0:
+            return None
+        return self._read_files(sorted(snap.files))
+
+    def count(self) -> int:
+        df = self.read()
+        return 0 if df is None else df.count()
+
+    def history(self) -> list[dict]:
+        """Commit audit trail (operation, touched buckets, files in/out)."""
+        out = []
+        v = 0
+        while (actions := self._read_commit(v)) is not None:
+            info = next((a["commitInfo"] for a in actions if "commitInfo" in a), {})
+            out.append(
+                {
+                    "version": v,
+                    **info,
+                    "adds": sum(1 for a in actions if "add" in a),
+                    "removes": sum(1 for a in actions if "remove" in a),
+                }
+            )
+            v += 1
+        return out
+
+    def overwrite(self, df: DataFrame) -> None:
+        """Full snapshot load (S10 analogue): add the new file set, remove
+        every live file, in one atomic commit."""
+        for _ in range(self.max_commit_retries):
+            snap = self._snapshot()
+            version = snap.version + 1
+            adds = self._write_files(df, n_shuffle=self._default_shuffle())
+            actions = [
+                {"metaData": {
+                    "key_cols": self.key_cols,
+                    "num_buckets": self.num_buckets,
+                    "columns": list(df.columns),
+                }},
+                *adds,
+                *({"remove": {"path": p, "bucket": b}} for p, b in sorted(snap.files.items())),
+                {"commitInfo": {"operation": "OVERWRITE", "ts": time.time()}},
+            ]
+            try:
+                self._try_commit(version, actions)
+            except CommitConflict:
+                self._discard(adds)
+                continue
+            self._maybe_checkpoint(version)
+            return
+        raise RuntimeError(f"overwrite lost {self.max_commit_retries} commit races")
+
+    def apply(self, changes: DataFrame) -> None:
+        """MERGE one micro-batch (ST2) under optimistic concurrency.
+
+        Conflict rule: a lost race is REBASED WITHOUT RECOMPUTE when the
+        winning commit's bucket set is disjoint from ours (our merge inputs
+        are byte-identical in the new snapshot), else the merge re-runs
+        against the new snapshot. Deletes+upserts stay idempotent either
+        way, so at-least-once delivery still yields exactly-once state."""
+        # touched buckets from the raw batch: metadata-scale collect
+        touched = sorted(
+            r[0]
+            for r in changes.select(self._bucket_expr().alias("b")).distinct().collect()
+        )
+        touched_set = set(touched)
+
+        adds: list[dict] | None = None
+        merged_cols: list[str] | None = None
+        last_base: list[str] | None = None  # file set the staged merge was computed from
+        for _ in range(self.max_commit_retries):
+            snap = self._snapshot()
+            version = snap.version + 1
+            base_files = sorted(snap.bucket_files(touched_set)) if snap.version >= 0 else []
+            if adds is not None and base_files != last_base:
+                # a conflicting commit changed our inputs: stage is invalid
+                self._discard(adds)
+                adds = None
+            if adds is None:
+                current = self._read_files(base_files)
+                if snap.version >= 0:
+                    self._guard_schema(changes, snap)
+                merged = apply_changes(current, changes, self.key_cols)
+                adds = self._write_files(merged, n_shuffle=max(1, len(touched)))
+                merged_cols = list(merged.columns)
+                last_base = base_files
+            actions: list[dict] = []
+            new_cols = sorted(set(merged_cols) - set(snap.columns or []))
+            if snap.version < 0 or new_cols:
+                actions.append(
+                    {"metaData": {
+                        "key_cols": self.key_cols,
+                        "num_buckets": self.num_buckets,
+                        "columns": sorted(set(snap.columns or []) | set(merged_cols)),
+                    }}
+                )
+            actions.extend(adds)
+            actions.extend(
+                {"remove": {"path": p, "bucket": snap.files[p]}} for p in base_files
+            )
+            actions.append(
+                {"commitInfo": {"operation": "MERGE", "ts": time.time(), "buckets": touched}}
+            )
+            try:
+                self._try_commit(version, actions)
+            except CommitConflict:
+                continue  # loop: snapshot reload decides rebase vs recompute
+            self._maybe_checkpoint(version)
+            return
+        raise RuntimeError(f"apply lost {self.max_commit_retries} commit races")
+
+    def _default_shuffle(self) -> int:
+        return min(
+            self.num_buckets,
+            int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4,
+        )
+
+    def _guard_schema(self, changes: DataFrame, snap: _Snapshot) -> None:
+        """ST8: refuse a widening batch unless merge_schema=True. O(1) —
+        compares against the log's recorded columns; no footer reads."""
+        if self.merge_schema or snap.columns is None:
+            return
+        new_cols = set(changes.columns) - set(snap.columns) - _META_COLS
+        if new_cols:
+            raise ValueError(
+                f"batch widens the schema with {sorted(new_cols)} but the table "
+                "was opened with merge_schema=False; reopen with "
+                "merge_schema=True to evolve the schema (ST8)"
+            )
+
+    def _discard(self, adds: list[dict]) -> None:
+        """Drop staged-but-unpublished files (safe: never referenced by any
+        committed version)."""
+        for a in adds:
+            try:
+                os.unlink(os.path.join(self.path, a["add"]["path"]))
+            except FileNotFoundError:
+                pass
+
+    def vacuum(self, retain_versions: int = 2) -> int:
+        """Physically delete data files removed more than ``retain_versions``
+        commits ago (readers at most that far behind stay consistent — the
+        Delta VACUUM retention contract). Commit JSONs are kept: they are the
+        history, and time travel past the vacuum horizon simply fails on the
+        missing files. Returns files deleted."""
+        snap = self._snapshot()
+        horizon = snap.version - retain_versions
+        deleted = 0
+        for rel, removed_at in list(snap.removed.items()):
+            if removed_at <= horizon:
+                try:
+                    os.unlink(os.path.join(self.path, rel))
+                    deleted += 1
+                except FileNotFoundError:
+                    pass
+        # empty commit dirs are cosmetic; sweep cheaply
+        for d in os.listdir(self.data_dir):
+            full = os.path.join(self.data_dir, d)
+            try:
+                if os.path.isdir(full) and not any(os.scandir(full)):
+                    os.rmdir(full)
+                else:
+                    for sub in os.listdir(full):
+                        sfull = os.path.join(full, sub)
+                        if os.path.isdir(sfull) and not any(os.scandir(sfull)):
+                            os.rmdir(sfull)
+                    if not any(os.scandir(full)):
+                        os.rmdir(full)
+            except OSError:
+                pass
+        return deleted

@@ -26,13 +26,17 @@ from cdc_connector_spark.changelog.sink import ParquetMergeSink
 
 
 class ChangelogStream:
-    """One logical table-stream: envelope source dir → merge sink."""
+    """One logical table-stream: envelope source dir → merge sink.
+
+    ``sink`` is any object with ``.apply(DataFrame)`` and ``.path`` —
+    ``ParquetMergeSink`` (link-forward MVCC) or ``TxLogMergeSink``
+    (transaction-log lakehouse format, the scale path)."""
 
     def __init__(
         self,
         spark: SparkSession,
         source_dir: str,
-        sink: ParquetMergeSink,
+        sink: ParquetMergeSink | "object",
         row_schema: T.StructType,
         key_cols: list[str],
         checkpoint_dir: str,
