@@ -800,6 +800,83 @@ def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", language_id("text").alias("lang_pred"))
 
 
+def decontam_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops: benchmark decontamination — training docs sharing ≥3
+    distinct 3-grams with the held-out eval subset (doc_id % 50 = 0),
+    via a hashed inverted-index join (ops/corpus.py), value-verified
+    against DuckDB's exact string-shingle intersection."""
+    from cdc_connector_spark.ops.corpus import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(train, eval_set, n=3, min_overlap=3)
+
+
+def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops: PII redaction (email/IPv4/phone → placeholder tokens) as a
+    pure codegen projection. The fixture corpus carries no PII, so the
+    query PLANTS deterministic PII derived from table values, then proves
+    the scrub removes it — chars_removed > 0 on every row and the oracle
+    hash-matches the redacted text."""
+    from cdc_connector_spark.ops.corpus import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("reach "),
+            F.col("source"),
+            F.lit("_"),
+            F.col("doc_id").cast("string"),
+            F.lit("@corp.example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-1234 :: "),
+            F.col("text"),
+        ).alias("dirty"),
+    )
+    return planted.select(
+        "doc_id",
+        F.substring(redact_pii(F.col("dirty")), 1, 80).alias("redacted_prefix"),
+        (F.length("dirty") - F.length(redact_pii(F.col("dirty")))).alias("chars_removed"),
+    )
+
+
+def quota_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops: per-domain quota sampling — at most 10 docs per source,
+    deterministic (ordered by doc_id); one window shuffle on the domain."""
+    from cdc_connector_spark.ops.corpus import quota_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return quota_sample(docs, "source", quota=10).select("source", "doc_id")
+
+
+def hash_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops: deterministic 20% corpus sample by multiplicative key hash —
+    a pushed-down filter (no shuffle), reproducible in any engine (the
+    oracle evaluates the identical arithmetic)."""
+    from cdc_connector_spark.ops.corpus import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, pct=20).select("doc_id", "source")
+
+
+def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops: GPT-style sequence packing (concat-and-chunk at 256 tokens,
+    sharded by source) — each doc's (seq_id, seq_offset) placement from one
+    per-shard running sum; value-verified against the same window SQL."""
+    from cdc_connector_spark.ops.corpus import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pack_sequences(docs, budget=256, shard_col="source")
+    return out.select(
+        "doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "seq_id", "seq_offset",
+    )
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -859,6 +936,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": ivf_ann_topk,
         "ivf_recall_topk": ivf_recall_topk,
         "lang_id_documents": lang_id_documents,
+        "decontam_overlap_documents": decontam_overlap_documents,
+        "pii_redact_documents": pii_redact_documents,
+        "quota_sample_documents": quota_sample_documents,
+        "hash_sample_documents": hash_sample_documents,
+        "pack_sequences_documents": pack_sequences_documents,
     }
 
 
@@ -1365,4 +1447,69 @@ def oracle_sql() -> dict[str, str]:
         # simhash signature is not SQL-expressible (pigeonhole recall is
         # pytest-verified), and the pruned IVF probe's recall is pinned by
         # ivf_recall_topk's value-verified row instead.
+        "decontam_overlap_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text,'')) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                            ELSE [array_to_string(toks, ' ')] END AS sh
+                FROM t
+            )
+            SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+                   len(list_intersect(a.sh, b.sh)) AS overlap
+            FROM s a JOIN s b ON a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+            WHERE len(list_intersect(a.sh, b.sh)) >= 3
+        """,
+        "pii_redact_documents": """
+            WITH planted AS (
+                SELECT doc_id,
+                       'reach ' || source || '_' || CAST(doc_id AS VARCHAR)
+                       || '@corp.example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.7 tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       || '-1234 :: ' || coalesce(text, '') AS dirty
+                FROM documents
+            ), scrubbed AS (
+                SELECT doc_id, dirty,
+                       regexp_replace(regexp_replace(regexp_replace(dirty,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'),
+                           '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '[PHONE]', 'g') AS redacted
+                FROM planted
+            )
+            SELECT doc_id, substr(redacted, 1, 80) AS redacted_prefix,
+                   length(dirty) - length(redacted) AS chars_removed
+            FROM scrubbed
+        """,
+        "quota_sample_documents": """
+            SELECT source, doc_id FROM documents
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id ASC) <= 10
+        """,
+        "hash_sample_documents": """
+            SELECT doc_id, source FROM documents
+            WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 20
+        """,
+        "pack_sequences_documents": """
+            WITH toks AS (
+                SELECT doc_id, source,
+                       CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+                FROM documents
+            ), packed AS (
+                SELECT doc_id, source, n_tokens,
+                       CAST(coalesce(SUM(n_tokens) OVER (
+                           PARTITION BY source ORDER BY doc_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+                FROM toks
+            )
+            SELECT doc_id, source, n_tokens,
+                   CAST(floor(cum_before / 256.0) AS BIGINT) AS seq_id,
+                   cum_before % 256 AS seq_offset
+            FROM packed
+        """,
     }

@@ -40,6 +40,10 @@ HEADLINE = [
     "embedding_neardup",
     "lsh_ann_topk",
     "ivf_ann_topk",
+    # round 3: corpus-prep additions (decontamination join + packing window;
+    # redaction/sampling are plain projections/filters, benched implicitly)
+    "decontam_overlap_documents",
+    "pack_sequences_documents",
 ]
 
 

@@ -1,0 +1,199 @@
+"""Corpus-preparation operators for LLM training-data pipelines.
+
+Beyond near-dup removal (ops/dedup.py) a production pretraining pipeline
+needs: benchmark decontamination, PII redaction, deterministic sampling,
+per-domain quotas, and sequence packing. Each operator here is pure
+DataFrame algebra (JVM-side, whole-stage codegen) except the first-fit bin
+packer, which is an Arrow-batched ``applyInPandas`` per shard.
+
+Scale notes per operator are in the docstrings; the common theme: never
+all-pairs, never a global sort unless the semantics demand one, and
+anything keyed shuffles once on hashed longs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cdc_connector_spark.ops.dedup import hashed_shingles
+from cdc_connector_spark.ops.textstats import token_count
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    n: int = 3,
+    min_overlap: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ≥ ``min_overlap``
+    distinct word ``n``-grams with any eval/benchmark doc (the standard
+    "n-gram collision" decontamination rule used for pretraining corpora).
+
+    Shape: inverted-index join on shingle HASHES — explode both sides to
+    (shingle_hash, doc) and join on the hash, so cost is O(matching
+    shingles), never O(train × eval). The eval side is small by definition
+    (a benchmark suite) and is broadcast; the train side streams through
+    one exchange. Returns (train id, eval id, overlap) pairs; aggregate to
+    a per-train-doc flag with a groupBy if only the verdict is needed.
+    """
+    t = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(hashed_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    e = eval_set.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(hashed_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    return (
+        t.join(F.broadcast(e), "sh")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))  # shingles are distinct per doc
+        .filter(F.col("overlap") >= min_overlap)
+    )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and RE2
+# (DuckDB/Go): no lookaround, no backrefs. Email first (its local part can
+# contain digits that the phone pattern would otherwise eat), then IPv4,
+# then phone.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+)
+
+
+def redact_pii(col) -> F.Column:
+    """Chained ``regexp_replace`` scrub of emails, IPv4s, and phone numbers —
+    a single projection, fully inside whole-stage codegen (zero Python).
+    At 100 TB a regex scrub is scan-bound; keeping it JVM-side means it
+    rides the same stage as the scan instead of forcing an Arrow hop."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.coalesce(c, F.lit(""))
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def hash_sample(
+    df: DataFrame, pct: int, key_col: str = "doc_id", salt: int = 0
+) -> DataFrame:
+    """Deterministic ``pct``-percent sample by multiplicative hash of the key
+    (Knuth 2654435761 mod 2^32) — reproducible across engines and runs,
+    unlike ``DataFrame.sample`` (seed interacts with partitioning). The
+    arithmetic is pure bigint (no 64-bit wraparound, ANSI-safe) so the SAME
+    expression evaluates identically in any SQL engine — which is what makes
+    a sampling decision auditable. Sampling is a plain filter: no shuffle,
+    pushed to the scan."""
+    bucket = F.pmod(
+        (F.col(key_col) + F.lit(salt)) * F.lit(2654435761), F.lit(4294967296)
+    ) % 100
+    return df.filter(bucket < pct)
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    quota: int,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain quota: keep at most ``quota`` docs per ``group_col``,
+    deterministically (ordered by ``order_col``) — the "cap any single
+    domain's share of the corpus" step. One shuffle on the group key; with
+    heavy skew (one domain = half the corpus) the window degrades to a
+    single hot partition — pre-filter such domains with ``hash_sample``
+    first (rank-within-sample ≈ rank-within-domain for capping purposes)."""
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    shard_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence packing (concat-and-chunk): within each shard,
+    documents are concatenated in ``id_col`` order and cut into fixed
+    ``budget``-token sequences; a doc straddling a boundary is split (the
+    standard pretraining packing — no padding waste, deterministic layout).
+
+    Returns (id, shard, n_tokens, seq_id, seq_offset): doc starts at
+    ``seq_offset`` of sequence ``seq_id`` within its shard. Pure window
+    algebra: one shuffle on the shard key, a running sum per shard — packing
+    100 TB is then embarrassingly parallel across shards, which is why the
+    shard column is REQUIRED (a global pack is a single-partition sort by
+    construction; shard first, pack within shards, as every production
+    pipeline does)."""
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(shard_col),
+            token_count(F.col(text_col)).alias("n_tokens"),
+        )
+        .withColumn("__cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            id_col,
+            shard_col,
+            "n_tokens",
+            F.floor(F.col("__cum_before") / budget).alias("seq_id"),
+            (F.col("__cum_before") % budget).alias("seq_offset"),
+        )
+    )
+
+
+def pack_sequences_firstfit(
+    df: DataFrame,
+    budget: int,
+    shard_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """First-fit-decreasing bin packing per shard — the NO-SPLIT variant for
+    SFT/eval-style data where a document must not straddle sequences.
+    Returns (id, shard, n_tokens, bin_id). Docs larger than ``budget`` get a
+    bin of their own (callers typically truncate or drop them first).
+
+    Per-shard state (open-bin free space) is inherently sequential, so this
+    runs as one Arrow batch per shard via ``applyInPandas`` — parallel
+    across shards, exact within a shard. FFD is within 11/9·OPT+1 bins of
+    optimal (classical bound), which is why it's the standard packer."""
+    import pandas as pd
+
+    with_tokens = df.select(
+        F.col(id_col), F.col(shard_col), token_count(F.col(text_col)).alias("n_tokens")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        bins: list[int] = []  # free space per open bin
+        assigned = []
+        for tok in pdf["n_tokens"]:
+            for i, free in enumerate(bins):
+                if tok <= free:
+                    bins[i] = free - tok
+                    assigned.append(i)
+                    break
+            else:
+                bins.append(max(budget - tok, 0))
+                assigned.append(len(bins) - 1)
+        pdf["bin_id"] = pd.Series(assigned, dtype="int64")
+        return pdf
+
+    schema = f"{id_col} long, {shard_col} string, n_tokens int, bin_id long"
+    return with_tokens.groupBy(shard_col).applyInPandas(pack, schema=schema)

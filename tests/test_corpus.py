@@ -1,0 +1,134 @@
+"""Corpus-prep operators: decontamination, PII redaction, sampling, packing.
+
+The oracle gate (driver) value-verifies the SQL-expressible paths; these
+tests pin the library-level invariants — packing feasibility, sample
+determinism, redaction completeness — that row/hash compares don't state
+directly.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_connector_spark.ops.corpus import (
+    decontaminate,
+    hash_sample,
+    pack_sequences,
+    pack_sequences_firstfit,
+    quota_sample,
+    redact_pii,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from cdc_connector_spark.tables import load_table
+
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def test_decontaminate_finds_planted_contamination(spark):
+    eval_set = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words the quick brown fox jumps over the lazy dog today suffix"),
+            (2, "completely unrelated text with no overlap whatsoever here now"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = decontaminate(train, eval_set, n=3, min_overlap=5).collect()
+    assert [(r["train_id"], r["eval_id"]) for r in hits] == [(1, 100)]
+    assert hits[0]["overlap"] >= 8  # the whole planted sentence overlaps
+
+
+def test_redact_pii_scrubs_all_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail a.user+tag@sub.example.org now",),
+            ("host 192.168.0.254 is up",),
+            ("call 555-123-4567 or 555.765.4321",),
+            ("clean text stays untouched",),
+        ],
+        "t string",
+    )
+    out = [r[0] for r in df.select(redact_pii("t")).collect()]
+    assert out[0] == "mail [EMAIL] now"
+    assert out[1] == "host [IP] is up"
+    assert out[2] == "call [PHONE] or [PHONE]"
+    assert out[3] == "clean text stays untouched"
+
+
+def test_hash_sample_deterministic_and_sized(docs):
+    a = {r["doc_id"] for r in hash_sample(docs, 20).select("doc_id").collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, 20).select("doc_id").collect()}
+    assert a == b  # reproducible, unlike DataFrame.sample
+    n = docs.count()
+    assert 0.1 * n < len(a) < 0.3 * n  # ~20%
+    # monotone: a larger sample contains the smaller one (same salt)
+    c = {r["doc_id"] for r in hash_sample(docs, 50).select("doc_id").collect()}
+    assert a <= c
+
+
+def test_quota_sample_caps_each_group(docs):
+    out = quota_sample(docs, "source", quota=5)
+    per_group = out.groupBy("source").count().collect()
+    assert all(r["count"] <= 5 for r in per_group)
+    # deterministic: the kept docs are the lowest doc_ids per source
+    first = out.filter(F.col("source") == "src0").select("doc_id").collect()
+    lowest = (
+        docs.filter(F.col("source") == "src0")
+        .orderBy("doc_id")
+        .limit(5)
+        .select("doc_id")
+        .collect()
+    )
+    assert sorted(r[0] for r in first) == sorted(r[0] for r in lowest)
+
+
+def test_pack_sequences_layout_is_gapless(docs):
+    """Concat-and-chunk invariant: within a shard, doc placements tile the
+    token stream with no gaps — next doc starts exactly where the previous
+    ended (mod budget)."""
+    budget = 256
+    rows = (
+        pack_sequences(docs, budget=budget, shard_col="source")
+        .filter(F.col("source") == "src0")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert rows
+    pos = 0
+    for r in rows:
+        assert r["seq_id"] == pos // budget
+        assert r["seq_offset"] == pos % budget
+        pos += r["n_tokens"]
+
+
+def test_pack_firstfit_bins_respect_budget(docs):
+    budget = 256
+    out = pack_sequences_firstfit(docs, budget=budget, shard_col="source")
+    # every doc assigned exactly once
+    assert out.count() == docs.count()
+    fill = (
+        out.groupBy("source", "bin_id")
+        .agg(F.sum("n_tokens").alias("fill"), F.count("*").alias("n"))
+        .collect()
+    )
+    for r in fill:
+        # a bin exceeds budget only when a single oversized doc owns it
+        assert r["fill"] <= budget or r["n"] == 1
+    # packing is not degenerate: strictly fewer bins than docs
+    n_bins = out.select("source", "bin_id").distinct().count()
+    assert n_bins < docs.count()
+
+
+def test_pack_firstfit_oversized_doc_gets_own_bin(spark):
+    df = spark.createDataFrame(
+        [(1, "a", " ".join(["w"] * 300)), (2, "a", "short doc"), (3, "a", "tiny")],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in pack_sequences_firstfit(df, 256, "source").collect()}
+    assert out[1]["bin_id"] != out[2]["bin_id"]  # 300 > budget → alone
+    assert out[2]["bin_id"] == out[3]["bin_id"]  # small docs share
