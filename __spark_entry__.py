@@ -888,12 +888,14 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
     )
+    # one quarter of orders is selective at ANY scale factor — broadcast it
+    # (Catalyst can't infer that from a derived subquery's stats)
     late = li.join(
-        q3_96.select("o_orderkey", "o_orderdate"),
+        F.broadcast(q3_96.select("o_orderkey", "o_orderdate")),
         li.l_orderkey == F.col("o_orderkey"),
     ).filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
     return (
-        q3_96.join(late.select("l_orderkey").distinct(), q3_96.o_orderkey == F.col("l_orderkey"), "left_semi")
+        q3_96.join(F.broadcast(late.select("l_orderkey").distinct()), q3_96.o_orderkey == F.col("l_orderkey"), "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
