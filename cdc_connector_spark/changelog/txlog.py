@@ -420,6 +420,93 @@ class TxLogMergeSink:
             except FileNotFoundError:
                 pass
 
+    def append(self, df: DataFrame) -> None:
+        """Insert-only fast path: bucket and add the batch's files WITHOUT
+        reading or rewriting existing data — O(batch) total, zero read
+        amplification. For insert-only streams (event logs, append-only CDC
+        topics) where the caller guarantees key-uniqueness; duplicate keys
+        are NOT merged (use ``apply`` for merge semantics). This is what
+        fragments buckets over time — ``compact`` is its maintenance twin
+        (the merge-on-read half of the copy-on-write/append trade)."""
+        if self._snapshot().version < 0:
+            self.overwrite(df)
+            return
+        adds: list[dict] | None = None
+        for _ in range(self.max_commit_retries):
+            snap = self._snapshot()
+            self._guard_schema(df, snap)
+            if adds is None:
+                adds = self._write_files(df, n_shuffle=self._default_shuffle())
+            new_cols = sorted(set(df.columns) - set(snap.columns or []))
+            actions: list[dict] = []
+            if new_cols:
+                actions.append(
+                    {"metaData": {
+                        "key_cols": self.key_cols,
+                        "num_buckets": self.num_buckets,
+                        "columns": sorted(set(snap.columns or []) | set(df.columns)),
+                    }}
+                )
+            actions.extend(adds)
+            actions.append({"commitInfo": {"operation": "APPEND", "ts": time.time()}})
+            try:
+                self._try_commit(snap.version + 1, actions)
+            except CommitConflict:
+                # an append's inputs are only its OWN new files — nothing a
+                # concurrent commit can invalidate. Re-publish the same
+                # files at the next version: zero recompute.
+                continue
+            self._maybe_checkpoint(snap.version + 1)
+            return
+        raise RuntimeError(f"append lost {self.max_commit_retries} commit races")
+
+    def compact(self, min_files: int = 4) -> int:
+        """Small-file compaction (the lakehouse ``OPTIMIZE`` analogue):
+        every bucket holding ≥ ``min_files`` live files is rewritten into
+        one, published as a normal commit (N removes + 1 add per bucket) —
+        data is byte-equal, so readers see no semantic change and time
+        travel still reaches the pre-compaction layout.
+
+        Streaming CDC accrues one file per touched bucket per micro-batch;
+        without compaction a year of 10-second triggers is ~3M files per hot
+        bucket and scan planning dies on file-listing overhead long before
+        data size matters. Run this on the maintenance cadence (the
+        reference's scheduled-validation slot, O5). Only buckets over the
+        threshold rewrite — cost is O(fragmented data), not O(table).
+        Returns the number of buckets compacted."""
+        for _ in range(self.max_commit_retries):
+            snap = self._snapshot()
+            if snap.version < 0:
+                return 0
+            by_bucket: dict[int, list[str]] = {}
+            for p, b in snap.files.items():
+                by_bucket.setdefault(b, []).append(p)
+            frag = {b: ps for b, ps in by_bucket.items() if len(ps) >= min_files}
+            if not frag:
+                return 0
+            frag_paths = sorted(p for ps in frag.values() for p in ps)
+            df = self._read_files(frag_paths)
+            # one output file per fragmented bucket
+            adds = self._write_files(df, n_shuffle=len(frag))
+            actions = [
+                *adds,
+                *({"remove": {"path": p, "bucket": snap.files[p]}} for p in frag_paths),
+                {"commitInfo": {
+                    "operation": "COMPACT",
+                    "ts": time.time(),
+                    "buckets": sorted(frag),
+                }},
+            ]
+            try:
+                self._try_commit(snap.version + 1, actions)
+            except CommitConflict:
+                # another writer may have rewritten our inputs: recompute
+                self._discard(adds)
+                continue
+            self._maybe_checkpoint(snap.version + 1)
+            return len(frag)
+        raise RuntimeError(f"compact lost {self.max_commit_retries} commit races")
+
     def vacuum(self, retain_versions: int = 2) -> int:
         """Physically delete data files removed more than ``retain_versions``
         commits ago (readers at most that far behind stay consistent — the

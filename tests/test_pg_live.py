@@ -610,3 +610,64 @@ def test_live_snapshot_to_merge_sink_end_to_end(spark, pg, lineitem, tmp_path):
     sink.overwrite(src)
     report = run_all_checks("li_small", src, sink.read(), ["l_orderkey", "l_linenumber"])
     assert report.verdict == "PASS"
+
+
+def test_live_cdc_into_txlog_table(spark, pg, tmp_path):
+    """LIVE CDC landing in the transaction-log table: snapshot bootstrap,
+    two rounds of real DML applied as separate commits, compaction, and the
+    table must converge to the database's live state — with the pre-compact
+    history still time-travelable."""
+    from pyspark.sql import types as T
+
+    from cdc_connector_spark.changelog.envelope import flatten_envelope
+    from cdc_connector_spark.changelog.txlog import TxLogMergeSink
+    from cdc_connector_spark.sources.pg_logical import (
+        changes_to_envelope,
+        create_slot,
+        drop_slot,
+        fetch_changes,
+    )
+
+    run_sql(pg, "DROP TABLE IF EXISTS acct_tx")
+    run_sql(pg, "CREATE TABLE acct_tx (id bigint PRIMARY KEY, name text, bal double precision)")
+    run_sql(pg, "INSERT INTO acct_tx VALUES (1, 'alice', 10.5), (2, 'bob', 20.0), (3, 'eve', 0)")
+
+    spark.dataSource.register(PostgresCopyDataSource)
+    snap = spark.read.format("pgcopy").options(**pg.options(), table="acct_tx").load()
+    table = TxLogMergeSink(spark, str(tmp_path / "acct_tx"), ["id"], num_buckets=4)
+    table.overwrite(snap)
+
+    row_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("bal", T.DoubleType()),
+    ])
+    create_slot(pg, "cdc_txlog")
+    try:
+        run_sql(pg, "INSERT INTO acct_tx VALUES (4, 'dora', 1.25)")
+        run_sql(pg, "UPDATE acct_tx SET bal = bal + 5 WHERE id = 1")
+        env = changes_to_envelope(spark, fetch_changes(pg, "cdc_txlog"), row_schema, table="acct_tx")
+        table.apply(flatten_envelope(env, key_cols=["id"]))
+        v_mid = table.current_version()
+
+        run_sql(pg, "DELETE FROM acct_tx WHERE id = 3; UPDATE acct_tx SET name = 'bobby' WHERE id = 2")
+        env = changes_to_envelope(spark, fetch_changes(pg, "cdc_txlog"), row_schema, table="acct_tx")
+        table.apply(flatten_envelope(env, key_cols=["id"]))
+        # merge rewrites whole buckets, so nothing fragments here — compact
+        # must be a safe no-op on a live table (fragmentation path is the
+        # append() fast path, unit-tested in test_txlog_sink)
+        n_compacted = table.compact(min_files=2)
+
+        live = {(r["id"], r["name"], r["bal"]) for r in
+                spark.read.format("pgcopy").options(**pg.options(), table="acct_tx").load().collect()}
+        sunk = {(r["id"], r["name"], r["bal"]) for r in table.read().collect()}
+        assert sunk == live
+        assert (2, "bobby", 20.0) in sunk and all(t[0] != 3 for t in sunk)
+        # mid-stream version: pre-delete state, still readable after compact
+        mid = {r["id"] for r in table.read(version=v_mid).collect()}
+        assert mid == {1, 2, 3, 4}
+        ops = [h["operation"] for h in table.history()]
+        assert ops[0] == "OVERWRITE" and ops.count("MERGE") == 2
+        assert ("COMPACT" in ops) == (n_compacted > 0)
+    finally:
+        drop_slot(pg, "cdc_txlog")

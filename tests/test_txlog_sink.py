@@ -247,6 +247,53 @@ def test_changelog_stream_over_txlog_sink(spark, tmp_path):
     assert {r["id"]: r["val"] for r in sink.read().collect()} == {1: "a2"}
 
 
+def test_append_adds_without_rewriting(spark, tmp_path):
+    """Insert-only fast path: existing files stay physically untouched
+    (same paths in the snapshot), only new files join the table."""
+    sink = TxLogMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=4)
+    sink.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], ROW_SCHEMA))
+    files_v0 = set(sink._snapshot().files)
+    sink.append(spark.createDataFrame([(3, "c"), (4, "d")], ROW_SCHEMA))
+    snap = sink._snapshot()
+    assert files_v0 <= set(snap.files)  # zero write amplification
+    assert {r["id"] for r in sink.read().collect()} == {1, 2, 3, 4}
+    assert sink.history()[-1]["operation"] == "APPEND"
+    # append to an empty table bootstraps
+    s2 = TxLogMergeSink(spark, str(tmp_path / "t2"), ["id"])
+    s2.append(spark.createDataFrame([(9, "z")], ROW_SCHEMA))
+    assert s2.count() == 1
+
+
+def test_compact_merges_small_files_preserving_data(spark, tmp_path):
+    """OPTIMIZE analogue: repeated small merges fragment buckets into many
+    files; compact() rewrites fragmented buckets to one file each via a
+    normal log commit — same data, same history, fewer files."""
+    sink = TxLogMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=2)
+    sink.overwrite(spark.createDataFrame([(i, "base") for i in range(10)], ROW_SCHEMA))
+    for i in range(5):  # insert-only fast path: adds files, rewrites nothing
+        sink.append(spark.createDataFrame([(100 + i, f"n{i}")], ROW_SCHEMA))
+    before = sorted(sink.read().collect())
+    snap = sink._snapshot()
+    files_per_bucket: dict[int, int] = {}
+    for b in snap.files.values():
+        files_per_bucket[b] = files_per_bucket.get(b, 0) + 1
+    assert max(files_per_bucket.values()) >= 4  # genuinely fragmented
+
+    n = sink.compact(min_files=4)
+    assert n >= 1
+    after_snap = sink._snapshot()
+    per_bucket: dict[int, int] = {}
+    for b in after_snap.files.values():
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+    assert max(per_bucket.values()) < 4  # compacted buckets now 1 file
+    assert sorted(sink.read().collect()) == before  # byte-equal data
+    # pre-compaction version still time-travels
+    assert len(sink.read(version=snap.version).collect()) == len(before)
+    assert sink.history()[-1]["operation"] == "COMPACT"
+    # idempotent when nothing is fragmented
+    assert sink.compact(min_files=4) == 0
+
+
 def test_delete_only_batch_commits_no_adds(spark, tmp_path):
     sink = TxLogMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=2)
     sink.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], ROW_SCHEMA))
