@@ -877,6 +877,16 @@ def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gopher_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops: Gopher-rule quality filter (word count, mean word length,
+    alpha-word ratio, trigram repetition) — one codegen projection,
+    value-verified against the identical rule arithmetic in DuckDB."""
+    from cdc_connector_spark.ops.textstats import gopher_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_quality(docs)
+
+
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (EXISTS semi-join into a priority count). The fixture
     lineitem has no commit/receipt dates, so "late" is adapted to
@@ -1227,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample_documents": quota_sample_documents,
         "hash_sample_documents": hash_sample_documents,
         "pack_sequences_documents": pack_sequences_documents,
+        "gopher_quality_documents": gopher_quality_documents,
         "q4_order_priority": q4_order_priority,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q7_volume_shipping": q7_volume_shipping,
@@ -1789,6 +1800,39 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample_documents": """
             SELECT doc_id, source FROM documents
             WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 20
+        """,
+        "gopher_quality_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text,'')) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(coalesce(text,'')), '\\s+') END AS toks,
+                       length(regexp_replace(coalesce(text,''), '\\s+', '', 'g')) AS non_ws
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       len(toks) AS n_words,
+                       CASE WHEN len(toks) > 0 THEN non_ws / len(toks) ELSE 0.0 END AS mean_wl,
+                       CASE WHEN len(toks) > 0
+                            THEN len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) / len(toks)
+                            ELSE 0.0 END AS alpha_ratio,
+                       greatest(len(toks) - 2, 0) AS n_tri,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                            ELSE CAST([] AS VARCHAR[]) END AS tri
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   round(mean_wl, 6) AS mean_word_len,
+                   round(alpha_ratio, 6) AS alpha_word_ratio,
+                   round(CASE WHEN n_tri > 0 THEN 1.0 - len(list_distinct(tri)) / n_tri ELSE 0.0 END, 6)
+                       AS trigram_dup_ratio,
+                   (n_words >= 30 AND mean_wl >= 2.0 AND mean_wl <= 12.0
+                    AND alpha_ratio > 0.7
+                    AND (CASE WHEN n_tri > 0 THEN 1.0 - len(list_distinct(tri)) / n_tri ELSE 0.0 END) < 0.6)
+                       AS keep
+            FROM m
         """,
         "q4_order_priority": """
             SELECT o_orderpriority, COUNT(*) AS order_count

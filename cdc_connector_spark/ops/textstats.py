@@ -102,6 +102,57 @@ def quality_score(col: Column | str) -> Column:
     return (length_f * 0.3 + tok_f * 0.2 + sw_f * 0.2 + alpha_ratio * 0.3).cast("double")
 
 
+def gopher_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1 — the
+    standard pretraining corpus filter family), as one codegen projection:
+
+    - ``n_words``: whitespace token count (rule: within [min, max] bounds)
+    - ``mean_word_len``: non-whitespace chars / words (rule: sane 2..12)
+    - ``alpha_word_ratio``: fraction of words containing a letter (rule: >0.7)
+    - ``trigram_dup_ratio``: 1 − distinct/total word trigrams — the
+      repetition rule that kills boilerplate and keyword-stuffed pages
+    - ``keep``: the conjunction, thresholds per the fixture's scale
+
+    All metrics are higher-order array expressions on one tokenize pass —
+    no Python, no shuffle, scan-bound at any corpus size. Thresholds are
+    arguments in spirit; fixed here so the engine-portable SQL twin (the
+    correctness oracle) states the same rule set.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokenize(text_col)
+    n_words = F.size(toks)
+    non_ws = F.length(F.regexp_replace(c, r"\s+", ""))
+    mean_wl = F.when(n_words > 0, non_ws / n_words).otherwise(F.lit(0.0))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_ratio = F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0))
+    n_tri = F.greatest(n_words - F.lit(2), F.lit(0))
+    tri = F.when(
+        n_tri > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_tri),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_ratio = F.when(
+        n_tri > 0, F.lit(1.0) - F.size(F.array_distinct(tri)) / n_tri
+    ).otherwise(F.lit(0.0))
+    keep = (
+        (n_words >= 30)  # Gopher's 50-word floor scaled to the fixture's 10..99 range
+        & (mean_wl >= 2.0)
+        & (mean_wl <= 12.0)
+        & (alpha_ratio > 0.7)
+        & (dup_ratio < 0.6)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        F.round(dup_ratio, 6).alias("trigram_dup_ratio"),
+        keep.alias("keep"),
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 of case/punctuation/whitespace-normalized text.
 

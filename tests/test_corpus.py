@@ -124,6 +124,24 @@ def test_pack_firstfit_bins_respect_budget(docs):
     assert n_bins < docs.count()
 
 
+def test_gopher_quality_rules_discriminate(spark):
+    from cdc_connector_spark.ops.textstats import gopher_quality
+
+    good = " ".join(f"word{i} text here" for i in range(15))  # 45 varied words
+    repetitive = " ".join(["spam ham"] * 40)  # 80 words, ~2 distinct trigrams
+    short = "too short to keep"
+    numeric = " ".join(["123 456"] * 30)  # no alphabetic words
+    df = spark.createDataFrame(
+        [(1, good), (2, repetitive), (3, short), (4, numeric)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["trigram_dup_ratio"] > 0.9
+    assert out[3]["keep"] is False and out[3]["n_words"] < 30
+    assert out[4]["keep"] is False and out[4]["alpha_word_ratio"] == 0.0
+
+
 def test_pack_firstfit_oversized_doc_gets_own_bin(spark):
     df = spark.createDataFrame(
         [(1, "a", " ".join(["w"] * 300)), (2, "a", "short doc"), (3, "a", "tiny")],
