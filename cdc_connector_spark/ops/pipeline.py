@@ -74,3 +74,67 @@ def clean_corpus(
         .distinct()
     )
     return deduped.join(ranked, deduped[id_col] == ranked.loser, "left_anti")
+
+
+def pretrain_corpus(
+    docs: DataFrame,
+    eval_set: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+    keep_langs: tuple[str, ...] | None = ("en",),
+    near_dup: bool = True,
+    jaccard_threshold: float = 0.8,
+    decontam_ngram: int = 3,
+    decontam_min_overlap: int = 5,
+    pack_budget: int = 2048,
+) -> DataFrame:
+    """The full pretraining data recipe, composed from the engine's
+    operators in the canonical order (cheapest-and-most-selective first,
+    pairwise stages last):
+
+        Gopher quality rules → language filter → exact dedup → MinHash
+        near-dup pruning → benchmark decontamination → sequence packing
+
+    Returns the surviving docs with ``lang_pred``/``quality`` from the
+    cleaning stages plus ``(n_tokens, seq_id, seq_offset)`` packing
+    placement. Every stage before near-dup is one pipelined scan; near-dup
+    and decontamination are banded/inverted-index joins (never all-pairs);
+    packing is a per-shard window. The whole recipe is a handful of
+    shuffles regardless of corpus size.
+    """
+    from cdc_connector_spark.ops.corpus import decontaminate, pack_sequences
+    from cdc_connector_spark.ops.textstats import gopher_quality
+
+    flags = gopher_quality(docs, text_col=text_col, id_col=id_col)
+    kept = docs.join(
+        flags.filter(F.col("keep")).select(id_col), id_col, "left_semi"
+    )
+    cleaned = clean_corpus(
+        kept,
+        text_col=text_col,
+        id_col=id_col,
+        keep_langs=keep_langs,
+        near_dup=near_dup,
+        jaccard_threshold=jaccard_threshold,
+    )
+    if eval_set is not None:
+        dirty = (
+            decontaminate(
+                cleaned,
+                eval_set,
+                n=decontam_ngram,
+                min_overlap=decontam_min_overlap,
+                text_col=text_col,
+                id_col=id_col,
+            )
+            .select(F.col("train_id").alias(id_col))
+            .distinct()
+        )
+        cleaned = cleaned.join(dirty, id_col, "left_anti")
+    placed = pack_sequences(
+        cleaned, budget=pack_budget, shard_col=shard_col, text_col=text_col, id_col=id_col
+    )
+    return cleaned.join(
+        placed.select(id_col, "n_tokens", "seq_id", "seq_offset"), id_col
+    )

@@ -53,3 +53,34 @@ def test_output_carries_scores(corpus):
     out = clean_corpus(corpus)
     assert {"lang_pred", "quality"} <= set(out.columns)
     assert out.filter(F.col("quality").isNull()).count() == 0
+
+
+def test_pretrain_corpus_full_recipe(spark):
+    from cdc_connector_spark.ops.pipeline import pretrain_corpus
+
+    base = GOOD_EN + " and still more ordinary english words follow here"
+    rows = [
+        (1, base, "sA"),
+        (2, base, "sA"),                                     # exact dup → dropped
+        (3, "x " * 8, "sA"),                                 # fails Gopher word floor
+        (4, base + " benchmark sentinel secret eval phrase words", "sB"),  # contaminated
+        (5, "the plain second keeper with the fine ordinary english words "
+            "and the weather is good today in that green park of the town "
+            "with the dog and the cat walking along the quiet river", "sB"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    eval_set = spark.createDataFrame(
+        [(100, "benchmark sentinel secret eval phrase words")],
+        "doc_id int, text string",
+    )
+    out = pretrain_corpus(
+        docs,
+        eval_set=eval_set,
+        near_dup=False,
+        decontam_min_overlap=3,
+        pack_budget=64,
+    )
+    rows_out = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows_out) == {1, 5}          # dup, junk, contaminated all gone
+    for r in rows_out.values():             # packing placement present + sane
+        assert r["seq_offset"] < 64 and r["n_tokens"] > 0 and r["seq_id"] >= 0
