@@ -73,7 +73,7 @@ def bench_snapshot_throughput(spark, sf_dir: str) -> tuple[float, float]:
     return dt, n_rows / dt
 
 
-def bench_changelog_apply(spark, sf_dir: str, sink_cls=None) -> tuple[float, float]:
+def bench_changelog_apply(spark, sf_dir: str, sink_cls=None, method: str = "apply") -> tuple[float, float]:
     """Changelog-apply throughput (ST2): bootstrap sink from orders, then
     MERGE one batch of updates+deletes (20% of keys). Mirrors the
     reference's sink batch apply (batch.size 3000,
@@ -114,14 +114,15 @@ def bench_changelog_apply(spark, sf_dir: str, sink_cls=None) -> tuple[float, flo
     try:
         sink = sink_cls(spark, os.path.join(root, "orders"), ["o_orderkey"], num_buckets=64)
         sink.overwrite(orders)
+        do_apply = getattr(sink, "apply_delta") if method == "mor" else sink.apply
         dt = dt_small = None
         for _ in range(2):  # best of 2; replay is idempotent (same merge work)
             t0 = time.time()
-            sink.apply(changes)
+            do_apply(changes)
             cur = time.time() - t0
             dt = cur if dt is None or cur < dt else dt
             t0 = time.time()
-            sink.apply(small)
+            do_apply(small)
             cur = time.time() - t0
             dt_small = cur if dt_small is None or cur < dt_small else dt_small
     finally:
@@ -262,6 +263,15 @@ def main() -> None:
     total += tx_dt + tx_small_dt
     print(f"# changelog_apply_txlog: {tx_dt:.2f}s ({tx_eps:,.0f} events/s)", file=sys.stderr)
     print(f"# changelog_apply_txlog_small_batch: {tx_small_dt:.2f}s", file=sys.stderr)
+
+    mor_dt, mor_eps, mor_small_dt, _ = bench_changelog_apply(
+        spark, sf_dir, sink_cls=TxLogMergeSink, method="mor"
+    )
+    timings["changelog_apply_mor"] = round(mor_dt, 3)
+    timings["changelog_apply_mor_small_batch"] = round(mor_small_dt, 3)
+    total += mor_dt + mor_small_dt
+    print(f"# changelog_apply_mor: {mor_dt:.2f}s ({mor_eps:,.0f} events/s, write-side only)", file=sys.stderr)
+    print(f"# changelog_apply_mor_small_batch: {mor_small_dt:.2f}s", file=sys.stderr)
 
     live_timings, live_rates = bench_live_plane(spark, sf_dir)
     timings.update(live_timings)

@@ -67,11 +67,14 @@ class CommitConflict(Exception):
 
 
 class _Snapshot:
-    __slots__ = ("version", "files", "columns", "num_buckets", "key_cols", "removed")
+    __slots__ = (
+        "version", "files", "deltas", "columns", "num_buckets", "key_cols", "removed"
+    )
 
     def __init__(self):
         self.version: int = -1
-        self.files: dict[str, int] = {}  # rel path -> bucket
+        self.files: dict[str, int] = {}  # base file rel path -> bucket
+        self.deltas: dict[str, int] = {}  # merge-on-read delta file -> bucket
         self.removed: dict[str, int] = {}  # rel path -> version removed at
         self.columns: list[str] | None = None
         self.num_buckets: int | None = None
@@ -79,6 +82,9 @@ class _Snapshot:
 
     def bucket_files(self, buckets: set[int]) -> list[str]:
         return [p for p, b in self.files.items() if b in buckets]
+
+    def bucket_deltas(self, buckets: set[int]) -> list[str]:
+        return [p for p, b in self.deltas.items() if b in buckets]
 
 
 class TxLogMergeSink:
@@ -173,6 +179,7 @@ class TxLogMergeSink:
                     state = json.load(f)
                 snap.version = cp
                 snap.files = {p: int(b) for p, b in state["files"].items()}
+                snap.deltas = {p: int(b) for p, b in state.get("deltas", {}).items()}
                 snap.removed = {p: int(v) for p, v in state.get("removed", {}).items()}
                 snap.columns = state.get("columns")
                 snap.num_buckets = state.get("num_buckets")
@@ -192,10 +199,13 @@ class TxLogMergeSink:
                     snap.num_buckets = md.get("num_buckets", snap.num_buckets)
                     snap.key_cols = md.get("key_cols", snap.key_cols)
                 elif "add" in a:
-                    snap.files[a["add"]["path"]] = a["add"]["bucket"]
+                    target = snap.deltas if a["add"].get("delta") else snap.files
+                    target[a["add"]["path"]] = a["add"]["bucket"]
                     snap.removed.pop(a["add"]["path"], None)
                 elif "remove" in a:
                     b = snap.files.pop(a["remove"]["path"], None)
+                    if b is None:
+                        b = snap.deltas.pop(a["remove"]["path"], None)
                     if b is not None:
                         snap.removed[a["remove"]["path"]] = v
             snap.version = v
@@ -217,6 +227,7 @@ class TxLogMergeSink:
         }
         state = {
             "files": snap.files,
+            "deltas": snap.deltas,
             "removed": snap.removed,
             "columns": snap.columns,
             "num_buckets": snap.num_buckets,
@@ -280,11 +291,17 @@ class TxLogMergeSink:
 
     def read(self, version: int | None = None) -> DataFrame | None:
         """Snapshot (or time-travel) read: the file set is resolved once from
-        the log, so concurrent commits cannot tear the result."""
+        the log, so concurrent commits cannot tear the result. If the
+        snapshot holds merge-on-read delta files, the latest-per-key MERGE
+        is applied on the fly (the read-time half of the MOR trade)."""
         snap = self._snapshot(version)
         if snap.version < 0:
             return None
-        return self._read_files(sorted(snap.files))
+        base = self._read_files(sorted(snap.files))
+        if not snap.deltas:
+            return base
+        deltas = self._read_files(sorted(snap.deltas))
+        return apply_changes(base, deltas, self.key_cols)
 
     def count(self) -> int:
         df = self.read()
@@ -321,7 +338,10 @@ class TxLogMergeSink:
                     "columns": list(df.columns),
                 }},
                 *adds,
-                *({"remove": {"path": p, "bucket": b}} for p, b in sorted(snap.files.items())),
+                *(
+                    {"remove": {"path": p, "bucket": b}}
+                    for p, b in sorted({**snap.files, **snap.deltas}.items())
+                ),
                 {"commitInfo": {"operation": "OVERWRITE", "ts": time.time()}},
             ]
             try:
@@ -355,18 +375,27 @@ class TxLogMergeSink:
             snap = self._snapshot()
             version = snap.version + 1
             base_files = sorted(snap.bucket_files(touched_set)) if snap.version >= 0 else []
-            if adds is not None and base_files != last_base:
+            # MOR deltas on touched buckets must fold into this merge and be
+            # removed with it — leaving them would let an OLDER delta row
+            # overwrite the new base at read time (base rows carry no ts)
+            delta_files = sorted(snap.bucket_deltas(touched_set)) if snap.version >= 0 else []
+            all_inputs = base_files + delta_files
+            if adds is not None and all_inputs != last_base:
                 # a conflicting commit changed our inputs: stage is invalid
                 self._discard(adds)
                 adds = None
             if adds is None:
                 current = self._read_files(base_files)
+                if delta_files:
+                    current = apply_changes(
+                        current, self._read_files(delta_files), self.key_cols
+                    )
                 if snap.version >= 0:
                     self._guard_schema(changes, snap)
                 merged = apply_changes(current, changes, self.key_cols)
                 adds = self._write_files(merged, n_shuffle=max(1, len(touched)))
                 merged_cols = list(merged.columns)
-                last_base = base_files
+                last_base = all_inputs
             actions: list[dict] = []
             new_cols = sorted(set(merged_cols) - set(snap.columns or []))
             if snap.version < 0 or new_cols:
@@ -379,7 +408,8 @@ class TxLogMergeSink:
                 )
             actions.extend(adds)
             actions.extend(
-                {"remove": {"path": p, "bucket": snap.files[p]}} for p in base_files
+                {"remove": {"path": p, "bucket": snap.files.get(p, snap.deltas.get(p))}}
+                for p in all_inputs
             )
             actions.append(
                 {"commitInfo": {"operation": "MERGE", "ts": time.time(), "buckets": touched}}
@@ -460,6 +490,46 @@ class TxLogMergeSink:
             return
         raise RuntimeError(f"append lost {self.max_commit_retries} commit races")
 
+    def apply_delta(self, changes: DataFrame) -> None:
+        """Merge-on-read apply (the Hudi-MOR half of the write-cost trade):
+        the flattened change batch lands as bucketed DELTA files — keeping
+        its ``__op``/``__ts_ms``/``__seq`` columns — with NO read or rewrite
+        of existing data. Write cost is O(batch) no matter how many buckets
+        the keys touch; readers pay the latest-per-key merge until
+        ``compact()`` materializes base files.
+
+        Use when trigger latency matters more than read latency (high-
+        frequency CDC into a table read on a slower cadence); ``apply`` is
+        the copy-on-write twin for read-hot tables. The two interleave
+        freely: read() resolves base ⊕ deltas at any version, and the
+        (ts, seq) ordering contract (ST3) holds across any number of delta
+        layers. Commit-race handling is append's: delta files are this
+        writer's own, so a lost race re-publishes with zero recompute."""
+        if self._snapshot().version < 0:
+            # bootstrap: first batch becomes the base (no deltas to merge)
+            bootstrapped = apply_changes(None, changes, self.key_cols)
+            self.overwrite(bootstrapped)
+            return
+        adds: list[dict] | None = None
+        for _ in range(self.max_commit_retries):
+            snap = self._snapshot()
+            self._guard_schema(changes, snap)
+            if adds is None:
+                adds = self._write_files(changes, n_shuffle=self._default_shuffle())
+                for a in adds:
+                    a["add"]["delta"] = True
+            actions: list[dict] = [
+                *adds,
+                {"commitInfo": {"operation": "MERGE_DELTA", "ts": time.time()}},
+            ]
+            try:
+                self._try_commit(snap.version + 1, actions)
+            except CommitConflict:
+                continue
+            self._maybe_checkpoint(snap.version + 1)
+            return
+        raise RuntimeError(f"apply_delta lost {self.max_commit_retries} commit races")
+
     def compact(self, min_files: int = 4) -> int:
         """Small-file compaction (the lakehouse ``OPTIMIZE`` analogue):
         every bucket holding ≥ ``min_files`` live files is rewritten into
@@ -481,16 +551,25 @@ class TxLogMergeSink:
             by_bucket: dict[int, list[str]] = {}
             for p, b in snap.files.items():
                 by_bucket.setdefault(b, []).append(p)
-            frag = {b: ps for b, ps in by_bucket.items() if len(ps) >= min_files}
+            # a bucket is due when its base files fragment OR any MOR delta
+            # layer awaits materialization
+            frag = set(b for b, ps in by_bucket.items() if len(ps) >= min_files)
+            frag |= set(snap.deltas.values())
             if not frag:
                 return 0
-            frag_paths = sorted(p for ps in frag.values() for p in ps)
-            df = self._read_files(frag_paths)
-            # one output file per fragmented bucket
+            base_paths = sorted(snap.bucket_files(frag))
+            delta_paths = sorted(snap.bucket_deltas(frag))
+            df = self._read_files(base_paths)
+            if delta_paths:
+                df = apply_changes(df, self._read_files(delta_paths), self.key_cols)
+            # one output file per compacted bucket
             adds = self._write_files(df, n_shuffle=len(frag))
             actions = [
                 *adds,
-                *({"remove": {"path": p, "bucket": snap.files[p]}} for p in frag_paths),
+                *(
+                    {"remove": {"path": p, "bucket": snap.files.get(p, snap.deltas.get(p))}}
+                    for p in base_paths + delta_paths
+                ),
                 {"commitInfo": {
                     "operation": "COMPACT",
                     "ts": time.time(),

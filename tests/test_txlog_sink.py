@@ -294,6 +294,68 @@ def test_compact_merges_small_files_preserving_data(spark, tmp_path):
     assert sink.compact(min_files=4) == 0
 
 
+def test_mor_apply_delta_zero_read_amplification(spark, tmp_path):
+    """Merge-on-read: a delta apply writes only its own files — every
+    pre-existing base file survives untouched — yet read() converges to the
+    same state a copy-on-write apply would produce."""
+    sink = TxLogMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=4)
+    sink.overwrite(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ROW_SCHEMA))
+    files_v0 = set(sink._snapshot().files)
+    sink.apply_delta(
+        _batch(
+            spark,
+            [
+                (None, {"id": 1, "val": "a2"}, "u", 10, 1),
+                ({"id": 2, "val": "b"}, None, "d", 11, 2),
+                (None, {"id": 4, "val": "d"}, "c", 12, 3),
+            ],
+        )
+    )
+    snap = sink._snapshot()
+    assert set(snap.files) == files_v0  # base untouched: O(batch) write
+    assert snap.deltas  # the batch landed as delta files
+    assert {r["id"]: r["val"] for r in sink.read().collect()} == {1: "a2", 3: "c", 4: "d"}
+    assert sink.history()[-1]["operation"] == "MERGE_DELTA"
+
+
+def test_mor_layers_honor_ts_seq_ordering(spark, tmp_path):
+    """Multiple delta layers: latest (ts, seq) wins across layers, and a
+    same-ts tie breaks by seq — the ST3 contract through the MOR path."""
+    sink = TxLogMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=2)
+    sink.overwrite(spark.createDataFrame([(1, "v0")], ROW_SCHEMA))
+    sink.apply_delta(_batch(spark, [(None, {"id": 1, "val": "new"}, "u", 20, 5)]))
+    # older event arriving later must NOT win
+    sink.apply_delta(_batch(spark, [(None, {"id": 1, "val": "stale"}, "u", 10, 1)]))
+    assert [r["val"] for r in sink.read().collect()] == ["new"]
+    sink.apply_delta(_batch(spark, [(None, {"id": 1, "val": "tie"}, "u", 20, 6)]))
+    assert [r["val"] for r in sink.read().collect()] == ["tie"]
+
+
+def test_mor_compact_materializes_deltas(spark, tmp_path):
+    sink = TxLogMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=2)
+    sink.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], ROW_SCHEMA))
+    sink.apply_delta(_batch(spark, [(None, {"id": 1, "val": "a2"}, "u", 5, 5)]))
+    before = sorted(sink.read().collect())
+    assert sink.compact(min_files=999) == 1  # delta alone forces the bucket
+    snap = sink._snapshot()
+    assert not snap.deltas  # materialized
+    assert sorted(sink.read().collect()) == before
+    # reads now hit base files only (no merge window) — and history shows it
+    assert sink.history()[-1]["operation"] == "COMPACT"
+
+
+def test_cow_apply_folds_existing_deltas(spark, tmp_path):
+    """A copy-on-write apply on a bucket holding deltas must consume them:
+    otherwise an older delta row would overwrite the newer base on read."""
+    sink = TxLogMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=2)
+    sink.overwrite(spark.createDataFrame([(1, "v0")], ROW_SCHEMA))
+    sink.apply_delta(_batch(spark, [(None, {"id": 1, "val": "delta1"}, "u", 10, 1)]))
+    sink.apply(_batch(spark, [(None, {"id": 1, "val": "cow2"}, "u", 20, 2)]))
+    assert [r["val"] for r in sink.read().collect()] == ["cow2"]
+    # the consumed delta files are gone from the snapshot
+    assert not sink._snapshot().deltas
+
+
 def test_delete_only_batch_commits_no_adds(spark, tmp_path):
     sink = TxLogMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=2)
     sink.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], ROW_SCHEMA))
