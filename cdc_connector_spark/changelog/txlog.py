@@ -68,7 +68,8 @@ class CommitConflict(Exception):
 
 class _Snapshot:
     __slots__ = (
-        "version", "files", "deltas", "columns", "num_buckets", "key_cols", "removed"
+        "version", "files", "deltas", "columns", "num_buckets", "key_cols",
+        "removed", "stats",
     )
 
     def __init__(self):
@@ -76,6 +77,7 @@ class _Snapshot:
         self.files: dict[str, int] = {}  # base file rel path -> bucket
         self.deltas: dict[str, int] = {}  # merge-on-read delta file -> bucket
         self.removed: dict[str, int] = {}  # rel path -> version removed at
+        self.stats: dict[str, dict] = {}  # rel path -> {"min": {...}, "max": {...}}
         self.columns: list[str] | None = None
         self.num_buckets: int | None = None
         self.key_cols: list[str] | None = None
@@ -181,6 +183,7 @@ class TxLogMergeSink:
                 snap.files = {p: int(b) for p, b in state["files"].items()}
                 snap.deltas = {p: int(b) for p, b in state.get("deltas", {}).items()}
                 snap.removed = {p: int(v) for p, v in state.get("removed", {}).items()}
+                snap.stats = state.get("stats", {})
                 snap.columns = state.get("columns")
                 snap.num_buckets = state.get("num_buckets")
                 snap.key_cols = state.get("key_cols")
@@ -201,6 +204,8 @@ class TxLogMergeSink:
                 elif "add" in a:
                     target = snap.deltas if a["add"].get("delta") else snap.files
                     target[a["add"]["path"]] = a["add"]["bucket"]
+                    if "stats" in a["add"]:
+                        snap.stats[a["add"]["path"]] = a["add"]["stats"]
                     snap.removed.pop(a["add"]["path"], None)
                 elif "remove" in a:
                     b = snap.files.pop(a["remove"]["path"], None)
@@ -208,6 +213,7 @@ class TxLogMergeSink:
                         b = snap.deltas.pop(a["remove"]["path"], None)
                     if b is not None:
                         snap.removed[a["remove"]["path"]] = v
+                        snap.stats.pop(a["remove"]["path"], None)
             snap.version = v
             v += 1
         if version is not None and snap.version < version:
@@ -229,6 +235,7 @@ class TxLogMergeSink:
             "files": snap.files,
             "deltas": snap.deltas,
             "removed": snap.removed,
+            "stats": snap.stats,
             "columns": snap.columns,
             "num_buckets": snap.num_buckets,
             "key_cols": snap.key_cols,
@@ -270,9 +277,51 @@ class TxLogMergeSink:
             for name in os.listdir(os.path.join(out_dir, bdir)):
                 if name.endswith(".parquet"):
                     rel = os.path.join("data", commit_id, bdir, name)
-                    size = os.path.getsize(os.path.join(self.path, rel))
-                    adds.append({"add": {"path": rel, "bucket": b, "size": size}})
+                    full = os.path.join(self.path, rel)
+                    add = {"add": {"path": rel, "bucket": b, "size": os.path.getsize(full)}}
+                    stats = self._file_stats(full)
+                    if stats:
+                        add["add"]["stats"] = stats
+                    adds.append(add)
         return adds
+
+    @staticmethod
+    def _file_stats(path: str) -> dict | None:
+        """Per-file column min/max from the parquet footer (numeric, string,
+        date/ts columns) — the data-skipping statistics Delta records in its
+        add actions. Cost: one footer read per NEW file at commit time;
+        nothing is ever rescanned."""
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(path).metadata
+            mins: dict = {}
+            maxs: dict = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    name = col.path_in_schema
+                    lo, hi = st.min, st.max
+                    if isinstance(lo, bytes):
+                        try:
+                            lo, hi = lo.decode(), hi.decode()
+                        except UnicodeDecodeError:
+                            continue
+                    if hasattr(lo, "isoformat"):
+                        lo, hi = lo.isoformat(), hi.isoformat()
+                    if not isinstance(lo, (int, float, str)):
+                        continue
+                    mins[name] = lo if name not in mins else min(mins[name], lo)
+                    maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+            if not mins:
+                return None
+            return {"min": mins, "max": maxs}
+        except Exception:  # noqa: BLE001 — stats are an optimization, never fatal
+            return None
 
     def _read_files(self, rel_paths: list[str]) -> DataFrame | None:
         if not rel_paths:
@@ -306,6 +355,63 @@ class TxLogMergeSink:
     def count(self) -> int:
         df = self.read()
         return 0 if df is None else df.count()
+
+    def pruned_files(
+        self, predicates: dict[str, tuple], version: int | None = None
+    ) -> tuple[list[str], list[str]]:
+        """Base files surviving stats pruning for ``predicates``
+        ({col: (lo, hi)}, either bound None for open) plus ALL delta files.
+        A base file is skipped when its recorded [min, max] for some
+        predicate column cannot intersect the requested range; files with no
+        stats for the column are kept (pruning must never lose rows).
+        Delta files are never pruned: a delta row can move a key into the
+        range while its base row's file is skipped — correctness requires
+        reading every delta layer (they are small by construction)."""
+        snap = self._snapshot(version)
+
+        def survives(path: str) -> bool:
+            st = snap.stats.get(path)
+            if not st:
+                return True
+            for col, (lo, hi) in predicates.items():
+                fmin, fmax = st["min"].get(col), st["max"].get(col)
+                if fmin is None or fmax is None:
+                    continue
+                if lo is not None and fmax < lo:
+                    return False
+                if hi is not None and fmin > hi:
+                    return False
+            return True
+
+        return (
+            sorted(p for p in snap.files if survives(p)),
+            sorted(snap.deltas),
+        )
+
+    def scan(
+        self, predicates: dict[str, tuple], version: int | None = None
+    ) -> DataFrame | None:
+        """Data-skipping read: resolve the snapshot, drop base files whose
+        footer stats exclude the predicate ranges, merge any delta layers,
+        and apply the predicates as row filters (file stats are necessary,
+        not sufficient). Same rows as ``read().filter(...)``, touching only
+        the files that can matter — this is what makes a time- or key-range
+        query on a z-ordered 100 TB table read megabytes, not terabytes."""
+        snap = self._snapshot(version)
+        if snap.version < 0:
+            return None
+        base_paths, delta_paths = self.pruned_files(predicates, version)
+        df = self._read_files(base_paths)
+        if delta_paths:
+            df = apply_changes(df, self._read_files(delta_paths), self.key_cols)
+        if df is None:
+            return None
+        for col, (lo, hi) in predicates.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= lo)
+            if hi is not None:
+                df = df.filter(F.col(col) <= hi)
+        return df
 
     def history(self) -> list[dict]:
         """Commit audit trail (operation, touched buckets, files in/out)."""

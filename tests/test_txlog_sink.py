@@ -356,6 +356,50 @@ def test_cow_apply_folds_existing_deltas(spark, tmp_path):
     assert not sink._snapshot().deltas
 
 
+def test_scan_prunes_files_by_footer_stats(spark, tmp_path):
+    """Data skipping: each append's files carry min/max footer stats in the
+    log; a range scan reads only intersecting base files and returns
+    exactly what read().filter would."""
+    sink = TxLogMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=1)
+    sink.overwrite(spark.createDataFrame([(i, f"v{i}") for i in range(100)], ROW_SCHEMA))
+    for lo in (100, 200, 300):  # three appends with disjoint id ranges
+        sink.append(
+            spark.createDataFrame([(i, f"v{i}") for i in range(lo, lo + 100)], ROW_SCHEMA)
+        )
+    n_base = len(sink._snapshot().files)
+    pruned, deltas = sink.pruned_files({"id": (250, 260)})
+    assert len(pruned) < n_base and not deltas  # skipped non-intersecting files
+    got = sorted(r["id"] for r in sink.scan({"id": (250, 260)}).collect())
+    want = sorted(
+        r["id"] for r in sink.read().filter("id >= 250 and id <= 260").collect()
+    )
+    assert got == want == list(range(250, 261))
+    # open-ended bound
+    assert sink.scan({"id": (380, None)}).count() == 20
+
+
+def test_scan_with_mor_delta_is_exact(spark, tmp_path):
+    """Pruning must not lose MOR updates: a delta moves a key INTO the
+    scanned range while its base row lives in a pruned file."""
+    sink = TxLogMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=1)
+    sink.overwrite(spark.createDataFrame([(i, f"v{i}") for i in range(100)], ROW_SCHEMA))
+    sink.append(spark.createDataFrame([(i, f"v{i}") for i in range(500, 600)], ROW_SCHEMA))
+    # delta updates id=5 (first file's range) — and deletes id=550
+    sink.apply_delta(
+        _batch(
+            spark,
+            [
+                (None, {"id": 5, "val": "updated"}, "u", 10, 1),
+                ({"id": 550, "val": "v550"}, None, "d", 11, 2),
+            ],
+        )
+    )
+    rows = {r["id"]: r["val"] for r in sink.scan({"id": (500, 599)}).collect()}
+    assert 550 not in rows and len(rows) == 99  # delete honored through scan
+    rows2 = {r["id"]: r["val"] for r in sink.scan({"id": (0, 10)}).collect()}
+    assert rows2[5] == "updated"  # delta layer folded in
+
+
 def test_delete_only_batch_commits_no_adds(spark, tmp_path):
     sink = TxLogMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=2)
     sink.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], ROW_SCHEMA))
