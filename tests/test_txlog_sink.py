@@ -400,6 +400,51 @@ def test_scan_with_mor_delta_is_exact(spark, tmp_path):
     assert rows2[5] == "updated"  # delta layer folded in
 
 
+def test_model_based_random_op_sequences(spark, tmp_path):
+    """Model-based check: random interleavings of overwrite / apply /
+    apply_delta / append / compact / vacuum must always read back exactly
+    the state of a dict model applying the same logical operations.
+    Deterministic seeds keep runtime bounded and failures reproducible."""
+    import random
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"m{seed}")
+        sink = TxLogMergeSink(spark, path, ["id"], num_buckets=4, checkpoint_interval=3)
+        model: dict[int, str] = {}
+        ts = 0
+        sink.overwrite(spark.createDataFrame([(i, "init") for i in range(8)], ROW_SCHEMA))
+        model = {i: "init" for i in range(8)}
+        for step in range(6):
+            op = rng.choice(["apply", "apply_delta", "append", "compact", "vacuum"])
+            if op in ("apply", "apply_delta"):
+                events = []
+                for _ in range(rng.randint(1, 4)):
+                    key = rng.randint(0, 11)
+                    ts += 1
+                    if rng.random() < 0.25:
+                        events.append(({"id": key, "val": "x"}, None, "d", ts, ts))
+                        model.pop(key, None)
+                    else:
+                        val = f"v{ts}"
+                        events.append((None, {"id": key, "val": val}, "u", ts, ts))
+                        model[key] = val
+                getattr(sink, op)(_batch(spark, events))
+            elif op == "append":
+                key = 100 + step + seed * 10  # fresh key: append is insert-only
+                sink.append(spark.createDataFrame([(key, "app")], ROW_SCHEMA))
+                model[key] = "app"
+            elif op == "compact":
+                sink.compact(min_files=2)
+            else:
+                sink.vacuum(retain_versions=2)
+        got = {r["id"]: r["val"] for r in sink.read().collect()}
+        assert got == model, f"seed {seed} diverged"
+        # reopened instance resolves the identical state from the log alone
+        got2 = {r["id"]: r["val"] for r in TxLogMergeSink(spark, path).read().collect()}
+        assert got2 == model
+
+
 def test_delete_only_batch_commits_no_adds(spark, tmp_path):
     sink = TxLogMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=2)
     sink.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], ROW_SCHEMA))
