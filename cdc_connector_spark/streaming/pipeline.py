@@ -43,6 +43,8 @@ class ChangelogStream:
         renames: dict[str, str] | None = None,
         casts: dict[str, str] | None = None,
         max_files_per_trigger: int = 100,
+        merge_on_read: bool = False,
+        compact_every: int = 20,
     ) -> None:
         self.spark = spark
         self.source_dir = source_dir
@@ -53,6 +55,14 @@ class ChangelogStream:
         self.renames = renames or {}
         self.casts = casts or {}
         self.max_files_per_trigger = max_files_per_trigger
+        # merge-on-read trigger mode (TxLogMergeSink only): each micro-batch
+        # lands as O(batch) delta files — minimum trigger latency — and every
+        # `compact_every` batches the stream amortizes materialization. The
+        # Hudi-style trade for high-frequency CDC into read-cold tables.
+        if merge_on_read and not hasattr(sink, "apply_delta"):
+            raise ValueError("merge_on_read requires a sink with apply_delta (TxLogMergeSink)")
+        self.merge_on_read = merge_on_read
+        self.compact_every = compact_every
         self.quarantine_dir = os.path.join(sink.path, "_quarantine")
 
     def _transform(self, env: DataFrame) -> DataFrame:
@@ -62,7 +72,14 @@ class ChangelogStream:
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         try:
-            self.sink.apply(self._transform(batch_df))
+            if self.merge_on_read:
+                self.sink.apply_delta(self._transform(batch_df))
+                # amortized materialization on the trigger cadence; batch_id
+                # is checkpoint-stable so the schedule survives restarts
+                if self.compact_every and batch_id > 0 and batch_id % self.compact_every == 0:
+                    self.sink.compact()
+            else:
+                self.sink.apply(self._transform(batch_df))
         except Exception:  # noqa: BLE001 — DLQ semantics: tolerate + park (ST7)
             batch_df.write.mode("overwrite").parquet(
                 os.path.join(self.quarantine_dir, f"batch={batch_id}")

@@ -219,6 +219,50 @@ def test_schema_guard_and_evolution(spark, tmp_path):
     assert "extra" in evolving._snapshot().columns
 
 
+def test_changelog_stream_merge_on_read_mode(spark, tmp_path):
+    """Streaming MOR: micro-batches land as delta commits (write = O(batch))
+    and the stream still converges to merge semantics on read."""
+    from cdc_connector_spark.streaming.pipeline import ChangelogStream
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    sink = TxLogMergeSink(spark, str(tmp_path / "sink"), ["id"])
+    sink.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], ROW_SCHEMA))
+    _env_df(
+        spark,
+        [
+            ({"id": 1, "val": "a"}, {"id": 1, "val": "a2"}, "u", 200, 3),
+            ({"id": 2, "val": "b"}, None, "d", 300, 4),
+            (None, {"id": 3, "val": "c"}, "c", 300, 5),
+        ],
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    ChangelogStream(
+        spark,
+        source_dir=str(src),
+        sink=sink,
+        row_schema=ROW_SCHEMA,
+        key_cols=["id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        merge_on_read=True,
+    ).run_until_caught_up()
+    assert {r["id"]: r["val"] for r in sink.read().collect()} == {1: "a2", 3: "c"}
+    assert sink._snapshot().deltas  # batches landed as deltas, not rewrites
+    # a COW-only sink refuses the flag instead of silently degrading
+    from cdc_connector_spark.changelog.sink import ParquetMergeSink
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="apply_delta"):
+        ChangelogStream(
+            spark,
+            source_dir=str(src),
+            sink=ParquetMergeSink(spark, str(tmp_path / "cow"), ["id"]),
+            row_schema=ROW_SCHEMA,
+            key_cols=["id"],
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+            merge_on_read=True,
+        )
+
+
 def test_changelog_stream_over_txlog_sink(spark, tmp_path):
     """The streaming pipeline is sink-agnostic: the same foreachBatch MERGE
     path lands in the transaction-log table."""
