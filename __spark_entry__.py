@@ -1190,6 +1190,127 @@ def q21_suppliers_who_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier per part (correlated MIN
+    subquery). Adapted to the fixture (no partsupp table): the part↔supplier
+    relation is derived from lineitem, supply cost = MIN(l_extendedprice /
+    l_quantity) per (part, supplier). Scale notes: the big input aggregates
+    once on (partkey, suppkey); every dimension join is broadcast; the
+    per-part MIN is a window over the already-reduced pair table."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice").cast("double") / F.col("l_quantity").cast("double")).alias("supply_cost"))
+    )
+    euro_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    sized = part.filter((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")).select("p_partkey", "p_name")
+    joined = (
+        cost.join(F.broadcast(sized), cost.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(euro_supp), cost.l_suppkey == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value held by one nation's suppliers,
+    HAVING value > fraction-of-total (scalar subquery). Adapted: value =
+    SUM(l_extendedprice) over lineitem rows supplied by NATION_7 suppliers.
+    The scalar total is a broadcast cross join — no second scan shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    nat_supp = (
+        supp.join(F.broadcast(nation.filter(F.col("n_name") == "NATION_7")), supp.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    held = li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"))
+    per_part = held.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).alias("value_dec")
+    )
+    # threshold arithmetic in DOUBLE on both engines: double(sum) * 0.001 is
+    # the same IEEE op on the same exact decimal sum -> identical cutoffs
+    total = per_part.agg((F.sum("value_dec").cast("double") * F.lit(0.001)).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_dec").cast("double") > F.col("threshold"))
+        .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part attribute bucket,
+    with a NOT-IN supplier exclusion (anti-join). Adapted: the part↔supplier
+    pairs come from lineitem; the 'complaints' exclusion is s_name ending
+    in '7'. Pairs reduce via distinct before any dimension join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    bad = supp.filter(F.col("s_name").like("%7")).select("s_suppkey")
+    keep = pairs.join(F.broadcast(bad), pairs.l_suppkey == F.col("s_suppkey"), "left_anti")
+    sized = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        keep.join(F.broadcast(sized), keep.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved a large volume of a targeted
+    part family in one year (nested semi-joins). Adapted: parts with
+    p_name LIKE 'small%', 1996 shipments, volume > 30 units per
+    (part, supplier), suppliers restricted to region EUROPE."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    target_parts = part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    vol = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(target_parts), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("qty"))
+        .filter(F.col("qty") > 30)
+        .select("l_suppkey")
+        .distinct()
+    )
+    euro = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        euro.join(vol, euro.s_suppkey == vol.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1266,6 +1387,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q15_top_supplier,
         "q18_large_volume_customers": q18_large_volume_customers,
         "q21_suppliers_who_kept_waiting": q21_suppliers_who_kept_waiting,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q11_important_stock": q11_important_stock,
+        "q16_parts_supplier_counts": q16_parts_supplier_counts,
+        "q20_potential_promotion": q20_potential_promotion,
     }
 
 
@@ -2026,5 +2151,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(cum_before / 256.0) AS BIGINT) AS seq_id,
                    cum_before % 256 AS seq_offset
             FROM packed
+        """,
+        "q2_min_cost_supplier": """
+            WITH cost AS (
+                SELECT l_partkey, l_suppkey,
+                       MIN(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)) AS supply_cost
+                FROM lineitem GROUP BY l_partkey, l_suppkey
+            ), es AS (
+                SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'
+            ), j AS (
+                SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost,
+                       MIN(supply_cost) OVER (PARTITION BY p_partkey) AS min_cost
+                FROM cost
+                JOIN part ON l_partkey = p_partkey AND p_size <= 15 AND p_type = 'STANDARD'
+                JOIN es ON l_suppkey = s_suppkey
+            )
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+            FROM j WHERE supply_cost = min_cost
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100
+        """,
+        "q11_important_stock": """
+            WITH per_part AS (
+                SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS value_dec
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_7'
+                GROUP BY l_partkey
+            )
+            SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+            FROM per_part
+            WHERE CAST(value_dec AS DOUBLE) > (SELECT CAST(SUM(value_dec) AS DOUBLE) * 0.001 FROM per_part)
+            ORDER BY part_value DESC, l_partkey
+        """,
+        "q16_parts_supplier_counts": """
+            WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            keep AS (
+                SELECT * FROM pairs
+                WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+            )
+            SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM keep JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+              AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "q20_potential_promotion": """
+            WITH vol AS (
+                SELECT DISTINCT l_suppkey FROM (
+                    SELECT l_partkey, l_suppkey
+                    FROM lineitem
+                    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                      AND l_shipdate < TIMESTAMP '1997-01-01'
+                      AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+                    GROUP BY l_partkey, l_suppkey
+                    HAVING SUM(CAST(l_quantity AS DECIMAL(30,6))) > 30
+                )
+            )
+            SELECT s_name, s_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE' AND s_suppkey IN (SELECT l_suppkey FROM vol)
+            ORDER BY s_name
         """,
     }
