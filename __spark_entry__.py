@@ -1319,57 +1319,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # The driver's correctness gate checks only the FIRST 50 dict entries.
+    # Round-5 rotation: the 21 entries that had never received a driver row
+    # (the adapted TPC-H batch past the original set, plus the corpus/PQ ops)
+    # are placed inside the window, behind three stable sentinels kept for
+    # cross-round continuity. Previously driver-green entries rotate to the
+    # tail; rotate back in round 6. See NOTES.md "round 5".
     return {
+        # --- sentinels (driver-green in every prior round) ---
         "q1_pricing_summary": q1_pricing_summary,
-        "rowcounts": rowcounts,
-        "distinct_pk_lineitem": distinct_pk_lineitem,
-        "dup_groups_topk": dup_groups_topk,
-        "anti_join_orphans": anti_join_orphans,
-        "key_equality_compare": key_equality_compare,
-        "null_pk_count": null_pk_count,
-        "pk_range_stats": pk_range_stats,
-        "freshness_lag": freshness_lag,
         "changelog_latest_per_key": changelog_latest_per_key,
-        "point_lookup": point_lookup,
-        "topk_orders": topk_orders,
-        "segment_revenue": segment_revenue,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_nation_revenue": q5_nation_revenue,
-        "window_user_sequence": window_user_sequence,
-        "json_extract_events": json_extract_events,
-        "normalize_values": normalize_values,
-        "dedup_exact_documents": dedup_exact_documents,
-        "text_stats_documents": text_stats_documents,
-        "ann_cosine_topk": ann_cosine_topk,
-        "q13_customer_distribution": q13_customer_distribution,
-        "semi_join_discounted": semi_join_discounted,
-        "set_ops_active_customers": set_ops_active_customers,
-        "rollup_order_revenue": rollup_order_revenue,
-        "percentile_order_price": percentile_order_price,
-        "sessionize_events": sessionize_events,
-        "top3_orders_per_segment": top3_orders_per_segment,
-        "word_counts_documents": word_counts_documents,
-        "pivot_status_by_priority": pivot_status_by_priority,
-        "q12_priority_shipmode": q12_priority_shipmode,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "q22_idle_customers": q22_idle_customers,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "string_funcs_parts": string_funcs_parts,
-        "date_arith_orders": date_arith_orders,
-        "incremental_rollup_events": incremental_rollup_events,
-        "ngram_jaccard_pairs_subset": ngram_jaccard_pairs_subset,
-        "multimodal_decode_documents": multimodal_decode_documents,
-        "asof_purchase_last_click": asof_purchase_last_click,
-        "cosine_pairs_bruteforce": cosine_pairs_bruteforce,
-        "quality_score_documents": quality_score_documents,
         "minhash_neardup": minhash_neardup,
-        "simhash_neardup": simhash_neardup,
-        "embedding_neardup": embedding_neardup,
-        "embedding_neardup_subset": embedding_neardup_subset,
-        "lsh_ann_topk": lsh_ann_topk,
-        "ivf_ann_topk": ivf_ann_topk,
-        "ivf_recall_topk": ivf_recall_topk,
-        "lang_id_documents": lang_id_documents,
+        # --- never driver-checked before round 5 (were entries 51-71) ---
         "decontam_overlap_documents": decontam_overlap_documents,
         "pii_redact_documents": pii_redact_documents,
         "quota_sample_documents": quota_sample_documents,
@@ -1391,6 +1352,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_stock": q11_important_stock,
         "q16_parts_supplier_counts": q16_parts_supplier_counts,
         "q20_potential_promotion": q20_potential_promotion,
+        # --- previously driver-green, filling the window to 50 ---
+        "rowcounts": rowcounts,
+        "distinct_pk_lineitem": distinct_pk_lineitem,
+        "dup_groups_topk": dup_groups_topk,
+        "anti_join_orphans": anti_join_orphans,
+        "key_equality_compare": key_equality_compare,
+        "null_pk_count": null_pk_count,
+        "pk_range_stats": pk_range_stats,
+        "freshness_lag": freshness_lag,
+        "point_lookup": point_lookup,
+        "topk_orders": topk_orders,
+        "segment_revenue": segment_revenue,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_nation_revenue": q5_nation_revenue,
+        "json_extract_events": json_extract_events,
+        "normalize_values": normalize_values,
+        "dedup_exact_documents": dedup_exact_documents,
+        "text_stats_documents": text_stats_documents,
+        "ann_cosine_topk": ann_cosine_topk,
+        "q13_customer_distribution": q13_customer_distribution,
+        "semi_join_discounted": semi_join_discounted,
+        "set_ops_active_customers": set_ops_active_customers,
+        "rollup_order_revenue": rollup_order_revenue,
+        "percentile_order_price": percentile_order_price,
+        "q12_priority_shipmode": q12_priority_shipmode,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q22_idle_customers": q22_idle_customers,
+        # --- tail: previously driver-green (r1-r4) or rows-only by design;
+        #     outside the 50-entry window this round ---
+        "window_user_sequence": window_user_sequence,
+        "sessionize_events": sessionize_events,
+        "top3_orders_per_segment": top3_orders_per_segment,
+        "word_counts_documents": word_counts_documents,
+        "pivot_status_by_priority": pivot_status_by_priority,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "string_funcs_parts": string_funcs_parts,
+        "date_arith_orders": date_arith_orders,
+        "incremental_rollup_events": incremental_rollup_events,
+        "ngram_jaccard_pairs_subset": ngram_jaccard_pairs_subset,
+        "multimodal_decode_documents": multimodal_decode_documents,
+        "asof_purchase_last_click": asof_purchase_last_click,
+        "cosine_pairs_bruteforce": cosine_pairs_bruteforce,
+        "quality_score_documents": quality_score_documents,
+        "simhash_neardup": simhash_neardup,
+        "embedding_neardup": embedding_neardup,
+        "embedding_neardup_subset": embedding_neardup_subset,
+        "lsh_ann_topk": lsh_ann_topk,
+        "ivf_ann_topk": ivf_ann_topk,
+        "ivf_recall_topk": ivf_recall_topk,
+        "lang_id_documents": lang_id_documents,
     }
 
 

@@ -6,12 +6,13 @@ DuckDB over the same parquet tables, then compares row count, column names,
 and an order-insensitive value hash. Flags float columns whose values differ
 so precision hazards surface before the driver sees them.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import sys
 import time
 
@@ -57,8 +58,13 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     spark = get_spark("oracle-check")
     # the driver's harness runs on a DEFAULT session where Spark 4's
@@ -72,6 +78,7 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = 0
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -80,15 +87,18 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            records[name] = {"status": "FAIL", "err": f"spark error: {e}"}
             failures += 1
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows (no oracle — rows-only) [{time.time()-t0:.1f}s]")
+            records[name] = {"status": "rows_only", "spark_rows": len(sdf), "sec": round(time.time() - t0, 2)}
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            records[name] = {"status": "FAIL", "err": f"duckdb error: {e}"}
             failures += 1
             continue
         problems = []
@@ -110,10 +120,16 @@ def main() -> int:
                     problems.append(f"  {c}: {ex}")
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
+            records[name] = {"status": "FAIL", "err": "; ".join(problems)}
             failures += 1
         else:
             print(f"OK    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+            records[name] = {"status": "OK", "spark_rows": len(sdf), "oracle_rows": len(odf), "sec": round(time.time() - t0, 2)}
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "failures": failures, "results": records}, fh, indent=1)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
