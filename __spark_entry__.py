@@ -697,10 +697,30 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only by design: the 64-bit signature (xxhash64 token votes) is
     not SQL-expressible. Pigeonhole blocking makes candidate generation
-    EXACT for Hamming ≤ blocks−1; planted-pair recall is pytest-verified."""
+    EXACT for Hamming ≤ blocks−1; planted-pair recall is pytest-verified.
+    The VALUE-verified twin is simhash_neardup_subset, which runs the same
+    blocking+verify machinery over a portable md5-derived signature."""
     from cdc_connector_spark.ops.dedup import simhash_dedup_pairs
 
     return simhash_dedup_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
+
+
+def simhash_neardup_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, VALUE-VERIFIED end to end: signatures use the
+    portable md5-derived 60-bit token hash (bit-identical in DuckDB — see
+    ops/dedup.simhash_portable), then flow through the PRODUCTION pigeonhole
+    blocking + exact-Hamming verify (simhash_pairs_from_sigs — the exact
+    machinery simhash_neardup uses). The oracle recomputes signatures in SQL
+    and takes exact all-pairs Hamming ≤ 6 over a bounded doc subset, so a
+    hash-match proves the multi-index blocking generates the complete
+    candidate set and the Hamming verify is exact — the two things the
+    rows-only twin could not prove. Reference anchor: duplicate-detection
+    semantics tests/drift_analysis.py:141-186."""
+    from cdc_connector_spark.ops.dedup import simhash_pairs_from_sigs, simhash_portable
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    sig = docs.select(F.col("doc_id").alias("id"), simhash_portable("text").alias("sig"))
+    return simhash_pairs_from_sigs(sig, max_hamming=6).select("id_a", "id_b", "hamming")
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1330,6 +1350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "changelog_latest_per_key": changelog_latest_per_key,
         "minhash_neardup": minhash_neardup,
+        # --- new in round 5: value-verified twin for the rows-only simhash ---
+        "simhash_neardup_subset": simhash_neardup_subset,
         # --- never driver-checked before round 5 (were entries 51-71) ---
         "decontam_overlap_documents": decontam_overlap_documents,
         "pii_redact_documents": pii_redact_documents,
@@ -1908,6 +1930,42 @@ def oracle_sql() -> dict[str, str]:
         # simhash signature is not SQL-expressible (pigeonhole recall is
         # pytest-verified), and the pruned IVF probe's recall is pinned by
         # ivf_recall_topk's value-verified row instead.
+        # simhash_neardup_subset value-verifies the shared blocking+verify
+        # machinery: signatures use a PORTABLE md5-derived 60-bit token hash
+        # (first 15 hex chars of md5 reduced hex-digit-by-digit, identical in
+        # both engines), votes per bit, bit set when strictly more than half
+        # the token hashes have it; the oracle then takes exact all-pairs
+        # Hamming ≤ 6 — Spark reaches the same set through multi-index
+        # pigeonhole blocking, so a hash-match proves blocking completeness.
+        "simhash_neardup_subset": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text,'')) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+                FROM documents
+                WHERE doc_id % 3 = 0
+            ), h AS (
+                SELECT doc_id,
+                       list_transform(toks, tk ->
+                           list_reduce(
+                               list_transform(range(1, 16),
+                                   i -> CAST(strpos('0123456789abcdef', substring(md5(tk), i, 1)) - 1 AS BIGINT)),
+                               (a, x) -> a * 16 + x)) AS hs
+                FROM t
+            ), s AS (
+                SELECT doc_id,
+                       CASE WHEN len(hs) = 0 THEN CAST(0 AS BIGINT)
+                            ELSE list_sum(list_transform(range(0, 60),
+                                 b -> CASE WHEN 2 * len(list_filter(hs, x -> (x >> b) & 1 = 1)) > len(hs)
+                                           THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+                       END AS sig
+                FROM h
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 6
+        """,
         "decontam_overlap_documents": """
             WITH t AS (
                 SELECT doc_id,

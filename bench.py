@@ -16,7 +16,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entry_mod
 from cdc_connector_spark.session import get_spark
 
-# headline set: CDC/reconciliation plane + analytics + LLM ops
+# Historical headline set: CDC/reconciliation plane + analytics + LLM ops.
+# Since round 5 the bench times EVERY queries() entry (the driver's
+# BENCH_r{N}.json then tracks wall-clock for the whole surface); HEADLINE is
+# kept only to order the best-tracked entries first in the report.
 HEADLINE = [
     "q1_pricing_summary",
     "rowcounts",
@@ -141,8 +144,16 @@ def bench_live_plane(spark, sf_dir: str):
       updates+deletes) applied through the staging-COPY + INSERT ON
       CONFLICT + DELETE USING sink (connectors/sinks/postgres semantics).
 
+    Variance control (round-4 lesson: live numbers swung ±58% with zero
+    engine change): the sandbox server runs with fsync/synchronous_commit/
+    autovacuum off and 1h checkpoints (pg_sandbox.py), each entry gets one
+    untimed warm-up pass, and the reported number is the MEDIAN of 3 timed
+    runs (robust to a one-off stall, unlike best-of, but unlike best-of it
+    still moves if every run regresses).
+
     Returns (timings dict, rates dict); empty dicts when no server."""
     import shutil
+    import statistics
     import tempfile
 
     from pyspark.sql import functions as F
@@ -166,9 +177,8 @@ def bench_live_plane(spark, sf_dir: str):
         li = load_table(spark, sf_dir, "lineitem")
         n_rows = li.count()
         spark.dataSource.register(PostgresCopyDataSource)
-        dt = None
-        for _ in range(2):
-            t0 = time.time()
+
+        def snapshot_round_trip():
             copy_to_postgres(li, pg, "li_bench", mode="overwrite")
             (
                 spark.read.format("pgcopy")
@@ -178,8 +188,14 @@ def bench_live_plane(spark, sf_dir: str):
                 .write.mode("overwrite")
                 .parquet(os.path.join(out, "li_back"))
             )
-            cur = time.time() - t0
-            dt = cur if dt is None or cur < dt else dt
+
+        snapshot_round_trip()  # warm-up: codegen, Arrow, relation cache
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            snapshot_round_trip()
+            runs.append(time.time() - t0)
+        dt = statistics.median(runs)
         timings["snapshot_load_live"] = round(dt, 3)
         rates["live_snapshot_rows_per_sec"] = round(n_rows / dt)
         print(f"# snapshot_load_live: {dt:.2f}s ({n_rows / dt:,.0f} rows/s round trip)", file=sys.stderr)
@@ -198,12 +214,14 @@ def bench_live_plane(spark, sf_dir: str):
             )
         )
         n_events = changes.count()
-        dt = None
-        for _ in range(2):  # idempotent: re-applying the same batch merges to the same state
+        # idempotent: re-applying the same batch merges to the same state
+        upsert_to_postgres(changes, pg, "ord_bench", key_cols=["o_orderkey"])  # warm-up
+        runs = []
+        for _ in range(3):
             t0 = time.time()
             upsert_to_postgres(changes, pg, "ord_bench", key_cols=["o_orderkey"])
-            cur = time.time() - t0
-            dt = cur if dt is None or cur < dt else dt
+            runs.append(time.time() - t0)
+        dt = statistics.median(runs)
         timings["upsert_live"] = round(dt, 3)
         rates["live_upsert_events_per_sec"] = round(n_events / dt)
         print(f"# upsert_live: {dt:.2f}s ({n_events / dt:,.0f} events/s)", file=sys.stderr)
@@ -229,7 +247,10 @@ def main() -> None:
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    # full surface: historical headline entries first, then every other
+    # registered query (round-5 "bench the full query surface")
+    bench_order = HEADLINE + [n for n in qs if n not in HEADLINE]
+    for name in bench_order:
         fn = qs[name]
         # best of 2: first run pays Janino/codegen compile (irrelevant at
         # 100 TB where plans run for minutes); second run is steady state

@@ -478,6 +478,40 @@ def simhash(col, bits: int = 64):
     )
 
 
+def simhash_portable(col, bits: int = 60):
+    """SimHash signature over PORTABLE md5-derived token hashes (first 15 hex
+    chars → 60-bit int). Same vote semantics as ``simhash()``, but every step
+    — md5, hex→int, bit tests — is expressible in any SQL engine, so the
+    pigeonhole blocking + Hamming-verify pipeline built on top of it can be
+    value-verified against an independent engine (the driver's DuckDB
+    oracle; see ``simhash_neardup_subset``). The production path stays on
+    ``simhash()``/``simhash_arrow`` (xxhash64: one JVM hash call per token
+    vs md5+conv's string round trip — this variant exists for verification,
+    not speed). 60-bit sigs ride the same 8-block machinery: the top 4 bits
+    are constant-zero in both engines, so Hamming distances are unchanged.
+    """
+    hashes = F.transform(
+        tokenize(col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+    zeros = F.array_repeat(F.lit(0).cast("long"), bits)
+    votes = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda a, b: a + F.getbit(h, b) * 2 - 1,
+        ),
+    )
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    return F.aggregate(
+        F.zip_with(votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, x: a.bitwiseOR(x),
+    )
+
+
 def simhash_arrow(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """SimHash via Arrow: token hashing stays JVM-side (xxhash64 in the scan
     stage), the 64 bit-votes vectorize in numpy over Arrow batches.

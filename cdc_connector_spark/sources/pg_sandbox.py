@@ -67,7 +67,16 @@ def start_local_postgres(logical: bool = False) -> LocalPostgres | None:
     if r.returncode != 0:
         shutil.rmtree(root, ignore_errors=True)
         return None
-    opts = f"-c listen_addresses='' -c unix_socket_directories={sock} -c fsync=off"
+    # Durability and background-work knobs are all off: the server is
+    # disposable, and bench variance from checkpoints / autovacuum /
+    # synchronous commits would otherwise drown real regressions
+    # (round-4 lesson: +58% upsert_live with zero engine change).
+    opts = (
+        f"-c listen_addresses='' -c unix_socket_directories={sock}"
+        " -c fsync=off -c synchronous_commit=off -c full_page_writes=off"
+        " -c autovacuum=off -c checkpoint_timeout=1h -c max_wal_size=8GB"
+        " -c shared_buffers=512MB"
+    )
     if logical:
         opts += " -c wal_level=logical -c max_replication_slots=4 -c max_wal_senders=4"
     r = subprocess.run(

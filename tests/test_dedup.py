@@ -179,3 +179,41 @@ def test_dedup_hashes_survive_ansi_mode(spark, docs):
         assert (1, 2) in mh and (1, 3) in mh
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_simhash_portable_blocked_equals_bruteforce(spark):
+    """The portable (md5-hash) simhash variant backs the value-verified
+    driver oracle (simhash_neardup_subset): the pigeonhole-blocked pair path
+    over portable signatures must equal brute-force all-pairs Hamming, and
+    the signature must stay within 60 bits (top 4 bits zero) so both engines
+    agree on bit arithmetic."""
+    from itertools import combinations
+
+    from cdc_connector_spark.ops.dedup import simhash_pairs_from_sigs, simhash_portable
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "the quick brown fox jumps over one lazy cat"),
+            (4, "completely different content about spark shuffles"),
+            (5, ""),
+            (6, None),
+        ],
+        "doc_id int, text string",
+    )
+    sig = df.select(F.col("doc_id").alias("id"), simhash_portable("text").alias("sig"))
+    sigs = {r["id"]: r["sig"] for r in sig.collect()}
+    assert all(0 <= s < (1 << 60) for s in sigs.values())
+    # empty and NULL text both hash to the all-zero signature
+    assert sigs[5] == 0 and sigs[6] == 0
+    expected = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 6
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs_from_sigs(sig, max_hamming=6).collect()
+    }
+    assert got == expected and expected  # non-vacuous: at least one pair
