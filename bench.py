@@ -119,7 +119,7 @@ def bench_changelog_apply(spark, sf_dir: str, sink_cls=None, method: str = "appl
         sink.overwrite(orders)
         do_apply = getattr(sink, "apply_delta") if method == "mor" else sink.apply
         dt = dt_small = None
-        for _ in range(2):  # best of 2; replay is idempotent (same merge work)
+        for _ in range(3):  # best of 3; replay is idempotent (same merge work)
             t0 = time.time()
             do_apply(changes)
             cur = time.time() - t0
@@ -191,11 +191,12 @@ def bench_live_plane(spark, sf_dir: str):
 
         snapshot_round_trip()  # warm-up: codegen, Arrow, relation cache
         runs = []
-        for _ in range(3):
-            t0 = time.time()
-            snapshot_round_trip()
+        for _ in range(5):  # 5 runs: the ~6 s round trip mixes PG COPY +
+            t0 = time.time()  # Spark scan + parquet write; 3 was not enough
+            snapshot_round_trip()  # to hold run-to-run spread under 10%
             runs.append(time.time() - t0)
         dt = statistics.median(runs)
+        print(f"# snapshot_load_live runs: {[round(r, 2) for r in runs]}", file=sys.stderr)
         timings["snapshot_load_live"] = round(dt, 3)
         rates["live_snapshot_rows_per_sec"] = round(n_rows / dt)
         print(f"# snapshot_load_live: {dt:.2f}s ({n_rows / dt:,.0f} rows/s round trip)", file=sys.stderr)
