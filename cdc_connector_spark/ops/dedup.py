@@ -668,7 +668,15 @@ def ngram_jaccard_pairs(
     strings: same Jaccard up to hash collisions (~n²/2⁶⁴), far cheaper to
     shuffle.
     """
-    sh = df.select(F.col(id_col).alias("__id"), hashed_shingles(text_col, shingle_n).alias("__sh"))
+    # barrier: the shingle-hash projection is referenced by FOUR consumers
+    # (sizes, the frequency census, and both sides of the self-join) —
+    # without an exchange between, Catalyst inlines the full tokenize+hash
+    # chain into each, quadrupling the dominant CPU cost (measured 4.9 s →
+    # 3.1 s at sf0.1). The shuffled payload is (id, hashes) longs — compact
+    # at any scale.
+    sh = _barrier(
+        df.select(F.col(id_col).alias("__id"), hashed_shingles(text_col, shingle_n).alias("__sh"))
+    )
     sizes = sh.select("__id", F.size("__sh").alias("__n"))
     inv = sh.select("__id", F.explode("__sh").alias("shingle"))
     freq_ok = inv.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq).select("shingle")
