@@ -723,6 +723,23 @@ def simhash_neardup_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs_from_sigs(sig, max_hamming=6).select("id_a", "id_b", "hamming")
 
 
+def neardup_groups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: transitive closure over the value-verified MinHash
+    pair graph via distributed hash-min connected components
+    (ops/components.py) — each duplicated doc mapped to its group's minimum
+    doc_id and the group size (the keep-one-per-group dedup decision).
+    VALUE-VERIFIED: the oracle recomputes the same pair set in SQL and
+    closes it with a recursive CTE, so the hash-match proves the iterative
+    label propagation reaches the exact transitive closure."""
+    from cdc_connector_spark.ops.components import neardup_groups
+    from cdc_connector_spark.ops.dedup import minhash_verified_pairs
+
+    pairs = minhash_verified_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=64, bands=32, jaccard_threshold=0.5
+    )
+    return neardup_groups(pairs)
+
+
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH near-dup pairs, OR-amplified across 16 hash tables —
     VALUE-VERIFIED against DuckDB exact all-pairs cosine at the same
@@ -1350,8 +1367,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "changelog_latest_per_key": changelog_latest_per_key,
         "minhash_neardup": minhash_neardup,
-        # --- new in round 5: value-verified twin for the rows-only simhash ---
+        # --- new in round 5: value-verified twin for the rows-only simhash,
+        #     and near-dup groups (connected components over minhash pairs) ---
         "simhash_neardup_subset": simhash_neardup_subset,
+        "neardup_groups_documents": neardup_groups_documents,
         # --- never driver-checked before round 5 (were entries 51-71) ---
         "decontam_overlap_documents": decontam_overlap_documents,
         "pii_redact_documents": pii_redact_documents,
@@ -1877,6 +1896,46 @@ def oracle_sql() -> dict[str, str]:
                 FROM s a JOIN s b ON a.doc_id < b.doc_id
             )
             WHERE jaccard >= 0.5
+        """,
+        # Transitive closure of the same MinHash-exact pair set, closed by a
+        # recursive CTE — verifies the distributed hash-min label propagation
+        # (ops/components.py) reaches the exact connected components.
+        "neardup_groups_documents": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text,'')) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                            ELSE [array_to_string(toks, ' ')] END AS sh
+                FROM t
+            ), pairs AS (
+                SELECT id_a, id_b FROM (
+                    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+                    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                )
+                WHERE jaccard >= 0.5
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ), cc(id, comp) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, cc.comp FROM edges e JOIN cc ON e.dst = cc.id
+            ), lab AS (
+                SELECT id, MIN(comp) AS rep_id FROM cc GROUP BY id
+            ), sizes AS (
+                SELECT rep_id, COUNT(*) AS group_size FROM lab GROUP BY rep_id
+            )
+            SELECT lab.id, lab.rep_id, sizes.group_size
+            FROM lab JOIN sizes ON lab.rep_id = sizes.rep_id
         """,
         "embedding_neardup": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -46,7 +46,12 @@ def start_local_postgres(logical: bool = False) -> LocalPostgres | None:
     ``logical=True`` enables wal_level=logical for replication-slot CDC."""
     if not all(shutil.which(b) for b in ("initdb", "pg_ctl", "postgres", "psql")):
         return None
-    root = tempfile.mkdtemp(prefix="pg_sandbox_")
+    # prefer tmpfs for the throwaway cluster: the server is disposable and
+    # fsync is off anyway, so disk-backed /tmp only adds I/O variance to
+    # bench numbers (the live-plane bench measures the COPY protocol plane,
+    # not the sandbox host's disk)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK) else None
+    root = tempfile.mkdtemp(prefix="pg_sandbox_", dir=base)
     data = os.path.join(root, "data")
     sock = os.path.join(root, "sock")
     os.makedirs(data)

@@ -1,0 +1,41 @@
+"""Connected components / near-dup groups (ops/components.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_connector_spark.ops.components import connected_components, neardup_groups
+
+
+def test_components_basic_transitivity(spark):
+    # {1,2,3} via chain, {10,11} pair, {20,21,22,23} star on 20
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (20, 22), (20, 23)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_components_long_chain_and_reverse_edges(spark):
+    # worst case for hash-min: a path graph, labels must flow the full
+    # length; edges given in both orientations and descending order
+    n = 12
+    rows = [(i + 1, i) for i in range(n)]  # 12-11, 11-10, ... 1-0
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+    got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_components_nonconvergence_guard(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=1)
+
+
+def test_neardup_groups_sizes_and_reps(spark):
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 7), (100, 200)], "id_a long, id_b long"
+    )
+    rows = {r["id"]: (r["rep_id"], r["group_size"]) for r in neardup_groups(pairs).collect()}
+    assert rows == {5: (5, 3), 9: (5, 3), 7: (5, 3), 100: (100, 2), 200: (100, 2)}
