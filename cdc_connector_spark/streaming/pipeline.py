@@ -45,6 +45,7 @@ class ChangelogStream:
         max_files_per_trigger: int = 100,
         merge_on_read: bool = False,
         compact_every: int = 20,
+        ddl_ops: list | None = None,
     ) -> None:
         self.spark = spark
         self.source_dir = source_dir
@@ -63,12 +64,25 @@ class ChangelogStream:
             raise ValueError("merge_on_read requires a sink with apply_delta (TxLogMergeSink)")
         self.merge_on_read = merge_on_read
         self.compact_every = compact_every
+        # schema-history DDL already applied to the sink (changelog/ddl.py):
+        # late events produced under the pre-DDL schema are normalized per
+        # batch (rename routed, narrow types cast forward, dropped columns
+        # ignored) before the MERGE — the streaming face of ST8+. For a
+        # rename, pass ``row_schema`` as the UNION of old and new fields so
+        # both event shapes parse; normalize_batch coalesces old into new
+        # and drops the old column.
+        self.ddl_ops = list(ddl_ops or [])
         self.quarantine_dir = os.path.join(sink.path, "_quarantine")
 
     def _transform(self, env: DataFrame) -> DataFrame:
         flat = flatten_envelope(env, key_cols=self.key_cols)
         flat = apply_renames(flat, self.renames)
-        return apply_casts(flat, self.casts)
+        flat = apply_casts(flat, self.casts)
+        if self.ddl_ops:
+            from cdc_connector_spark.changelog.ddl import normalize_batch
+
+            flat = normalize_batch(flat, self.ddl_ops)
+        return flat
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         try:

@@ -206,3 +206,57 @@ def test_sink_schema_migration_round_trip(spark, sink_kind):
         assert dict(got.dtypes)["qty"] == "bigint"
         rows = {r["id"]: r for r in got.collect()}
         assert rows[2]["owner_user_id"] == "bob" and rows[3]["qty"] == 2**31 + 7
+
+
+def test_streaming_rename_ddl_mixed_shapes(spark, tmp_path):
+    """Mid-stream rename through the LIVE streaming path: the sink was
+    migrated user->owner_user_id; the stream's row_schema is the UNION of
+    old+new fields so both event shapes parse, and ddl_ops normalizes each
+    micro-batch (pre-DDL stragglers land in the new column)."""
+    from pyspark.sql import types as T
+
+    from cdc_connector_spark.changelog.envelope import envelope_schema
+    from cdc_connector_spark.changelog.sink import ParquetMergeSink
+    from cdc_connector_spark.streaming.pipeline import ChangelogStream
+
+    union_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("user", T.StringType()),
+            T.StructField("owner_user_id", T.StringType()),
+        ]
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    sink = ParquetMergeSink(spark, str(tmp_path / "sink"), ["id"], num_buckets=2)
+    sink.overwrite(
+        spark.createDataFrame([(1, "alice")], "id long, owner_user_id string")
+    )
+    rows = [
+        # pre-DDL straggler: old column populated
+        (None, {"id": 2, "user": "bob", "owner_user_id": None}, "c", 100, 1, "db", "t"),
+        # post-DDL producer: new column populated
+        (None, {"id": 3, "user": None, "owner_user_id": "carol"}, "c", 200, 2, "db", "t"),
+        # update to an existing key through the old shape
+        ({"id": 1, "user": "alice", "owner_user_id": None},
+         {"id": 1, "user": "alice2", "owner_user_id": None}, "u", 300, 3, "db", "t"),
+    ]
+    data = [(b, a, op, ts, db, t, seq) for (b, a, op, ts, seq, db, t) in rows]
+    spark.createDataFrame(data, envelope_schema(union_schema)).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    stream = ChangelogStream(
+        spark,
+        source_dir=str(src),
+        sink=sink,
+        row_schema=union_schema,
+        key_cols=["id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        ddl_ops=[RenameColumn("user", "owner_user_id")],
+    )
+    stream.run_until_caught_up(timeout_s=120)
+    assert stream.quarantined_batch_ids() == []
+    got = {r["id"]: r["owner_user_id"] for r in sink.read().collect()}
+    assert got == {1: "alice2", 2: "bob", 3: "carol"}
+    assert "user" not in sink.read().columns
