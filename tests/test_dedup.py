@@ -217,3 +217,56 @@ def test_simhash_portable_blocked_equals_bruteforce(spark):
         for r in simhash_pairs_from_sigs(sig, max_hamming=6).collect()
     }
     assert got == expected and expected  # non-vacuous: at least one pair
+
+
+def test_minhash_index_incremental_lookup(spark, tmp_path):
+    """Incremental dedup: corpus indexed once; a new batch probes it.
+    Matches must equal the batch-vs-corpus subset of the all-pairs truth,
+    and appending the batch then re-probing must also surface batch-vs-batch
+    duplicates without self-pairs."""
+    from cdc_connector_spark.ops.dedup import (
+        minhash_index_lookup,
+        minhash_index_write,
+        minhash_verified_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (1, base),
+        (2, base),  # dup of 1 (corpus-internal)
+        (3, base.replace("dog", "cat")),  # near-dup of 1/2
+        (4, "completely different text about spark exchanges and shuffles here"),
+        (10, base),  # NEW batch: dup of 1/2/3
+        (11, "another unrelated document that matches nothing in the corpus"),
+        (12, "completely different text about spark exchanges and shuffles here"),  # dup of 4
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = docs.filter("doc_id < 10")
+    batch = docs.filter("doc_id >= 10")
+    path = str(tmp_path / "mh_index")
+    minhash_index_write(corpus, path)
+
+    got = {
+        (r["new_id"], r["corpus_id"]): round(r["jaccard"], 6)
+        for r in minhash_index_lookup(batch, path, jaccard_threshold=0.5).collect()
+    }
+    # ground truth: all-pairs verified minhash, restricted to batch×corpus
+    truth = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"])): round(r["jaccard"], 6)
+        for r in minhash_verified_pairs(docs, jaccard_threshold=0.5).collect()
+        if (r["id_a"] >= 10) != (r["id_b"] >= 10)
+    }
+    assert got == truth and (10, 1) in got and (12, 4) in got
+
+    # append the batch; re-probe: self-pairs excluded, batch-internal and
+    # batch-vs-corpus dups both visible now
+    minhash_index_write(batch, path, mode="append")
+    got2 = {
+        (r["new_id"], r["corpus_id"])
+        for r in minhash_index_lookup(batch, path, jaccard_threshold=0.5).collect()
+    }
+    assert (10, 10) not in got2 and (10, 1) in got2 and (12, 4) in got2
+
+    # parameter guard: appending with different params must refuse
+    with pytest.raises(ValueError, match="was built with"):
+        minhash_index_write(batch, path, mode="append", num_hashes=32)
