@@ -39,3 +39,42 @@ def test_neardup_groups_sizes_and_reps(spark):
     )
     rows = {r["id"]: (r["rep_id"], r["group_size"]) for r in neardup_groups(pairs).collect()}
     assert rows == {5: (5, 3), 9: (5, 3), 7: (5, 3), 100: (100, 2), 200: (100, 2)}
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+EDGES = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=15), st.integers(min_value=0, max_value=15)),
+    min_size=1,
+    max_size=20,
+).filter(lambda es: any(a != b for a, b in es))
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical rep = min node id in the component
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=12, deadline=None)
+@given(EDGES)
+def test_components_match_union_find(spark, edges):
+    """Distributed hash-min label propagation == sequential union-find with
+    min-id canonical representatives, for ANY random multigraph (self-loops
+    and duplicate/reversed edges included)."""
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    # every edge endpoint appears in the output, self-loop-only nodes included
+    assert got == _union_find(edges)
