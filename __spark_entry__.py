@@ -747,6 +747,17 @@ def incremental_dedup_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
 
 
+def split_corpus_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment — engine-portable
+    multiplicative hash (same family as hash_sample), VALUE-VERIFIED: the
+    oracle re-evaluates the identical arithmetic in SQL, proving the split
+    is auditable outside Spark and stable under corpus growth."""
+    from cdc_connector_spark.ops.corpus import split_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return split_corpus(docs).select("doc_id", "split")
+
+
 def neardup_groups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS: transitive closure over the value-verified MinHash
     pair graph via distributed hash-min connected components
@@ -1396,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_subset": simhash_neardup_subset,
         "neardup_groups_documents": neardup_groups_documents,
         "incremental_dedup_lookup": incremental_dedup_lookup,
+        "split_corpus_documents": split_corpus_documents,
         # --- never driver-checked before round 5 (were entries 51-71) ---
         "decontam_overlap_documents": decontam_overlap_documents,
         "pii_redact_documents": pii_redact_documents,
@@ -1921,6 +1933,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM s a JOIN s b ON a.doc_id < b.doc_id
             )
             WHERE jaccard >= 0.5
+        """,
+        # Same multiplicative-hash arithmetic as the Spark expression — the
+        # split decision must be reproducible in any engine.
+        "split_corpus_documents": """
+            SELECT doc_id,
+                   CASE WHEN b < 90 THEN 'train'
+                        WHEN b < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id,
+                       ((doc_id + 1) * 2654435761) % 4294967296 % 100 AS b
+                FROM documents
+            )
         """,
         # Exact batch×corpus Jaccard — the index-probe path must reproduce
         # the full threshold set (banding miss p≈1e-4 per pair at r=2/b=32).

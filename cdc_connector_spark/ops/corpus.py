@@ -197,3 +197,34 @@ def pack_sequences_firstfit(
 
     schema = f"{id_col} long, {shard_col} string, n_tokens int, bin_id long"
     return with_tokens.groupBy(shard_col).applyInPandas(pack, schema=schema)
+
+
+def split_corpus(
+    df: DataFrame,
+    weights: dict[str, int] | None = None,
+    key_col: str = "doc_id",
+    salt: int = 1,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds a ``split`` column from
+    the same engine-portable multiplicative hash as ``hash_sample`` (Knuth
+    2654435761 mod 2^32, pure-bigint, ANSI-safe), so the assignment is (a)
+    reproducible run-to-run and engine-to-engine, (b) auditable by
+    re-evaluating the arithmetic anywhere, and (c) STABLE UNDER CORPUS
+    GROWTH — a doc's split depends only on its key, so appending data never
+    reshuffles existing examples across splits (the property random splits
+    lose and leakage audits depend on). ``weights`` are integer percents
+    summing to 100, assigned to contiguous hash-bucket ranges in dict
+    order. A projection only: no shuffle, nothing to precompute."""
+    weights = weights or {"train": 90, "val": 5, "test": 5}
+    if sum(weights.values()) != 100:
+        raise ValueError(f"split weights must sum to 100, got {weights}")
+    bucket = (
+        F.pmod((F.col(key_col) + F.lit(salt)) * F.lit(2654435761), F.lit(4294967296)) % 100
+    )
+    expr = None
+    lo = 0
+    for name, pct in weights.items():
+        cond = (bucket >= lo) & (bucket < lo + pct)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += pct
+    return df.withColumn("split", expr)

@@ -150,3 +150,25 @@ def test_pack_firstfit_oversized_doc_gets_own_bin(spark):
     out = {r["doc_id"]: r for r in pack_sequences_firstfit(df, 256, "source").collect()}
     assert out[1]["bin_id"] != out[2]["bin_id"]  # 300 > budget → alone
     assert out[2]["bin_id"] == out[3]["bin_id"]  # small docs share
+
+
+def test_split_corpus_deterministic_and_growth_stable(spark):
+    from cdc_connector_spark.ops.corpus import split_corpus
+
+    docs = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    full = {r["doc_id"]: r["split"] for r in split_corpus(docs).collect()}
+    # proportions near 90/5/5 (hash buckets, not exact)
+    from collections import Counter
+
+    c = Counter(full.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 850 <= c["train"] <= 950 and c["val"] >= 20 and c["test"] >= 20
+    # growth-stable: assignment of the first half is unchanged when the
+    # corpus doubles — the property random splits lose
+    half = {r["doc_id"]: r["split"] for r in split_corpus(docs.filter("doc_id < 500")).collect()}
+    assert all(full[k] == v for k, v in half.items())
+    # custom weights + guard
+    w = {r["doc_id"]: r["split"] for r in split_corpus(docs, {"a": 50, "b": 50}).collect()}
+    assert set(w.values()) == {"a", "b"}
+    with pytest.raises(ValueError, match="sum to 100"):
+        split_corpus(docs, {"a": 60, "b": 50}).collect()
