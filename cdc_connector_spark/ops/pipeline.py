@@ -30,6 +30,7 @@ def clean_corpus(
     min_quality: float = 0.3,
     near_dup: bool = False,
     jaccard_threshold: float = 0.8,
+    group_dedup: bool = False,
 ) -> DataFrame:
     """Return the cleaned corpus with added ``lang_pred``/``quality`` cols.
 
@@ -37,7 +38,13 @@ def clean_corpus(
     smallest id), not merely the smallest id — the representative choice
     that matters for training data. Near-dup pruning drops the lower-quality
     member of each MinHash pair (transitively, via keeping only docs never
-    appearing as a 'loser').
+    appearing as a 'loser'). With ``group_dedup=True`` the pair graph is
+    first closed into connected components (ops/components.py) and exactly
+    ONE best-quality doc survives per component — pairwise mode can keep two
+    docs of a transitive cluster that were never directly paired (A~B, A~C
+    with A losing both keeps BOTH B and C); group mode cannot. Group mode
+    costs the component iterations (O(diameter) extra shuffle rounds over
+    the pair graph only).
     """
     scored = docs.withColumn("lang_pred", language_id(text_col)).withColumn(
         "quality", quality_score(text_col)
@@ -58,6 +65,20 @@ def clean_corpus(
     pairs = minhash_dedup_pairs(
         deduped, text_col=text_col, id_col=id_col, jaccard_threshold=jaccard_threshold
     )
+    if group_dedup:
+        from cdc_connector_spark.ops.components import connected_components
+
+        comp = connected_components(pairs)
+        member_q = deduped.select(
+            F.col(id_col).alias("id"), F.col("quality").alias("__q")
+        ).join(comp, "id")
+        w_best = Window.partitionBy("comp").orderBy(F.col("__q").desc(), F.col("id").asc())
+        losers = (
+            member_q.withColumn("__rn", F.row_number().over(w_best))
+            .filter(F.col("__rn") > 1)
+            .select(F.col("id").alias("loser"))
+        )
+        return deduped.join(losers, deduped[id_col] == losers.loser, "left_anti")
     q = deduped.select(F.col(id_col).alias("__qid"), F.col("quality").alias("__q"))
     ranked = (
         pairs.join(q.withColumnRenamed("__qid", "id_a").withColumnRenamed("__q", "q_a"), "id_a")

@@ -84,3 +84,39 @@ def test_pretrain_corpus_full_recipe(spark):
     assert set(rows_out) == {1, 5}          # dup, junk, contaminated all gone
     for r in rows_out.values():             # packing placement present + sane
         assert r["seq_offset"] < 64 and r["n_tokens"] > 0 and r["seq_id"] >= 0
+
+
+def test_group_dedup_keeps_exactly_one_per_cluster(spark):
+    """Pairwise-loser pruning keeps BOTH survivors of a transitive cluster
+    whose members were never directly paired; group mode keeps exactly the
+    best one. Construct A~B, A~C (A lowest quality; B,C not a pair)."""
+    mid = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    corpus = spark.createDataFrame(
+        [
+            # A: near-dup of both B and C, lowest quality (short tail)
+            (1, mid + " x"),
+            # B: high-quality variant sharing most shingles with A
+            (2, mid + " while the sun rises over the quiet valley and birds sing"),
+            # C: another high-quality variant of A, different tail than B
+            (3, mid + " as the evening settles over the sleepy harbor and boats rest"),
+            (9, "an entirely different document about spark shuffle exchanges in query plans"),
+        ],
+        "doc_id long, text string",
+    )
+    pairwise = clean_corpus(
+        corpus, keep_langs=None, min_quality=0.0, near_dup=True, jaccard_threshold=0.4
+    )
+    grouped = clean_corpus(
+        corpus, keep_langs=None, min_quality=0.0, near_dup=True,
+        jaccard_threshold=0.4, group_dedup=True,
+    )
+    pw_ids = {r["doc_id"] for r in pairwise.collect()}
+    gr_ids = {r["doc_id"] for r in grouped.collect()}
+    # precondition: the cluster is transitive-only (B~C not directly paired)
+    from cdc_connector_spark.ops.dedup import minhash_dedup_pairs
+
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_dedup_pairs(
+        corpus, jaccard_threshold=0.4).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) not in pairs
+    assert pw_ids == {2, 3, 9}  # pairwise keeps both cluster survivors
+    assert len(gr_ids & {1, 2, 3}) == 1 and 9 in gr_ids  # group keeps ONE
