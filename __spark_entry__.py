@@ -747,6 +747,22 @@ def incremental_dedup_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
 
 
+def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact ANN: top-5 cosine neighbors for THREE query vectors in
+    ONE corpus pass (broadcast probes + per-query window), VALUE-VERIFIED
+    against per-query exact top-k SQL. The single-query variant would scan
+    the corpus once per probe; this is the retrieval shape a pipeline
+    actually runs."""
+    from cdc_connector_spark.ops.ann import brute_force_topk_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = brute_force_topk_batch(emb, queries, k=5)
+    return out.select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
 def split_corpus_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test assignment — engine-portable
     multiplicative hash (same family as hash_sample), VALUE-VERIFIED: the
@@ -1408,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_groups_documents": neardup_groups_documents,
         "incremental_dedup_lookup": incremental_dedup_lookup,
         "split_corpus_documents": split_corpus_documents,
+        "ann_topk_batch": ann_topk_batch,
         # --- never driver-checked before round 5 (were entries 51-71) ---
         "decontam_overlap_documents": decontam_overlap_documents,
         "pii_redact_documents": pii_redact_documents,
@@ -1933,6 +1950,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM s a JOIN s b ON a.doc_id < b.doc_id
             )
             WHERE jaccard >= 0.5
+        """,
+        # Per-query exact top-k — the one-pass batched window formulation
+        # must reproduce it for every probe.
+        "ann_topk_batch": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id IN (0, 1, 2)
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       round(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+                             (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                              sqrt(list_inner_product(q.qv, q.qv))), 6) AS cos_sim
+                FROM embeddings e, q
+            )
+            SELECT query_id, vec_id, cos_sim FROM (
+                SELECT query_id, vec_id, cos_sim,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cos_sim DESC, vec_id ASC) AS rn
+                FROM scored
+            ) WHERE rn <= 5
         """,
         # Same multiplicative-hash arithmetic as the Spark expression — the
         # split decision must be reproducible in any engine.

@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -60,6 +60,44 @@ def brute_force_topk(
         cosine_similarity(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def brute_force_topk_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of query vectors in ONE corpus pass —
+    the production retrieval shape (a training-data pipeline scores many
+    probes per trigger; one scan per query would read the corpus Q times).
+
+    The query frame is broadcast (a probe batch is small by definition — if
+    it were corpus-sized this would be a similarity JOIN, see
+    embedding_neardup_pairs); the corpus streams through a single
+    BroadcastNestedLoopJoin scoring every (vector, query) pair, and
+    per-query top-k is one window over (query, score). Cost: one corpus
+    scan + one shuffle on query_id — independent of |queries| up to memory.
+    Returns (query_id, vec_id, cos_sim), k rows per query, id tie-break.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(query_vec_col).cast("array<double>").alias("__qv"),
+    )
+    scored = embeddings.crossJoin(F.broadcast(q)).select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col).cast("array<double>"), F.col("__qv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
 
 
 def _srp_bucket(vec: Column, planes: int = 16, table: int = 0) -> Column:

@@ -273,3 +273,25 @@ def test_pq_topk_reranked_matches_exact(emb):
     # itself survives quantization as its own nearest code sequence
     adc = [r["vec_id"] for r in pq_topk(codes, books, q, k=10).collect()]
     assert adc[0] == 0
+
+
+def test_brute_force_topk_batch_matches_single_query(spark, emb):
+    """One-pass batched top-k == per-query single top-k for every probe."""
+    from cdc_connector_spark.ops.ann import brute_force_topk, brute_force_topk_batch
+
+    from pyspark.sql import functions as F
+
+    probes = [r["vec_id"] for r in emb.limit(3).collect()]
+    queries = emb.filter(F.col("vec_id").isin(probes)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = {
+        (r["query_id"], r["vec_id"]): round(r["cos_sim"], 9)
+        for r in brute_force_topk_batch(emb, queries, k=4).collect()
+    }
+    single = {}
+    for qid in probes:
+        qv = [float(v) for v in emb.filter(F.col("vec_id") == qid).collect()[0]["embedding"]]
+        for r in brute_force_topk(emb, qv, k=4).collect():
+            single[(qid, r["vec_id"])] = round(r["cos_sim"], 9)
+    assert batch == single and len(batch) == 12
