@@ -868,6 +868,63 @@ def ivf_recall_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched probe of the PERSISTED IVF layout: three query vectors, one
+    pruned scan over the union of their probe cells (dynamic partition
+    pruning on centroid_id), per-query exact re-rank. Rows-only like
+    ivf_ann_topk (pruned recall < 1 by design); ivf_batch_recall_topk pins
+    the measured per-batch recall as a value-verified row."""
+    import hashlib
+    import tempfile
+
+    from cdc_connector_spark.ops.ann import ivf_read_topk_batch, ivf_train_centroids, ivf_write
+
+    emb = _t(spark, sf_dir, "embeddings")
+    C = ivf_train_centroids(emb, n_centroids=16)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{tag}")
+    ivf_write(emb, path, C)
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_read_topk_batch(spark, path, queries, k=10, n_probe=4)
+    return out.select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def ivf_batch_recall_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the batched IVF probe vs the exact batched top-10,
+    summed over the three probes — one VALUE-VERIFIED row pinning the
+    deterministic fixture constant (ivf_recall_topk's pattern, extended to
+    the batch path)."""
+    import hashlib
+    import tempfile
+
+    from cdc_connector_spark.ops.ann import (
+        brute_force_topk_batch,
+        ivf_read_topk_batch,
+        ivf_train_centroids,
+        ivf_write,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    C = ivf_train_centroids(emb, n_centroids=16)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{tag}")
+    ivf_write(emb, path, C)
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ivf_ids = ivf_read_topk_batch(spark, path, queries, k=10, n_probe=4).select(
+        "query_id", "vec_id"
+    )
+    exact_ids = brute_force_topk_batch(emb, queries, k=10).select("query_id", "vec_id")
+    matched = ivf_ids.join(exact_ids, ["query_id", "vec_id"]).count()
+    return spark.createDataFrame(
+        [(10, 4, 3, matched, matched / 30.0)],
+        "k int, n_probe int, n_queries int, matched long, recall double",
+    )
+
+
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table multiprobe SRP-LSH top-k — VALUE-VERIFIED against the
     exact top-k SQL: at 8 tables × 6 planes with 1-bit multiprobe the
@@ -1425,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_lookup": incremental_dedup_lookup,
         "split_corpus_documents": split_corpus_documents,
         "ann_topk_batch": ann_topk_batch,
+        "ivf_batch_recall_topk": ivf_batch_recall_topk,
         # --- never driver-checked before round 5 (were entries 51-71) ---
         "decontam_overlap_documents": decontam_overlap_documents,
         "pii_redact_documents": pii_redact_documents,
@@ -1496,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": lsh_ann_topk,
         "ivf_ann_topk": ivf_ann_topk,
         "ivf_recall_topk": ivf_recall_topk,
+        "ivf_ann_topk_batch": ivf_ann_topk_batch,
         "lang_id_documents": lang_id_documents,
     }
 
@@ -2096,6 +2155,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(10 AS INT) AS k, CAST(4 AS INT) AS n_probe,
                    CAST(8 AS BIGINT) AS matched,
                    CAST(8 / 10.0 AS DOUBLE) AS recall
+        """,
+        # Batched-probe recall over 3 probes, pinned for sf0.01 (sf0.001
+        # measures 21/30 — different embeddings file, same as ivf_recall).
+        # ivf_ann_topk_batch itself stays rows-only (pruned recall < 1 by
+        # design); this row is its value-verified twin.
+        "ivf_batch_recall_topk": """
+            SELECT CAST(10 AS INT) AS k, CAST(4 AS INT) AS n_probe,
+                   CAST(3 AS INT) AS n_queries,
+                   CAST(20 AS BIGINT) AS matched,
+                   CAST(20 / 30.0 AS DOUBLE) AS recall
         """,
         # simhash_neardup / ivf_ann_topk: rows-only by design — the 64-bit
         # simhash signature is not SQL-expressible (pigeonhole recall is

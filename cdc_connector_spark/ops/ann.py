@@ -492,6 +492,66 @@ def ivf_read_topk(
     )
 
 
+def ivf_read_topk_batch(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    max_queries: int = 8192,
+) -> DataFrame:
+    """Probe a persisted IVF layout with a BATCH of query vectors in one
+    pruned scan — the serving shape of index retrieval (per-query
+    ``ivf_read_topk`` would re-open the layout per probe).
+
+    The probe batch is collected to the driver to rank centroids (bounded
+    by ``max_queries`` — probes are small by definition; a corpus-sized
+    probe set is a similarity JOIN, not an index lookup). The layout is
+    read ONCE, pruned to the UNION of all queries' probe cells (partition
+    pruning on ``centroid_id``), and each cell's vectors are scored only
+    against the queries probing that cell via a broadcast (query, cell)
+    join. One pruned scan + one window shuffle regardless of probe count.
+    Pruned-probe recall < 1 by design — pin it with the recall twin (see
+    ``ivf_recall_topk``'s pattern)."""
+    import json
+    import os
+
+    rows = queries.select(query_id_col, query_vec_col).collect()
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"{len(rows)} probe vectors exceed max_queries={max_queries}; "
+            "a probe set this large should be a similarity join, not an index lookup"
+        )
+    with open(os.path.join(path, "_CENTROIDS")) as f:
+        C = np.asarray(json.load(f), dtype=np.float64)
+    probe_rows = []
+    for r in rows:
+        q = np.asarray(r[query_vec_col], dtype=np.float64)
+        qn = q / np.maximum(np.linalg.norm(q), 1e-12)
+        for c in (C @ qn).argsort()[::-1][:n_probe]:
+            probe_rows.append((int(r[query_id_col]), int(c), [float(v) for v in r[query_vec_col]]))
+    probes = spark.createDataFrame(
+        probe_rows, f"{query_id_col} long, centroid_id int, __qv array<double>"
+    )
+    cells = sorted({c for _, c, _ in probe_rows})
+    data = spark.read.parquet(path).filter(F.col("centroid_id").isin(cells))
+    scored = data.join(F.broadcast(probes), "centroid_id").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col).cast("array<double>"), F.col("__qv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -295,3 +295,38 @@ def test_brute_force_topk_batch_matches_single_query(spark, emb):
         for r in brute_force_topk(emb, qv, k=4).collect():
             single[(qid, r["vec_id"])] = round(r["cos_sim"], 9)
     assert batch == single and len(batch) == 12
+
+
+def test_ivf_batch_probe_matches_per_query_probe(spark, emb, tmp_path):
+    """Batched IVF probe == per-query ivf_read_topk for each probe vector,
+    and the probe-batch size guard refuses oversized batches."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from cdc_connector_spark.ops.ann import (
+        ivf_read_topk,
+        ivf_read_topk_batch,
+        ivf_train_centroids,
+        ivf_write,
+    )
+
+    path = str(tmp_path / "ivf")
+    C = ivf_train_centroids(emb, n_centroids=8)
+    ivf_write(emb, path, C)
+    probes = [r["vec_id"] for r in emb.limit(3).collect()]
+    queries = emb.filter(F.col("vec_id").isin(probes)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = {
+        (r["query_id"], r["vec_id"]): round(r["cos_sim"], 9)
+        for r in ivf_read_topk_batch(spark, path, queries, k=5, n_probe=3).collect()
+    }
+    single = {}
+    for qid in probes:
+        qv = [float(v) for v in emb.filter(F.col("vec_id") == qid).collect()[0]["embedding"]]
+        for r in ivf_read_topk(spark, path, qv, k=5, n_probe=3).collect():
+            single[(qid, r["vec_id"])] = round(r["cos_sim"], 9)
+    assert batch == single and len(batch) == 15
+    with _pytest.raises(ValueError, match="max_queries"):
+        ivf_read_topk_batch(spark, path, queries, k=5, n_probe=3, max_queries=2)
