@@ -30,12 +30,12 @@ gone) is a no-op, so crash-recovery that re-delivers the schema-history
 suffix converges to the same state.
 
 Scale note: `apply_ddl` is a pure projection/cast over the state DataFrame
-— zero shuffles. `migrate_sink_schema` materializes it as a new sink
-version (a full rewrite). At 100 TB a production table format makes rename
-and drop METADATA-ONLY via column mapping (stable physical column ids, the
-Delta/Iceberg design) and pays a rewrite only for widen on formats without
-type promotion; the rewrite here is the local-parquet stand-in, and the
-batch/state semantics above are what the judge-visible tests pin down.
+— zero shuffles. `migrate_sink_schema` on the txlog sink is METADATA-ONLY
+for rename/drop: stable physical column names live in the log's column
+mapping (the Delta/Iceberg design), so the DDL is one O(1) commit touching
+zero data files (txlog.py `TxLogMergeSink.ddl`); only widen pays a rewrite
+(parquet has no read-compatible cross-file int promotion). The plain
+ParquetMergeSink keeps the full-rewrite fallback.
 """
 
 from __future__ import annotations
@@ -94,7 +94,12 @@ def _is_widening(src: T.DataType, dst: T.DataType) -> bool:
 
 
 def _check_ops(schema: T.StructType, ops: Sequence[DdlOp], key_cols: Sequence[str]) -> None:
-    names = {f.name for f in schema.fields}
+    # Track the EVOLVING name->type map through the op sequence: a widen of a
+    # column created by a preceding rename, or a second widen of the same
+    # column, must validate against the type at that point in the sequence,
+    # not the original schema (otherwise a narrowing cast can slip through
+    # and break the documented idempotent-replay invariant).
+    types: dict[str, T.DataType] = {f.name: f.dataType for f in schema.fields}
     keys = set(key_cols)
     for op in ops:
         if isinstance(op, RenameColumn):
@@ -103,31 +108,31 @@ def _check_ops(schema: T.StructType, ops: Sequence[DdlOp], key_cols: Sequence[st
                     f"rename of key column {op.old!r} needs a table-version migration "
                     "(key identity pins the bucket layout)"
                 )
-            if op.old not in names and op.new in names:
+            if op.old not in types and op.new in types:
                 continue  # already applied — DDL replay is idempotent (ST1)
-            if op.old not in names:
+            if op.old not in types:
                 raise ValueError(f"rename: no such column {op.old!r}")
-            if op.new in names:
+            if op.new in types:
                 raise ValueError(f"rename: target column {op.new!r} already exists")
-            names.discard(op.old)
-            names.add(op.new)
+            types[op.new] = types.pop(op.old)
         elif isinstance(op, WidenColumn):
-            if op.col not in names:
+            if op.col not in types:
                 raise ValueError(f"widen: no such column {op.col!r}")
-            src = schema[op.col].dataType if op.col in [f.name for f in schema.fields] else None
+            src = types[op.col]
             dst = T._parse_datatype_string(op.to_type)
-            if src is not None and not _is_widening(src, dst):
+            if not _is_widening(src, dst):
                 raise ValueError(
                     f"widen: {op.col!r} {src.simpleString()} -> {dst.simpleString()} is not "
                     "a lossless widening (narrowing cannot replay idempotently)"
                 )
+            types[op.col] = dst
         elif isinstance(op, DropColumn):
             if op.col in keys:
                 raise ValueError(
                     f"drop of key column {op.col!r} needs a table-version migration"
                 )
             # a missing column means the drop already applied — replay no-op
-            names.discard(op.col)
+            types.pop(op.col, None)
         else:  # pragma: no cover - type guard
             raise TypeError(f"unknown DDL op {op!r}")
 
@@ -199,14 +204,18 @@ def apply_changes_with_ddl(
 
 
 def migrate_sink_schema(sink, ops: Sequence[DdlOp]) -> None:
-    """Apply a DDL op sequence to a merge sink (ParquetMergeSink or
-    TxLogMergeSink): read current state, migrate, commit as a new version.
-    Later batches may still carry the pre-DDL shape — run them through
-    ``normalize_batch(batch, ops)`` before ``sink.apply``.
+    """Apply a DDL op sequence to a merge sink. Later batches may still carry
+    the pre-DDL shape — run them through ``normalize_batch(batch, ops)``
+    before ``sink.apply``.
 
-    This is the full-rewrite path (correct everywhere); at 100 TB rename and
-    drop become metadata-only with column-mapped table formats — see module
-    docstring."""
+    Sinks exposing a ``ddl`` method (TxLogMergeSink) get the METADATA-ONLY
+    path for rename/drop — one O(1) log commit via column mapping, zero data
+    files touched; widen still rewrites (parquet has no cross-file int
+    promotion). Sinks without it (ParquetMergeSink) take the full-rewrite
+    path: read current state, migrate, commit as a new version."""
+    if hasattr(sink, "ddl"):
+        sink.ddl(ops)
+        return
     cur = sink.read()
     if cur is None:
         raise ValueError("cannot migrate an empty sink")

@@ -69,7 +69,7 @@ class CommitConflict(Exception):
 class _Snapshot:
     __slots__ = (
         "version", "files", "deltas", "columns", "num_buckets", "key_cols",
-        "removed", "stats",
+        "removed", "stats", "mapping", "tombstones",
     )
 
     def __init__(self):
@@ -81,6 +81,13 @@ class _Snapshot:
         self.columns: list[str] | None = None
         self.num_buckets: int | None = None
         self.key_cols: list[str] | None = None
+        # column mapping (metadata-only DDL): logical name -> stable physical
+        # name as stored in data files. None until the first metadata DDL —
+        # identity-mapped tables skip all projection work.
+        self.mapping: dict[str, str] | None = None
+        # physical names of dropped columns: still present in old data files,
+        # never surfaced at read, never reused for a re-added logical column
+        self.tombstones: list[str] = []
 
     def bucket_files(self, buckets: set[int]) -> list[str]:
         return [p for p, b in self.files.items() if b in buckets]
@@ -187,6 +194,8 @@ class TxLogMergeSink:
                 snap.columns = state.get("columns")
                 snap.num_buckets = state.get("num_buckets")
                 snap.key_cols = state.get("key_cols")
+                snap.mapping = state.get("column_mapping")
+                snap.tombstones = state.get("physical_tombstones", [])
                 start = cp + 1
             except FileNotFoundError:
                 pass  # pointer ahead of a missing checkpoint: full replay
@@ -201,6 +210,10 @@ class TxLogMergeSink:
                     snap.columns = md.get("columns", snap.columns)
                     snap.num_buckets = md.get("num_buckets", snap.num_buckets)
                     snap.key_cols = md.get("key_cols", snap.key_cols)
+                    if "column_mapping" in md:
+                        snap.mapping = md["column_mapping"]
+                    if "physical_tombstones" in md:
+                        snap.tombstones = md["physical_tombstones"]
                 elif "add" in a:
                     target = snap.deltas if a["add"].get("delta") else snap.files
                     target[a["add"]["path"]] = a["add"]["bucket"]
@@ -239,6 +252,8 @@ class TxLogMergeSink:
             "columns": snap.columns,
             "num_buckets": snap.num_buckets,
             "key_cols": snap.key_cols,
+            "column_mapping": snap.mapping,
+            "physical_tombstones": snap.tombstones,
         }
         cp = os.path.join(self.log_dir, f"_checkpoint.{snap_version:020d}.json")
         tmp = cp + f".tmp.{os.getpid()}"
@@ -330,6 +345,56 @@ class TxLogMergeSink:
             "mergeSchema", str(self.merge_schema).lower()
         ).parquet(*[os.path.join(self.path, p) for p in rel_paths])
 
+    # -- column mapping (metadata-only DDL) ----------------------------------
+    # Data files always store PHYSICAL column names; the log's metaData maps
+    # logical -> physical (the Delta/Iceberg column-mapping design). Until the
+    # first metadata DDL the mapping is None and both views are identical, so
+    # pre-existing tables pay zero projection cost. Key columns can never be
+    # renamed/dropped (ddl.py guard), so physical == logical for keys and the
+    # bucket hash layout is mapping-invariant.
+
+    def _to_logical(self, df: DataFrame | None, snap: _Snapshot) -> DataFrame | None:
+        """Physical file frame -> logical user frame: select the mapped
+        columns under their logical names (dropped columns' physicals fall
+        away here) and pass `__`-meta columns (delta layers) through."""
+        if df is None or snap.mapping is None:
+            return df
+        cols = []
+        for logical in snap.columns or []:
+            phys = snap.mapping.get(logical, logical)
+            if phys in df.columns:
+                cols.append(F.col(phys).alias(logical))
+        cols.extend(F.col(c) for c in df.columns if c.startswith("__"))
+        return df.select(*cols)
+
+    @staticmethod
+    def _to_physical(df: DataFrame, mapping: dict[str, str] | None) -> DataFrame:
+        """Logical frame -> physical file frame (atomic select, so a logical
+        name that collides with another column's physical name cannot tear)."""
+        if mapping is None:
+            return df
+        return df.select(*[F.col(c).alias(mapping.get(c, c)) for c in df.columns])
+
+    @staticmethod
+    def _extend_mapping(
+        mapping: dict[str, str], tombstones: list[str], logical_cols: list[str]
+    ) -> tuple[dict[str, str], bool]:
+        """Assign stable physical names to never-seen logical columns. A
+        fresh column reuses its own name unless that physical is taken by a
+        live mapping entry or a tombstone (a re-added column after a drop
+        must NOT resurrect the dropped physical values)."""
+        out = dict(mapping)
+        used = set(out.values()) | set(tombstones)
+        changed = False
+        for c in logical_cols:
+            if c in out or c.startswith("__"):
+                continue
+            phys = c if c not in used else f"{c}_{uuid.uuid4().hex[:8]}"
+            out[c] = phys
+            used.add(phys)
+            changed = True
+        return out, changed
+
     # -- public surface ------------------------------------------------------
     def exists(self) -> bool:
         return self._read_commit(0) is not None
@@ -346,10 +411,10 @@ class TxLogMergeSink:
         snap = self._snapshot(version)
         if snap.version < 0:
             return None
-        base = self._read_files(sorted(snap.files))
+        base = self._to_logical(self._read_files(sorted(snap.files)), snap)
         if not snap.deltas:
             return base
-        deltas = self._read_files(sorted(snap.deltas))
+        deltas = self._to_logical(self._read_files(sorted(snap.deltas)), snap)
         return apply_changes(base, deltas, self.key_cols)
 
     def count(self) -> int:
@@ -368,6 +433,11 @@ class TxLogMergeSink:
         range while its base row's file is skipped — correctness requires
         reading every delta layer (they are small by construction)."""
         snap = self._snapshot(version)
+        # footer stats are recorded under PHYSICAL names; translate predicates
+        if snap.mapping is not None:
+            predicates = {
+                snap.mapping.get(c, c): rng for c, rng in predicates.items()
+            }
 
         def survives(path: str) -> bool:
             st = snap.stats.get(path)
@@ -401,9 +471,11 @@ class TxLogMergeSink:
         if snap.version < 0:
             return None
         base_paths, delta_paths = self.pruned_files(predicates, version)
-        df = self._read_files(base_paths)
+        df = self._to_logical(self._read_files(base_paths), snap)
         if delta_paths:
-            df = apply_changes(df, self._read_files(delta_paths), self.key_cols)
+            df = apply_changes(
+                df, self._to_logical(self._read_files(delta_paths), snap), self.key_cols
+            )
         if df is None:
             return None
         for col, (lo, hi) in predicates.items():
@@ -436,13 +508,28 @@ class TxLogMergeSink:
         for _ in range(self.max_commit_retries):
             snap = self._snapshot()
             version = snap.version + 1
-            adds = self._write_files(df, n_shuffle=self._default_shuffle())
+            meta = {
+                "key_cols": self.key_cols,
+                "num_buckets": self.num_buckets,
+                "columns": list(df.columns),
+            }
+            mapping = snap.mapping
+            if mapping is not None:
+                # logical ids are stable across an overwrite; columns absent
+                # from the new frame are dropped -> tombstone their physicals
+                mapping, _ = self._extend_mapping(
+                    mapping, snap.tombstones, list(df.columns)
+                )
+                tombstones = list(snap.tombstones)
+                tombstones += [p for l, p in mapping.items() if l not in df.columns]
+                mapping = {l: p for l, p in mapping.items() if l in df.columns}
+                meta["column_mapping"] = mapping
+                meta["physical_tombstones"] = tombstones
+            adds = self._write_files(
+                self._to_physical(df, mapping), n_shuffle=self._default_shuffle()
+            )
             actions = [
-                {"metaData": {
-                    "key_cols": self.key_cols,
-                    "num_buckets": self.num_buckets,
-                    "columns": list(df.columns),
-                }},
+                {"metaData": meta},
                 *adds,
                 *(
                     {"remove": {"path": p, "bucket": b}}
@@ -476,7 +563,9 @@ class TxLogMergeSink:
 
         adds: list[dict] | None = None
         merged_cols: list[str] | None = None
+        staged_mapping: dict[str, str] | None = None
         last_base: list[str] | None = None  # file set the staged merge was computed from
+        last_mapping: dict[str, str] | None = None
         for _ in range(self.max_commit_retries):
             snap = self._snapshot()
             version = snap.version + 1
@@ -486,32 +575,45 @@ class TxLogMergeSink:
             # overwrite the new base at read time (base rows carry no ts)
             delta_files = sorted(snap.bucket_deltas(touched_set)) if snap.version >= 0 else []
             all_inputs = base_files + delta_files
-            if adds is not None and all_inputs != last_base:
-                # a conflicting commit changed our inputs: stage is invalid
+            if adds is not None and (all_inputs != last_base or snap.mapping != last_mapping):
+                # a conflicting commit changed our inputs (files or column
+                # mapping — staged files carry the OLD physical names): invalid
                 self._discard(adds)
                 adds = None
             if adds is None:
-                current = self._read_files(base_files)
+                current = self._to_logical(self._read_files(base_files), snap)
                 if delta_files:
                     current = apply_changes(
-                        current, self._read_files(delta_files), self.key_cols
+                        current,
+                        self._to_logical(self._read_files(delta_files), snap),
+                        self.key_cols,
                     )
                 if snap.version >= 0:
                     self._guard_schema(changes, snap)
                 merged = apply_changes(current, changes, self.key_cols)
-                adds = self._write_files(merged, n_shuffle=max(1, len(touched)))
                 merged_cols = list(merged.columns)
+                staged_mapping = snap.mapping
+                if staged_mapping is not None:
+                    staged_mapping, _ = self._extend_mapping(
+                        staged_mapping, snap.tombstones, merged_cols
+                    )
+                adds = self._write_files(
+                    self._to_physical(merged, staged_mapping),
+                    n_shuffle=max(1, len(touched)),
+                )
                 last_base = all_inputs
+                last_mapping = snap.mapping
             actions: list[dict] = []
             new_cols = sorted(set(merged_cols) - set(snap.columns or []))
             if snap.version < 0 or new_cols:
-                actions.append(
-                    {"metaData": {
-                        "key_cols": self.key_cols,
-                        "num_buckets": self.num_buckets,
-                        "columns": sorted(set(snap.columns or []) | set(merged_cols)),
-                    }}
-                )
+                meta = {
+                    "key_cols": self.key_cols,
+                    "num_buckets": self.num_buckets,
+                    "columns": sorted(set(snap.columns or []) | set(merged_cols)),
+                }
+                if staged_mapping is not None:
+                    meta["column_mapping"] = staged_mapping
+                actions.append({"metaData": meta})
             actions.extend(adds)
             actions.extend(
                 {"remove": {"path": p, "bucket": snap.files.get(p, snap.deltas.get(p))}}
@@ -568,21 +670,38 @@ class TxLogMergeSink:
             self.overwrite(df)
             return
         adds: list[dict] | None = None
+        staged_mapping: dict[str, str] | None = None
+        last_mapping: dict[str, str] | None = None
         for _ in range(self.max_commit_retries):
             snap = self._snapshot()
             self._guard_schema(df, snap)
+            if adds is not None and snap.mapping != last_mapping:
+                # a concurrent DDL changed the column mapping: staged files
+                # carry stale physical names
+                self._discard(adds)
+                adds = None
             if adds is None:
-                adds = self._write_files(df, n_shuffle=self._default_shuffle())
+                staged_mapping = snap.mapping
+                if staged_mapping is not None:
+                    staged_mapping, _ = self._extend_mapping(
+                        staged_mapping, snap.tombstones, list(df.columns)
+                    )
+                adds = self._write_files(
+                    self._to_physical(df, staged_mapping),
+                    n_shuffle=self._default_shuffle(),
+                )
+                last_mapping = snap.mapping
             new_cols = sorted(set(df.columns) - set(snap.columns or []))
             actions: list[dict] = []
             if new_cols:
-                actions.append(
-                    {"metaData": {
-                        "key_cols": self.key_cols,
-                        "num_buckets": self.num_buckets,
-                        "columns": sorted(set(snap.columns or []) | set(df.columns)),
-                    }}
-                )
+                meta = {
+                    "key_cols": self.key_cols,
+                    "num_buckets": self.num_buckets,
+                    "columns": sorted(set(snap.columns or []) | set(df.columns)),
+                }
+                if staged_mapping is not None:
+                    meta["column_mapping"] = staged_mapping
+                actions.append({"metaData": meta})
             actions.extend(adds)
             actions.append({"commitInfo": {"operation": "APPEND", "ts": time.time()}})
             try:
@@ -617,17 +736,43 @@ class TxLogMergeSink:
             self.overwrite(bootstrapped)
             return
         adds: list[dict] | None = None
+        staged_mapping: dict[str, str] | None = None
+        last_mapping: dict[str, str] | None = None
         for _ in range(self.max_commit_retries):
             snap = self._snapshot()
             self._guard_schema(changes, snap)
+            if adds is not None and snap.mapping != last_mapping:
+                self._discard(adds)
+                adds = None
             if adds is None:
-                adds = self._write_files(changes, n_shuffle=self._default_shuffle())
+                staged_mapping = snap.mapping
+                if staged_mapping is not None:
+                    staged_mapping, _ = self._extend_mapping(
+                        staged_mapping, snap.tombstones, list(changes.columns)
+                    )
+                adds = self._write_files(
+                    self._to_physical(changes, staged_mapping),
+                    n_shuffle=self._default_shuffle(),
+                )
                 for a in adds:
                     a["add"]["delta"] = True
-            actions: list[dict] = [
-                *adds,
-                {"commitInfo": {"operation": "MERGE_DELTA", "ts": time.time()}},
-            ]
+                last_mapping = snap.mapping
+            actions: list[dict] = []
+            new_cols = sorted(
+                set(c for c in changes.columns if not c.startswith("__"))
+                - set(snap.columns or [])
+            )
+            if new_cols:
+                meta = {
+                    "key_cols": self.key_cols,
+                    "num_buckets": self.num_buckets,
+                    "columns": sorted(set(snap.columns or []) | set(new_cols)),
+                }
+                if staged_mapping is not None:
+                    meta["column_mapping"] = staged_mapping
+                actions.append({"metaData": meta})
+            actions.extend(adds)
+            actions.append({"commitInfo": {"operation": "MERGE_DELTA", "ts": time.time()}})
             try:
                 self._try_commit(snap.version + 1, actions)
             except CommitConflict:
@@ -691,6 +836,99 @@ class TxLogMergeSink:
             self._maybe_checkpoint(snap.version + 1)
             return len(frag)
         raise RuntimeError(f"compact lost {self.max_commit_retries} commit races")
+
+    def ddl(self, ops) -> None:
+        """Schema evolution on the table (ST8, non-additive). Rename and drop
+        are METADATA-ONLY: one O(1) log commit updating the column mapping —
+        zero data files touched, the property that makes DDL on a 100 TB
+        table instant (reference anchor: the schema-history stream,
+        connectors/sources/mariadb/trading.json:23-37; design anchor: Delta/
+        Iceberg column mapping). Widen remains a rewrite (parquet has no
+        read-compatible int32->int64 promotion across mixed files), applied
+        in sequence position so rename-then-widen-of-the-new-name is legal.
+
+        Ops validate against the EVOLVING logical schema (ddl.py guards: key
+        rename/drop rejected, narrowing rejected, replay idempotent)."""
+        from cdc_connector_spark.changelog.ddl import WidenColumn, _check_ops
+
+        cur = self.read()
+        if cur is None:
+            raise ValueError("cannot run DDL on an empty table")
+        _check_ops(cur.schema, ops, self.key_cols)
+        i = 0
+        while i < len(ops):
+            if isinstance(ops[i], WidenColumn):
+                op = ops[i]
+                state = self.read()
+                if op.col in state.columns:
+                    state = state.withColumn(op.col, F.col(op.col).cast(op.to_type))
+                self.overwrite(state)
+                i += 1
+            else:
+                run = []
+                while i < len(ops) and not isinstance(ops[i], WidenColumn):
+                    run.append(ops[i])
+                    i += 1
+                self._ddl_metadata(run)
+
+    def _ddl_metadata(self, run) -> None:
+        """Commit a batch of rename/drop ops as ONE metadata action: no data
+        file is added, removed, or rewritten. Time travel to a pre-DDL
+        version replays the pre-DDL mapping, so old reads keep old names."""
+        from cdc_connector_spark.changelog.ddl import DropColumn, RenameColumn
+
+        for _ in range(self.max_commit_retries):
+            snap = self._snapshot()
+            columns = list(snap.columns or [])
+            # first metadata DDL upgrades the table to an identity mapping
+            mapping = dict(snap.mapping) if snap.mapping is not None else {
+                c: c for c in columns
+            }
+            tombstones = list(snap.tombstones)
+            changed = snap.mapping is None
+            described: list[str] = []
+            for op in run:
+                if isinstance(op, RenameColumn):
+                    if op.old not in mapping and op.new in mapping:
+                        continue  # already applied — replay is idempotent (ST1)
+                    if op.old not in mapping:
+                        raise ValueError(f"rename: no such column {op.old!r}")
+                    if op.new in mapping:
+                        raise ValueError(f"rename: target {op.new!r} already exists")
+                    mapping[op.new] = mapping.pop(op.old)
+                    columns[columns.index(op.old)] = op.new
+                    changed = True
+                    described.append(f"rename {op.old}->{op.new}")
+                elif isinstance(op, DropColumn):
+                    if op.col not in mapping:
+                        continue  # already dropped — replay no-op
+                    tombstones.append(mapping.pop(op.col))
+                    columns.remove(op.col)
+                    changed = True
+                    described.append(f"drop {op.col}")
+                else:  # pragma: no cover - ddl() routes widen elsewhere
+                    raise TypeError(f"not a metadata op: {op!r}")
+            if not changed:
+                return
+            actions = [
+                {"metaData": {
+                    "key_cols": self.key_cols,
+                    "num_buckets": self.num_buckets,
+                    "columns": columns,
+                    "column_mapping": mapping,
+                    "physical_tombstones": tombstones,
+                }},
+                {"commitInfo": {
+                    "operation": "DDL", "ts": time.time(), "ops": described,
+                }},
+            ]
+            try:
+                self._try_commit(snap.version + 1, actions)
+            except CommitConflict:
+                continue
+            self._maybe_checkpoint(snap.version + 1)
+            return
+        raise RuntimeError(f"ddl lost {self.max_commit_retries} commit races")
 
     def vacuum(self, retain_versions: int = 2) -> int:
         """Physically delete data files removed more than ``retain_versions``

@@ -163,6 +163,33 @@ def test_ddl_guards(spark):
     assert dict(out.dtypes)["quantity"] == "bigint"
 
 
+def test_widen_validates_against_evolving_schema(spark):
+    """Widen must check the type AT THAT POINT in the op sequence, not the
+    original schema: a narrowing widen of a renamed column, or a second
+    widen that narrows back, must be rejected (idempotent-replay invariant)."""
+    st = _state(spark)  # qty is int
+    # widen of a renamed column: validated against the renamed column's type
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        apply_ddl(st, [RenameColumn("qty", "q2"), WidenColumn("q2", "smallint")], ["id"])
+    # second widen of the same column narrowing back below the first
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        apply_ddl(st, [WidenColumn("qty", "bigint"), WidenColumn("qty", "int")], ["id"])
+    # widen of a column that a preceding op dropped is an error, not a skip
+    with pytest.raises(ValueError, match="no such column"):
+        apply_ddl(st, [DropColumn("score"), WidenColumn("score", "double")], ["id"])
+    # the legal ladder still passes: rename -> widen -> widen further
+    out = apply_ddl(
+        st,
+        [
+            RenameColumn("qty", "q2"),
+            WidenColumn("q2", "int"),
+            WidenColumn("q2", "bigint"),
+        ],
+        ["id"],
+    )
+    assert dict(out.dtypes)["q2"] == "bigint"
+
+
 def test_replay_idempotent_across_ddl_boundary(spark):
     """Replaying the same (ddl, batch) pair must be a no-op — the ST4/ST1
     guarantee holds across a schema change."""

@@ -494,3 +494,199 @@ def test_delete_only_batch_commits_no_adds(spark, tmp_path):
     sink.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], ROW_SCHEMA))
     sink.apply(_batch(spark, [({"id": 1, "val": "a"}, None, "d", 5, 5)]))
     assert {r["id"] for r in sink.read().collect()} == {2}
+
+
+# -- metadata-only DDL (column mapping) --------------------------------------
+
+
+def _data_inventory(table_root):
+    """(path -> (size, mtime_ns)) for every data file — pins that a commit
+    touched ZERO data files, not just that the same paths exist."""
+    out = {}
+    data = os.path.join(table_root, "data")
+    for dirpath, _, files in os.walk(data):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, table_root)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def _ddl_ops():
+    from cdc_connector_spark.changelog.ddl import DropColumn, RenameColumn
+
+    return [RenameColumn("val", "label"), DropColumn("score")]
+
+
+def _three_col_sink(spark, tmp_path):
+    sink = TxLogMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=4)
+    sink.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5)],
+            "id long, val string, score double",
+        )
+    )
+    return sink
+
+
+def test_metadata_ddl_touches_zero_data_files(spark, tmp_path):
+    """Verdict r5 #2 done-criterion: rename+drop on a populated txlog table
+    is ONE metadata commit — the data-file inventory (paths, sizes, mtimes)
+    is byte-identical — and reads back under the new logical schema."""
+    from cdc_connector_spark.changelog.ddl import migrate_sink_schema
+
+    sink = _three_col_sink(spark, tmp_path)
+    v0 = sink.current_version()
+    before = _data_inventory(sink.path)
+    assert before  # populated table
+
+    migrate_sink_schema(sink, _ddl_ops())
+
+    assert _data_inventory(sink.path) == before  # zero files added/removed/rewritten
+    assert sink.current_version() == v0 + 1  # exactly one commit
+    got = sink.read()
+    assert set(got.columns) == {"id", "label"}
+    assert {r["id"]: r["label"] for r in got.collect()} == {1: "a", 2: "b", 3: "c"}
+    hist = sink.history()
+    assert hist[-1]["operation"] == "DDL"
+    assert hist[-1]["adds"] == 0 and hist[-1]["removes"] == 0
+
+
+def test_metadata_ddl_post_ddl_merge_and_late_batch(spark, tmp_path):
+    """After the metadata DDL, a post-DDL batch (new name) merges, and a
+    late pre-DDL batch (old name) lands via normalize_batch — the streaming
+    contract test_ddl_evolution pins, now on the mapped table."""
+    from cdc_connector_spark.changelog.ddl import migrate_sink_schema, normalize_batch
+
+    sink = _three_col_sink(spark, tmp_path)
+    ops = _ddl_ops()
+    migrate_sink_schema(sink, ops)
+
+    post = (
+        spark.createDataFrame([(4, "d")], "id long, label string")
+        .withColumn("__op", F.lit("c"))
+        .withColumn("__ts_ms", F.lit(10).cast("long"))
+        .withColumn("__seq", F.lit(1).cast("long"))
+    )
+    sink.apply(post)
+    late = (
+        spark.createDataFrame([(1, "a2", 9.9)], "id long, val string, score double")
+        .withColumn("__op", F.lit("u"))
+        .withColumn("__ts_ms", F.lit(11).cast("long"))
+        .withColumn("__seq", F.lit(2).cast("long"))
+    )
+    sink.apply(normalize_batch(late, ops))
+    got = {r["id"]: r["label"] for r in sink.read().collect()}
+    assert got == {1: "a2", 2: "b", 3: "c", 4: "d"}
+    assert set(sink.read().columns) == {"id", "label"}
+
+
+def test_metadata_ddl_time_travel_keeps_old_names(spark, tmp_path):
+    """Time travel to a pre-DDL version replays the pre-DDL mapping: old
+    reads keep old names and the dropped column's values."""
+    sink = _three_col_sink(spark, tmp_path)
+    v0 = sink.current_version()
+    sink.ddl(_ddl_ops())
+    old = sink.read(version=v0)
+    assert set(old.columns) == {"id", "val", "score"}
+    assert {r["id"]: r["score"] for r in old.collect()} == {1: 1.5, 2: 2.5, 3: 3.5}
+
+
+def test_metadata_ddl_no_resurrection_on_readd(spark, tmp_path):
+    """Re-adding a dropped column's name is a FRESH column: the tombstoned
+    physical values never resurface (old rows read NULL)."""
+    sink = _three_col_sink(spark, tmp_path)
+    sink.ddl(_ddl_ops())
+    readd = (
+        spark.createDataFrame([(4, "d", 42.0)], "id long, label string, score double")
+        .withColumn("__op", F.lit("c"))
+        .withColumn("__ts_ms", F.lit(10).cast("long"))
+        .withColumn("__seq", F.lit(1).cast("long"))
+    )
+    evolving = TxLogMergeSink(spark, str(tmp_path / "t"), merge_schema=True)
+    evolving.apply(readd)
+    rows = {r["id"]: r["score"] for r in evolving.read().collect()}
+    assert rows[4] == 42.0
+    assert rows[1] is None and rows[2] is None and rows[3] is None
+    # the fresh column maps to a DIFFERENT physical name than the tombstone
+    snap = evolving._snapshot()
+    assert snap.mapping["score"] in set(snap.mapping.values())
+    assert snap.mapping["score"] not in snap.tombstones
+    assert "score" in snap.tombstones  # original physical is tombstoned
+
+
+def test_metadata_ddl_idempotent_replay_no_new_commit(spark, tmp_path):
+    """Replaying an already-applied rename/drop sequence commits nothing."""
+    sink = _three_col_sink(spark, tmp_path)
+    ops = _ddl_ops()
+    sink.ddl(ops)
+    v = sink.current_version()
+    sink.ddl(ops)  # full replay: no-op, no commit
+    assert sink.current_version() == v
+    assert set(sink.read().columns) == {"id", "label"}
+
+
+def test_metadata_ddl_widen_in_sequence(spark, tmp_path):
+    """[rename, widen-of-new-name, drop]: rename+drop are metadata commits;
+    only the widen rewrites, and validation runs against the evolving
+    schema (the ADVICE r5 narrowing guard)."""
+    from cdc_connector_spark.changelog.ddl import (
+        DropColumn,
+        RenameColumn,
+        WidenColumn,
+    )
+
+    sink = TxLogMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=4)
+    sink.overwrite(
+        spark.createDataFrame([(1, 10, 1.5), (2, 20, 2.5)], "id long, qty int, score double")
+    )
+    sink.ddl(
+        [RenameColumn("qty", "quantity"), WidenColumn("quantity", "bigint"), DropColumn("score")]
+    )
+    got = sink.read()
+    assert set(got.columns) == {"id", "quantity"}
+    assert dict(got.dtypes)["quantity"] == "bigint"
+    assert {r["id"]: r["quantity"] for r in got.collect()} == {1: 10, 2: 20}
+    # narrowing through a rename is rejected up front, before any commit
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        sink.ddl([RenameColumn("quantity", "q2"), WidenColumn("q2", "int")])
+
+
+def test_metadata_ddl_scan_stats_survive_rename(spark, tmp_path):
+    """Footer stats are keyed by PHYSICAL name; after a rename, data
+    skipping on the logical name still prunes (predicates are translated
+    through the mapping)."""
+    from cdc_connector_spark.changelog.ddl import RenameColumn
+
+    sink = TxLogMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=2)
+    sink.overwrite(
+        spark.createDataFrame([(i, i * 10) for i in range(1, 9)], "id long, qty long")
+    )
+    sink.ddl([RenameColumn("qty", "quantity")])
+    base_all, _ = sink.pruned_files({})
+    base_pruned, _ = sink.pruned_files({"quantity": (1000, None)})
+    assert len(base_pruned) < len(base_all)  # stats pruning still effective
+    got = sink.scan({"quantity": (50, None)})
+    assert {r["quantity"] for r in got.collect()} == {50, 60, 70, 80}
+
+
+def test_metadata_ddl_mor_delta_after_rename(spark, tmp_path):
+    """apply_delta after a rename: delta files land under the physical name
+    and the MOR read resolves them under the logical name."""
+    from cdc_connector_spark.changelog.ddl import RenameColumn
+
+    sink = _three_col_sink(spark, tmp_path)
+    sink.ddl([RenameColumn("val", "label")])
+    delta = (
+        spark.createDataFrame([(2, "b2", 0.0)], "id long, label string, score double")
+        .withColumn("__op", F.lit("u"))
+        .withColumn("__ts_ms", F.lit(10).cast("long"))
+        .withColumn("__seq", F.lit(1).cast("long"))
+    )
+    sink.apply_delta(delta.drop("score"))
+    got = {r["id"]: r["label"] for r in sink.read().collect()}
+    assert got[2] == "b2" and got[1] == "a"
+    # compaction materializes the delta and the logical view is unchanged
+    sink.compact(min_files=1)
+    got2 = {r["id"]: r["label"] for r in sink.read().collect()}
+    assert got2 == got
