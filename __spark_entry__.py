@@ -2031,7 +2031,9 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 5
         """,
         # Same multiplicative-hash arithmetic as the Spark expression — the
-        # split decision must be reproducible in any engine.
+        # split decision must be reproducible in any engine. The key is
+        # reduced mod 2^31 before the multiply so the product fits int64
+        # (overflow-safe for the full bigint key range).
         "split_corpus_documents": """
             SELECT doc_id,
                    CASE WHEN b < 90 THEN 'train'
@@ -2039,7 +2041,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM (
                 SELECT doc_id,
-                       ((doc_id + 1) * 2654435761) % 4294967296 % 100 AS b
+                       (((doc_id + 1) % 2147483648) * 2654435761) % 4294967296 % 100 AS b
                 FROM documents
             )
         """,
@@ -2251,7 +2253,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hash_sample_documents": """
             SELECT doc_id, source FROM documents
-            WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 20
+            WHERE (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 < 20
         """,
         "pq_ann_topk": """
             SELECT vec_id,

@@ -88,10 +88,18 @@ def hash_sample(
     expression evaluates identically in any SQL engine — which is what makes
     a sampling decision auditable. Sampling is a plain filter: no shuffle,
     pushed to the scan."""
-    bucket = F.pmod(
-        (F.col(key_col) + F.lit(salt)) * F.lit(2654435761), F.lit(4294967296)
-    ) % 100
-    return df.filter(bucket < pct)
+    return df.filter(_knuth_bucket(key_col, salt) < pct)
+
+
+def _knuth_bucket(key_col: str, salt: int) -> F.Column:
+    """Percent bucket by multiplicative hash, engine-portable AND
+    overflow-safe: the key is reduced mod 2^31 BEFORE the multiply so the
+    product stays under 2^63 ((2^31-1)·2654435761 < 2^63) — pure-bigint
+    arithmetic that never wraps, so ANSI Spark and DuckDB evaluate it
+    identically for the full bigint key range (keys ≥ 2^31 fold; the hash
+    keeps mixing them). Salt must be a small non-negative constant."""
+    reduced = F.pmod(F.col(key_col) + F.lit(salt), F.lit(2147483648))
+    return F.pmod(reduced * F.lit(2654435761), F.lit(4294967296)) % 100
 
 
 def quota_sample(
@@ -207,7 +215,8 @@ def split_corpus(
 ) -> DataFrame:
     """Deterministic train/val/test assignment: adds a ``split`` column from
     the same engine-portable multiplicative hash as ``hash_sample`` (Knuth
-    2654435761 mod 2^32, pure-bigint, ANSI-safe), so the assignment is (a)
+    2654435761 mod 2^32, key reduced mod 2^31 first so the product never
+    overflows int64, ANSI-safe), so the assignment is (a)
     reproducible run-to-run and engine-to-engine, (b) auditable by
     re-evaluating the arithmetic anywhere, and (c) STABLE UNDER CORPUS
     GROWTH — a doc's split depends only on its key, so appending data never
@@ -218,9 +227,7 @@ def split_corpus(
     weights = weights or {"train": 90, "val": 5, "test": 5}
     if sum(weights.values()) != 100:
         raise ValueError(f"split weights must sum to 100, got {weights}")
-    bucket = (
-        F.pmod((F.col(key_col) + F.lit(salt)) * F.lit(2654435761), F.lit(4294967296)) % 100
-    )
+    bucket = _knuth_bucket(key_col, salt)
     expr = None
     lo = 0
     for name, pct in weights.items():

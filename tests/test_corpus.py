@@ -172,3 +172,22 @@ def test_split_corpus_deterministic_and_growth_stable(spark):
     assert set(w.values()) == {"a", "b"}
     with pytest.raises(ValueError, match="sum to 100"):
         split_corpus(docs, {"a": 60, "b": 50}).collect()
+
+
+def test_knuth_hash_safe_for_keys_past_int32(spark):
+    """ADVICE r5: (key + salt) * 2654435761 overflowed int64 for keys above
+    ~3.47e9, throwing under ANSI mode. The mod-2^31 reduction keeps the
+    product in range for the FULL bigint key space; small keys (< 2^31) are
+    bit-identical to the old formula, so fixture outputs are unchanged."""
+    from cdc_connector_spark.ops.corpus import hash_sample, split_corpus
+
+    big = spark.createDataFrame(
+        [(2**31 - 1,), (2**33 + 12345,), (2**62,), (0,)], "doc_id long"
+    )
+    # must evaluate without an ANSI overflow error and stay deterministic
+    sampled = {r["doc_id"] for r in hash_sample(big, 100).collect()}
+    assert sampled == {2**31 - 1, 2**33 + 12345, 2**62, 0}
+    splits = split_corpus(big).collect()
+    assert len(splits) == 4 and all(r["split"] in {"train", "val", "test"} for r in splits)
+    again = {r["doc_id"]: r["split"] for r in split_corpus(big).collect()}
+    assert again == {r["doc_id"]: r["split"] for r in splits}
