@@ -82,8 +82,12 @@ def brute_force_topk_batch(
     per-query top-k is one window over (query, score). Cost: one corpus
     scan + one shuffle on query_id — independent of |queries| up to memory.
     Returns (query_id, vec_id, cos_sim), k rows per query, id tie-break.
+
+    Query ids must identify a probe: duplicates are collapsed (first vector
+    per id wins) rather than silently interleaving two queries' results
+    under one id.
     """
-    q = queries.select(
+    q = queries.dropDuplicates([query_id_col]).select(
         F.col(query_id_col).alias("__qid"),
         F.col(query_vec_col).cast("array<double>").alias("__qv"),
     )
@@ -516,9 +520,16 @@ def ivf_read_topk_batch(
     against the queries probing that cell via a broadcast (query, cell)
     join. One pruned scan + one window shuffle regardless of probe count.
     Pruned-probe recall < 1 by design — pin it with the recall twin (see
-    ``ivf_recall_topk``'s pattern)."""
+    ``ivf_recall_topk``'s pattern).
+
+    Query ids must be unique (a duplicated id would silently interleave two
+    queries' top-k under one label — rejected here, free since the probe
+    batch is already collected) and keep their input type: the probe frame
+    schema is inferred from the query frame, not hardcoded."""
     import json
     import os
+
+    from pyspark.sql import types as T
 
     rows = queries.select(query_id_col, query_vec_col).collect()
     if len(rows) > max_queries:
@@ -526,6 +537,10 @@ def ivf_read_topk_batch(
             f"{len(rows)} probe vectors exceed max_queries={max_queries}; "
             "a probe set this large should be a similarity join, not an index lookup"
         )
+    ids = [r[query_id_col] for r in rows]
+    if len(set(ids)) != len(ids):
+        dupes = sorted({i for i in ids if ids.count(i) > 1})
+        raise ValueError(f"duplicate query ids {dupes[:5]}: each probe needs a unique id")
     with open(os.path.join(path, "_CENTROIDS")) as f:
         C = np.asarray(json.load(f), dtype=np.float64)
     probe_rows = []
@@ -533,9 +548,16 @@ def ivf_read_topk_batch(
         q = np.asarray(r[query_vec_col], dtype=np.float64)
         qn = q / np.maximum(np.linalg.norm(q), 1e-12)
         for c in (C @ qn).argsort()[::-1][:n_probe]:
-            probe_rows.append((int(r[query_id_col]), int(c), [float(v) for v in r[query_vec_col]]))
+            probe_rows.append((r[query_id_col], int(c), [float(v) for v in r[query_vec_col]]))
     probes = spark.createDataFrame(
-        probe_rows, f"{query_id_col} long, centroid_id int, __qv array<double>"
+        probe_rows,
+        T.StructType(
+            [
+                T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+                T.StructField("centroid_id", T.IntegerType()),
+                T.StructField("__qv", T.ArrayType(T.DoubleType())),
+            ]
+        ),
     )
     cells = sorted({c for _, c, _ in probe_rows})
     data = spark.read.parquet(path).filter(F.col("centroid_id").isin(cells))

@@ -723,13 +723,26 @@ def minhash_index_write(
     ``mode="append"`` adds a new batch to the index (same parameters
     enforced via _META): the standard ingest loop is lookup → keep novel
     docs → append them.
+
+    Durability contract: on the initial build, ``_META`` is written LAST
+    (atomic rename), so a crash mid-build leaves no ``_META`` and every
+    append/lookup fails fast instead of probing a half-built index. An
+    append writes bands and shingles as two steps; a crash between them
+    leaves the index inconsistent (banded ids without shingles would
+    silently drop true matches at verify time) — a failed append therefore
+    requires a rebuild, or staging the batch and re-appending it whole.
     """
     import json
     import os
 
     meta_file = os.path.join(path, "_META")
     params = {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n}
-    if mode == "append" and os.path.exists(meta_file):
+    if mode == "append":
+        if not os.path.exists(meta_file):
+            raise ValueError(
+                f"no _META at {path}: refusing to append to a missing or "
+                "partially-built index (build with mode='overwrite' first)"
+            )
         with open(meta_file) as fh:
             stored = json.load(fh)
         if stored != params:
@@ -745,9 +758,14 @@ def minhash_index_write(
         F.col(id_col).alias("id"), hashed_shingles(text_col, shingle_n).alias("sh")
     )
     sh.write.mode(mode).parquet(os.path.join(path, "shingles"))
-    os.makedirs(path, exist_ok=True)
-    with open(meta_file, "w") as fh:
-        json.dump(params, fh)
+    if mode != "append":
+        # commit point of the initial build: readers treat a missing _META
+        # as "no index", so everything above is invisible until this rename
+        os.makedirs(path, exist_ok=True)
+        tmp = f"{meta_file}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(params, fh)
+        os.replace(tmp, meta_file)
 
 
 def minhash_index_lookup(

