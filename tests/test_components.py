@@ -4,7 +4,11 @@ from __future__ import annotations
 
 import pytest
 
-from cdc_connector_spark.ops.components import connected_components, neardup_groups
+from cdc_connector_spark.ops.components import (
+    connected_components,
+    connected_components_star,
+    neardup_groups,
+)
 
 
 def test_components_basic_transitivity(spark):
@@ -27,10 +31,28 @@ def test_components_long_chain_and_reverse_edges(spark):
     assert got == {i: 0 for i in range(n + 1)}
 
 
-def test_components_nonconvergence_guard(spark):
-    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
-    with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iterations=1)
+def test_components_budget_exhaustion_falls_back_to_star(spark):
+    """A graph deeper than the hash-min budget no longer raises: the
+    convergence guard hands off to the O(log n) star contraction and the
+    answer is still exact."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+    got = {r["id"]: r["comp"] for r in connected_components(pairs, max_iterations=1).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_star_contraction_converges_on_deep_chain(spark):
+    """Verdict r5 #5 done-criterion: a 1000-node chain (diameter 999 —
+    hash-min's worst case would need 999 rounds) converges within a small
+    O(log n) budget with the non-convergence guard never tripping."""
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i + 1, i) for i in range(n)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components_star(pairs, max_iterations=15).collect()
+    }
+    assert got == {i: 0 for i in range(n + 1)}
 
 
 def test_neardup_groups_sizes_and_reps(spark):
@@ -77,4 +99,15 @@ def test_components_match_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
     # every edge endpoint appears in the output, self-loop-only nodes included
+    assert got == _union_find(edges)
+
+
+@settings(max_examples=12, deadline=None)
+@given(EDGES)
+def test_star_contraction_matches_union_find(spark, edges):
+    """Large-star/small-star reaches the SAME labeling as hash-min and
+    union-find on any random multigraph — the two distributed variants are
+    interchangeable, which is what lets the guard fall back silently."""
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["comp"] for r in connected_components_star(pairs).collect()}
     assert got == _union_find(edges)
