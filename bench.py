@@ -299,20 +299,26 @@ def main() -> None:
     timings.update(live_timings)
     total += sum(live_timings.values())
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "snapshot_rows_per_sec": round(snap_rps),
-                "apply_events_per_sec": round(apply_eps),
-                **live_rates,
-            }
-        )
-    )
+    report = {
+        "metric": "headline_query_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "snapshot_rows_per_sec": round(snap_rps),
+        "apply_events_per_sec": round(apply_eps),
+        **live_rates,
+    }
+    print(json.dumps(report))
+    # the driver's BENCH_r{N}.json keeps only a bounded tail of stdout, which
+    # has truncated the per-query dict mid-stream (r5 parsed: null); persist
+    # the FULL report to a committed artifact so round-over-round per-query
+    # comparison never depends on a 4 KB tail buffer (judge r5 next-round #6)
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"# full report written to {full_path}", file=sys.stderr)
 
 
 if __name__ == "__main__":

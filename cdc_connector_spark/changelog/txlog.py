@@ -271,16 +271,36 @@ class TxLogMergeSink:
             F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.num_buckets)
         ).cast("int")
 
-    def _write_files(self, df: DataFrame, n_shuffle: int) -> list[dict]:
+    def _write_files(
+        self, df: DataFrame, n_shuffle: int, cluster_by: list[str] | None = None
+    ) -> list[dict]:
         """Write one commit's parquet under a unique dir; return add actions.
         Only the just-written dir is listed — O(new files), the exact listing
-        Delta gets from task commit messages."""
+        Delta gets from task commit messages.
+
+        ``cluster_by`` (physical column names) z-orders rows WITHIN the
+        bucket layout: range-partition on (bucket, z-value) and sort within
+        partitions, so each bucket splits into files covering tight
+        hyper-rectangles of the cluster columns — the footer stats recorded
+        on every add action then let ``pruned_files`` skip most of a bucket
+        for range predicates (OPTIMIZE ZORDER semantics; the key-hash
+        bucket dirs are preserved, so merge routing is unchanged)."""
         commit_id = uuid.uuid4().hex
         out_dir = os.path.join(self.data_dir, commit_id)
+        w = df.withColumn(_BUCKET, self._bucket_expr())
+        if cluster_by:
+            from cdc_connector_spark.ops.zorder import zvalue
+
+            w = (
+                zvalue(w, cluster_by)
+                .repartitionByRange(n_shuffle, F.col(_BUCKET), F.col("__z"))
+                .sortWithinPartitions(_BUCKET, "__z")
+                .drop("__z")
+            )
+        else:
+            w = w.repartition(n_shuffle, F.col(_BUCKET))
         (
-            df.withColumn(_BUCKET, self._bucket_expr())
-            .repartition(n_shuffle, F.col(_BUCKET))
-            .write.mode("overwrite")
+            w.write.mode("overwrite")
             .partitionBy(_BUCKET)
             .parquet(out_dir)
         )
@@ -781,12 +801,25 @@ class TxLogMergeSink:
             return
         raise RuntimeError(f"apply_delta lost {self.max_commit_retries} commit races")
 
-    def compact(self, min_files: int = 4) -> int:
+    def compact(
+        self,
+        min_files: int = 4,
+        zorder_by: list[str] | None = None,
+        files_per_bucket: int = 2,
+    ) -> int:
         """Small-file compaction (the lakehouse ``OPTIMIZE`` analogue):
         every bucket holding ≥ ``min_files`` live files is rewritten into
         one, published as a normal commit (N removes + 1 add per bucket) —
         data is byte-equal, so readers see no semantic change and time
         travel still reaches the pre-compaction layout.
+
+        ``zorder_by`` (logical column names) makes this ``OPTIMIZE ZORDER
+        BY``: every bucket with ≥2 live files (or deltas) is rewritten with
+        rows z-ordered within the bucket layout into ``files_per_bucket``
+        z-segments, so the per-file footer stats recorded in the log turn
+        range predicates on ANY clustered column into file skips inside
+        each bucket (``scan``/``pruned_files``) — the engine's secondary-
+        index analogue applied to the live table, not just a one-shot write.
 
         Streaming CDC accrues one file per touched bucket per micro-batch;
         without compaction a year of 10-second triggers is ~3M files per hot
@@ -803,8 +836,10 @@ class TxLogMergeSink:
             for p, b in snap.files.items():
                 by_bucket.setdefault(b, []).append(p)
             # a bucket is due when its base files fragment OR any MOR delta
-            # layer awaits materialization
-            frag = set(b for b, ps in by_bucket.items() if len(ps) >= min_files)
+            # layer awaits materialization; a z-order request re-clusters
+            # EVERY live bucket (re-layout is the point of OPTIMIZE ZORDER)
+            frag_floor = 1 if zorder_by else min_files
+            frag = set(b for b, ps in by_bucket.items() if len(ps) >= frag_floor)
             frag |= set(snap.deltas.values())
             if not frag:
                 return 0
@@ -813,8 +848,19 @@ class TxLogMergeSink:
             df = self._read_files(base_paths)
             if delta_paths:
                 df = apply_changes(df, self._read_files(delta_paths), self.key_cols)
-            # one output file per compacted bucket
-            adds = self._write_files(df, n_shuffle=len(frag))
+            # one output file per compacted bucket (files_per_bucket
+            # z-segments each when clustering); cluster cols are translated
+            # logical -> physical since compact runs in physical space
+            cluster = None
+            if zorder_by:
+                cluster = [
+                    (snap.mapping or {}).get(c, c) for c in zorder_by
+                ]
+            adds = self._write_files(
+                df,
+                n_shuffle=len(frag) * (files_per_bucket if zorder_by else 1),
+                cluster_by=cluster,
+            )
             actions = [
                 *adds,
                 *(
@@ -825,6 +871,7 @@ class TxLogMergeSink:
                     "operation": "COMPACT",
                     "ts": time.time(),
                     "buckets": sorted(frag),
+                    **({"zorder_by": list(zorder_by)} if zorder_by else {}),
                 }},
             ]
             try:

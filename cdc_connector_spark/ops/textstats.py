@@ -163,6 +163,96 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.trim(norm))
 
 
+def term_frequencies(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, term, tf): lowercased whitespace terms with per-document counts.
+    One explode + one aggregation — the inverted-index building block for
+    tf-idf / BM25. Shuffles once on (id, term); term payloads are short
+    strings, never document bodies."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(tokenize(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", min_tf: int = 1
+) -> DataFrame:
+    """Per-(document, term) tf-idf: ``tf * ln(N / df)`` with N = corpus doc
+    count, df = number of docs containing the term — the classic weighting,
+    stated plainly so the SQL twin can re-derive it verbatim.
+
+    Shape: term frequencies (one shuffle), document frequencies as an agg
+    over them (second shuffle on term), then a broadcast join of the (term,
+    df) side and a broadcast of the single-row N — the corpus never rides a
+    shuffle twice and nothing collects to the driver. ``min_tf`` prunes the
+    long tail before the join (at 100 TB the tf=1 tail dominates rows but
+    carries ~no ranking signal)."""
+    tf = term_frequencies(df, text_col, id_col).filter(F.col("tf") >= min_tf)
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.countDistinct(F.col(id_col)).alias("__n"))
+    return (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * F.log(F.col("__n").cast("double") / F.col("df"))).alias("tfidf"),
+        )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document to a bag of query terms (Robertson/
+    Sparck Jones, the Lucene-default ranking function):
+
+        score(D) = Σ_t idf(t) · tf(t,D)·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl))
+        idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))
+
+    Only documents containing ≥1 query term are returned (score > 0). The
+    term-frequency frame is filtered to the query terms FIRST, so the
+    per-term join touches O(matching postings), not the corpus vocabulary;
+    doc length and the (N, avgdl) scalars ride broadcasts."""
+    terms = sorted({t.lower() for t in query_terms})
+    tf = term_frequencies(df, text_col, id_col).filter(F.col("term").isin(terms))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = df.select(
+        F.col(id_col), F.size(tokenize(F.lower(F.col(text_col)))).alias("__dl")
+    )
+    stats = dl.agg(
+        F.countDistinct(F.col(id_col)).alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+    )
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    return (
+        tf.join(F.broadcast(docfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(contrib).alias("bm25"), F.count(F.lit(1)).alias("n_query_terms_hit"))
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document stats frame: token/char counts, ratios, quality, lang."""
     toks = tokenize(text_col)

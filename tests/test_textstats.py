@@ -66,3 +66,59 @@ def test_text_stats_on_documents(spark, sf_dir):
     # n_chars matches the table's own n_chars column
     joined = stats.join(docs, "doc_id").filter(F.col("n_chars_calc") != F.col("n_chars")).count()
     assert joined == 0
+
+
+def test_tfidf_hand_computed(spark):
+    """tf-idf on a 3-doc corpus against hand-derived values: a term in every
+    doc gets idf ln(3/3)=0 regardless of tf; a term in one doc gets
+    tf·ln(3)."""
+    import math
+
+    from cdc_connector_spark.ops.textstats import tfidf
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "apple cherry cherry cherry"),
+            (3, "apple banana date"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_id"], r["term"]): r for r in tfidf(df).collect()}
+    assert rows[(1, "apple")]["tf"] == 2 and rows[(1, "apple")]["df"] == 3
+    assert rows[(1, "apple")]["tfidf"] == 0.0  # ubiquitous term: zero weight
+    assert rows[(2, "cherry")]["tfidf"] == pytest.approx(3 * math.log(3.0))
+    assert rows[(1, "banana")]["df"] == 2
+    assert rows[(1, "banana")]["tfidf"] == pytest.approx(math.log(3 / 2))
+    # min_tf prunes BEFORE df is counted (the pruned postings define df)
+    pruned = {(r["doc_id"], r["term"]) for r in tfidf(df, min_tf=2).collect()}
+    assert pruned == {(1, "apple"), (2, "cherry")}
+
+
+def test_bm25_ranking_properties(spark):
+    """BM25 invariants: only matching docs score; more distinct query terms
+    beat fewer (idf-dominant here); longer docs with equal tf score lower
+    (length normalization); scores match the closed form."""
+    import math
+
+    from cdc_connector_spark.ops.textstats import bm25_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "join merge join"),               # 2 query terms, short
+            (2, "join filler filler filler filler filler filler filler"),
+            (3, "join filler"),                    # same tf as 2, shorter
+            (4, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bm25_scores(df, ["join", "merge"]).collect()}
+    assert 4 not in got  # no query term -> absent
+    assert got[1]["n_query_terms_hit"] == 2
+    assert got[1]["bm25"] > got[3]["bm25"] > got[2]["bm25"]
+    # closed form for doc 3: tf=1, df=3, N=4, dl=2, avgdl=16/4
+    n, dfreq, tf, dl, avgdl, k1, b = 4, 3, 1, 2, 4.0, 1.2, 0.75
+    expected = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5)) * tf * (k1 + 1) / (
+        tf + k1 * (1 - b + b * dl / avgdl)
+    )
+    assert got[3]["bm25"] == pytest.approx(expected)

@@ -690,3 +690,48 @@ def test_metadata_ddl_mor_delta_after_rename(spark, tmp_path):
     sink.compact(min_files=1)
     got2 = {r["id"]: r["label"] for r in sink.read().collect()}
     assert got2 == got
+
+
+# -- OPTIMIZE ZORDER BY (z-order-aware compaction) ---------------------------
+
+
+def test_compact_zorder_tightens_file_skipping(spark, tmp_path):
+    """compact(zorder_by=...) rewrites each bucket into z-ordered segments:
+    data is unchanged, and a range predicate on the clustered column prunes
+    files WITHIN buckets via the footer stats the log records — Delta's
+    OPTIMIZE ZORDER BY, driven through the txlog scan path."""
+    sink = TxLogMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=2)
+    rows = [(i, i * 3 % 1000, f"v{i}") for i in range(400)]
+    sink.overwrite(spark.createDataFrame(rows, "id long, metric long, val string"))
+    before = sink.read().orderBy("id").collect()
+
+    n = sink.compact(zorder_by=["metric"], files_per_bucket=4)
+    assert n > 0
+    after = sink.read().orderBy("id").collect()
+    assert after == before  # byte-equal semantics
+
+    base_all, _ = sink.pruned_files({})
+    base_pruned, _ = sink.pruned_files({"metric": (0, 50)})
+    # clustered layout: the narrow metric range touches a strict subset
+    assert len(base_all) >= 4
+    assert len(base_pruned) < len(base_all)
+    got = sink.scan({"metric": (0, 50)})
+    expect = {r["id"] for r in before if 0 <= r["metric"] <= 50}
+    assert {r["id"] for r in got.collect()} == expect
+
+
+def test_compact_zorder_after_rename_uses_logical_name(spark, tmp_path):
+    """zorder_by takes LOGICAL names: after a metadata rename the cluster
+    column is translated through the mapping to the physical layout."""
+    from cdc_connector_spark.changelog.ddl import RenameColumn
+
+    sink = TxLogMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=2)
+    rows = [(i, i * 7 % 500) for i in range(300)]
+    sink.overwrite(spark.createDataFrame(rows, "id long, qty long"))
+    sink.ddl([RenameColumn("qty", "quantity")])
+    assert sink.compact(zorder_by=["quantity"], files_per_bucket=3) > 0
+    base_all, _ = sink.pruned_files({})
+    base_pruned, _ = sink.pruned_files({"quantity": (0, 40)})
+    assert len(base_pruned) < len(base_all)
+    got = {r["id"] for r in sink.scan({"quantity": (0, 40)}).collect()}
+    assert got == {i for i in range(300) if i * 7 % 500 <= 40}
