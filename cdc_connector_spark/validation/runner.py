@@ -31,6 +31,22 @@ def parse_tables(spec: str) -> list[tuple[str, list[str]]]:
     return out
 
 
+def load_validation_table(spark, root: str, table: str):
+    """``<root>/<table>`` as a DataFrame: a transaction-log table (detected
+    by its ``_log/`` directory) resolves through the log — snapshot
+    isolation, MOR delta merge, column mapping all applied — so the sink
+    side of the reconciliation can be the live lakehouse table, not an
+    export of it; anything else reads as a plain parquet directory."""
+    import os
+
+    from cdc_connector_spark.changelog.txlog import TxLogMergeSink
+
+    path = f"{root}/{table}"
+    if os.path.isdir(os.path.join(path, "_log")):
+        return TxLogMergeSink(spark, path).read()
+    return spark.read.parquet(path)
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--source-root", required=True)
@@ -51,9 +67,9 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("cdc-validation")
     reports = []
     for table, pks in parse_tables(args.tables):
-        source = spark.read.parquet(f"{args.source_root}/{table}")
+        source = load_validation_table(spark, args.source_root, table)
         try:
-            sink = spark.read.parquet(f"{args.sink_root}/{table}")
+            sink = load_validation_table(spark, args.sink_root, table)
         except Exception:  # noqa: BLE001 — missing sink is what check 1 reports
             sink = None
         ts_col = find_ts_column(source.columns)

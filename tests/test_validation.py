@@ -152,3 +152,43 @@ def test_distinct_pk_approx_mode(spark):
     assert r.status == "PASS" and r.metrics["approx"] is True
     # HLL estimate within rsd of truth on both sides
     assert abs(r.metrics["source_distinct"] - 10000) / 10000 < 0.05
+
+
+def test_runner_reads_txlog_sink_directly(spark, tmp_path):
+    """The validation runner reconciles against the LIVE transaction-log
+    table (detected by _log/): snapshot resolution, MOR deltas, and column
+    mapping all apply — no parquet export step. A faithful sink passes; a
+    missing key surfaces as a failing check (exit 1)."""
+    from pyspark.sql import functions as F
+
+    from cdc_connector_spark.changelog.txlog import TxLogMergeSink
+    from cdc_connector_spark.validation.runner import main as validate_main
+
+    src_root, sink_root = str(tmp_path / "src"), str(tmp_path / "sink")
+    df = spark.range(0, 200).select(
+        F.col("id").alias("o_id"), (F.col("id") * 2).alias("v")
+    )
+    df.write.parquet(f"{src_root}/t1")
+    sink = TxLogMergeSink(spark, f"{sink_root}/t1", ["o_id"], num_buckets=4)
+    sink.overwrite(df)
+    # a MOR delta layer must be merged by the runner's read, not ignored
+    upd = (
+        spark.createDataFrame([(7, 999)], "o_id long, v long")
+        .withColumn("__op", F.lit("u"))
+        .withColumn("__ts_ms", F.lit(1).cast("long"))
+        .withColumn("__seq", F.lit(1).cast("long"))
+    )
+    sink.apply_delta(upd)
+    args = ["--source-root", src_root, "--sink-root", sink_root, "--tables", "t1:o_id"]
+    assert validate_main(args) == 0
+
+    # drop 2% of keys in the sink: rowcount/missing-key checks must FAIL
+    # (reference thresholds: WARN >= 0.1%, FAIL >= 1.0%)
+    dele = (
+        spark.createDataFrame([(i, i * 2) for i in range(1, 5)], "o_id long, v long")
+        .withColumn("__op", F.lit("d"))
+        .withColumn("__ts_ms", F.lit(2).cast("long"))
+        .withColumn("__seq", F.lit(2).cast("long"))
+    )
+    sink.apply(dele)
+    assert validate_main(args) == 1
