@@ -838,4 +838,9 @@ def minhash_index_lookup(
             (inter / (F.size("sh_a") + F.size("sh_b") - inter)).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
+        # an at-least-once index append (streaming replay crash window) can
+        # leave duplicate shingle rows for one id; identical rows re-verify
+        # to the same jaccard, so collapsing survivor pairs here makes the
+        # result replay-invariant at O(survivors) cost
+        .dropDuplicates(["new_id", "corpus_id"])
     )
