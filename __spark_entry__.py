@@ -1105,6 +1105,23 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def sq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization (int8) ANN top-10, VALUE-VERIFIED against the
+    exact top-k SQL: the dequantized-int8 scan ranks tightly enough that a
+    4× exact re-rank provably recovers the true top-10 on this fixture.
+    SQ is the 4×-compression sibling of PQ (FAISS SQ8 family): 1 byte per
+    dimension at near-exact ranking — the middle memory/recall point
+    between full-precision IVF and 32× PQ codes."""
+    from cdc_connector_spark.ops.ann import sq_encode, sq_topk, sq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    ranges = sq_train(emb)
+    codes = sq_encode(emb, ranges)
+    out = sq_topk(codes, ranges, q, k=10, rerank=emb, rerank_factor=4)
+    return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
 def gopher_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-ops: Gopher-rule quality filter (word count, mean word length,
     alpha-word ratio, trigram repetition) — one codegen projection,
@@ -1627,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume_customers": q18_large_volume_customers,
         "q20_potential_promotion": q20_potential_promotion,
         "q21_suppliers_who_kept_waiting": q21_suppliers_who_kept_waiting,
+        "sq_ann_topk": sq_ann_topk,
     }
 
 
@@ -2381,6 +2399,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 < 20
         """,
         "pq_ann_topk": """
+            SELECT vec_id,
+                   round(
+                     list_inner_product(CAST(embedding AS DOUBLE[]), q.q_vec) /
+                     (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+                      sqrt(list_inner_product(q.q_vec, q.q_vec))),
+                     6) AS cos_sim
+            FROM embeddings,
+                 (SELECT CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings WHERE vec_id = 0) q
+            ORDER BY cos_sim DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "sq_ann_topk": """
             SELECT vec_id,
                    round(
                      list_inner_product(CAST(embedding AS DOUBLE[]), q.q_vec) /

@@ -330,3 +330,48 @@ def test_ivf_batch_probe_matches_per_query_probe(spark, emb, tmp_path):
     assert batch == single and len(batch) == 15
     with _pytest.raises(ValueError, match="max_queries"):
         ivf_read_topk_batch(spark, path, queries, k=5, n_probe=3, max_queries=2)
+
+
+def test_sq_encode_int8_and_deterministic(emb):
+    from cdc_connector_spark.ops.ann import sq_encode, sq_train
+
+    ranges = sq_train(emb)
+    lo, hi = ranges
+    assert lo.shape == (64,) and (hi > lo).all()
+    codes = sq_encode(emb, ranges).collect()
+    assert all(len(r["codes"]) == 64 for r in codes)
+    assert all(-128 <= c <= 127 for r in codes for c in r["codes"])
+    codes2 = sq_encode(emb, sq_train(emb)).collect()
+    assert sorted(map(str, codes)) == sorted(map(str, codes2))
+
+
+def test_sq_topk_reranked_matches_exact(emb):
+    """Two-stage SQ search (int8 dequantized scan + exact re-rank of the
+    4k pool) recovers the exact top-10 — the property the oracle-checked
+    sq_ann_topk query relies on. int8 ranking is tight enough that even the
+    approximate-only pass agrees on the top-10 SET here."""
+    from cdc_connector_spark.ops.ann import brute_force_topk, sq_encode, sq_topk, sq_train
+
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    ranges = sq_train(emb)
+    codes = sq_encode(emb, ranges)
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
+    got = [r["vec_id"] for r in sq_topk(codes, ranges, q, k=10, rerank=emb, rerank_factor=4).collect()]
+    assert got == exact
+    approx = [r["vec_id"] for r in sq_topk(codes, ranges, q, k=10).collect()]
+    assert set(approx) == set(exact)
+
+
+def test_sq_encode_saturates_out_of_range(spark):
+    """Vectors outside the trained range clip to the int8 extremes instead
+    of wrapping — the guard for samples that missed the distribution tail."""
+    from cdc_connector_spark.ops.ann import sq_encode
+
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [(1, [5.0, -5.0])], "vec_id bigint, embedding array<double>"
+    )
+    ranges = (np.array([-1.0, -1.0]), np.array([1.0, 1.0]))
+    [row] = sq_encode(df, ranges).collect()
+    assert list(row["codes"]) == [127, -128]
