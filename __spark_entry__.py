@@ -1105,6 +1105,18 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def span_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops: C4-style duplicated-span removal (word 10-grams occurring
+    2+ times keep only their first occurrence; covered tokens are cut and
+    the doc re-joined). Value-verified: the DuckDB oracle re-derives the
+    identical first-occurrence arbitration from gram STRINGS while Spark
+    groups by the chained-xxhash64 gram hash — bit-identical text output."""
+    from cdc_connector_spark.ops.corpus import remove_duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicated_spans(docs, k=10, min_count=2)
+
+
 def sq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantization (int8) ANN top-10, VALUE-VERIFIED against the
     exact top-k SQL: the dequantized-int8 scan ranks tightly enough that a
@@ -1645,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_potential_promotion": q20_potential_promotion,
         "q21_suppliers_who_kept_waiting": q21_suppliers_who_kept_waiting,
         "sq_ann_topk": sq_ann_topk,
+        "span_dedup_documents": span_dedup_documents,
     }
 
 
@@ -2409,6 +2422,39 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings WHERE vec_id = 0) q
             ORDER BY cos_sim DESC, vec_id ASC
             LIMIT 10
+        """,
+        "span_dedup_documents": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text,'')) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+9], ' ') AS gram
+                FROM t, unnest(range(1, len(toks) - 8)) AS u(i)
+            ), s AS (
+                SELECT gram, count(*) AS c, min(doc_id * 100000 + pos) AS first_key
+                FROM g GROUP BY gram
+            ), rem AS (
+                SELECT g.doc_id, g.pos FROM g JOIN s USING (gram)
+                WHERE s.c >= 2 AND g.doc_id * 100000 + g.pos <> s.first_key
+            ), cov AS (
+                SELECT DISTINCT doc_id, pos + o AS cp FROM rem, unnest(range(10)) AS v(o)
+            ), tok AS (
+                SELECT doc_id, toks[i] AS tok, i - 1 AS tp
+                FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+            ), keptagg AS (
+                SELECT tok.doc_id,
+                       string_agg(tok.tok, ' ' ORDER BY tok.tp)
+                           FILTER (WHERE cov.cp IS NULL) AS clean_text,
+                       count(cov.cp) AS n_removed
+                FROM tok LEFT JOIN cov
+                  ON tok.doc_id = cov.doc_id AND tok.tp = cov.cp
+                GROUP BY tok.doc_id
+            )
+            SELECT t.doc_id, coalesce(k.clean_text, '') AS clean_text,
+                   CAST(coalesce(k.n_removed, 0) AS INT) AS n_removed
+            FROM t LEFT JOIN keptagg k USING (doc_id)
         """,
         "sq_ann_topk": """
             SELECT vec_id,

@@ -191,3 +191,49 @@ def test_knuth_hash_safe_for_keys_past_int32(spark):
     assert len(splits) == 4 and all(r["split"] in {"train", "val", "test"} for r in splits)
     again = {r["doc_id"]: r["split"] for r in split_corpus(big).collect()}
     assert again == {r["doc_id"]: r["split"] for r in splits}
+
+
+def test_remove_duplicated_spans_first_occurrence_wins(spark):
+    from cdc_connector_spark.ops.corpus import remove_duplicated_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j x"),      # holds the first occurrence
+            (2, "z a b c d e f g h i j"),      # same 10-gram at pos 1 → cut
+            (3, "unique words that appear nowhere else in this corpus ok"),
+            (4, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_duplicated_spans(df, k=10).collect()
+    }
+    assert got[1] == ("a b c d e f g h i j x", 0)
+    assert got[2] == ("z", 10)
+    assert got[3][1] == 0
+    assert got[4] == ("", 0)
+
+
+def test_remove_duplicated_spans_in_doc_repetition(spark):
+    """min_count counts OCCURRENCES, not documents: a k-gram repeated inside
+    one doc is trimmed to its first copy (overlap-safe)."""
+    from cdc_connector_spark.ops.corpus import remove_duplicated_spans
+
+    text = "p q r s t u v w x y END p q r s t u v w x y"
+    df = spark.createDataFrame([(7, text)], "doc_id bigint, text string")
+    [row] = remove_duplicated_spans(df, k=10).collect()
+    assert row["clean_text"] == "p q r s t u v w x y END"
+    assert row["n_removed"] == 10
+
+
+def test_remove_duplicated_spans_short_docs_untouched(spark):
+    from cdc_connector_spark.ops.corpus import remove_duplicated_spans
+
+    df = spark.createDataFrame(
+        [(1, "too short to gram"), (2, "too short to gram")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in remove_duplicated_spans(df, k=10).collect()}
+    assert got[1]["n_removed"] == 0 and got[2]["n_removed"] == 0
+    assert got[2]["clean_text"] == "too short to gram"
