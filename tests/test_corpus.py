@@ -237,3 +237,27 @@ def test_remove_duplicated_spans_short_docs_untouched(spark):
     got = {r["doc_id"]: r for r in remove_duplicated_spans(df, k=10).collect()}
     assert got[1]["n_removed"] == 0 and got[2]["n_removed"] == 0
     assert got[2]["clean_text"] == "too short to gram"
+
+
+def test_temperature_sample_rates(spark):
+    """T=1 is a no-op; T=2 keeps the smallest source whole and thins a 100×
+    source by ≈√(n_min/n_s); determinism across calls."""
+    from cdc_connector_spark.ops.corpus import temperature_sample
+
+    rows = [(i, "big") for i in range(1000)] + [(10000 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+
+    t1 = temperature_sample(df, temperature=1.0)
+    assert t1.count() == 1010  # natural distribution untouched
+
+    t2 = temperature_sample(df, temperature=2.0)
+    kept = t2.groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in kept}
+    assert by_src["small"] == 10  # smallest source keeps everything
+    # big source rate = sqrt(10/1000) ≈ 0.1 → ~100 kept (hash variance)
+    assert 60 <= by_src["big"] <= 140
+    again = {r["source"]: r["count"] for r in temperature_sample(df, temperature=2.0).groupBy("source").count().collect()}
+    assert again == by_src
+
+    with pytest.raises(ValueError):
+        temperature_sample(df, temperature=0.5)

@@ -122,3 +122,16 @@ def test_bm25_ranking_properties(spark):
         tf + k1 * (1 - b + b * dl / avgdl)
     )
     assert got[3]["bm25"] == pytest.approx(expected)
+
+
+def test_build_vocab_rank_determinism_and_caps(spark):
+    from cdc_connector_spark.ops.textstats import build_vocab
+
+    df = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a c d")], "doc_id bigint, text string"
+    )
+    out = {r["token"]: (r["n_occurrences"], r["token_id"]) for r in build_vocab(df).collect()}
+    # counts: a=3 b=3 c=2 d=1; ties broken token-asc → a before b
+    assert out == {"a": (3, 0), "b": (3, 1), "c": (2, 2), "d": (1, 3)}
+    capped = build_vocab(df, min_count=2, max_size=2).collect()
+    assert sorted((r["token"], r["token_id"]) for r in capped) == [("a", 0), ("b", 1)]
