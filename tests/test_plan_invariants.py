@@ -1,0 +1,98 @@
+"""Physical-plan regression guards: the scale properties PLANS.md documents,
+pinned as assertions so an edit that silently loses filter pushdown, column
+pruning, a broadcast, or top-k incremental-ification fails pytest instead of
+only being visible in the regenerated report.
+
+Uses the same `.explain("formatted")` extraction as tools/plan_report.py.
+Queries here are chosen because each pins a DIFFERENT plan property; the
+full per-query inventory stays in PLANS.md.
+"""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entry_mod
+from tools.plan_report import plan_facts
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def run(name):
+        return plan_facts(entry_mod.queries()[name](spark, sf_dir))
+
+    return run
+
+
+def test_point_lookup_pushes_filter_and_prunes_columns(q):
+    facts = q("point_lookup")
+    [scan] = facts["scans"]
+    assert "IsNotNull" in scan["pushed"] or "EqualTo" in scan["pushed"], scan
+    assert scan["read_cols"] <= 4  # orders is 9 cols wide — pruning must hold
+
+
+def test_topk_is_incremental_not_full_sort(q):
+    facts = q("topk_orders")
+    assert facts["has_take_ordered"]
+    assert facts["exchanges"] <= 1
+
+
+def test_small_dims_broadcast_in_tpch_join(q):
+    # q5 joins region+nation (tiny) to customer/orders/lineitem — the small
+    # sides must broadcast, and nothing may degenerate to a cartesian product
+    facts = q("q5_nation_revenue")
+    assert "BroadcastHashJoin" in facts["joins"]
+    assert "CartesianProduct" not in facts["joins"]
+
+
+def test_no_cartesian_products_anywhere(q):
+    """CartesianProduct is never an acceptable strategy in this repo: the
+    deliberate all-pairs verification twins are broadcast nested loops over
+    keyed SUBSETS, and everything else must join on keys."""
+    for name in entry_mod.queries():
+        facts = q(name)
+        assert "CartesianProduct" not in facts["joins"], name
+
+
+def test_hash_sample_is_scan_level_filter(q):
+    # sampling must not shuffle: keep-decision evaluates in the scan stage
+    facts = q("hash_sample_documents")
+    assert facts["exchanges"] == 0
+    assert not facts["has_python_udf"]
+
+
+def test_codegen_queries_have_no_python_nodes(q):
+    """The documented pure-codegen operators must stay JVM-side; Python is
+    allowed only in the audited Arrow kernels (minhash/simhash/ANN encode)."""
+    for name in (
+        "gopher_quality_documents",
+        "pii_redact_documents",
+        "text_stats_documents",
+        "normalize_values",
+        "span_dedup_documents",
+        "temperature_sample_documents",
+        "vocab_documents",
+        "q1_pricing_summary",
+    ):
+        assert not q(name)["has_python_udf"], name
+
+
+def test_tail_query_shuffle_budgets(q):
+    """Shuffle-count ceilings for the operators whose scale story quotes
+    them (SCALING.md §2). A raised count means a regression in partitioning
+    or a lost broadcast."""
+    budgets = {  # ceilings = the counts PLANS.md documents today
+        "dedup_exact_documents": 1,
+        # tiny source agg + its min + the re-agg under the second branch of
+        # the reused counts frame — all exchanges of a handful of rows
+        "temperature_sample_documents": 3,
+        "span_dedup_documents": 2,
+        "vocab_documents": 2,
+        "freshness_lag": 2,  # agg partials + single-partition final
+        "pk_range_stats": 1,
+    }
+    for name, ceiling in budgets.items():
+        facts = q(name)
+        assert facts["exchanges"] <= ceiling, (name, facts["exchanges"])
