@@ -149,3 +149,61 @@ def test_cdf_schema_evolution_mid_range(spark, tmp_path):
     rows = {(r["_commit_version"], r["id"]): r for r in feed.collect()}
     assert rows[(0, 1)]["extra"] is None
     assert rows[(1, 2)]["extra"] == 7
+
+
+def test_cdf_consumer_poll_commit_resume(spark, sink, tmp_path):
+    from cdc_connector_spark.changelog.cdf import CdfConsumer
+
+    c = CdfConsumer(sink, str(tmp_path / "cursors"), name="indexer")
+    assert c.position() == -1
+    changes, upto = c.poll()
+    assert upto == 1 and {r["_commit_version"] for r in changes.collect()} == {0, 1}
+    c.commit(upto)
+    assert c.poll() is None  # caught up
+
+    sink.apply(_batch(spark, [(None, {"id": 4, "val": "d"}, "c", 20, 4)]))  # v2
+    changes2, upto2 = c.poll()
+    assert upto2 == 2
+    assert {r["_commit_version"] for r in changes2.collect()} == {2}
+
+    # crash before commit: a NEW consumer instance (restart) redelivers
+    c2 = CdfConsumer(sink, str(tmp_path / "cursors"), name="indexer")
+    changes3, upto3 = c2.poll()
+    assert upto3 == 2 and changes3.count() == changes2.count()
+    c2.commit(upto3)
+    assert c2.poll() is None
+
+    with pytest.raises(ValueError):
+        c2.commit(0)  # monotonicity guard
+
+
+def test_cdf_consumer_auto_acks_noop_ranges(spark, sink, tmp_path):
+    from cdc_connector_spark.changelog.cdf import CdfConsumer
+
+    c = CdfConsumer(sink, str(tmp_path / "cursors"))
+    _, upto = c.poll()
+    c.commit(upto)
+    sink.compact(min_files=1)  # logical no-op commit
+    assert c.poll() is None
+    assert c.position() == sink.current_version()  # cursor advanced past it
+
+
+def test_cdf_independent_consumers(spark, sink, tmp_path):
+    from cdc_connector_spark.changelog.cdf import CdfConsumer
+
+    a = CdfConsumer(sink, str(tmp_path / "cursors"), name="a")
+    b = CdfConsumer(sink, str(tmp_path / "cursors"), name="b")
+    _, upto = a.poll()
+    a.commit(upto)
+    assert a.poll() is None
+    assert b.position() == -1 and b.poll() is not None  # b unaffected
+
+
+def test_cdf_consumer_process_helper(spark, sink, tmp_path):
+    from cdc_connector_spark.changelog.cdf import CdfConsumer
+
+    seen = []
+    c = CdfConsumer(sink, str(tmp_path / "cursors"))
+    assert c.process(lambda df, v: seen.append((df.count(), v))) == 1
+    assert seen == [(6, 1)]  # v0: 2 inserts; v1: ins+del+pre+post
+    assert c.process(lambda df, v: seen.append((df.count(), v))) == 0
