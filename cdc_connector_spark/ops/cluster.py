@@ -1,0 +1,300 @@
+"""Distributed k-means document clustering + SemDedup semantic dedup.
+
+The LLM-pipeline use case (SemDedup, Abbas et al. 2023, arXiv:2303.09540):
+cluster the corpus embeddings with k-means, then look for semantic
+near-duplicates ONLY within a cluster — the cluster structure bounds the
+pair space, turning an O(n²) similarity join into Σ O(n_c²) with n_c ≪ n.
+
+Unlike ``ann.ivf_train_centroids`` (a seeded *sample*-trained spherical
+k-means used purely as an index layout), this module implements exact
+full-corpus Lloyd's iterations with a DETERMINISTIC, engine-portable
+recipe, so the entire fit is re-derivable in ANSI SQL and value-verified
+by the driver's DuckDB oracle:
+
+- init: the embeddings of the ``k`` smallest ids, cluster ids assigned in
+  id order (no RNG, no sampling);
+- assignment: argmin of squared L2 distance, ties broken by smallest
+  cluster id (matches SQL ``row_number() OVER (ORDER BY d2, cid)``);
+- update: exact per-cluster coordinate mean over the FULL corpus; an
+  emptied cluster keeps its previous centroid;
+- a FIXED number of iterations (no data-dependent convergence test, which
+  would be fragile under float reordering across engines).
+
+Execution shape per iteration (scale posture):
+- centroids are a k×dim float64 matrix — broadcast by closure capture into
+  ONE ``mapInPandas`` pass over the corpus that FUSES assignment and the
+  partial-sum update: each Arrow batch does a single numpy matmul and
+  accumulates per-cluster (count, Σvec) locally. The corpus is never
+  shuffled; only k×(dim+1) doubles per PARTITION leave the kernel
+  (count packed as the last slot of the sums array so one posexplode →
+  groupBy(cluster,pos) → collect of k×(dim+1) scalar rows finishes the
+  reduce — no second job over the partials).
+- total work: (iters + 1) corpus scans, zero corpus shuffles, driver state
+  O(k·dim) — the MLlib shape, with deterministic arithmetic.
+
+Float caveat: Spark's partition-partial sums and DuckDB's aggregate order
+differ at ~1e-15 relative error, so squared-distance gaps below ~1e-13
+could in principle flip an assignment between engines. Gaps are
+continuous-valued; the oracle comparison is stable in practice (verified
+at sf0.001/0.01/0.1) and distances are rounded before they are emitted.
+
+Reference anchor: the reference has no clustering operator — this is part
+of the LLM training-data extension (BASELINE.json north star), alongside
+ops/dedup.py and ops/ann.py.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def kmeans_init(
+    embeddings: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> np.ndarray:
+    """Deterministic seeds: embeddings of the k smallest ids, in id order.
+
+    One TakeOrderedAndProject (no full sort); k·dim doubles to the driver.
+    """
+    rows = (
+        embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"k={k} but corpus has only {len(rows)} vectors")
+    return np.vstack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+
+
+def _iterate_kernel(C: np.ndarray, vec_col: str):
+    """mapInPandas kernel: fused assign + per-partition partial sums.
+
+    Emits k rows per partition: (cluster_id, sums[dim+1]) where
+    sums[dim] is the member count — packing the count into the array lets
+    the global reduce be a single posexplode/groupBy job.
+    """
+    k, dim = C.shape
+    c_sq = (C * C).sum(axis=1)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            # d2 = |x|^2 - 2 x·c + |c|^2 ; |x|^2 is constant per row, so
+            # argmin needs only the matmul term (+|c|^2). argmin returns the
+            # FIRST minimal index = smallest cluster id on ties.
+            d2 = c_sq[None, :] - 2.0 * (M @ C.T)
+            assign = d2.argmin(axis=1)
+            np.add.at(counts, assign, 1)
+            np.add.at(sums, assign, M)
+        out = np.concatenate([sums, counts[:, None].astype(np.float64)], axis=1)
+        yield pd.DataFrame(
+            {"cluster_id": np.arange(k, dtype=np.int32), "sums": list(out)}
+        )
+
+    return gen
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Fixed-iteration exact Lloyd's; returns the final k×dim centroids.
+
+    Each iteration is ONE corpus scan (fused assign+update kernel) plus a
+    k×(dim+1)-row reduce; see module docstring for the scale argument.
+    """
+    C = kmeans_init(embeddings, k, id_col, vec_col)
+    dim = C.shape[1]
+    partial_schema = T.StructType(
+        [
+            T.StructField("cluster_id", T.IntegerType()),
+            T.StructField("sums", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    src = embeddings.select(F.col(vec_col).cast("array<double>").alias(vec_col))
+    for _ in range(iters):
+        partials = src.mapInPandas(_iterate_kernel(C, vec_col), partial_schema)
+        reduced = (
+            partials.select("cluster_id", F.posexplode("sums").alias("pos", "val"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.sum("val").alias("s"))
+            .collect()
+        )
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k)
+        for r in reduced:
+            if r["pos"] == dim:
+                counts[r["cluster_id"]] = r["s"]
+            else:
+                sums[r["cluster_id"], r["pos"]] = r["s"]
+        nonempty = counts > 0
+        # emptied cluster keeps its previous centroid (same rule in the SQL
+        # oracle via coalesce(new, prev))
+        C = np.where(nonempty[:, None], sums / np.maximum(counts, 1)[:, None], C)
+    return C
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared L2, ties →
+    smallest cluster id). One scan, no shuffle; returns
+    (id, cluster_id, sq_dist) with sq_dist rounded to 6 decimals so the
+    result is engine-portable under float reordering."""
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+    id_field = embeddings.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("cluster_id", T.IntegerType()),
+            T.StructField("sq_dist", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            d2 = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ C.T) + c_sq[None, :]
+            assign = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cluster_id": assign.astype(np.int32),
+                    "sq_dist": np.round(d2[np.arange(len(M)), assign], 6),
+                }
+            )
+
+    return embeddings.select(
+        id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).mapInPandas(gen, out_schema)
+
+
+def kmeans_clusters(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """fit + final assignment: (id, cluster_id, sq_dist)."""
+    C = kmeans_fit(embeddings, k, iters, id_col, vec_col)
+    return kmeans_assign(embeddings, C, id_col, vec_col)
+
+
+def semdedup_pairs(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 100_000,
+) -> DataFrame:
+    """SemDedup: semantic near-duplicate pairs WITHIN k-means clusters.
+
+    Returns (cluster_id, id_a, id_b, cos_sim) with id_a < id_b and
+    cos_sim ≥ threshold (rounded to 6). The cluster partition bounds the
+    candidate space — cross-cluster pairs are never generated, which is the
+    paper's accepted recall trade (a near-dup pair straddling a cluster
+    boundary is missed; at SemDedup's operating point duplicates
+    overwhelmingly co-locate).
+
+    Execution: the assignment frame (id, cluster_id) joins the vectors and
+    each cluster's pairwise-cosine matrix is ONE numpy matmul inside an
+    ``applyInPandas`` kernel per cluster — the same fused shape as
+    ``ann.embedding_neardup_pairs``, with the k-means cluster playing the
+    LSH bucket's role. Only threshold survivors leave the kernel. Clusters
+    larger than ``max_cluster`` are refused loudly (raise, not silent
+    drop): at that size the caller should raise k, not silently lose
+    recall."""
+    assigned = kmeans_clusters(embeddings, k, iters, id_col, vec_col).select(
+        id_col, "cluster_id"
+    )
+    vecs = embeddings.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    joined = assigned.join(vecs, id_col)
+    id_field = embeddings.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("cluster_id", T.IntegerType()),
+            T.StructField("id_a", id_field.dataType),
+            T.StructField("id_b", id_field.dataType),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def cluster_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"cluster_id": [], "id_a": [], "id_b": [], "cos_sim": []}
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        if n > max_cluster:
+            raise ValueError(
+                f"cluster {key[0]} has {n} members > max_cluster={max_cluster}; "
+                "raise k (more, smaller clusters) or max_cluster"
+            )
+        M = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = np.nan
+        Mn = M / norms[:, None]
+        sims = Mn @ Mn.T
+        ia, ib = np.triu_indices(n, k=1)
+        vals = np.round(sims[ia, ib], 6)
+        keep = vals >= threshold
+        if not keep.any():
+            return empty
+        ids = pdf[id_col].to_numpy()
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {
+                "cluster_id": np.full(keep.sum(), key[0], dtype=np.int32),
+                "id_a": lo,
+                "id_b": hi,
+                "cos_sim": vals[keep],
+            }
+        )
+
+    return joined.groupBy("cluster_id").applyInPandas(cluster_pairs, out_schema)
+
+
+def semdedup_prune(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus minus semantic near-duplicates: for every near-dup PAIR the
+    higher id is dropped (keep-first rule, matching the dedup family).
+    Returns the surviving rows of ``embeddings`` unchanged."""
+    drops = (
+        semdedup_pairs(embeddings, k, iters, threshold, id_col, vec_col)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return embeddings.join(drops, id_col, "left_anti")

@@ -1,0 +1,132 @@
+"""ops/cluster.py — deterministic distributed k-means + SemDedup.
+
+Cross-engine value verification lives in the driver oracle
+(`kmeans_clusters_embeddings`, `semdedup_pairs_embeddings`); these tests pin
+the algorithmic invariants: planted-cluster recovery, the deterministic
+init/tie-break/empty-cluster rules, and the SemDedup pair semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cdc_connector_spark.ops.cluster import (
+    kmeans_assign,
+    kmeans_clusters,
+    kmeans_fit,
+    kmeans_init,
+    semdedup_pairs,
+    semdedup_prune,
+)
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>",
+    )
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Three tight, well-separated blobs; ids interleaved across blobs so
+    partition order ≠ cluster order."""
+    rng = np.random.default_rng(11)
+    centers = np.array([[0.0, 0.0, 0.0], [10.0, 0.0, 0.0], [0.0, 10.0, 10.0]])
+    rows = []
+    for i in range(60):
+        c = i % 3
+        rows.append((i, centers[c] + rng.normal(0, 0.05, 3)))
+    return _emb_df(spark, rows), centers
+
+
+def test_kmeans_recovers_planted_blobs(spark, planted):
+    df, centers = planted
+    out = kmeans_clusters(df, k=3, iters=5).toPandas()
+    assert len(out) == 60
+    # every blob lands in exactly one cluster and clusters don't mix
+    by_blob = {b: set(out[out.vec_id % 3 == b].cluster_id) for b in range(3)}
+    assert all(len(s) == 1 for s in by_blob.values())
+    assert len(set().union(*by_blob.values())) == 3
+    # fitted centroids sit on the planted centers
+    C = kmeans_fit(df, k=3, iters=5)
+    d = np.linalg.norm(C[:, None, :] - centers[None, :, :], axis=2).min(axis=1)
+    assert (d < 0.1).all()
+
+
+def test_init_is_lowest_ids_in_order(spark, planted):
+    df, _ = planted
+    C = kmeans_init(df, k=3)
+    expected = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in df.filter("vec_id < 3").collect()
+    }
+    for i in range(3):
+        assert np.allclose(C[i], expected[i], atol=1e-6)
+
+
+def test_empty_cluster_keeps_previous_centroid_and_ties_go_low(spark):
+    # all three seeds identical -> every point ties -> argmin picks cluster
+    # 0; clusters 1 and 2 empty out and must KEEP their previous centroid
+    rows = [(i, [1.0, 1.0]) for i in range(3)] + [
+        (i, [5.0, 5.0]) for i in range(3, 7)
+    ]
+    df = _emb_df(spark, rows)
+    C = kmeans_fit(df, k=3, iters=1)
+    assert np.allclose(C[1], [1.0, 1.0]) and np.allclose(C[2], [1.0, 1.0])
+    # cluster 0 absorbed everything: mean of all 7 points
+    assert np.allclose(C[0], np.mean([r[1] for r in rows], axis=0))
+    assigned = kmeans_assign(df, C).toPandas()
+    assert set(assigned.cluster_id) <= {0, 1, 2}
+
+
+def test_assign_distances_rounded_and_exact(spark):
+    df = _emb_df(spark, [(0, [0.0, 0.0]), (1, [3.0, 4.0])])
+    C = np.array([[0.0, 0.0], [3.0, 0.0]])
+    out = kmeans_assign(df, C).orderBy("vec_id").toPandas()
+    assert out.cluster_id.tolist() == [0, 1]
+    assert out.sq_dist.tolist() == [0.0, 16.0]
+
+
+def test_semdedup_finds_within_cluster_neardup_only(spark):
+    rng = np.random.default_rng(5)
+    base_a = rng.normal(0, 1, 16)
+    base_b = -base_a  # opposite cluster, cosine -1 vs a
+    rows = [
+        (0, base_a),
+        (1, base_a + rng.normal(0, 0.01, 16)),  # near-dup of 0
+        (2, base_b),
+        (3, base_b * 1.5 + rng.normal(0, 0.01, 16)),  # near-dup of 2
+        (4, rng.normal(0, 1, 16) * 3),  # loner
+        (5, rng.normal(0, 1, 16) * 3),
+    ]
+    df = _emb_df(spark, rows)
+    pairs = semdedup_pairs(df, k=2, iters=4, threshold=0.95).toPandas()
+    got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 1) in got and (2, 3) in got
+    # no cross-cluster / non-dup pairs at this threshold
+    assert got == {(0, 1), (2, 3)}
+    assert (pairs.cos_sim >= 0.95).all()
+
+
+def test_semdedup_prune_keeps_lowest_id(spark):
+    rng = np.random.default_rng(9)
+    v = rng.normal(0, 1, 8)
+    rows = [(0, v), (1, v * 1.001), (2, v * 0.999), (3, -v)]
+    df = _emb_df(spark, rows)
+    kept = semdedup_prune(df, k=1, iters=2, threshold=0.99)
+    assert sorted(r["vec_id"] for r in kept.select("vec_id").collect()) == [0, 3]
+
+
+def test_semdedup_max_cluster_guard(spark):
+    rows = [(i, [1.0, float(i % 2)]) for i in range(10)]
+    df = _emb_df(spark, rows)
+    with pytest.raises(Exception, match="max_cluster"):
+        semdedup_pairs(df, k=1, iters=1, max_cluster=5).collect()
+
+
+def test_kmeans_requires_k_vectors(spark):
+    df = _emb_df(spark, [(0, [1.0]), (1, [2.0])])
+    with pytest.raises(ValueError, match="only 2 vectors"):
+        kmeans_fit(df, k=5, iters=1)
