@@ -1191,6 +1191,30 @@ def semdedup_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_pairs(emb, k=8, iters=3, threshold=0.3)
 
 
+def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped interval join, value-verified in batch: each
+    purchase joins the same user's clicks within the preceding 6 hours —
+    the attribution shape Spark requires for a stream-stream join (equality
+    key + event-time range + watermarks; streaming/joins.py). lag_us is an
+    exact BIGINT microsecond diff, engine-portable."""
+    from cdc_connector_spark.streaming.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    out = interval_join(purchases, clicks, key_col="user_id", lookback="6 hours")
+    return out.select(
+        "user_id",
+        F.col("a_event_id").alias("purchase_event_id"),
+        F.col("c_event_id").alias("click_event_id"),
+        "lag_us",
+    )
+
+
 def gopher_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-ops: Gopher-rule quality filter (word count, mean word length,
     alpha-word ratio, trigram repetition) — one codegen projection,
@@ -1719,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_documents": vocab_documents,
         "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
         "semdedup_pairs_embeddings": semdedup_pairs_embeddings,
+        "interval_join_events": interval_join_events,
     }
 
 
@@ -2887,5 +2912,15 @@ def oracle_sql() -> dict[str, str]:
                        (sqrt(list_inner_product(ea.v, ea.v)) *
                         sqrt(list_inner_product(eb.v, eb.v))), 6) AS cs)
             WHERE cs >= 0.3
+        """,
+        "interval_join_events": """
+            SELECT p.user_id,
+                   p.event_id AS purchase_event_id,
+                   c.event_id AS click_event_id,
+                   epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS lag_us
+            FROM events p JOIN events c ON p.user_id = c.user_id
+            WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+              AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 6 HOUR
+              AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
         """,
     }
