@@ -1100,6 +1100,76 @@ class TxLogMergeSink:
             return
         raise RuntimeError(f"ddl lost {self.max_commit_retries} commit races")
 
+    def restore(self, version: int) -> None:
+        """Roll the table back to an earlier version with ONE metadata
+        commit (Delta RESTORE semantics): the new head's file set IS the
+        target version's file set — zero data files are read, written, or
+        copied; re-adds and removes are log actions only, so restore is
+        O(1) in table size. History is preserved (a restore is a new
+        commit, not history rewrite), time travel to the in-between
+        versions keeps working, and the change data feed reports the
+        restore's row-level effect like any other commit.
+
+        Fails loudly when the target's files were already vacuumed — a
+        restore past the vacuum horizon cannot be honored and silently
+        resurrecting a partial file set would corrupt the table."""
+        target = self._snapshot(version)  # raises if version never existed
+        target_all = {**target.files, **target.deltas}
+        missing = [
+            p
+            for p in target_all
+            if not os.path.exists(os.path.join(self.path, p))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot restore to version {version}: {len(missing)} of its "
+                f"files were vacuumed (first: {missing[0]!r})"
+            )
+        for _ in range(self.max_commit_retries):
+            snap = self._snapshot()
+            if snap.version == version:
+                return  # restoring to the current head is a no-op
+            current_all = {**snap.files, **snap.deltas}
+            meta = {
+                "key_cols": target.key_cols,
+                "num_buckets": target.num_buckets,
+                "columns": target.columns,
+                # explicit (possibly null) values OVERWRITE newer DDL state —
+                # restore rolls schema back along with data
+                "column_mapping": target.mapping,
+                "physical_tombstones": target.tombstones,
+            }
+            actions: list[dict] = [{"metaData": meta}]
+            for p in sorted(set(target_all) - set(current_all)):
+                add = {
+                    "path": p,
+                    "bucket": target_all[p],
+                    "size": os.path.getsize(os.path.join(self.path, p)),
+                }
+                if p in target.deltas:
+                    add["delta"] = True
+                if p in target.stats:
+                    add["stats"] = target.stats[p]
+                actions.append({"add": add})
+            for p in sorted(set(current_all) - set(target_all)):
+                actions.append({"remove": {"path": p, "bucket": current_all[p]}})
+            actions.append(
+                {
+                    "commitInfo": {
+                        "operation": "RESTORE",
+                        "restored_version": version,
+                        "ts": time.time(),
+                    }
+                }
+            )
+            try:
+                self._try_commit(snap.version + 1, actions)
+            except CommitConflict:
+                continue
+            self._maybe_checkpoint(snap.version + 1)
+            return
+        raise RuntimeError(f"restore lost {self.max_commit_retries} commit races")
+
     def vacuum(self, retain_versions: int = 2) -> int:
         """Physically delete data files removed more than ``retain_versions``
         commits ago (readers at most that far behind stay consistent — the

@@ -1,0 +1,122 @@
+"""TxLogMergeSink.restore — O(1) metadata rollback (Delta RESTORE).
+
+Pins: restored reads equal the target version, ZERO data files are touched
+(file inventory unchanged), history gains a RESTORE commit (no rewrite),
+schema/DDL state rolls back with the data, CDF reports the restore's
+row-level effect, and a restore past the vacuum horizon fails loudly.
+"""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from cdc_connector_spark.changelog.envelope import envelope_schema, flatten_envelope
+from cdc_connector_spark.changelog.txlog import TxLogMergeSink
+
+ROW_SCHEMA = T.StructType(
+    [T.StructField("id", T.LongType()), T.StructField("val", T.StringType())]
+)
+
+
+def _batch(spark, rows):
+    data = [(b, a, op, ts, "db", "t", seq) for (b, a, op, ts, seq) in rows]
+    return flatten_envelope(
+        spark.createDataFrame(data, envelope_schema(ROW_SCHEMA)), key_cols=["id"]
+    )
+
+
+def _data_files(path):
+    return sorted(
+        p
+        for p in glob.glob(os.path.join(path, "data", "**", "*.parquet"), recursive=True)
+    )
+
+
+@pytest.fixture
+def three_versions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sink = TxLogMergeSink(spark, path, ["id"], num_buckets=4)
+    sink.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], ROW_SCHEMA))  # v0
+    sink.apply(_batch(spark, [(None, {"id": 3, "val": "c"}, "c", 10, 1)]))  # v1
+    sink.apply(
+        _batch(
+            spark,
+            [
+                ({"id": 1, "val": "a"}, {"id": 1, "val": "a2"}, "u", 20, 2),
+                ({"id": 2, "val": "b"}, None, "d", 21, 3),
+            ],
+        )
+    )  # v2
+    return sink, path
+
+
+def test_restore_is_metadata_only_and_reads_back(spark, three_versions):
+    sink, path = three_versions
+    assert {r["id"]: r["val"] for r in sink.read().collect()} == {1: "a2", 3: "c"}
+    v1_rows = {r["id"]: r["val"] for r in sink.read(version=1).collect()}
+
+    inventory_before = _data_files(path)
+    sink.restore(1)
+    assert _data_files(path) == inventory_before  # zero files written/deleted
+
+    assert sink.current_version() == 3
+    assert {r["id"]: r["val"] for r in sink.read().collect()} == v1_rows == {
+        1: "a",
+        2: "b",
+        3: "c",
+    }
+    # history preserved: in-between versions still readable, RESTORE logged
+    assert {r["id"]: r["val"] for r in sink.read(version=2).collect()} == {1: "a2", 3: "c"}
+    ops = [h["operation"] for h in sink.history()]
+    assert ops[-1] == "RESTORE" and sink.history()[-1]["restored_version"] == 1
+
+
+def test_restore_to_head_is_noop(spark, three_versions):
+    sink, _ = three_versions
+    v = sink.current_version()
+    sink.restore(v)
+    assert sink.current_version() == v
+
+
+def test_restore_nonexistent_version_raises(spark, three_versions):
+    sink, _ = three_versions
+    with pytest.raises(ValueError, match="does not exist"):
+        sink.restore(99)
+
+
+def test_restore_cdf_reports_rollback_rows(spark, three_versions):
+    sink, _ = three_versions
+    sink.restore(1)
+    ch = sink.table_changes(3, 3).collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r["_change_type"], set()).add(r["id"])
+    # v2 deleted id=2 and updated id=1; the restore reverses both
+    assert by_type.get("insert") == {2}
+    assert by_type.get("update_preimage") == {1}
+    assert by_type.get("update_postimage") == {1}
+
+
+def test_restore_past_vacuum_horizon_fails_loudly(spark, three_versions):
+    sink, _ = three_versions
+    sink.restore(1)  # v3
+    sink.vacuum(retain_versions=0)  # drops files removed at or before v3
+    with pytest.raises(ValueError, match="vacuumed"):
+        sink.restore(2)
+    # current head still reads fine
+    assert {r["id"] for r in sink.read().collect()} == {1, 2, 3}
+
+
+def test_restore_rolls_back_ddl_schema(spark, tmp_path):
+    from cdc_connector_spark.changelog.ddl import RenameColumn
+
+    path = str(tmp_path / "t")
+    sink = TxLogMergeSink(spark, path, ["id"], num_buckets=4)
+    sink.overwrite(spark.createDataFrame([(1, "a")], ROW_SCHEMA))  # v0
+    sink.ddl([RenameColumn("val", "value")])  # v1, metadata-only
+    assert sink.read().columns == ["id", "value"]
+    sink.restore(0)
+    assert sink.read().columns == ["id", "val"]
+    assert {r["id"]: r["val"] for r in sink.read().collect()} == {1: "a"}
