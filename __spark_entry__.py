@@ -1191,6 +1191,18 @@ def semdedup_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_pairs(emb, k=8, iters=3, threshold=0.3)
 
 
+def unigram_nll_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops: CCNet-style LM quality signal — per-doc unigram negative
+    log-likelihood under token probabilities trained on the corpus itself
+    (perplexity = e^nll, monotone). All JVM-side: postings shuffle, term
+    agg, term-keyed join, scalar-total broadcast; value-verified against
+    the identical derivation in DuckDB from the same tokenizer."""
+    from cdc_connector_spark.ops.textstats import unigram_nll
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_nll(docs)
+
+
 def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-shaped interval join, value-verified in batch: each
     purchase joins the same user's clicks within the preceding 6 hours —
@@ -1744,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
         "semdedup_pairs_embeddings": semdedup_pairs_embeddings,
         "interval_join_events": interval_join_events,
+        "unigram_nll_documents": unigram_nll_documents,
     }
 
 
@@ -2922,5 +2935,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.event_type = 'purchase' AND c.event_type = 'click'
               AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 6 HOUR
               AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        """,
+        "unigram_nll_documents": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text,'')) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+                GROUP BY doc_id, term
+            ), ct AS (
+                SELECT term, SUM(tf) AS ct FROM tf GROUP BY term
+            ), total AS (
+                SELECT SUM(ct) AS total FROM ct
+            )
+            SELECT doc_id,
+                   CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                   round(SUM(tf * -ln(CAST(ct AS DOUBLE) / total)) / SUM(tf), 6) AS nll
+            FROM tf JOIN ct USING (term), total
+            GROUP BY doc_id
         """,
     }

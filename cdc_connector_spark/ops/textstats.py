@@ -253,6 +253,45 @@ def bm25_scores(
     )
 
 
+def unigram_nll(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram language-model negative log-likelihood — the
+    CCNet-style LM quality signal (Wenzek 2020 buckets CommonCrawl by KenLM
+    perplexity; the unigram model is the distributed, dependency-free
+    proxy): train p(t) = count(t) / total on the corpus ITSELF, then
+
+        nll(D) = Σ_t tf(t,D) · (−ln p(t)) / |D|
+
+    Low nll ⇒ common-word text; high nll ⇒ rare-token soup (a strong
+    boilerplate/gibberish discriminator at corpus scale). Perplexity is
+    e^nll — monotone, so filters threshold nll directly.
+
+    Shape: one (id, term) shuffle for tf, one term-level agg for corpus
+    counts, a term-keyed join of postings×counts (both sides are term
+    aggregates, never document bodies), the scalar total rides a broadcast,
+    and one final per-doc agg. No driver-side vocabulary, no Python."""
+    tf = term_frequencies(df, text_col, id_col)
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
+    total = counts.agg(F.sum("ct").alias("__total"))
+    return (
+        tf.join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            (
+                F.sum(
+                    F.col("tf")
+                    * -F.log(F.col("ct").cast("double") / F.col("__total"))
+                )
+                / F.sum("tf")
+            ).alias("nll"),
+        )
+        .select(F.col(id_col), "n_tokens", F.round("nll", 6).alias("nll"))
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document stats frame: token/char counts, ratios, quality, lang."""
     toks = tokenize(text_col)

@@ -135,3 +135,23 @@ def test_build_vocab_rank_determinism_and_caps(spark):
     assert out == {"a": (3, 0), "b": (3, 1), "c": (2, 2), "d": (1, 3)}
     capped = build_vocab(df, min_count=2, max_size=2).collect()
     assert sorted((r["token"], r["token_id"]) for r in capped) == [("a", 0), ("b", 1)]
+
+
+def test_unigram_nll_hand_computed(spark):
+    import math
+
+    from cdc_connector_spark.ops.textstats import unigram_nll
+
+    # corpus counts: a=3, b=2, rare=1 -> total=6
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "A b rare"), (3, "   ")], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r for r in unigram_nll(df).collect()}
+    assert 3 not in got  # empty doc has no tokens, no score
+    p = {"a": 3 / 6, "b": 2 / 6, "rare": 1 / 6}
+    exp1 = (2 * -math.log(p["a"]) + -math.log(p["b"])) / 3
+    exp2 = (-math.log(p["a"]) - math.log(p["b"]) - math.log(p["rare"])) / 3
+    assert got[1]["n_tokens"] == 3 and got[1]["nll"] == pytest.approx(exp1, abs=1e-6)
+    assert got[2]["nll"] == pytest.approx(exp2, abs=1e-6)
+    # rare-token soup scores strictly worse (higher nll) than common text
+    assert got[2]["nll"] > got[1]["nll"]
