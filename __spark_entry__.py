@@ -1191,6 +1191,28 @@ def semdedup_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_pairs(emb, k=8, iters=3, threshold=0.3)
 
 
+def encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops: docs→token-id sequences using the deterministic corpus
+    vocabulary (min_count=2, top-100 — the vocab_documents build); OOV
+    tokens map to -1. The sequence is emitted as a comma-joined string so
+    the order-sensitive encoding is hash-comparable across engines."""
+    from cdc_connector_spark.ops.textstats import build_vocab, encode_with_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, min_count=2, max_size=100)
+    return encode_with_vocab(docs, vocab)
+
+
+def corpus_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops: data-card mixture report — per (source, lang): doc count,
+    token count, and share of corpus tokens. One partial-aggregated pass;
+    the share denominator is a broadcast scalar from the tiny group frame."""
+    from cdc_connector_spark.ops.corpus import corpus_mix_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_mix_report(docs)
+
+
 def unigram_nll_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-ops: CCNet-style LM quality signal — per-doc unigram negative
     log-likelihood under token probabilities trained on the corpus itself
@@ -1757,6 +1779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_pairs_embeddings": semdedup_pairs_embeddings,
         "interval_join_events": interval_join_events,
         "unigram_nll_documents": unigram_nll_documents,
+        "encode_documents": encode_documents,
+        "corpus_mix_documents": corpus_mix_documents,
     }
 
 
@@ -2956,5 +2980,45 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(tf * -ln(CAST(ct AS DOUBLE) / total)) / SUM(tf), 6) AS nll
             FROM tf JOIN ct USING (term), total
             GROUP BY doc_id
+        """,
+        "encode_documents": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text,'')) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+                FROM documents
+            ), c AS (
+                SELECT token, count(*) AS n FROM (
+                    SELECT unnest(toks) AS token FROM t)
+                GROUP BY token HAVING count(*) >= 2
+            ), v AS (
+                SELECT token,
+                       row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS token_id
+                FROM c QUALIFY token_id < 100
+            ), tok AS (
+                SELECT doc_id, unnest(toks) AS token,
+                       generate_subscripts(toks, 1) AS pos
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   string_agg(CAST(coalesce(v.token_id, -1) AS VARCHAR), ','
+                              ORDER BY pos) AS token_ids
+            FROM tok LEFT JOIN v USING (token)
+            GROUP BY doc_id
+        """,
+        "corpus_mix_documents": r"""
+            WITH g AS (
+                SELECT source, lang, count(*) AS n_docs,
+                       SUM(CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+                                ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                       ) AS n_tokens
+                FROM documents GROUP BY source, lang
+            )
+            SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   round(CAST(n_tokens AS DOUBLE) / (SELECT SUM(n_tokens) FROM g), 6)
+                       AS token_share
+            FROM g
         """,
     }

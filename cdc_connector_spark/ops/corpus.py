@@ -362,3 +362,30 @@ def temperature_sample(
         .filter(bucket32.cast("double") < F.col("__rate") * F.lit(4294967296.0))
         .drop("__rate")
     )
+
+
+def corpus_mix_report(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-card mixture report: per group, document count, token count,
+    and each group's share of corpus tokens — the table every training-mix
+    decision (and the temperature_sample rate choice) starts from.
+
+    One partial-aggregated groupBy over the corpus; the per-group totals
+    frame is tiny, so the share denominator is a broadcast scalar, not a
+    second corpus pass. Shares are rounded to 6 for engine portability."""
+    from cdc_connector_spark.ops.textstats import tokenize
+
+    per_group = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokenize(text_col))).cast("bigint").alias("n_tokens"),
+    )
+    total = per_group.agg(F.sum("n_tokens").alias("__total"))
+    return per_group.crossJoin(F.broadcast(total)).select(
+        *group_cols,
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("__total"), 6).alias("token_share"),
+    )

@@ -292,6 +292,42 @@ def unigram_nll(
     )
 
 
+def encode_with_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Encode documents to token-id sequences using a ``build_vocab`` frame —
+    the docs→ids step between vocabulary building and sequence packing.
+    Out-of-vocabulary tokens map to ``unk_id``. Returns (id, n_tokens,
+    token_ids) with the sequence as a comma-joined string (order = token
+    position; exact and engine-portable). Empty documents produce no row,
+    matching the tokenizer's view that they contribute no sequence.
+
+    Shape: one posexplode shuffle on (id, token); the vocabulary is
+    broadcast (it is capped by construction — max_size ids), so the join
+    adds no shuffle; one per-doc agg re-assembles the sequence. The
+    tokenizer is byte-identical to ``build_vocab``'s (raw, not lowercased),
+    so ids round-trip."""
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokenize(text_col)).alias("pos", "token")
+    )
+    enc = toks.join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
+    tid = F.coalesce(F.col("token_id"), F.lit(unk_id)).alias("tid")
+    return enc.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), tid))),
+                lambda s: s["tid"].cast("string"),
+            ),
+            ",",
+        ).alias("token_ids"),
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document stats frame: token/char counts, ratios, quality, lang."""
     toks = tokenize(text_col)

@@ -155,3 +155,34 @@ def test_unigram_nll_hand_computed(spark):
     assert got[2]["nll"] == pytest.approx(exp2, abs=1e-6)
     # rare-token soup scores strictly worse (higher nll) than common text
     assert got[2]["nll"] > got[1]["nll"]
+
+
+def test_encode_with_vocab_order_and_oov(spark):
+    from cdc_connector_spark.ops.textstats import build_vocab, encode_with_vocab
+
+    df = spark.createDataFrame(
+        [(1, "b a b rare"), (2, "a"), (3, "")], "doc_id bigint, text string"
+    )
+    vocab = build_vocab(df, min_count=2)  # a=2,b=2 -> ids a:0, b:1; rare OOV
+    got = {r["doc_id"]: r for r in encode_with_vocab(df, vocab).collect()}
+    assert got[1]["token_ids"] == "1,0,1,-1" and got[1]["n_tokens"] == 4
+    assert got[2]["token_ids"] == "0"
+    assert 3 not in got  # empty doc -> no sequence
+
+
+def test_corpus_mix_report_shares(spark):
+    from cdc_connector_spark.ops.corpus import corpus_mix_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "w w w", "en", "s1"),
+            (2, "w", "en", "s1"),
+            (3, "w w w w", "fr", "s2"),
+        ],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    rows = {(r["source"], r["lang"]): r for r in corpus_mix_report(df).collect()}
+    assert rows[("s1", "en")]["n_docs"] == 2
+    assert rows[("s1", "en")]["n_tokens"] == 4
+    assert rows[("s1", "en")]["token_share"] == 0.5
+    assert rows[("s2", "fr")]["token_share"] == 0.5
