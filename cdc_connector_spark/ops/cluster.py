@@ -244,7 +244,7 @@ def semdedup_pairs(
         ]
     )
 
-    def cluster_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def cluster_pairs(key, pdf):
         empty = pd.DataFrame(
             {"cluster_id": [], "id_a": [], "id_b": [], "cos_sim": []}
         )

@@ -267,16 +267,25 @@ def unigram_nll(
     boilerplate/gibberish discriminator at corpus scale). Perplexity is
     e^nll — monotone, so filters threshold nll directly.
 
-    Shape: one (id, term) shuffle for tf, one term-level agg for corpus
-    counts, a term-keyed join of postings×counts (both sides are term
-    aggregates, never document bodies), the scalar total rides a broadcast,
-    and one final per-doc agg. No driver-side vocabulary, no Python."""
+    Shape: ONE postings lineage — tf (one (id, term) shuffle), corpus
+    counts as a window-sum over the same frame partitioned by term (no
+    second derivation of the explode: a join-against-own-aggregate here
+    defeats Spark's exchange reuse because column pruning differentiates
+    the subtrees, and the corpus would be scanned and shuffled twice).
+    The total-token denominator comes from a separate SLIM scan
+    (sum of doc lengths — scan + partial agg, no postings shuffle) and
+    rides a broadcast. Final per-doc agg is the third and last exchange.
+    No driver-side vocabulary, no Python."""
+    from pyspark.sql import Window
+
     tf = term_frequencies(df, text_col, id_col)
-    counts = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
-    total = counts.agg(F.sum("ct").alias("__total"))
+    scored = tf.withColumn("ct", F.sum("tf").over(Window.partitionBy("term")))
+    # Σ len(doc) ≡ Σ tf — the cheap way to the same scalar
+    total = df.select(
+        F.sum(F.size(tokenize(F.lower(F.col(text_col))))).alias("__total")
+    )
     return (
-        tf.join(counts, "term")
-        .crossJoin(F.broadcast(total))
+        scored.crossJoin(F.broadcast(total))
         .groupBy(id_col)
         .agg(
             F.sum("tf").cast("bigint").alias("n_tokens"),
