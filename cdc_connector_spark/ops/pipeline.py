@@ -109,20 +109,31 @@ def pretrain_corpus(
     decontam_ngram: int = 3,
     decontam_min_overlap: int = 5,
     pack_budget: int = 2048,
+    max_nll: float | None = None,
+    mix_temperature: float | None = None,
 ) -> DataFrame:
     """The full pretraining data recipe, composed from the engine's
     operators in the canonical order (cheapest-and-most-selective first,
     pairwise stages last):
 
         Gopher quality rules → language filter → exact dedup → MinHash
-        near-dup pruning → benchmark decontamination → sequence packing
+        near-dup pruning → [unigram-LM perplexity cut] → benchmark
+        decontamination → [temperature mixing] → sequence packing
+
+    ``max_nll`` drops documents whose corpus-trained unigram negative
+    log-likelihood exceeds the cut (CCNet-style: high nll = rare-token
+    soup) — trained on the CLEANED corpus so the model isn't skewed by the
+    junk the earlier stages already rejected. ``mix_temperature`` applies
+    mT5-style per-``shard_col`` re-balancing (counts ∝ n^(1/T)) just
+    before packing, where the mixture decision belongs.
 
     Returns the surviving docs with ``lang_pred``/``quality`` from the
     cleaning stages plus ``(n_tokens, seq_id, seq_offset)`` packing
     placement. Every stage before near-dup is one pipelined scan; near-dup
     and decontamination are banded/inverted-index joins (never all-pairs);
-    packing is a per-shard window. The whole recipe is a handful of
-    shuffles regardless of corpus size.
+    the nll cut is a postings-aggregate join; packing is a per-shard
+    window. The whole recipe is a handful of shuffles regardless of
+    corpus size.
     """
     from cdc_connector_spark.ops.corpus import decontaminate, pack_sequences
     from cdc_connector_spark.ops.textstats import gopher_quality
@@ -139,6 +150,15 @@ def pretrain_corpus(
         near_dup=near_dup,
         jaccard_threshold=jaccard_threshold,
     )
+    if max_nll is not None:
+        from cdc_connector_spark.ops.textstats import unigram_nll
+
+        ok_ids = (
+            unigram_nll(cleaned, text_col=text_col, id_col=id_col)
+            .filter(F.col("nll") <= max_nll)
+            .select(id_col)
+        )
+        cleaned = cleaned.join(ok_ids, id_col, "left_semi")
     if eval_set is not None:
         dirty = (
             decontaminate(
@@ -153,6 +173,12 @@ def pretrain_corpus(
             .distinct()
         )
         cleaned = cleaned.join(dirty, id_col, "left_anti")
+    if mix_temperature is not None:
+        from cdc_connector_spark.ops.corpus import temperature_sample
+
+        cleaned = temperature_sample(
+            cleaned, source_col=shard_col, temperature=mix_temperature
+        )
     placed = pack_sequences(
         cleaned, budget=pack_budget, shard_col=shard_col, text_col=text_col, id_col=id_col
     )

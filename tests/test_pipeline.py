@@ -120,3 +120,39 @@ def test_group_dedup_keeps_exactly_one_per_cluster(spark):
     assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) not in pairs
     assert pw_ids == {2, 3, 9}  # pairwise keeps both cluster survivors
     assert len(gr_ids & {1, 2, 3}) == 1 and 9 in gr_ids  # group keeps ONE
+
+
+def test_pretrain_corpus_nll_cut_and_mixing(spark):
+    from cdc_connector_spark.ops.pipeline import pretrain_corpus
+
+    base = GOOD_EN + " and still more ordinary english words follow here"
+    # one rare-token-soup doc that passes Gopher/lang/quality but has a
+    # far-out-of-distribution unigram NLL vs the repetitive-corpus docs
+    soup = ("the zyx qwv plj ghk mnb vcx trw ews dfg hjk lkm nbv cxz asd "
+            "qwe rty uio pas dfe ghr tyu iop zxc vbn mlk jhg fds apo iuy")
+    rows = [(i, base + f" tail variant {i}", "sA") for i in range(1, 9)] + [
+        (9, soup, "sB")
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, source string")
+
+    no_cut = pretrain_corpus(docs, near_dup=False, pack_budget=64)
+    assert 9 in {r["doc_id"] for r in no_cut.collect()}
+
+    # calibrate the cut between the common docs' nll and the soup's
+    from cdc_connector_spark.ops.textstats import unigram_nll
+
+    nlls = {r["doc_id"]: r["nll"] for r in unigram_nll(docs).collect()}
+    cut = (max(v for k, v in nlls.items() if k != 9) + nlls[9]) / 2
+    cut_out = pretrain_corpus(docs, near_dup=False, pack_budget=64, max_nll=cut)
+    assert 9 not in {r["doc_id"] for r in cut_out.collect()}
+
+    # temperature mixing thins the dominant source toward n^(1/T)
+    mixed = pretrain_corpus(
+        docs, near_dup=False, pack_budget=64, mix_temperature=2.0
+    )
+    by_src = {}
+    for r in mixed.collect():
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+    # smallest source is never thinned; dominant one is
+    assert by_src.get("sB", 0) == 1
+    assert by_src["sA"] < 8
