@@ -96,3 +96,32 @@ def test_tail_query_shuffle_budgets(q):
     for name, ceiling in budgets.items():
         facts = q(name)
         assert facts["exchanges"] <= ceiling, (name, facts["exchanges"])
+
+
+def test_kmeans_never_shuffles_corpus(q):
+    """The returned assignment plan is scan → Arrow kernel: zero exchanges.
+    (Iteration jobs run eagerly in kmeans_fit with the same kernel shape —
+    the reduce exchanges carry k×(dim+1) doubles per partition, not data.)"""
+    facts = q("kmeans_clusters_embeddings")
+    assert facts["exchanges"] == 0, facts["exchanges"]
+
+
+def test_interval_join_pushes_both_type_filters(q):
+    facts = q("interval_join_events")
+    pushed = " ".join(s["pushed"] for s in facts["scans"])
+    assert "purchase" in pushed and "click" in pushed, facts["scans"]
+    assert "CartesianProduct" not in facts["joins"]
+
+
+def test_unigram_nll_single_postings_lineage(q):
+    """The counts-by-self-join form cost 6 scans / 7 exchanges; the window
+    form must stay at 2 scans and ≤4 exchanges (3 postings + 1 scalar)."""
+    facts = q("unigram_nll_documents")
+    assert len(facts["scans"]) <= 2, facts["scans"]
+    assert facts["exchanges"] <= 4, facts["exchanges"]
+
+
+def test_encode_vocab_join_is_broadcast(q):
+    facts = q("encode_documents")
+    assert "BroadcastHashJoin" in facts["joins"], facts["joins"]
+    assert "SortMergeJoin" not in facts["joins"], facts["joins"]
