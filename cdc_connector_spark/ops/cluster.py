@@ -153,21 +153,27 @@ def kmeans_assign(
     centroids: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (squared L2, ties →
     smallest cluster id). One scan, no shuffle; returns
     (id, cluster_id, sq_dist) with sq_dist rounded to 6 decimals so the
-    result is engine-portable under float reordering."""
+    result is engine-portable under float reordering. ``keep_vec`` carries
+    the (float64) vector through the kernel output — downstream per-cluster
+    work then needs NO join back against the corpus (the kernel has the
+    vector in hand anyway; re-joining it would cost two corpus-sized
+    exchanges)."""
     C = np.ascontiguousarray(centroids, dtype=np.float64)
     c_sq = (C * C).sum(axis=1)
     id_field = embeddings.schema[id_col]
-    out_schema = T.StructType(
-        [
-            T.StructField(id_col, id_field.dataType),
-            T.StructField("cluster_id", T.IntegerType()),
-            T.StructField("sq_dist", T.DoubleType()),
-        ]
-    )
+    fields = [
+        T.StructField(id_col, id_field.dataType),
+        T.StructField("cluster_id", T.IntegerType()),
+        T.StructField("sq_dist", T.DoubleType()),
+    ]
+    if keep_vec:
+        fields.append(T.StructField(vec_col, T.ArrayType(T.DoubleType())))
+    out_schema = T.StructType(fields)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -176,13 +182,14 @@ def kmeans_assign(
             M = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             d2 = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ C.T) + c_sq[None, :]
             assign = d2.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "cluster_id": assign.astype(np.int32),
-                    "sq_dist": np.round(d2[np.arange(len(M)), assign], 6),
-                }
-            )
+            out = {
+                id_col: pdf[id_col].to_numpy(),
+                "cluster_id": assign.astype(np.int32),
+                "sq_dist": np.round(d2[np.arange(len(M)), assign], 6),
+            }
+            if keep_vec:
+                out[vec_col] = pdf[vec_col]
+            yield pd.DataFrame(out)
 
     return embeddings.select(
         id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
@@ -219,21 +226,19 @@ def semdedup_pairs(
     boundary is missed; at SemDedup's operating point duplicates
     overwhelmingly co-locate).
 
-    Execution: the assignment frame (id, cluster_id) joins the vectors and
-    each cluster's pairwise-cosine matrix is ONE numpy matmul inside an
-    ``applyInPandas`` kernel per cluster — the same fused shape as
-    ``ann.embedding_neardup_pairs``, with the k-means cluster playing the
-    LSH bucket's role. Only threshold survivors leave the kernel. Clusters
-    larger than ``max_cluster`` are refused loudly (raise, not silent
-    drop): at that size the caller should raise k, not silently lose
-    recall."""
-    assigned = kmeans_clusters(embeddings, k, iters, id_col, vec_col).select(
-        id_col, "cluster_id"
+    Execution: the assignment kernel carries the vector straight through
+    (``keep_vec`` — NO join back against the corpus), so the only shuffle
+    is the per-cluster groupBy; each cluster's pairwise-cosine matrix is
+    ONE numpy matmul inside an ``applyInPandas`` kernel — the same fused
+    shape as ``ann.embedding_neardup_pairs``, with the k-means cluster
+    playing the LSH bucket's role. Only threshold survivors leave the
+    kernel. Clusters larger than ``max_cluster`` are refused loudly
+    (raise, not silent drop): at that size the caller should raise k, not
+    silently lose recall."""
+    C = kmeans_fit(embeddings, k, iters, id_col, vec_col)
+    joined = kmeans_assign(embeddings, C, id_col, vec_col, keep_vec=True).select(
+        id_col, "cluster_id", F.col(vec_col).alias("__v")
     )
-    vecs = embeddings.select(
-        id_col, F.col(vec_col).cast("array<double>").alias("__v")
-    )
-    joined = assigned.join(vecs, id_col)
     id_field = embeddings.schema[id_col]
     out_schema = T.StructType(
         [
