@@ -33,3 +33,13 @@ from cdc_connector_spark.ops.ann import (  # noqa: F401
     add_lsh_buckets_arrow,
 )
 from cdc_connector_spark.ops.dedup import hashed_shingles, simhash_arrow  # noqa: F401
+from cdc_connector_spark.ops.cluster import (  # noqa: F401
+    kmeans_assign,
+    kmeans_clusters,
+    kmeans_fit,
+    semdedup_pairs,
+    semdedup_prune,
+)
+from cdc_connector_spark.ops.corpus import corpus_mix_report, temperature_sample  # noqa: F401
+from cdc_connector_spark.ops.textstats import encode_with_vocab, unigram_nll  # noqa: F401
+from cdc_connector_spark.ops.pipeline import pretrain_corpus  # noqa: F401
