@@ -95,3 +95,33 @@ def test_interval_join_streaming_end_to_end(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("select * from ij_sink").collect()
     assert [(r["a_event_id"], r["c_event_id"]) for r in rows] == [(100, 1)]
+
+
+def test_interval_join_matches_bruteforce_on_random_inputs(spark):
+    """Randomized property: the join must equal a driver-side double loop
+    over the same window rule, across layouts."""
+    import random as _random
+
+    rng = _random.Random(99)
+    base = 1_700_000_000
+    anchors = [
+        (rng.randrange(5), 100 + i, base + rng.randrange(0, 7200)) for i in range(40)
+    ]
+    ctx = [
+        (rng.randrange(5), 500 + i, base + rng.randrange(0, 7200)) for i in range(120)
+    ]
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(u, e, t) for u, e, t in rows], "user_id bigint, event_id bigint, ts long"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).repartition(4)
+
+    out = interval_join(df(anchors), df(ctx), key_col="user_id", lookback="30 minutes")
+    got = {(r["a_event_id"], r["c_event_id"], r["lag_us"]) for r in out.collect()}
+    exp = {
+        (ae, ce, (at - ct) * 1_000_000)
+        for au, ae, at in anchors
+        for cu, ce, ct in ctx
+        if au == cu and 0 <= at - ct <= 1800
+    }
+    assert got == exp and len(exp) > 0
