@@ -1213,6 +1213,37 @@ def corpus_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_mix_report(docs)
 
 
+def incremental_semdedup_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (index-probe) SEMANTIC dedup, VALUE-VERIFIED end-to-end:
+    the corpus slice (vec_id % 5 != 0) is written once as a persisted
+    SemDedup index (k-means-cluster-partitioned layout, centroids pinned
+    in _META); the arriving batch (vec_id % 5 == 0) probes it — assign
+    under the PINNED centroids, read only the probed cluster partitions,
+    one batch×corpus cosine matmul per cluster. The oracle re-derives the
+    corpus-only k-means fit AND the batch assignment under those centroids
+    as SQL, then the same within-cluster pair join. The embedding twin of
+    incremental_dedup_lookup."""
+    import hashlib
+    import tempfile
+
+    from cdc_connector_spark.ops.cluster import (
+        semdedup_index_lookup,
+        semdedup_index_write,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    tag = hashlib.md5(
+        (sf_dir + _fixture_fingerprint(sf_dir, "embeddings")).encode()
+    ).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_sdidx_{tag}")
+    if not os.path.exists(os.path.join(path, "_META")):
+        semdedup_index_write(corpus, path, k=8, iters=3)
+    out = semdedup_index_lookup(batch, path, threshold=0.3)
+    return out.select("cluster_id", "batch_id", "corpus_id", "cos_sim")
+
+
 def unigram_nll_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-ops: CCNet-style LM quality signal — per-doc unigram negative
     log-likelihood under token probabilities trained on the corpus itself
@@ -1781,28 +1812,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_nll_documents": unigram_nll_documents,
         "encode_documents": encode_documents,
         "corpus_mix_documents": corpus_mix_documents,
+        "incremental_semdedup_lookup": incremental_semdedup_lookup,
     }
 
 
-def _kmeans_cte(k: int = 8, iters: int = 3) -> str:
+def _kmeans_cte(
+    k: int = 8,
+    iters: int = 3,
+    corpus_where: str = "",
+    batch_where: str | None = None,
+) -> str:
     """Unrolled Lloyd's-iteration CTE chain (DuckDB dialect) re-deriving
     cdc_connector_spark/ops/cluster.py's deterministic k-means: init =
     embeddings of the k lowest vec_ids, assignment = argmin squared-L2
     with cluster-id tie-break, update = exact coordinate means (an emptied
     cluster keeps its previous centroid via the LEFT JOIN + coalesce).
-    Ends with `afin` = final assignment (vec_id, cid, d2)."""
+    Ends with `afin` = final assignment (vec_id, cid, d2). With
+    ``corpus_where`` the fit runs on that corpus slice only; with
+    ``batch_where`` an extra `b`/`bfin` pair assigns the batch slice under
+    the CORPUS-trained centroids (the persisted-index probe semantics)."""
 
-    def assign(prev_c: str, out: str) -> str:
+    def assign(prev_c: str, out: str, src: str = "e") -> str:
         d2 = (
-            "list_inner_product(e.v, e.v) - 2*list_inner_product(e.v, c.c)"
+            f"list_inner_product({src}.v, {src}.v) - 2*list_inner_product({src}.v, c.c)"
             " + list_inner_product(c.c, c.c)"
         )
         return f"""
 {out} AS (
   SELECT vec_id, cid, d2 FROM (
-    SELECT e.vec_id, c.cid, {d2} AS d2,
-           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2} ASC, c.cid ASC) AS rn
-    FROM e CROSS JOIN {prev_c} c) WHERE rn = 1
+    SELECT {src}.vec_id, c.cid, {d2} AS d2,
+           row_number() OVER (PARTITION BY {src}.vec_id ORDER BY {d2} ASC, c.cid ASC) AS rn
+    FROM {src} CROSS JOIN {prev_c} c) WHERE rn = 1
 )"""
 
     def update(a: str, prev_c: str, out: str) -> str:
@@ -1818,16 +1858,25 @@ def _kmeans_cte(k: int = 8, iters: int = 3) -> str:
     GROUP BY cid) nm USING (cid)
 )"""
 
+    cw = f" WHERE {corpus_where}" if corpus_where else ""
     parts = [
         "e AS (\n  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
-        " FROM embeddings\n)",
+        f" FROM embeddings{cw}\n)",
         f"c0 AS (\n  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c"
         f"\n  FROM e ORDER BY vec_id LIMIT {k}\n)",
     ]
+    if batch_where is not None:
+        parts.insert(
+            1,
+            "b AS (\n  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+            f" AS v FROM embeddings WHERE {batch_where}\n)",
+        )
     for i in range(1, iters + 1):
         parts.append(assign(f"c{i - 1}", f"a{i}"))
         parts.append(update(f"a{i}", f"c{i - 1}", f"c{i}"))
     parts.append(assign(f"c{iters}", "afin"))
+    if batch_where is not None:
+        parts.append(assign(f"c{iters}", "bfin", "b"))
     return "WITH " + ",".join(parts)
 
 
@@ -3020,5 +3069,24 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(n_tokens AS DOUBLE) / (SELECT SUM(n_tokens) FROM g), 6)
                        AS token_share
             FROM g
+        """,
+        "incremental_semdedup_lookup": _kmeans_cte(
+            k=8,
+            iters=3,
+            corpus_where="vec_id % 5 != 0",
+            batch_where="vec_id % 5 = 0",
+        )
+        + """
+            SELECT CAST(p.cid AS INTEGER) AS cluster_id,
+                   p.vec_id AS batch_id, a.vec_id AS corpus_id, cs AS cos_sim
+            FROM bfin p
+            JOIN afin a ON p.cid = a.cid
+            JOIN b bb ON bb.vec_id = p.vec_id
+            JOIN e ee ON ee.vec_id = a.vec_id,
+            LATERAL (SELECT round(
+                       list_inner_product(bb.v, ee.v) /
+                       (sqrt(list_inner_product(bb.v, bb.v)) *
+                        sqrt(list_inner_product(ee.v, ee.v))), 6) AS cs)
+            WHERE cs >= 0.3
         """,
     }

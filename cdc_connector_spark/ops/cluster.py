@@ -303,3 +303,151 @@ def semdedup_prune(
         .distinct()
     )
     return embeddings.join(drops, id_col, "left_anti")
+
+
+def semdedup_index_write(
+    embeddings: DataFrame,
+    path: str,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist a SemDedup index: the embedding-side mirror of the MinHash
+    incremental index (``dedup.minhash_index_write``). The corpus is
+    written PARTITIONED BY its k-means cluster, so probing a batch reads
+    only the batch's clusters — partition pruning, the IVF layout story.
+
+    ``<path>/data`` = (id, vec float64) partitioned by ``cluster_id``;
+    ``<path>/_META`` pins (k, iters, dim) AND the trained centroids, so
+    every probe and append assigns with EXACTLY the fit the index was
+    built with (retraining on append would silently shift cluster
+    boundaries and orphan existing partitions).
+
+    ``mode="append"`` adds a batch under the pinned centroids (the ingest
+    loop: lookup → keep novel → append). Durability: on initial build
+    ``_META`` is written LAST via atomic rename — a crash mid-build leaves
+    no ``_META`` and probes fail fast; appends are single-directory writes
+    (one step, no inconsistent window beyond parquet's own task commit).
+    """
+    import json
+    import os
+
+    meta_file = os.path.join(path, "_META")
+    if mode == "append":
+        if not os.path.exists(meta_file):
+            raise ValueError(
+                f"no _META at {path}: refusing to append to a missing or "
+                "partially-built index (build with mode='overwrite' first)"
+            )
+        with open(meta_file) as fh:
+            meta = json.load(fh)
+        if meta["k"] != k or meta["iters"] != iters:
+            raise ValueError(
+                f"index at {path} was built with k={meta['k']}/iters={meta['iters']}, "
+                f"got k={k}/iters={iters}"
+            )
+        C = np.asarray(meta["centroids"], dtype=np.float64)
+    else:
+        C = kmeans_fit(embeddings, k, iters, id_col, vec_col)
+    assigned = kmeans_assign(embeddings, C, id_col, vec_col, keep_vec=True).select(
+        id_col, "cluster_id", vec_col
+    )
+    assigned.write.mode(mode).partitionBy("cluster_id").parquet(
+        os.path.join(path, "data")
+    )
+    if mode != "append":
+        tmp = meta_file + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"k": k, "iters": iters, "dim": int(C.shape[1]),
+                 "centroids": [[float(x) for x in row] for row in C]},
+                fh,
+            )
+        os.replace(tmp, meta_file)
+
+
+def semdedup_index_lookup(
+    batch: DataFrame,
+    path: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 100_000,
+) -> DataFrame:
+    """Probe a NEW batch against the persisted SemDedup index: returns
+    (cluster_id, batch_id, corpus_id, cos_sim) for every batch×corpus pair
+    in the same cluster with cosine ≥ threshold — O(batch + probed
+    clusters), never O(corpus).
+
+    Shape: the batch assigns against the PINNED centroids (one kernel
+    pass, no shuffle), its distinct cluster ids (≤ k, driver-bounded)
+    prune the corpus read to matching partitions, and each probed
+    cluster's batch×corpus cosine block is one numpy matmul in an
+    ``applyInPandas`` kernel — survivors only leave."""
+    import json
+    import os
+
+    spark = batch.sparkSession
+    with open(os.path.join(path, "_META")) as fh:
+        meta = json.load(fh)
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    probe = kmeans_assign(batch, C, id_col, vec_col, keep_vec=True).select(
+        F.col(id_col).alias("__id"),
+        "cluster_id",
+        F.col(vec_col).alias("__v"),
+        F.lit(True).alias("__is_batch"),
+    )
+    clusters = [r["cluster_id"] for r in probe.select("cluster_id").distinct().collect()]
+    corpus = (
+        spark.read.parquet(os.path.join(path, "data"))
+        .filter(F.col("cluster_id").isin(clusters))
+        .select(
+            F.col(id_col).alias("__id"),
+            "cluster_id",
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            F.lit(False).alias("__is_batch"),
+        )
+    )
+    both = probe.unionByName(corpus)
+    id_field = batch.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("cluster_id", T.IntegerType()),
+            T.StructField("batch_id", id_field.dataType),
+            T.StructField("corpus_id", id_field.dataType),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def cluster_probe(key, pdf):
+        empty = pd.DataFrame(
+            {"cluster_id": [], "batch_id": [], "corpus_id": [], "cos_sim": []}
+        )
+        b = pdf[pdf["__is_batch"]]
+        c = pdf[~pdf["__is_batch"]]
+        if not len(b) or not len(c):
+            return empty
+        if len(pdf) > max_cluster:
+            raise ValueError(
+                f"cluster {key[0]} has {len(pdf)} members > max_cluster={max_cluster}"
+            )
+        Mb = np.vstack([np.asarray(v, dtype=np.float64) for v in b["__v"]])
+        Mc = np.vstack([np.asarray(v, dtype=np.float64) for v in c["__v"]])
+        nb = np.linalg.norm(Mb, axis=1); nb[nb == 0] = np.nan
+        nc = np.linalg.norm(Mc, axis=1); nc[nc == 0] = np.nan
+        sims = np.round((Mb / nb[:, None]) @ (Mc / nc[:, None]).T, 6)
+        ib, ic = np.nonzero(sims >= threshold)
+        if not len(ib):
+            return empty
+        return pd.DataFrame(
+            {
+                "cluster_id": np.full(len(ib), key[0], dtype=np.int32),
+                "batch_id": b["__id"].to_numpy()[ib],
+                "corpus_id": c["__id"].to_numpy()[ic],
+                "cos_sim": sims[ib, ic],
+            }
+        )
+
+    return both.groupBy("cluster_id").applyInPandas(cluster_probe, out_schema)

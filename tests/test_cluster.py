@@ -130,3 +130,69 @@ def test_kmeans_requires_k_vectors(spark):
     df = _emb_df(spark, [(0, [1.0]), (1, [2.0])])
     with pytest.raises(ValueError, match="only 2 vectors"):
         kmeans_fit(df, k=5, iters=1)
+
+
+def test_semdedup_index_probe_finds_neardup_in_o_batch(spark, tmp_path):
+    from cdc_connector_spark.ops.cluster import (
+        semdedup_index_lookup,
+        semdedup_index_write,
+    )
+
+    rng = np.random.default_rng(3)
+    base_a, base_b = rng.normal(0, 1, 8), rng.normal(0, 1, 8)
+    corpus = _emb_df(
+        spark,
+        [(0, base_a), (1, base_b), (2, base_a * 2), (3, base_b * 0.5),
+         (4, rng.normal(0, 1, 8)), (5, rng.normal(0, 1, 8))],
+    )
+    path = str(tmp_path / "idx")
+    semdedup_index_write(corpus, path, k=2, iters=3)
+
+    batch = _emb_df(spark, [(100, base_a * 1.001), (101, rng.normal(0, 1, 8) * 5)])
+    hits = semdedup_index_lookup(batch, path, threshold=0.98).toPandas()
+    got = {(r.batch_id, r.corpus_id) for r in hits.itertuples()}
+    assert (100, 0) in got and (100, 2) in got  # both scaled copies of base_a
+    assert not any(b == 101 for b, _ in got)  # random probe matches nothing
+
+
+def test_semdedup_index_append_uses_pinned_centroids(spark, tmp_path):
+    from cdc_connector_spark.ops.cluster import (
+        semdedup_index_lookup,
+        semdedup_index_write,
+    )
+
+    rng = np.random.default_rng(4)
+    v = rng.normal(0, 1, 8)
+    corpus = _emb_df(spark, [(i, rng.normal(0, 1, 8)) for i in range(6)])
+    path = str(tmp_path / "idx")
+    semdedup_index_write(corpus, path, k=2, iters=2)
+    # append a new member; a later probe near it must find it
+    semdedup_index_write(_emb_df(spark, [(50, v)]), path, k=2, iters=2, mode="append")
+    hits = semdedup_index_lookup(
+        _emb_df(spark, [(200, v * 1.01)]), path, threshold=0.98
+    ).collect()
+    assert {r["corpus_id"] for r in hits} == {50}
+
+
+def test_semdedup_index_guards(spark, tmp_path):
+    import os
+
+    from cdc_connector_spark.ops.cluster import (
+        semdedup_index_lookup,
+        semdedup_index_write,
+    )
+
+    corpus = _emb_df(spark, [(i, [float(i), 1.0]) for i in range(5)])
+    fresh = str(tmp_path / "nope")
+    with pytest.raises(ValueError, match="_META"):
+        semdedup_index_write(corpus, fresh, k=2, iters=1, mode="append")
+
+    path = str(tmp_path / "idx")
+    semdedup_index_write(corpus, path, k=2, iters=1)
+    with pytest.raises(ValueError, match="built with"):
+        semdedup_index_write(corpus, path, k=3, iters=1, mode="append")
+    # a half-built index (no _META — crash before the atomic rename) must
+    # fail fast on probe, not probe silently
+    os.remove(os.path.join(path, "_META"))
+    with pytest.raises(FileNotFoundError):
+        semdedup_index_lookup(_emb_df(spark, [(9, [1.0, 1.0])]), path).collect()
