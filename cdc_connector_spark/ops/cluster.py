@@ -236,10 +236,29 @@ def semdedup_pairs(
     (raise, not silent drop): at that size the caller should raise k, not
     silently lose recall."""
     C = kmeans_fit(embeddings, k, iters, id_col, vec_col)
-    joined = kmeans_assign(embeddings, C, id_col, vec_col, keep_vec=True).select(
-        id_col, "cluster_id", F.col(vec_col).alias("__v")
+    return pairs_within_clusters(
+        kmeans_assign(embeddings, C, id_col, vec_col, keep_vec=True),
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_cluster=max_cluster,
     )
-    id_field = embeddings.schema[id_col]
+
+
+def pairs_within_clusters(
+    assigned: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 100_000,
+) -> DataFrame:
+    """All cosine≥threshold pairs WITHIN each ``cluster_id`` group of an
+    assignment frame that carries its vectors (``kmeans_assign`` with
+    ``keep_vec=True``). One groupBy shuffle; one matmul per cluster;
+    survivors only. The shared kernel behind ``semdedup_pairs`` (full-fit
+    path) and the streaming in-batch dedup (pinned-centroid path)."""
+    joined = assigned.select(id_col, "cluster_id", F.col(vec_col).alias("__v"))
+    id_field = assigned.schema[id_col]
     out_schema = T.StructType(
         [
             T.StructField("cluster_id", T.IntegerType()),
@@ -313,6 +332,7 @@ def semdedup_index_write(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mode: str = "overwrite",
+    centroids=None,
 ) -> None:
     """Persist a SemDedup index: the embedding-side mirror of the MinHash
     incremental index (``dedup.minhash_index_write``). The corpus is
@@ -349,6 +369,10 @@ def semdedup_index_write(
                 f"got k={k}/iters={iters}"
             )
         C = np.asarray(meta["centroids"], dtype=np.float64)
+    elif centroids is not None:
+        # caller already fit (e.g. the streaming bootstrap dedups the batch
+        # under these centroids before writing) — pin exactly those
+        C = np.asarray(centroids, dtype=np.float64)
     else:
         C = kmeans_fit(embeddings, k, iters, id_col, vec_col)
     assigned = kmeans_assign(embeddings, C, id_col, vec_col, keep_vec=True).select(

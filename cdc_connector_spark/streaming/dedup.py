@@ -235,3 +235,171 @@ class StreamingCorpusDedup:
         if not dirs:
             raise ValueError(f"no committed batches under {self.out_dir}")
         return spark.read.parquet(*dirs)
+
+
+class StreamingSemanticDedup:
+    """foreachBatch applier: SEMANTIC (embedding-cosine) dedup of a vector
+    stream against itself and the persisted SemDedup index — the embedding
+    twin of ``StreamingCorpusDedup``, with the k-means cluster layout
+    (``ops.cluster.semdedup_index_*``) playing the MinHash index's role.
+
+    Per micro-batch:
+
+    1. bootstrap: the first batch fits k-means on itself and builds the
+       index; later batches assign under the centroids PINNED in ``_META``
+       (cluster boundaries never shift under the existing layout)
+    2. in-batch near-dup — ``pairs_within_clusters`` on the batch's own
+       assignment; the higher id of each cosine≥threshold pair drops
+       (greedy earliest-wins)
+    3. corpus probe — ``semdedup_index_lookup``: any batch vector matching
+       an accepted corpus vector drops; cost is O(batch + probed cluster
+       partitions), never O(corpus)
+    4. survivors land in ``<out_dir>/batch=<id>`` (idempotent overwrite)
+       and append to the index; a marker commits the batch
+
+    Same effective-exactly-once contract as the MinHash loop: replayed
+    batches are skipped on marker, and a crash between append and marker
+    only re-appends rows whose matches collapse at lookup (duplicate pairs
+    dedup on read).
+    """
+
+    def __init__(
+        self,
+        index_path: str,
+        out_dir: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        k: int = 8,
+        iters: int = 3,
+        threshold: float = 0.95,
+        max_cluster: int = 100_000,
+    ) -> None:
+        self.index_path = index_path
+        self.out_dir = out_dir
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.k = k
+        self.iters = iters
+        self.threshold = threshold
+        self.max_cluster = max_cluster
+        self.stats: list[dict] = []
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.out_dir, "_committed", str(batch_id))
+
+    def committed_batch_ids(self) -> list[int]:
+        d = os.path.join(self.out_dir, "_committed")
+        if not os.path.isdir(d):
+            return []
+        return sorted(int(n) for n in os.listdir(d) if n.isdigit())
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        import json as _json
+
+        import numpy as np
+
+        from cdc_connector_spark.ops.cluster import (
+            kmeans_assign,
+            kmeans_fit,
+            pairs_within_clusters,
+            semdedup_index_lookup,
+            semdedup_index_write,
+        )
+
+        if os.path.exists(self._marker(batch_id)):
+            return
+        t0 = time.monotonic()
+        ic, vc = self.id_col, self.vec_col
+        batch = batch_df.persist()
+        try:
+            n_in = batch.count()
+            if n_in == 0:
+                os.makedirs(os.path.dirname(self._marker(batch_id)), exist_ok=True)
+                open(self._marker(batch_id), "w").close()
+                return
+            have_index = os.path.exists(os.path.join(self.index_path, "_META"))
+            if have_index:
+                with open(os.path.join(self.index_path, "_META")) as fh:
+                    meta = _json.load(fh)
+                C = np.asarray(meta["centroids"], dtype=np.float64)
+                # append under the index's OWN (k, iters): a bootstrap batch
+                # smaller than self.k legally builds a smaller index
+                idx_k, idx_iters = meta["k"], meta["iters"]
+            else:
+                idx_k, idx_iters = min(self.k, n_in), self.iters
+                C = kmeans_fit(batch, idx_k, idx_iters, ic, vc)
+            assigned = kmeans_assign(batch, C, ic, vc, keep_vec=True).persist()
+
+            # in-batch: drop the higher id of every within-cluster pair
+            pairs = pairs_within_clusters(
+                assigned, self.threshold, ic, vc, self.max_cluster
+            )
+            drop_in_batch = pairs.select(
+                F.greatest("id_a", "id_b").alias(ic)
+            ).dropDuplicates([ic])
+            novel = batch.join(drop_in_batch, ic, "left_anti").persist()
+            n_novel = novel.count()
+
+            # corpus probe (skip on bootstrap)
+            if have_index:
+                matches = semdedup_index_lookup(
+                    novel, self.index_path, self.threshold, ic, vc, self.max_cluster
+                )
+                drop_corpus = matches.select(
+                    F.col("batch_id").alias(ic)
+                ).dropDuplicates([ic])
+                survivors = novel.join(drop_corpus, ic, "left_anti")
+            else:
+                survivors = novel
+            survivors = survivors.persist()
+            n_kept = survivors.count()
+
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(self.out_dir, f"batch={batch_id}")
+            )
+            if n_kept:
+                semdedup_index_write(
+                    survivors, self.index_path, idx_k, idx_iters, ic, vc,
+                    mode="append" if have_index else "overwrite",
+                    centroids=None if have_index else C,
+                )
+            stat = {
+                "batch_id": batch_id,
+                "n_in": n_in,
+                "dropped_in_batch": n_in - n_novel,
+                "dropped_vs_corpus": n_novel - n_kept,
+                "kept": n_kept,
+                "seconds": round(time.monotonic() - t0, 3),
+            }
+            os.makedirs(os.path.join(self.out_dir, "_stats"), exist_ok=True)
+            with open(os.path.join(self.out_dir, "_stats", f"{batch_id}.json"), "w") as fh:
+                json.dump(stat, fh)
+            self.stats.append(stat)
+            os.makedirs(os.path.dirname(self._marker(batch_id)), exist_ok=True)
+            open(self._marker(batch_id), "w").close()
+        finally:
+            batch.unpersist()
+
+    def start(
+        self,
+        stream: DataFrame,
+        checkpoint_dir: str,
+        available_now: bool = True,
+    ) -> StreamingQuery:
+        writer = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def accepted(self, spark) -> DataFrame:
+        dirs = [
+            os.path.join(self.out_dir, f"batch={b}")
+            for b in self.committed_batch_ids()
+        ]
+        if not dirs:
+            raise ValueError(f"no committed batches under {self.out_dir}")
+        return spark.read.parquet(*dirs)
