@@ -1213,6 +1213,36 @@ def corpus_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_mix_report(docs)
 
 
+def band_join_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-bucketed range join (ops/rangejoin.py): customers whose account
+    balance falls within ±50 of a same-nation supplier's balance. The naive
+    inequality join is a BroadcastNestedLoopJoin (O(n·m)); the bin-bucket
+    rewrite replicates each ±50 band to its covering 100-wide bins and
+    EQUI-joins on (bin, nation) with an exact range re-check — a plain
+    shuffled hash join AQE can manage. Value-verified against DuckDB's
+    native range join."""
+    from cdc_connector_spark.ops.rangejoin import band_join
+
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.col("s_nationkey").alias("nationkey"),
+        (F.col("s_acctbal") - 50).alias("lo"),
+        (F.col("s_acctbal") + 50).alias("hi"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    out = band_join(
+        cust, supp, point_col="bal", lo_col="lo", hi_col="hi",
+        bin_width=100.0, extra_keys=["nationkey"],
+    )
+    return out.select(
+        "s_suppkey", "c_custkey", "nationkey", F.round("bal", 2).alias("c_acctbal")
+    )
+
+
 def incremental_semdedup_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (index-probe) SEMANTIC dedup, VALUE-VERIFIED end-to-end:
     the corpus slice (vec_id % 5 != 0) is written once as a persisted
@@ -1813,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_documents": encode_documents,
         "corpus_mix_documents": corpus_mix_documents,
         "incremental_semdedup_lookup": incremental_semdedup_lookup,
+        "band_join_acctbal": band_join_acctbal,
     }
 
 
@@ -3088,5 +3119,14 @@ def oracle_sql() -> dict[str, str]:
                        (sqrt(list_inner_product(bb.v, bb.v)) *
                         sqrt(list_inner_product(ee.v, ee.v))), 6) AS cs)
             WHERE cs >= 0.3
+        """,
+        "band_join_acctbal": """
+            SELECT s.s_suppkey, c.c_custkey,
+                   c.c_nationkey AS nationkey,
+                   round(CAST(c.c_acctbal AS DOUBLE), 2) AS c_acctbal
+            FROM supplier s JOIN customer c
+              ON s.s_nationkey = c.c_nationkey
+             AND CAST(c.c_acctbal AS DOUBLE) >= CAST(s.s_acctbal AS DOUBLE) - 50
+             AND CAST(c.c_acctbal AS DOUBLE) <= CAST(s.s_acctbal AS DOUBLE) + 50
         """,
     }

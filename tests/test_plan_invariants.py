@@ -125,3 +125,15 @@ def test_encode_vocab_join_is_broadcast(q):
     facts = q("encode_documents")
     assert "BroadcastHashJoin" in facts["joins"], facts["joins"]
     assert "SortMergeJoin" not in facts["joins"], facts["joins"]
+
+
+def test_band_join_is_equi_join_not_nested_loop(q):
+    """The whole point of the bin-bucket rewrite: the inequality join must
+    plan as a hash/sort-merge EQUI-join, never BroadcastNestedLoop or a
+    cartesian."""
+    facts = q("band_join_acctbal")
+    assert "BroadcastNestedLoopJoin" not in facts["joins"], facts["joins"]
+    assert "CartesianProduct" not in facts["joins"], facts["joins"]
+    assert any(
+        j in facts["joins"] for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    ), facts["joins"]
