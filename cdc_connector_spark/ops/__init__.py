@@ -43,3 +43,4 @@ from cdc_connector_spark.ops.cluster import (  # noqa: F401
 from cdc_connector_spark.ops.corpus import corpus_mix_report, temperature_sample  # noqa: F401
 from cdc_connector_spark.ops.textstats import encode_with_vocab, unigram_nll  # noqa: F401
 from cdc_connector_spark.ops.pipeline import pretrain_corpus  # noqa: F401
+from cdc_connector_spark.ops.rangejoin import band_join, interval_overlap_join  # noqa: F401

@@ -81,3 +81,59 @@ def band_join(
     for k in keys:
         out = out.drop(i[k])
     return out
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: float,
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Interval×interval overlap join: pairs where
+    ``left_lo <= right_hi AND right_lo <= left_hi`` (closed intervals),
+    via the same bin replication as ``band_join``.
+
+    Both sides replicate to covering bins, so an overlapping pair can meet
+    in SEVERAL bins; instead of a dedup shuffle, the pair is emitted ONLY
+    from its first shared bin — ``max(floor(l_lo/w), floor(r_lo/w))`` —
+    which both sides provably cover (it is where the later-starting
+    interval begins, inside the overlap). One equi-join, exactly-once
+    emission, no post-dedup."""
+    if bin_width <= 0:
+        raise ValueError("bin_width must be > 0")
+    keys = list(extra_keys or [])
+    dup = [c for c in left.columns if c in right.columns and c not in keys]
+    if dup:
+        raise ValueError(
+            f"ambiguous columns {dup}: rename or project before the join"
+        )
+    w = float(bin_width)
+    l = left.withColumn(
+        "__bin",
+        F.explode(F.sequence(F.floor(F.col(left_lo) / w), F.floor(F.col(left_hi) / w))),
+    )
+    r = right.withColumn(
+        "__bin",
+        F.explode(F.sequence(F.floor(F.col(right_lo) / w), F.floor(F.col(right_hi) / w))),
+    )
+    cond = [l["__bin"] == r["__bin"]] + [l[k] == r[k] for k in keys]
+    first_bin = F.greatest(
+        F.floor(F.col(left_lo) / w), F.floor(F.col(right_lo) / w)
+    )
+    out = (
+        l.join(r, cond, "inner")
+        .filter(
+            (F.col(left_lo) <= F.col(right_hi))
+            & (F.col(right_lo) <= F.col(left_hi))
+            & (l["__bin"] == first_bin)
+        )
+        .drop(l["__bin"])
+        .drop(r["__bin"])
+    )
+    for k in keys:
+        out = out.drop(r[k])
+    return out

@@ -74,3 +74,33 @@ def test_band_join_matches_bruteforce_random(spark):
         )
         assert got == exp, w
         assert len(exp) > 0
+
+
+def test_interval_overlap_join_exactly_once_and_bruteforce(spark):
+    from cdc_connector_spark.ops.rangejoin import interval_overlap_join
+
+    rng = random.Random(23)
+    lhs = []
+    for i in range(50):
+        lo = round(rng.uniform(-60, 60), 3)
+        lhs.append((i, lo, round(lo + rng.uniform(0, 30), 3)))
+    rhs = []
+    for i in range(40):
+        lo = round(rng.uniform(-60, 60), 3)
+        rhs.append((100 + i, lo, round(lo + rng.uniform(0, 30), 3)))
+    L = spark.createDataFrame(lhs, "l_id bigint, l_lo double, l_hi double")
+    R = spark.createDataFrame(rhs, "r_id bigint, r_lo double, r_hi double")
+    for w in (2.0, 15.0, 200.0):
+        out = interval_overlap_join(
+            L.repartition(3), R.repartition(4), "l_lo", "l_hi", "r_lo", "r_hi", w
+        ).collect()
+        got = sorted((r["l_id"], r["r_id"]) for r in out)
+        exp = sorted(
+            (a, b)
+            for a, alo, ahi in lhs
+            for b, blo, bhi in rhs
+            if alo <= bhi and blo <= ahi
+        )
+        assert got == exp, w          # exactly-once: sorted lists equal
+        assert len(got) == len(set(got))
+        assert len(exp) > 0
