@@ -1213,6 +1213,19 @@ def corpus_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_mix_report(docs)
 
 
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops: deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES) — 100 docs drawn with inclusion probability
+    ∝ n_chars, u derived from the engine-portable multiplicative hash so
+    the SAME rows are chosen on any engine/partitioning. One scan + a
+    distributed top-n (TakeOrderedAndProject)."""
+    from cdc_connector_spark.ops.corpus import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(docs, n=100, weight_col="n_chars")
+    return out.select("doc_id", "n_chars", "sample_key")
+
+
 def band_join_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bin-bucketed range join (ops/rangejoin.py): customers whose account
     balance falls within ±50 of a same-nation supplier's balance. The naive
@@ -1844,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix_documents": corpus_mix_documents,
         "incremental_semdedup_lookup": incremental_semdedup_lookup,
         "band_join_acctbal": band_join_acctbal,
+        "weighted_sample_documents": weighted_sample_documents,
     }
 
 
@@ -3128,5 +3142,18 @@ def oracle_sql() -> dict[str, str]:
               ON s.s_nationkey = c.c_nationkey
              AND CAST(c.c_acctbal AS DOUBLE) >= CAST(s.s_acctbal AS DOUBLE) - 50
              AND CAST(c.c_acctbal AS DOUBLE) <= CAST(s.s_acctbal AS DOUBLE) + 50
+        """,
+        "weighted_sample_documents": """
+            SELECT doc_id, n_chars,
+                   round(
+                     power(
+                       (CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 AS DOUBLE) + 0.5)
+                         / 4294967296.0,
+                       1.0 / CAST(n_chars AS DOUBLE)),
+                     12) AS sample_key
+            FROM documents
+            WHERE n_chars > 0
+            ORDER BY sample_key DESC, doc_id ASC
+            LIMIT 100
         """,
     }

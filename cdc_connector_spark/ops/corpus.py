@@ -389,3 +389,40 @@ def corpus_mix_report(
         "n_tokens",
         F.round(F.col("n_tokens") / F.col("__total"), 6).alias("token_share"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES, 2006): each row gets sample_key = u^(1/w) with u a
+    uniform in (0,1), and the n LARGEST keys are the sample — inclusion
+    probability proportional to weight, exactly the reservoir scheme, but
+    with u derived from the engine-portable multiplicative hash instead of
+    RNG state, so the same rows are chosen on any engine, any run, any
+    partitioning (the property hash_sample gives the unweighted case).
+
+    Adds ``sample_key`` to the surviving rows, rounded to 12 decimals
+    BEFORE ordering: u^(1/w) compresses toward 1.0 for large weights, so
+    the rounding must be fine enough not to distort the weighting, yet
+    coarse enough to absorb the ~1-ulp cross-engine differences of pow()
+    (ties break by key, deterministically, on both engines). Rows with
+    non-positive weight are excluded (their inclusion probability is 0).
+
+    Scale shape: one scan computing the key expression + a distributed
+    top-n (TakeOrderedAndProject — per-partition heaps, no full sort, no
+    shuffle of non-winners). Ties break by key column for determinism."""
+    reduced = F.pmod(F.col(key_col) + F.lit(salt), F.lit(2147483648))
+    h = F.pmod(reduced * F.lit(2654435761), F.lit(4294967296))
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    skey = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("sample_key", F.round(skey, 12))
+        .orderBy(F.col("sample_key").desc(), F.col(key_col).asc())
+        .limit(n)
+    )

@@ -261,3 +261,24 @@ def test_temperature_sample_rates(spark):
 
     with pytest.raises(ValueError):
         temperature_sample(df, temperature=0.5)
+
+
+def test_weighted_sample_properties(spark):
+    from cdc_connector_spark.ops.corpus import weighted_sample
+
+    rows = [(i, "x", 10 if i < 500 else 1000) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, w bigint")
+    out = weighted_sample(df, n=50, weight_col="w").collect()
+    assert len(out) == 50
+    # heavy rows (w=1000, 1/6 of the corpus) dominate the sample
+    heavy = sum(1 for r in out if r["doc_id"] >= 500)
+    assert heavy > 35
+    # deterministic across runs and partitionings
+    again = weighted_sample(df.repartition(7), n=50, weight_col="w").collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in out)
+    # zero/negative weight rows never appear
+    df2 = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", -5), (3, "c", 7)], "doc_id bigint, text string, w bigint"
+    )
+    picked = weighted_sample(df2, n=10, weight_col="w").collect()
+    assert [r["doc_id"] for r in picked] == [3]
