@@ -40,7 +40,11 @@ from cdc_connector_spark.ops.cluster import (  # noqa: F401
     semdedup_pairs,
     semdedup_prune,
 )
-from cdc_connector_spark.ops.corpus import corpus_mix_report, temperature_sample  # noqa: F401
+from cdc_connector_spark.ops.corpus import (  # noqa: F401
+    corpus_mix_report,
+    temperature_sample,
+    weighted_sample,
+)
 from cdc_connector_spark.ops.textstats import encode_with_vocab, unigram_nll  # noqa: F401
 from cdc_connector_spark.ops.pipeline import pretrain_corpus  # noqa: F401
 from cdc_connector_spark.ops.rangejoin import band_join, interval_overlap_join  # noqa: F401

@@ -375,6 +375,12 @@ def semdedup_index_write(
         C = np.asarray(centroids, dtype=np.float64)
     else:
         C = kmeans_fit(embeddings, k, iters, id_col, vec_col)
+    if mode != "append" and os.path.exists(meta_file):
+        # rebuild-in-place: drop _META BEFORE touching data, so a crash (or
+        # a concurrent probe) mid-rewrite fails fast instead of pairing the
+        # OLD pinned centroids with the NEW partition layout — the initial
+        # build's fail-fast guarantee, extended to rebuilds
+        os.remove(meta_file)
     assigned = kmeans_assign(embeddings, C, id_col, vec_col, keep_vec=True).select(
         id_col, "cluster_id", vec_col
     )
@@ -399,6 +405,7 @@ def semdedup_index_lookup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster: int = 100_000,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a NEW batch against the persisted SemDedup index: returns
     (cluster_id, batch_id, corpus_id, cos_sim) for every batch×corpus pair
@@ -417,7 +424,14 @@ def semdedup_index_lookup(
     with open(os.path.join(path, "_META")) as fh:
         meta = json.load(fh)
     C = np.asarray(meta["centroids"], dtype=np.float64)
-    probe = kmeans_assign(batch, C, id_col, vec_col, keep_vec=True).select(
+    if assigned is None:
+        # the cluster-id collect below and the returned plan would both
+        # execute the assignment kernel; persist so it runs ONCE (a probe
+        # batch is bounded by the ingest trigger — caching it is cheap).
+        # Callers that already hold a persisted assignment (the streaming
+        # loop) pass it via ``assigned`` and skip this entirely.
+        assigned = kmeans_assign(batch, C, id_col, vec_col, keep_vec=True).persist()
+    probe = assigned.select(
         F.col(id_col).alias("__id"),
         "cluster_id",
         F.col(vec_col).alias("__v"),

@@ -177,7 +177,10 @@ def pretrain_corpus(
         from cdc_connector_spark.ops.corpus import temperature_sample
 
         cleaned = temperature_sample(
-            cleaned, source_col=shard_col, temperature=mix_temperature
+            cleaned,
+            source_col=shard_col,
+            temperature=mix_temperature,
+            key_col=id_col,
         )
     placed = pack_sequences(
         cleaned, budget=pack_budget, shard_col=shard_col, text_col=text_col, id_col=id_col

@@ -136,6 +136,7 @@ class StreamingCorpusDedup:
         t0 = time.monotonic()
         tc, ic = self.text_col, self.id_col
         batch = batch_df.persist()
+        extra_persisted = []
         try:
             n_in = batch.count()
 
@@ -147,6 +148,7 @@ class StreamingCorpusDedup:
                 .drop("__rn")
                 .persist()
             )
+            extra_persisted.append(uniq)
             n_uniq = uniq.count()
 
             # 2. near-dup in-batch: drop the HIGHER id of every verified pair
@@ -160,6 +162,7 @@ class StreamingCorpusDedup:
                 F.greatest("id_a", "id_b").alias(ic)
             ).dropDuplicates([ic])
             novel_in_batch = uniq.join(drop_in_batch, ic, "left_anti").persist()
+            extra_persisted.append(novel_in_batch)
             n_novel_in_batch = novel_in_batch.count()
 
             # 3. corpus probe (skip on the bootstrap batch — no index yet)
@@ -177,6 +180,7 @@ class StreamingCorpusDedup:
             else:
                 survivors = novel_in_batch
             survivors = survivors.persist()
+            extra_persisted.append(survivors)
             n_kept = survivors.count()
 
             # 4. commit: output (idempotent overwrite), index append, marker
@@ -208,6 +212,8 @@ class StreamingCorpusDedup:
                 fh.write("")
         finally:
             batch.unpersist()
+            for df in extra_persisted:
+                df.unpersist()
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -227,13 +233,17 @@ class StreamingCorpusDedup:
         return writer.start()
 
     def accepted(self, spark) -> DataFrame:
-        """All documents accepted so far (union of committed batch outputs)."""
+        """All documents accepted so far (union of committed batch outputs).
+        Dirs with no parquet footers (a batch that kept zero docs) are
+        skipped — schema inference needs at least one footer."""
         dirs = [
-            os.path.join(self.out_dir, f"batch={b}")
+            d
             for b in self.committed_batch_ids()
+            if os.path.isdir(d := os.path.join(self.out_dir, f"batch={b}"))
+            and any(n.endswith(".parquet") for n in os.listdir(d))
         ]
         if not dirs:
-            raise ValueError(f"no committed batches under {self.out_dir}")
+            raise ValueError(f"no non-empty committed batches under {self.out_dir}")
         return spark.read.parquet(*dirs)
 
 
@@ -311,9 +321,16 @@ class StreamingSemanticDedup:
         t0 = time.monotonic()
         ic, vc = self.id_col, self.vec_col
         batch = batch_df.persist()
+        extra_persisted = []
         try:
             n_in = batch.count()
             if n_in == 0:
+                # marker implies output dir exists — keep that invariant for
+                # empty triggers too (accepted() additionally skips dirs
+                # with no parquet footers)
+                batch.write.mode("overwrite").parquet(
+                    os.path.join(self.out_dir, f"batch={batch_id}")
+                )
                 os.makedirs(os.path.dirname(self._marker(batch_id)), exist_ok=True)
                 open(self._marker(batch_id), "w").close()
                 return
@@ -329,6 +346,7 @@ class StreamingSemanticDedup:
                 idx_k, idx_iters = min(self.k, n_in), self.iters
                 C = kmeans_fit(batch, idx_k, idx_iters, ic, vc)
             assigned = kmeans_assign(batch, C, ic, vc, keep_vec=True).persist()
+            extra_persisted.append(assigned)
 
             # in-batch: drop the higher id of every within-cluster pair
             pairs = pairs_within_clusters(
@@ -338,12 +356,19 @@ class StreamingSemanticDedup:
                 F.greatest("id_a", "id_b").alias(ic)
             ).dropDuplicates([ic])
             novel = batch.join(drop_in_batch, ic, "left_anti").persist()
+            extra_persisted.append(novel)
             n_novel = novel.count()
 
-            # corpus probe (skip on bootstrap)
+            # corpus probe (skip on bootstrap); the probe REUSES the held
+            # batch assignment (restricted to novel ids) so the kernel
+            # never runs twice
             if have_index:
+                novel_assigned = assigned.join(
+                    novel.select(ic), ic, "left_semi"
+                )
                 matches = semdedup_index_lookup(
-                    novel, self.index_path, self.threshold, ic, vc, self.max_cluster
+                    novel, self.index_path, self.threshold, ic, vc,
+                    self.max_cluster, assigned=novel_assigned,
                 )
                 drop_corpus = matches.select(
                     F.col("batch_id").alias(ic)
@@ -352,6 +377,7 @@ class StreamingSemanticDedup:
             else:
                 survivors = novel
             survivors = survivors.persist()
+            extra_persisted.append(survivors)
             n_kept = survivors.count()
 
             survivors.write.mode("overwrite").parquet(
@@ -379,6 +405,8 @@ class StreamingSemanticDedup:
             open(self._marker(batch_id), "w").close()
         finally:
             batch.unpersist()
+            for df in extra_persisted:
+                df.unpersist()
 
     def start(
         self,
@@ -396,10 +424,15 @@ class StreamingSemanticDedup:
         return writer.start()
 
     def accepted(self, spark) -> DataFrame:
+        # skip dirs with no parquet footers (empty trigger / zero survivors):
+        # schema inference needs at least one footer, and an all-empty read
+        # should say so explicitly
         dirs = [
-            os.path.join(self.out_dir, f"batch={b}")
+            d
             for b in self.committed_batch_ids()
+            if os.path.isdir(d := os.path.join(self.out_dir, f"batch={b}"))
+            and any(n.endswith(".parquet") for n in os.listdir(d))
         ]
         if not dirs:
-            raise ValueError(f"no committed batches under {self.out_dir}")
+            raise ValueError(f"no non-empty committed batches under {self.out_dir}")
         return spark.read.parquet(*dirs)

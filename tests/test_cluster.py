@@ -196,3 +196,28 @@ def test_semdedup_index_guards(spark, tmp_path):
     os.remove(os.path.join(path, "_META"))
     with pytest.raises(FileNotFoundError):
         semdedup_index_lookup(_emb_df(spark, [(9, [1.0, 1.0])]), path).collect()
+
+
+def test_semdedup_index_rebuild_in_place(spark, tmp_path):
+    """Overwriting an existing index must retrain, repartition, and pin the
+    NEW centroids (_META removed before the rewrite: no stale window)."""
+    from cdc_connector_spark.ops.cluster import (
+        semdedup_index_lookup,
+        semdedup_index_write,
+    )
+
+    rng = np.random.default_rng(6)
+    v = rng.normal(0, 1, 8)
+    path = str(tmp_path / "idx")
+    semdedup_index_write(_emb_df(spark, [(i, rng.normal(0, 1, 8)) for i in range(5)]), path, k=2, iters=1)
+    # rebuild over a DIFFERENT corpus containing v
+    semdedup_index_write(
+        _emb_df(spark, [(10, v), (11, rng.normal(0, 1, 8)), (12, rng.normal(0, 1, 8))]),
+        path, k=2, iters=2,
+    )
+    hits = semdedup_index_lookup(
+        _emb_df(spark, [(99, v * 1.001)]), path, threshold=0.98
+    ).collect()
+    assert {r["corpus_id"] for r in hits} == {10}
+    # old corpus ids are gone
+    assert not any(r["corpus_id"] < 10 for r in hits)

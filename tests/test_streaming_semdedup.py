@@ -98,3 +98,13 @@ def test_streaming_semdedup_index_grows(spark, sem_run, tmp_path):
         threshold=0.98,
     ).collect()
     assert {r["corpus_id"] for r in hits} == {11}
+
+
+def test_streaming_semdedup_empty_batch_commits_cleanly(spark, sem_run):
+    """An empty trigger must commit a marker AND keep accepted() readable
+    (the marker-implies-dir invariant plus footer-less-dir skipping)."""
+    ded = sem_run
+    empty = _df(spark, [])
+    ded.process_batch(empty, 7)
+    assert 7 in ded.committed_batch_ids()
+    assert sorted(r["vec_id"] for r in ded.accepted(spark).collect()) == [1, 2, 11, 13]
