@@ -1226,6 +1226,45 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_chars", "sample_key")
 
 
+def dsir_scores_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops: DSIR importance scores (Xie et al. 2023) — per-doc
+    log-likelihood ratio between the target distribution (lang='en' docs)
+    and the raw corpus, Laplace-smoothed unigram bags. One postings
+    lineage feeds both distributions; scalars broadcast; the term-keyed
+    ratio join is the honest shuffle. Value-verified end-to-end against
+    the identical derivation in DuckDB."""
+    from cdc_connector_spark.ops.textstats import dsir_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_scores(docs, target=F.col("lang") == F.lit("en"))
+
+
+def shard_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops: deterministic shuffled sharding for training export
+    (ops/corpus.py shard_plan): shard from the Knuth multiplicative hash,
+    within-shard order from an independent second multiplier — the whole
+    plan reproduces on any engine/partitioning (one shuffle keyed by
+    shard; per-shard sort, never global). write_training_shards
+    materializes this as one ordered file per shard."""
+    from cdc_connector_spark.ops.corpus import shard_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_plan(docs, n_shards=8).select("doc_id", "shard", "pos")
+
+
+def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops: Gopher repetition-signal family (Rae et al. 2021 §A1.1)
+    beyond the single trigram ratio in gopher_quality — duplicate-line
+    fraction, duplicate 2/3/4-gram fractions (codegen array expressions,
+    scan-bound), and the top-bigram coverage fraction (explode → map-side
+    combined count → per-doc top-1 window). Value-verified against the
+    identical arithmetic in DuckDB."""
+    from cdc_connector_spark.ops.textstats import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs)
+
+
 def band_join_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bin-bucketed range join (ops/rangejoin.py): customers whose account
     balance falls within ±50 of a same-nation supplier's balance. The naive
@@ -1858,6 +1897,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_semdedup_lookup": incremental_semdedup_lookup,
         "band_join_acctbal": band_join_acctbal,
         "weighted_sample_documents": weighted_sample_documents,
+        "repetition_stats_documents": repetition_stats_documents,
+        "shard_plan_documents": shard_plan_documents,
+        "dsir_scores_documents": dsir_scores_documents,
     }
 
 
@@ -3155,5 +3197,114 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_chars > 0
             ORDER BY sample_key DESC, doc_id ASC
             LIMIT 100
+        """,
+        "repetition_stats_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       coalesce(text, '') AS txt,
+                       CASE WHEN trim(coalesce(text,'')) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(coalesce(text,'')), '\\s+') END AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id, toks,
+                       list_filter(list_transform(string_split(txt, chr(10)), x -> trim(x)),
+                                   x -> x <> '') AS lines,
+                       CASE WHEN len(toks) >= 2
+                            THEN list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i+1])
+                            ELSE CAST([] AS VARCHAR[]) END AS g2,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                            ELSE CAST([] AS VARCHAR[]) END AS g3,
+                       CASE WHEN len(toks) >= 4
+                            THEN list_transform(range(1, len(toks) - 2),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                            ELSE CAST([] AS VARCHAR[]) END AS g4
+                FROM t
+            ), m AS (
+                SELECT doc_id,
+                       CAST(len(lines) AS BIGINT) AS n_lines,
+                       round(CASE WHEN len(lines) > 0
+                                  THEN 1.0 - len(list_distinct(lines)) / len(lines)
+                                  ELSE 0.0 END, 6) AS dup_line_frac,
+                       round(CASE WHEN len(g2) > 0
+                                  THEN 1.0 - len(list_distinct(g2)) / len(g2)
+                                  ELSE 0.0 END, 6) AS dup_2gram_frac,
+                       round(CASE WHEN len(g3) > 0
+                                  THEN 1.0 - len(list_distinct(g3)) / len(g3)
+                                  ELSE 0.0 END, 6) AS dup_3gram_frac,
+                       round(CASE WHEN len(g4) > 0
+                                  THEN 1.0 - len(list_distinct(g4)) / len(g4)
+                                  ELSE 0.0 END, 6) AS dup_4gram_frac,
+                       CAST(len(g2) AS BIGINT) AS n_bigrams,
+                       g2
+                FROM g
+            ), c AS (
+                SELECT doc_id, bg, COUNT(*) AS n
+                FROM (SELECT doc_id, unnest(g2) AS bg FROM m)
+                GROUP BY doc_id, bg
+            ), top AS (
+                SELECT doc_id, bg AS top_2gram, n
+                FROM (SELECT doc_id, bg, n,
+                             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                                ORDER BY n DESC, bg ASC) AS rk
+                      FROM c)
+                WHERE rk = 1
+            )
+            SELECT m.doc_id, n_lines, dup_line_frac,
+                   dup_2gram_frac, dup_3gram_frac, dup_4gram_frac,
+                   coalesce(top.top_2gram, '') AS top_2gram,
+                   round(CASE WHEN n_bigrams > 0
+                              THEN CAST(coalesce(top.n, 0) AS DOUBLE) / n_bigrams
+                              ELSE 0.0 END, 6) AS top_2gram_frac
+            FROM m LEFT JOIN top ON m.doc_id = top.doc_id
+        """,
+        "shard_plan_documents": """
+            WITH h AS (
+                SELECT doc_id,
+                       ((doc_id % 2147483648) * 2654435761) % 4294967296 AS h_shard,
+                       ((doc_id % 2147483648) * 2246822519) % 4294967296 AS h_order
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(h_shard % 8 AS INT) AS shard,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY h_shard % 8
+                                           ORDER BY h_order ASC, doc_id ASC) - 1
+                        AS BIGINT) AS pos
+            FROM h
+        """,
+        "dsir_scores_documents": """
+            WITH postings AS (
+                SELECT doc_id, is_t, term, COUNT(*) AS c
+                FROM (
+                    SELECT doc_id, (lang = 'en') AS is_t,
+                           unnest(regexp_split_to_array(trim(lower(coalesce(text,''))), '\\s+')) AS term
+                    FROM documents
+                    WHERE trim(coalesce(text,'')) <> ''
+                )
+                WHERE term <> ''
+                GROUP BY doc_id, is_t, term
+            ), terms AS (
+                SELECT term, SUM(c) AS c_r,
+                       SUM(CASE WHEN is_t THEN c ELSE 0 END) AS c_t
+                FROM postings GROUP BY term
+            ), s AS (
+                SELECT SUM(c_r) AS nr, SUM(c_t) AS nt, COUNT(*) AS v FROM terms
+            ), ratio AS (
+                SELECT term,
+                       ln(CAST(c_t + 1 AS DOUBLE) / (nt + v))
+                         - ln(CAST(c_r + 1 AS DOUBLE) / (nr + v)) AS lr
+                FROM terms, s
+            ), sc AS (
+                SELECT doc_id, SUM(c) AS n_tokens,
+                       round(SUM(c * lr), 6) AS dsir_score
+                FROM postings JOIN ratio USING (term)
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   coalesce(sc.dsir_score, 0.0) AS dsir_score
+            FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
         """,
     }

@@ -111,8 +111,22 @@ def kmeans_fit(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tol: float | None = None,
+    max_iters: int = 20,
 ) -> np.ndarray:
-    """Fixed-iteration exact Lloyd's; returns the final k×dim centroids.
+    """Exact Lloyd's; returns the final k×dim centroids.
+
+    Two stopping modes:
+    - ``tol=None`` (default): exactly ``iters`` iterations — the
+      deterministic, engine-portable recipe the DuckDB oracle re-derives
+      (a data-dependent stop would be fragile under float reordering
+      across engines).
+    - ``tol=<float>``: iterate until the max centroid L2 shift drops below
+      ``tol`` or ``max_iters`` is hit — the convergence variant for when
+      clustering QUALITY matters beyond SemDedup bucketing. Still
+      deterministic given the same engine (fixed seeds, exact means); just
+      not oracle-mirrored, so use the fixed-``iters`` mode for anything
+      that needs cross-engine value parity.
 
     Each iteration is ONE corpus scan (fused assign+update kernel) plus a
     k×(dim+1)-row reduce; see module docstring for the scale argument.
@@ -126,7 +140,8 @@ def kmeans_fit(
         ]
     )
     src = embeddings.select(F.col(vec_col).cast("array<double>").alias(vec_col))
-    for _ in range(iters):
+    n_rounds = max_iters if tol is not None else iters
+    for _ in range(n_rounds):
         partials = src.mapInPandas(_iterate_kernel(C, vec_col), partial_schema)
         reduced = (
             partials.select("cluster_id", F.posexplode("sums").alias("pos", "val"))
@@ -144,7 +159,14 @@ def kmeans_fit(
         nonempty = counts > 0
         # emptied cluster keeps its previous centroid (same rule in the SQL
         # oracle via coalesce(new, prev))
-        C = np.where(nonempty[:, None], sums / np.maximum(counts, 1)[:, None], C)
+        C_next = np.where(nonempty[:, None], sums / np.maximum(counts, 1)[:, None], C)
+        if tol is not None:
+            shift = float(np.sqrt(((C_next - C) ** 2).sum(axis=1)).max())
+            C = C_next
+            if shift < tol:
+                break
+        else:
+            C = C_next
     return C
 
 
@@ -216,6 +238,7 @@ def semdedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster: int = 100_000,
+    oversize_policy: str = "raise",
 ) -> DataFrame:
     """SemDedup: semantic near-duplicate pairs WITHIN k-means clusters.
 
@@ -232,9 +255,10 @@ def semdedup_pairs(
     ONE numpy matmul inside an ``applyInPandas`` kernel — the same fused
     shape as ``ann.embedding_neardup_pairs``, with the k-means cluster
     playing the LSH bucket's role. Only threshold survivors leave the
-    kernel. Clusters larger than ``max_cluster`` are refused loudly
-    (raise, not silent drop): at that size the caller should raise k, not
-    silently lose recall."""
+    kernel. Clusters larger than ``max_cluster`` are refused loudly by
+    default (raise, not silent drop): at that size the caller should raise
+    k — or opt into ``oversize_policy="subsample"`` (see
+    ``pairs_within_clusters``)."""
     C = kmeans_fit(embeddings, k, iters, id_col, vec_col)
     return pairs_within_clusters(
         kmeans_assign(embeddings, C, id_col, vec_col, keep_vec=True),
@@ -242,6 +266,7 @@ def semdedup_pairs(
         id_col=id_col,
         vec_col=vec_col,
         max_cluster=max_cluster,
+        oversize_policy=oversize_policy,
     )
 
 
@@ -251,13 +276,41 @@ def pairs_within_clusters(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster: int = 100_000,
+    oversize_policy: str = "raise",
 ) -> DataFrame:
     """All cosine≥threshold pairs WITHIN each ``cluster_id`` group of an
     assignment frame that carries its vectors (``kmeans_assign`` with
     ``keep_vec=True``). One groupBy shuffle; one matmul per cluster;
     survivors only. The shared kernel behind ``semdedup_pairs`` (full-fit
-    path) and the streaming in-batch dedup (pinned-centroid path)."""
-    joined = assigned.select(id_col, "cluster_id", F.col(vec_col).alias("__v"))
+    path) and the streaming in-batch dedup (pinned-centroid path).
+
+    ``oversize_policy`` governs clusters larger than ``max_cluster``:
+
+    - ``"raise"`` (default): refuse loudly — the caller should raise k.
+      This is the only mode with full within-cluster recall, so it is the
+      mode every value-verified query uses.
+    - ``"subsample"``: deduplicate only the ``max_cluster`` members
+      CLOSEST to the centroid (smallest ``sq_dist``, ties by id — a
+      deterministic ε-fraction cut in the spirit of SemDedup's per-cluster
+      budget). Near-duplicates concentrate in the dense core around the
+      centroid; the far tail a mega-cluster accumulates is its most
+      diverse region, so the dropped members are the least likely to pair.
+      This is an explicit recall trade for corpora whose k is pinned by an
+      index (``semdedup_index_write``) and cannot be raised; audit the
+      affected clusters first with ``oversized_clusters``. Requires the
+      ``sq_dist`` column (present on every ``kmeans_assign`` output).
+    """
+    if oversize_policy not in ("raise", "subsample"):
+        raise ValueError(f"unknown oversize_policy {oversize_policy!r}")
+    cols = [id_col, "cluster_id", F.col(vec_col).alias("__v")]
+    if oversize_policy == "subsample":
+        if "sq_dist" not in assigned.columns:
+            raise ValueError(
+                "oversize_policy='subsample' needs the sq_dist column "
+                "(use kmeans_assign(..., keep_vec=True) output directly)"
+            )
+        cols.append("sq_dist")
+    joined = assigned.select(*cols)
     id_field = assigned.schema[id_col]
     out_schema = T.StructType(
         [
@@ -276,10 +329,16 @@ def pairs_within_clusters(
         if n < 2:
             return empty
         if n > max_cluster:
-            raise ValueError(
-                f"cluster {key[0]} has {n} members > max_cluster={max_cluster}; "
-                "raise k (more, smaller clusters) or max_cluster"
+            if oversize_policy == "raise":
+                raise ValueError(
+                    f"cluster {key[0]} has {n} members > max_cluster={max_cluster}; "
+                    "raise k (more, smaller clusters) or max_cluster, or opt "
+                    "into oversize_policy='subsample'"
+                )
+            pdf = pdf.sort_values(["sq_dist", id_col], kind="mergesort").head(
+                max_cluster
             )
+            n = len(pdf)
         M = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
         norms = np.linalg.norm(M, axis=1)
         norms[norms == 0] = np.nan
@@ -303,6 +362,19 @@ def pairs_within_clusters(
         )
 
     return joined.groupBy("cluster_id").applyInPandas(cluster_pairs, out_schema)
+
+
+def oversized_clusters(assigned: DataFrame, max_cluster: int = 100_000) -> DataFrame:
+    """Audit: (cluster_id, n_members) for every cluster past ``max_cluster``
+    — the clusters ``oversize_policy="subsample"`` would cut (and by how
+    much: ``n_members - max_cluster`` members dropped). One groupBy over
+    (int, 1) rows; run it before opting into the subsample trade."""
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > max_cluster)
+        .orderBy(F.col("n_members").desc())
+    )
 
 
 def semdedup_prune(

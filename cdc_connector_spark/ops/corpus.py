@@ -426,3 +426,78 @@ def weighted_sample(
         .orderBy(F.col("sample_key").desc(), F.col(key_col).asc())
         .limit(n)
     )
+
+
+def shard_plan(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic shuffled sharding for training export: adds
+    ``shard`` (int, [0, n_shards)) and ``pos`` (long, 0-based position
+    within the shard) to every row.
+
+    A training run wants the corpus cut into fixed shards whose READ ORDER
+    is decorrelated from ingest order (a data loader streaming shard files
+    sequentially must not replay the crawl's temporal/source clustering).
+    Both assignments come from engine-portable multiplicative hashes over
+    ``key_col`` (same overflow-safe reduce-then-multiply scheme as
+    ``hash_sample``): the shard from the Knuth constant, the WITHIN-shard
+    order from an independent second multiplier (xxhash32's prime), ties
+    broken by key — so the full plan (shard AND position) is reproducible
+    on any engine, any partitioning, any run, and re-running after an
+    append only appends (existing keys keep their shard; positions shift
+    only where a new key lands between them).
+
+    Scale shape: one projection + ONE shuffle keyed by ``shard`` for the
+    per-shard ``row_number`` — the minimum for a global per-shard order;
+    the sort is per-shard (corpus/n_shards rows), never global.
+    ``write_training_shards`` reuses that same partitioning to emit one
+    file per shard.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    reduced = F.pmod(F.col(key_col) + F.lit(salt), F.lit(2147483648))
+    h_shard = F.pmod(reduced * F.lit(2654435761), F.lit(4294967296))
+    # independent mix for the intra-shard order: different 32-bit odd
+    # multiplier (xxhash32 prime); (2^31-1)*2246822519 < 2^63, same
+    # overflow-safe argument as the Knuth path
+    h_order = F.pmod(reduced * F.lit(2246822519), F.lit(4294967296))
+    planned = df.withColumn("shard", (h_shard % n_shards).cast("int")).withColumn(
+        "__order", h_order
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__order").asc(), F.col(key_col).asc())
+    return planned.withColumn(
+        "pos", (F.row_number().over(w) - F.lit(1)).cast("long")
+    ).drop("__order")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+    salt: int = 0,
+) -> None:
+    """Materialize ``shard_plan`` as one parquet file per shard directory
+    (``shard=N/part-*.parquet``), rows stored in ``pos`` order — the
+    training-export layout: a data loader streams shard files sequentially
+    and gets the deterministic shuffled order with zero read-side work.
+
+    Exactly-one-file-per-shard: rows are repartitioned BY the shard id
+    (hash of one int — each shard lands wholly in one task) and sorted
+    within partitions on (shard, pos) before a partitionBy write, so every
+    ``shard=N`` directory receives its rows from exactly one task → one
+    file, already in order. Cost: the row_number exchange from the plan
+    plus this placement exchange (both keyed on ``shard``; AQE handles the
+    tiny-shard case). A 100 TB corpus at n_shards=100k keeps file sizes
+    ~1 GB — tune n_shards to the target file size, it is the only knob."""
+    planned = shard_plan(df, n_shards, key_col, salt)
+    (
+        planned.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

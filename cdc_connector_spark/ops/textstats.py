@@ -153,6 +153,108 @@ def gopher_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher repetition signals (Rae et al. 2021 §A1.1 — the "repetition
+    removal" rule family that complements ``gopher_quality``'s single
+    trigram ratio): per document,
+
+    - ``n_lines``: non-empty trimmed lines (split on newline)
+    - ``dup_line_frac``: 1 − distinct/total lines — boilerplate detector
+      (navigation chrome, repeated headers)
+    - ``dup_{2,3,4}gram_frac``: 1 − distinct/total word n-grams — local
+      phrase looping (the degenerate-generation signature)
+    - ``top_2gram`` / ``top_2gram_frac``: the most frequent word bigram
+      (ties → lexicographically smallest) and the fraction of all bigram
+      slots it occupies — keyword stuffing concentrates mass in one n-gram
+      even when overall dup fractions stay moderate
+
+    Execution: the line and dup-fraction metrics are pure higher-order
+    array expressions (one codegen projection, scan-bound). The top-bigram
+    metric genuinely needs a per-(doc, bigram) count, so it's the classic
+    explode → map-side-combined groupBy → per-doc top-1 window, joined
+    back on ``id_col`` — one shuffle keyed by (doc, bigram), one by doc;
+    both are ~n_words·16-byte rows, never the document text. Fractions are
+    rounded to 6 so the engine-portable SQL twin hash-matches.
+    """
+    from pyspark.sql import Window
+
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokenize(text_col)
+    n_toks = F.size(toks)
+
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0, F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines
+    ).otherwise(F.lit(0.0))
+
+    def ngrams(n: int) -> Column:
+        cnt = F.greatest(n_toks - F.lit(n - 1), F.lit(0))
+        return F.when(
+            cnt > 0,
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def dup_frac(n: int) -> Column:
+        g = ngrams(n)
+        total = F.size(g)
+        return F.round(
+            F.when(
+                total > 0, F.lit(1.0) - F.size(F.array_distinct(g)) / total
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    base = df.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        F.round(dup_line, 6).alias("dup_line_frac"),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+        dup_frac(4).alias("dup_4gram_frac"),
+        F.greatest(n_toks - F.lit(1), F.lit(0)).cast("long").alias("__n_bigrams"),
+        ngrams(2).alias("__bigrams"),
+    )
+    counts = (
+        base.select(id_col, F.explode("__bigrams").alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("n").desc(), F.col("bg").asc())
+    top = (
+        counts.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(id_col, F.col("bg").alias("top_2gram"), F.col("n").alias("__top_n"))
+    )
+    return (
+        base.drop("__bigrams")
+        .join(top, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            "dup_line_frac",
+            "dup_2gram_frac",
+            "dup_3gram_frac",
+            "dup_4gram_frac",
+            F.coalesce(F.col("top_2gram"), F.lit("")).alias("top_2gram"),
+            F.round(
+                F.when(
+                    F.col("__n_bigrams") > 0,
+                    F.coalesce(F.col("__top_n"), F.lit(0)) / F.col("__n_bigrams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("top_2gram_frac"),
+        )
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 of case/punctuation/whitespace-normalized text.
 
@@ -205,6 +307,80 @@ def tfidf(
             "tf",
             "df",
             (F.col("tf") * F.log(F.col("__n").cast("double") / F.col("df"))).alias("tfidf"),
+        )
+    )
+
+
+def dsir_scores(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance scores for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    arXiv:2302.03169 — simplified from hashed n-gram features to the
+    unigram bag so the whole derivation is engine-portable and
+    value-verifiable): every document is scored by the log-likelihood
+    ratio between a TARGET distribution (rows where the ``target`` boolean
+    column expression holds — e.g. a trusted domain) and the RAW corpus
+    distribution, both Laplace-smoothed over the raw vocabulary:
+
+        score(D) = Σ_{(w, c) ∈ D} c · [ln p_t(w) − ln p_r(w)]
+        p_t(w)   = (c_t(w) + 1) / (N_t + V)
+        p_r(w)   = (c_r(w) + 1) / (N_r + V)
+
+    High scores ≈ "looks like the target domain"; resampling the corpus ∝
+    exp(score) (or just taking the top slice) is the DSIR selection step —
+    compose with ``corpus.weighted_sample`` / ``corpus.hash_sample``.
+
+    Shape: ONE postings lineage (explode → per-(doc,term) count) feeds
+    both distributions — the target side is a conditional sum over the
+    same rows, not a second scan; the (N_t, N_r, V) scalars are one
+    3-number broadcast; the per-term log-ratio joins back to the postings
+    on the term key (the honest shuffle — O(postings), short strings);
+    final per-doc sum shuffles hashed ids. Token-less docs surface with
+    score 0, not dropped."""
+    postings = (
+        df.select(
+            F.col(id_col),
+            target.alias("__t"),
+            F.explode(tokenize(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .groupBy(id_col, "__t", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    terms = postings.groupBy("term").agg(
+        F.sum("c").alias("c_r"),
+        F.sum(F.when(F.col("__t"), F.col("c")).otherwise(F.lit(0))).alias("c_t"),
+    )
+    scalars = terms.agg(
+        F.sum("c_r").alias("__nr"),
+        F.sum("c_t").alias("__nt"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    ratio = terms.crossJoin(F.broadcast(scalars)).select(
+        "term",
+        (
+            F.log((F.col("c_t") + 1).cast("double") / (F.col("__nt") + F.col("__v")))
+            - F.log((F.col("c_r") + 1).cast("double") / (F.col("__nr") + F.col("__v")))
+        ).alias("__lr"),
+    )
+    scores = (
+        postings.join(ratio, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.round(F.sum(F.col("c") * F.col("__lr")), 6).alias("dsir_score"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scores, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("dsir_score"), F.lit(0.0)).alias("dsir_score"),
         )
     )
 

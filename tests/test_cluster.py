@@ -16,6 +16,7 @@ from cdc_connector_spark.ops.cluster import (
     kmeans_clusters,
     kmeans_fit,
     kmeans_init,
+    oversized_clusters,
     semdedup_pairs,
     semdedup_prune,
 )
@@ -124,6 +125,71 @@ def test_semdedup_max_cluster_guard(spark):
     df = _emb_df(spark, rows)
     with pytest.raises(Exception, match="max_cluster"):
         semdedup_pairs(df, k=1, iters=1, max_cluster=5).collect()
+
+
+def test_semdedup_oversize_subsample_keeps_core_pairs(spark):
+    # one mega-cluster (k=1): 2 near-dup pairs — one in the dense core near
+    # the centroid, one far out in the tail. With max_cluster below the
+    # cluster size, policy="subsample" keeps the max_cluster members CLOSEST
+    # to the centroid: the core pair survives, the tail pair is the explicit
+    # recall trade, and nothing raises.
+    rng = np.random.default_rng(21)
+    core = rng.normal(0, 0.1, 8)
+    far = core + 50.0  # same direction-ish but far from the mean
+    rows = [
+        (0, core),
+        (1, core * 1.0001),  # core near-dup pair (0,1)
+        (2, far),
+        (3, far * 1.0001),  # tail near-dup pair (2,3)
+    ] + [(i, rng.normal(0, 0.1, 8)) for i in range(4, 10)]
+    df = _emb_df(spark, rows)
+    with pytest.raises(Exception, match="max_cluster"):
+        semdedup_pairs(df, k=1, iters=2, threshold=0.99, max_cluster=8).collect()
+    pairs = semdedup_pairs(
+        df, k=1, iters=2, threshold=0.99, max_cluster=8,
+        oversize_policy="subsample",
+    ).toPandas()
+    got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 1) in got  # dense-core pair survives the cut
+    assert (2, 3) not in got  # tail pair is the documented trade
+    # full-recall run (no cap) finds both — proves the cut is the only delta
+    full = semdedup_pairs(df, k=1, iters=2, threshold=0.99).toPandas()
+    full_pairs = {(a, b) for a, b in zip(full.id_a, full.id_b)}
+    assert {(0, 1), (2, 3)} <= full_pairs
+    assert got <= full_pairs
+
+
+def test_oversized_clusters_audit(spark):
+    rows = [(i, [1.0, 0.0]) for i in range(7)] + [(i, [0.0, 1.0]) for i in range(7, 10)]
+    df = _emb_df(spark, rows)
+    C = np.array([[1.0, 0.0], [0.0, 1.0]])
+    assigned = kmeans_assign(df, C)
+    audit = oversized_clusters(assigned, max_cluster=5).toPandas()
+    assert audit.cluster_id.tolist() == [0] and audit.n_members.tolist() == [7]
+    assert oversized_clusters(assigned, max_cluster=10).count() == 0
+
+
+def test_subsample_requires_sq_dist_column(spark):
+    from pyspark.sql import functions as F
+
+    from cdc_connector_spark.ops.cluster import pairs_within_clusters
+
+    df = _emb_df(spark, [(0, [1.0]), (1, [1.0])]).withColumn(
+        "cluster_id", F.lit(0).cast("int")
+    )
+    with pytest.raises(ValueError, match="sq_dist"):
+        pairs_within_clusters(df, oversize_policy="subsample")
+
+
+def test_kmeans_fit_tol_converges_to_fixed_point(spark, planted):
+    df, centers = planted
+    # convergence variant: stops early on tight blobs and lands on the same
+    # fixed point as a long fixed-iteration run
+    C_tol = kmeans_fit(df, k=3, tol=1e-9, max_iters=50)
+    C_fix = kmeans_fit(df, k=3, iters=10)
+    assert np.allclose(np.sort(C_tol, axis=0), np.sort(C_fix, axis=0), atol=1e-9)
+    d = np.linalg.norm(C_tol[:, None, :] - centers[None, :, :], axis=2).min(axis=1)
+    assert (d < 0.1).all()
 
 
 def test_kmeans_requires_k_vectors(spark):

@@ -282,3 +282,56 @@ def test_weighted_sample_properties(spark):
     )
     picked = weighted_sample(df2, n=10, weight_col="w").collect()
     assert [r["doc_id"] for r in picked] == [3]
+
+
+def test_shard_plan_deterministic_and_complete(spark):
+    from cdc_connector_spark.ops.corpus import shard_plan
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = shard_plan(df, n_shards=8).orderBy("doc_id").toPandas()
+    b = shard_plan(df, n_shards=8).orderBy("doc_id").toPandas()
+    assert a.equals(b)  # fully deterministic, no RNG state
+    assert len(a) == 500 and set(a.shard) <= set(range(8))
+    # positions are a dense 0..n-1 sequence per shard
+    for s, grp in a.groupby("shard"):
+        assert sorted(grp.pos) == list(range(len(grp)))
+    # within-shard order decorrelates from key order: at least one shard's
+    # position order is not the doc_id order
+    assert any(
+        list(grp.sort_values("pos").doc_id) != sorted(grp.doc_id)
+        for _, grp in a.groupby("shard")
+    )
+    # appends are stable: the shard assignment of existing keys never moves
+    bigger = shard_plan(
+        spark.range(0, 600).withColumnRenamed("id", "doc_id"), n_shards=8
+    ).orderBy("doc_id").toPandas()
+    assert (bigger.shard[:500].to_numpy() == a.shard.to_numpy()).all()
+
+
+def test_write_training_shards_one_ordered_file_per_shard(spark, tmp_path):
+    import glob
+
+    from cdc_connector_spark.ops.corpus import shard_plan, write_training_shards
+
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id").withColumn(
+        "text", F.concat(F.lit("doc "), F.col("doc_id"))
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, n_shards=4)
+    dirs = sorted(glob.glob(out + "/shard=*"))
+    assert len(dirs) == 4
+    for d in dirs:
+        assert len(glob.glob(d + "/*.parquet")) == 1  # one task -> one file
+    back = spark.read.parquet(out)
+    assert back.count() == 300
+    plan = shard_plan(df, n_shards=4).select("doc_id", "shard", "pos")
+    assert (
+        back.select("doc_id", "shard", "pos")
+        .exceptAll(plan)
+        .count()
+        == 0
+    )
+    # rows inside each file are physically stored in pos order
+    for d in dirs:
+        pdf = spark.read.parquet(d).toPandas()
+        assert pdf.pos.tolist() == sorted(pdf.pos.tolist())

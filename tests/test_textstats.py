@@ -186,3 +186,77 @@ def test_corpus_mix_report_shares(spark):
     assert rows[("s1", "en")]["n_tokens"] == 4
     assert rows[("s1", "en")]["token_share"] == 0.5
     assert rows[("s2", "fr")]["token_share"] == 0.5
+
+
+def test_repetition_stats_gopher_signals(spark):
+    from cdc_connector_spark.ops.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            # 3 lines, one duplicated; "buy now" stuffed 3x of 5 bigrams
+            (1, "buy now buy now buy now\nother line\nother line"),
+            (2, "all words distinct here"),  # no repetition at all
+            (3, "x"),  # single word: no bigrams, frac 0, top ''
+            (4, ""),  # empty doc
+            (5, None),  # NULL text
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+
+    r1 = got[1]
+    assert r1["n_lines"] == 3
+    assert r1["dup_line_frac"] == pytest.approx(1 - 2 / 3, abs=1e-6)
+    # tokens: buy now buy now buy now other line other line (10 words, 9
+    # bigrams); "buy now" x3, "now buy" x2, "now other" x1, "other line" x2,
+    # "line other" x1 -> 5 distinct of 9
+    assert r1["top_2gram"] == "buy now"
+    assert r1["top_2gram_frac"] == pytest.approx(3 / 9, abs=1e-6)
+    assert r1["dup_2gram_frac"] == pytest.approx(1 - 5 / 9, abs=1e-6)
+
+    r2 = got[2]
+    assert r2["dup_2gram_frac"] == 0.0 and r2["dup_3gram_frac"] == 0.0
+    assert r2["top_2gram_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    # tie on count=1 -> lexicographically smallest bigram
+    assert r2["top_2gram"] == "all words"
+
+    for d in (3, 4, 5):
+        r = got[d]
+        assert r["dup_2gram_frac"] == 0.0 and r["top_2gram"] == ""
+        assert r["top_2gram_frac"] == 0.0 and r["dup_line_frac"] == 0.0
+    assert got[3]["n_lines"] == 1 and got[4]["n_lines"] == 0 and got[5]["n_lines"] == 0
+
+
+def test_dsir_scores_prefer_target_domain(spark):
+    from cdc_connector_spark.ops.textstats import dsir_scores
+
+    # target docs share a distinctive vocabulary; raw-only docs another
+    rows = [
+        (1, "alpha beta alpha beta", "en"),
+        (2, "alpha beta gamma", "en"),
+        (3, "zeta eta zeta eta", "xx"),
+        (4, "zeta eta theta", "xx"),
+        (5, "alpha beta", "xx"),  # raw doc that LOOKS like the target
+        (6, "", "xx"),  # token-less -> score 0, kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    got = {
+        r["doc_id"]: r
+        for r in dsir_scores(df, F.col("lang") == "en").collect()
+    }
+    assert len(got) == 6
+    # target-vocab docs score higher than target-unlike docs, and the
+    # target-looking raw doc ranks above the target-unlike ones too
+    assert got[1]["dsir_score"] > got[3]["dsir_score"]
+    assert got[5]["dsir_score"] > got[3]["dsir_score"]
+    assert got[6]["dsir_score"] == 0.0 and got[6]["n_tokens"] == 0
+    # exact value check on one doc: recompute the smoothed ratio by hand
+    import math
+
+    # corpus counts: alpha 4, beta 4, gamma 1, zeta 3, eta 3, theta 1 ->
+    # V=6, N_r=16; target (docs 1,2): alpha 3, beta 3, gamma 1 -> N_t=7
+    V, Nr, Nt = 6, 16, 7
+    def lr(ct, cr):
+        return math.log((ct + 1) / (Nt + V)) - math.log((cr + 1) / (Nr + V))
+    want = 2 * lr(3, 4) + 2 * lr(3, 4)  # doc 1: alpha x2, beta x2
+    assert got[1]["dsir_score"] == pytest.approx(want, abs=1e-6)
