@@ -335,12 +335,17 @@ def dsir_scores(
     compose with ``corpus.weighted_sample`` / ``corpus.hash_sample``.
 
     Shape: ONE postings lineage (explode → per-(doc,term) count) feeds
-    both distributions — the target side is a conditional sum over the
-    same rows, not a second scan; the (N_t, N_r, V) scalars are one
-    3-number broadcast; the per-term log-ratio joins back to the postings
-    on the term key (the honest shuffle — O(postings), short strings);
-    final per-doc sum shuffles hashed ids. Token-less docs surface with
-    score 0, not dropped."""
+    both distributions — the per-term corpus and target counts are
+    WINDOW sums over that same frame partitioned by term (a
+    join-against-own-aggregate here would defeat Spark's exchange reuse
+    via differential column pruning and re-derive the postings three
+    times — the unigram_nll lesson); the (N_r, N_t, V) scalars come from
+    one slim second scan (count / conditional count / distinct-term
+    count, no doc ids) and ride a broadcast; the final per-doc sum is the
+    last exchange. Token-less docs surface with score 0, not dropped (a
+    selection step must see every candidate)."""
+    from pyspark.sql import Window
+
     postings = (
         df.select(
             F.col(id_col),
@@ -350,28 +355,27 @@ def dsir_scores(
         .groupBy(id_col, "__t", "term")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    terms = postings.groupBy("term").agg(
-        F.sum("c").alias("c_r"),
-        F.sum(F.when(F.col("__t"), F.col("c")).otherwise(F.lit(0))).alias("c_t"),
+    w = Window.partitionBy("term")
+    scored = postings.withColumn("c_r", F.sum("c").over(w)).withColumn(
+        "c_t", F.sum(F.when(F.col("__t"), F.col("c")).otherwise(F.lit(0))).over(w)
     )
-    scalars = terms.agg(
-        F.sum("c_r").alias("__nr"),
-        F.sum("c_t").alias("__nt"),
-        F.count(F.lit(1)).alias("__v"),
+    scalars = df.select(
+        target.alias("__t"),
+        F.explode(tokenize(F.lower(F.col(text_col)))).alias("term"),
+    ).agg(
+        F.count(F.lit(1)).alias("__nr"),
+        F.sum(F.when(F.col("__t"), F.lit(1)).otherwise(F.lit(0))).alias("__nt"),
+        F.countDistinct("term").alias("__v"),
     )
-    ratio = terms.crossJoin(F.broadcast(scalars)).select(
-        "term",
-        (
-            F.log((F.col("c_t") + 1).cast("double") / (F.col("__nt") + F.col("__v")))
-            - F.log((F.col("c_r") + 1).cast("double") / (F.col("__nr") + F.col("__v")))
-        ).alias("__lr"),
-    )
+    lr = F.log(
+        (F.col("c_t") + 1).cast("double") / (F.col("__nt") + F.col("__v"))
+    ) - F.log((F.col("c_r") + 1).cast("double") / (F.col("__nr") + F.col("__v")))
     scores = (
-        postings.join(ratio, "term")
+        scored.crossJoin(F.broadcast(scalars))
         .groupBy(id_col)
         .agg(
             F.sum("c").alias("n_tokens"),
-            F.round(F.sum(F.col("c") * F.col("__lr")), 6).alias("dsir_score"),
+            F.round(F.sum(F.col("c") * lr), 6).alias("dsir_score"),
         )
     )
     return (

@@ -137,3 +137,32 @@ def test_band_join_is_equi_join_not_nested_loop(q):
     assert any(
         j in facts["joins"] for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
     ), facts["joins"]
+
+
+def test_shard_plan_single_order_exchange(q):
+    """shard_plan = projection + ONE shuffle (the per-shard row_number
+    window). A second exchange would mean the hash columns stopped being
+    computed in the scan-side projection."""
+    facts = q("shard_plan_documents")
+    assert facts["exchanges"] <= 1, facts["exchanges"]
+    assert len(facts["scans"]) == 1, facts["scans"]
+
+
+def test_dsir_single_postings_lineage(q):
+    """One postings lineage + term-window totals (the unigram_nll shape —
+    a join-against-own-aggregate re-derived the postings 3× at 4 scans /
+    8 exchanges): ceiling 3 scans (postings, slim scalars, id spine) and
+    5 exchanges; scalars ride a broadcast, never a cartesian."""
+    facts = q("dsir_scores_documents")
+    assert len(facts["scans"]) <= 3, facts["scans"]
+    assert facts["exchanges"] <= 5, facts["exchanges"]
+    assert "CartesianProduct" not in facts["joins"]
+
+
+def test_repetition_stats_shuffle_budget(q):
+    """Array-expression metrics are scan-bound; only the top-bigram path
+    shuffles: (doc,bigram) count + per-doc top-1 window + the join back.
+    Ceiling 4 exchanges; the document text must never ride a shuffle (the
+    exploded side carries only id+bigram)."""
+    facts = q("repetition_stats_documents")
+    assert facts["exchanges"] <= 4, facts["exchanges"]
