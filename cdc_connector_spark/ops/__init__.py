@@ -48,3 +48,7 @@ from cdc_connector_spark.ops.corpus import (  # noqa: F401
 from cdc_connector_spark.ops.textstats import encode_with_vocab, unigram_nll  # noqa: F401
 from cdc_connector_spark.ops.pipeline import pretrain_corpus  # noqa: F401
 from cdc_connector_spark.ops.rangejoin import band_join, interval_overlap_join  # noqa: F401
+from cdc_connector_spark.ops.bpe import bpe_encode, bpe_train  # noqa: F401
+from cdc_connector_spark.ops.cluster import oversized_clusters, pairs_within_clusters  # noqa: F401
+from cdc_connector_spark.ops.corpus import shard_plan, write_training_shards  # noqa: F401
+from cdc_connector_spark.ops.textstats import dsir_scores, repetition_stats  # noqa: F401
