@@ -111,14 +111,19 @@ def pretrain_corpus(
     pack_budget: int = 2048,
     max_nll: float | None = None,
     mix_temperature: float | None = None,
+    max_top_2gram_frac: float | None = None,
+    max_dup_line_frac: float | None = None,
+    dsir_target: F.Column | None = None,
+    min_dsir: float | None = None,
 ) -> DataFrame:
     """The full pretraining data recipe, composed from the engine's
     operators in the canonical order (cheapest-and-most-selective first,
     pairwise stages last):
 
-        Gopher quality rules → language filter → exact dedup → MinHash
-        near-dup pruning → [unigram-LM perplexity cut] → benchmark
-        decontamination → [temperature mixing] → sequence packing
+        Gopher quality rules → [repetition caps] → language filter →
+        exact dedup → MinHash near-dup pruning → [unigram-LM perplexity
+        cut] → [DSIR selection] → benchmark decontamination →
+        [temperature mixing] → sequence packing
 
     ``max_nll`` drops documents whose corpus-trained unigram negative
     log-likelihood exceeds the cut (CCNet-style: high nll = rare-token
@@ -126,6 +131,16 @@ def pretrain_corpus(
     junk the earlier stages already rejected. ``mix_temperature`` applies
     mT5-style per-``shard_col`` re-balancing (counts ∝ n^(1/T)) just
     before packing, where the mixture decision belongs.
+
+    ``max_top_2gram_frac`` / ``max_dup_line_frac`` extend the Gopher gate
+    with the repetition-signal family (textstats.repetition_stats):
+    keyword stuffing and boilerplate caps, applied up front with the other
+    cheap rejections. ``dsir_target`` + ``min_dsir`` run DSIR selection
+    (textstats.dsir_scores) on the cleaned corpus: the target boolean
+    column marks the trusted-domain rows and documents scoring below
+    ``min_dsir`` against that target distribution are dropped — a plain
+    threshold filter, no global sort (pick the cut from the score
+    histogram offline).
 
     Returns the surviving docs with ``lang_pred``/``quality`` from the
     cleaning stages plus ``(n_tokens, seq_id, seq_offset)`` packing
@@ -142,6 +157,16 @@ def pretrain_corpus(
     kept = docs.join(
         flags.filter(F.col("keep")).select(id_col), id_col, "left_semi"
     )
+    if max_top_2gram_frac is not None or max_dup_line_frac is not None:
+        from cdc_connector_spark.ops.textstats import repetition_stats
+
+        rep = repetition_stats(kept, text_col=text_col, id_col=id_col)
+        cond = F.lit(True)
+        if max_top_2gram_frac is not None:
+            cond = cond & (F.col("top_2gram_frac") <= max_top_2gram_frac)
+        if max_dup_line_frac is not None:
+            cond = cond & (F.col("dup_line_frac") <= max_dup_line_frac)
+        kept = kept.join(rep.filter(cond).select(id_col), id_col, "left_semi")
     cleaned = clean_corpus(
         kept,
         text_col=text_col,
@@ -159,6 +184,17 @@ def pretrain_corpus(
             .select(id_col)
         )
         cleaned = cleaned.join(ok_ids, id_col, "left_semi")
+    if min_dsir is not None:
+        if dsir_target is None:
+            raise ValueError("min_dsir needs dsir_target (the target-domain column)")
+        from cdc_connector_spark.ops.textstats import dsir_scores
+
+        liked = (
+            dsir_scores(cleaned, target=dsir_target, text_col=text_col, id_col=id_col)
+            .filter(F.col("dsir_score") >= min_dsir)
+            .select(id_col)
+        )
+        cleaned = cleaned.join(liked, id_col, "left_semi")
     if eval_set is not None:
         dirty = (
             decontaminate(

@@ -156,3 +156,64 @@ def test_pretrain_corpus_nll_cut_and_mixing(spark):
     # smallest source is never thinned; dominant one is
     assert by_src.get("sB", 0) == 1
     assert by_src["sA"] < 8
+
+
+def test_pretrain_corpus_repetition_caps_and_dsir(spark):
+    from cdc_connector_spark.ops.pipeline import pretrain_corpus
+
+    base = GOOD_EN + " and still more ordinary english words follow here"
+    # doc 8: keyword-stuffed — passes Gopher (its trigram dup ratio stays
+    # under 0.6 because the stuffing is a bigram) but the top-bigram cap
+    # catches it
+    stuffed = base + " " + ("buy gold " * 12)
+    rows = [(i, base + f" tail variant {i}", "sA") for i in range(1, 8)] + [
+        (8, stuffed, "sA")
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, source string")
+
+    no_cap = pretrain_corpus(docs, near_dup=False, pack_budget=64)
+    assert 8 in {r["doc_id"] for r in no_cap.collect()}
+    # calibrate the cap between the stuffed doc's top-bigram coverage and
+    # the clean docs' (same pattern as the nll-cut test)
+    from cdc_connector_spark.ops.textstats import repetition_stats
+
+    fr = {
+        r["doc_id"]: r["top_2gram_frac"] for r in repetition_stats(docs).collect()
+    }
+    cap = (fr[8] + max(v for k, v in fr.items() if k != 8)) / 2
+    assert fr[8] > max(v for k, v in fr.items() if k != 8)  # signal exists
+    capped = pretrain_corpus(
+        docs, near_dup=False, pack_budget=64, max_top_2gram_frac=cap
+    )
+    kept = {r["doc_id"] for r in capped.collect()}
+    assert 8 not in kept and {1, 2} <= kept
+
+    # DSIR selection: target = source sB docs with distinct vocabulary;
+    # docs that share none of it score below 0 and the cut drops them
+    t_rows = [(i, base + f" tail variant {i}", "sA") for i in range(1, 5)] + [
+        (20, "quantum ledger protocol consensus and the node the gossip "
+             "of the byzantine quorum with the stake in the epoch and the "
+             "slot of the chain is final in the round of the vote today",
+         "sB"),
+    ]
+    t_docs = spark.createDataFrame(t_rows, "doc_id int, text string, source string")
+    from cdc_connector_spark.ops.textstats import dsir_scores
+
+    scores = {
+        r["doc_id"]: r["dsir_score"]
+        for r in dsir_scores(t_docs, F.col("source") == "sB").collect()
+    }
+    cut = (scores[20] + max(v for k, v in scores.items() if k != 20)) / 2
+    picked = pretrain_corpus(
+        t_docs,
+        near_dup=False,
+        pack_budget=64,
+        dsir_target=F.col("source") == "sB",
+        min_dsir=cut,
+    )
+    assert {r["doc_id"] for r in picked.collect()} == {20}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="dsir_target"):
+        pretrain_corpus(t_docs, near_dup=False, min_dsir=0.0)
