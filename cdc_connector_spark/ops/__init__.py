@@ -52,3 +52,8 @@ from cdc_connector_spark.ops.bpe import bpe_encode, bpe_train  # noqa: F401
 from cdc_connector_spark.ops.cluster import oversized_clusters, pairs_within_clusters  # noqa: F401
 from cdc_connector_spark.ops.corpus import shard_plan, write_training_shards  # noqa: F401
 from cdc_connector_spark.ops.textstats import dsir_scores, repetition_stats  # noqa: F401
+from cdc_connector_spark.ops.classifier import (  # noqa: F401
+    pareto_quality_filter,
+    score_quality,
+    train_quality_classifier,
+)
