@@ -1226,6 +1226,45 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_chars", "sample_key")
 
 
+def bigram_nll_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops: interpolated bigram LM perplexity (word-ORDER quality
+    signal that unigram_nll can't see) — one bigram-postings lineage with
+    pair/context/successor totals as window sums, slim scalar broadcast.
+    Value-verified against the identical derivation in DuckDB."""
+    from cdc_connector_spark.ops.textstats import bigram_nll
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_nll(docs)
+
+
+def semantic_decontam_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops: semantic benchmark decontamination — (corpus, eval)
+    embedding pairs at cosine ≥ 0.35 with the eval suite (vec_id < 5)
+    collected to the driver and broadcast into ONE mapInPandas matmul
+    pass over the corpus (zero shuffles, zero joins; the paraphrase
+    contamination n-gram overlap misses). Value-verified against the
+    exact cross-product cosine in DuckDB."""
+    from cdc_connector_spark.ops.ann import semantic_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(
+        emb.filter(F.col("vec_id") >= 5),
+        emb.filter(F.col("vec_id") < 5),
+        threshold=0.35,
+    ).orderBy("corpus_id", "eval_id")
+
+
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops: context-window / RAG-passage chunking (32-token windows,
+    8-token overlap) — pure higher-order array expressions + one explode,
+    projection-only (no shuffle: chunk placement is per-document).
+    Value-verified against the identical integer arithmetic in DuckDB."""
+    from cdc_connector_spark.ops.corpus import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
 def dsir_scores_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-ops: DSIR importance scores (Xie et al. 2023) — per-doc
     log-likelihood ratio between the target distribution (lang='en' docs)
@@ -1900,6 +1939,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats_documents": repetition_stats_documents,
         "shard_plan_documents": shard_plan_documents,
         "dsir_scores_documents": dsir_scores_documents,
+        "chunk_documents_overlap": chunk_documents_overlap,
+        "semantic_decontam_embeddings": semantic_decontam_embeddings,
+        "bigram_nll_documents": bigram_nll_documents,
     }
 
 
@@ -3306,5 +3348,77 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
                    coalesce(sc.dsir_score, 0.0) AS dsir_score
             FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        """,
+        "chunk_documents_overlap": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text,'')) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(coalesce(text,'')), '\\s+') END AS toks
+                FROM documents
+            ), m AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       CASE WHEN len(toks) <= 0 THEN 0
+                            WHEN len(toks) <= 32 THEN 1
+                            ELSE 1 + CAST(ceil((len(toks) - 32) / 24.0) AS INT)
+                       END AS n_chunks
+                FROM t
+            ), e AS (
+                SELECT doc_id, i AS chunk_id,
+                       list_slice(toks, i * 24 + 1, i * 24 + 32) AS c
+                FROM m, unnest(range(0, n_chunks)) AS u(i)
+            )
+            SELECT doc_id,
+                   CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(len(c) AS BIGINT) AS n_chunk_tokens,
+                   array_to_string(c, ' ') AS chunk_text
+            FROM e
+            WHERE len(c) > 0
+        """,
+        "semantic_decontam_embeddings": """
+            SELECT c.vec_id AS corpus_id, e.vec_id AS eval_id,
+                   round(
+                     list_inner_product(CAST(c.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+                     (sqrt(list_inner_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) *
+                      sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))),
+                     6) AS cos_sim
+            FROM (SELECT * FROM embeddings WHERE vec_id >= 5) c,
+                 (SELECT * FROM embeddings WHERE vec_id < 5) e
+            WHERE round(
+                     list_inner_product(CAST(c.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+                     (sqrt(list_inner_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) *
+                      sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))),
+                     6) >= 0.35
+            ORDER BY corpus_id, eval_id
+        """,
+        "bigram_nll_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text,'')) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(lower(coalesce(text,''))), '\\s+') END AS toks
+                FROM documents
+            ), postings AS (
+                SELECT doc_id, w1, w2, COUNT(*) AS c
+                FROM (
+                    SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+                    FROM t, unnest(range(1, len(toks))) AS u(i)
+                    WHERE len(toks) >= 2
+                )
+                GROUP BY doc_id, w1, w2
+            ), nb AS (
+                SELECT SUM(greatest(len(toks) - 1, 0)) AS total FROM t
+            ), scored AS (
+                SELECT doc_id, c,
+                       SUM(c) OVER (PARTITION BY w1, w2) AS cp,
+                       SUM(c) OVER (PARTITION BY w1) AS cw1,
+                       SUM(c) OVER (PARTITION BY w2) AS cw2
+                FROM postings
+            )
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                   round(SUM(c * -ln(0.75 * CAST(cp AS DOUBLE) / cw1
+                                     + 0.25 * CAST(cw2 AS DOUBLE) / nb.total))
+                         / SUM(c), 6) AS nll2
+            FROM scored, nb
+            GROUP BY doc_id
         """,
     }

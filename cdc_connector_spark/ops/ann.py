@@ -898,3 +898,81 @@ def pq_topk(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_eval: int = 100_000,
+) -> DataFrame:
+    """Semantic benchmark decontamination: every (corpus, eval) embedding
+    pair with cosine ≥ threshold — the paraphrase-contamination check that
+    n-gram overlap (``corpus.decontaminate``) misses (a reworded eval
+    question shares no 13-gram but sits at cosine ~0.95).
+
+    Returns (corpus_id, eval_id, cos_sim) rounded to 6; drop
+    ``corpus_id``s downstream (same composition as the n-gram variant).
+
+    Scale shape: an eval suite is SMALL by definition, so the eval matrix
+    collects to the driver (guarded by ``max_eval`` — refuse loudly past
+    it) and rides the closure into ONE ``mapInPandas`` pass over the
+    corpus: each Arrow batch is a single batch×eval matmul and only
+    threshold survivors leave the kernel. Zero shuffles, zero joins, scan
+    bound — the corpus is read once whatever the eval size."""
+    import numpy as np
+    import pandas as pd
+
+    rows = (
+        eval_set.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .limit(max_eval + 1)
+        .collect()
+    )
+    if len(rows) > max_eval:
+        raise ValueError(
+            f"eval set exceeds max_eval={max_eval}; an eval suite this large "
+            "should go through the LSH/IVF pair path instead"
+        )
+    if not rows:
+        raise ValueError("empty eval set")
+    E = np.vstack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    e_ids = np.array([r[id_col] for r in rows])
+    ne = np.linalg.norm(E, axis=1)
+    ne[ne == 0] = np.nan
+    En = E / ne[:, None]
+
+    id_field = corpus.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("corpus_id", id_field.dataType),
+            T.StructField("eval_id", id_field.dataType),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+            nm = np.linalg.norm(M, axis=1)
+            nm[nm == 0] = np.nan
+            sims = np.round((M / nm[:, None]) @ En.T, 6)
+            ic, ie = np.nonzero(sims >= threshold)
+            if not len(ic):
+                continue
+            yield pd.DataFrame(
+                {
+                    "corpus_id": pdf[id_col].to_numpy()[ic],
+                    "eval_id": e_ids[ie],
+                    "cos_sim": sims[ic, ie],
+                }
+            )
+
+    return corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).mapInPandas(gen, out_schema)

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cdc_connector_spark.ops.dedup import hashed_shingles
-from cdc_connector_spark.ops.textstats import token_count
+from cdc_connector_spark.ops.textstats import token_count, tokenize
 
 
 def decontaminate(
@@ -500,4 +500,51 @@ def write_training_shards(
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard context-window / RAG-passage splitter: chunk i covers tokens
+    [i·step, i·step + chunk_tokens) with step = chunk_tokens − overlap;
+    the last chunk may be shorter; a doc at or under one chunk yields
+    exactly one chunk; empty docs yield none.
+
+    Returns (id, chunk_id, n_chunk_tokens, chunk_text). Pure higher-order
+    array expressions + one ``explode`` — projection-only, scan-bound, no
+    shuffle at any corpus size (chunk placement is per-document by
+    construction). Deterministic and engine-portable: the whole rule is
+    integer arithmetic over the shared whitespace tokenizer, so the SQL
+    oracle re-derives it verbatim."""
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap={overlap} must be < chunk_tokens={chunk_tokens}")
+    step = chunk_tokens - overlap
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    n_chunks = (
+        F.when(n <= 0, F.lit(0))
+        .when(n <= chunk_tokens, F.lit(1))
+        .otherwise(F.lit(1) + F.ceil((n - F.lit(chunk_tokens)) / F.lit(float(step))).cast("int"))
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.slice(toks, i * step + 1, chunk_tokens).alias("c"),
+        ),
+    )
+    exploded = df.select(F.col(id_col), F.explode(chunks).alias("ch")).filter(
+        F.size("ch.c") > 0
+    )
+    return exploded.select(
+        id_col,
+        F.col("ch.chunk_id").alias("chunk_id"),
+        F.size("ch.c").cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.col("ch.c")).alias("chunk_text"),
     )

@@ -481,6 +481,74 @@ def unigram_nll(
     )
 
 
+def bigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Per-document interpolated bigram LM negative log-likelihood — the
+    next step up from ``unigram_nll`` (word-ORDER quality: shuffled or
+    templated text scores fine under a unigram model but poorly here):
+
+        p(w2|w1) = λ·c(w1,w2)/c(w1,·) + (1−λ)·c(·,w2)/N_b
+        nll(D)   = Σ_pairs c_D(w1,w2) · −ln p(w2|w1)  /  |pairs(D)|
+
+    trained on the corpus itself, with the unigram backoff taken from
+    SUCCESSOR counts (c(·,w2)/N_b over the same bigram frame) so the whole
+    statistic derives from ONE bigram-postings lineage. Docs with < 2
+    tokens have no bigram and produce no row (the unigram_nll convention).
+
+    Shape: one (doc, w1, w2) postings shuffle, then the corpus pair /
+    context / successor totals as three WINDOW sums over that same frame
+    (no join-against-own-aggregate — the unigram_nll lesson), the N_b
+    scalar from a slim second scan riding a broadcast, and the per-doc agg
+    as the last exchange. All JVM-side."""
+    from pyspark.sql import Window
+
+    toks = tokenize(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    postings = (
+        df.select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scored = (
+        postings.withColumn(
+            "cp", F.sum("c").over(Window.partitionBy("w1", "w2"))
+        )
+        .withColumn("cw1", F.sum("c").over(Window.partitionBy("w1")))
+        .withColumn("cw2", F.sum("c").over(Window.partitionBy("w2")))
+    )
+    total = df.select(
+        F.sum(
+            F.greatest(F.size(tokenize(F.lower(F.col(text_col)))) - 1, F.lit(0))
+        ).alias("__nb")
+    )
+    p = F.lit(lam) * F.col("cp").cast("double") / F.col("cw1") + F.lit(
+        1.0 - lam
+    ) * F.col("cw2").cast("double") / F.col("__nb")
+    return (
+        scored.crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.round((F.sum(F.col("c") * -F.log(p)) / F.sum("c")), 6).alias("nll2"),
+        )
+    )
+
+
 def encode_with_vocab(
     df: DataFrame,
     vocab: DataFrame,

@@ -375,3 +375,30 @@ def test_sq_encode_saturates_out_of_range(spark):
     ranges = (np.array([-1.0, -1.0]), np.array([1.0, 1.0]))
     [row] = sq_encode(df, ranges).collect()
     assert list(row["codes"]) == [127, -128]
+
+
+def test_semantic_decontaminate_planted_paraphrase(spark):
+    import numpy as np
+
+    from cdc_connector_spark.ops.ann import semantic_decontaminate
+
+    rng = np.random.default_rng(13)
+    ev = rng.normal(0, 1, 16)
+    rows_corpus = [
+        (100, (ev * 1.3 + rng.normal(0, 0.01, 16)).tolist()),  # paraphrase of eval 0
+        (101, rng.normal(0, 1, 16).tolist()),
+        (102, (-ev).tolist()),  # anti-correlated: cos -1, must NOT flag
+    ]
+    rows_eval = [(0, ev.tolist()), (1, rng.normal(0, 1, 16).tolist())]
+    corpus = spark.createDataFrame(rows_corpus, "vec_id bigint, embedding array<double>")
+    eval_set = spark.createDataFrame(rows_eval, "vec_id bigint, embedding array<double>")
+    got = semantic_decontaminate(corpus, eval_set, threshold=0.95).collect()
+    assert {(r["corpus_id"], r["eval_id"]) for r in got} == {(100, 0)}
+    assert all(r["cos_sim"] >= 0.95 for r in got)
+    # guards: empty eval refuses; oversized eval refuses loudly
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="empty eval"):
+        semantic_decontaminate(corpus, eval_set.filter("vec_id > 99"))
+    with _pt.raises(ValueError, match="max_eval"):
+        semantic_decontaminate(corpus, eval_set, max_eval=1)

@@ -335,3 +335,47 @@ def test_write_training_shards_one_ordered_file_per_shard(spark, tmp_path):
     for d in dirs:
         pdf = spark.read.parquet(d).toPandas()
         assert pdf.pos.tolist() == sorted(pdf.pos.tolist())
+
+
+def test_chunk_documents_overlap_rules(spark):
+    from cdc_connector_spark.ops.corpus import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 toks: 2 chunks
+            (2, "a b c"),  # under one chunk -> exactly 1
+            (3, ""),  # empty -> none
+            (4, None),  # NULL -> none
+            (5, " ".join(f"t{i}" for i in range(13))),  # 13 toks: 3 chunks
+        ],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=6, overlap=2)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["n_chunk_tokens"], r["chunk_text"])
+         for r in out.collect())
+    )
+    by_doc = {}
+    for d, c, n, t in rows:
+        by_doc.setdefault(d, []).append((c, n, t))
+    # doc 1: step=4 -> [0..5], [4..9] (last exactly fills)
+    assert by_doc[1] == [
+        (0, 6, "w0 w1 w2 w3 w4 w5"),
+        (1, 6, "w4 w5 w6 w7 w8 w9"),
+    ]
+    # consecutive chunks overlap by exactly `overlap` tokens
+    assert by_doc[1][0][2].split()[-2:] == by_doc[1][1][2].split()[:2]
+    assert by_doc[2] == [(0, 3, "a b c")]
+    assert 3 not in by_doc and 4 not in by_doc
+    # doc 5: starts 0,4,8 -> lengths 6,6,5; short tail kept
+    assert [x[1] for x in by_doc[5]] == [6, 6, 5]
+    # full coverage: every token appears in some chunk
+    covered = set()
+    for _, _, t in by_doc[5]:
+        covered.update(t.split())
+    assert covered == {f"t{i}" for i in range(13)}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap=4)

@@ -260,3 +260,43 @@ def test_dsir_scores_prefer_target_domain(spark):
         return math.log((ct + 1) / (Nt + V)) - math.log((cr + 1) / (Nr + V))
     want = 2 * lr(3, 4) + 2 * lr(3, 4)  # doc 1: alpha x2, beta x2
     assert got[1]["dsir_score"] == pytest.approx(want, abs=1e-6)
+
+
+def test_bigram_nll_hand_computed(spark):
+    import math
+
+    from cdc_connector_spark.ops.textstats import bigram_nll
+
+    # docs: "a b a b" and "b a"; bigram counts: (a,b)=2+0, (b,a)=1+1
+    # cw1: a·=2, b·=2; successor counts: ·b=2, ·a=2; N_b = 3+1 = 4
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a"), (3, "x"), (4, "")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_nll(df).collect()}
+    assert 3 not in got and 4 not in got  # <2 tokens: no bigram, no row
+    p_ab = 0.75 * 2 / 2 + 0.25 * 2 / 4
+    p_ba = 0.75 * 2 / 2 + 0.25 * 2 / 4
+    exp1 = (2 * -math.log(p_ab) + 1 * -math.log(p_ba)) / 3
+    exp2 = -math.log(p_ba)
+    assert got[1]["n_bigrams"] == 3
+    assert got[1]["nll2"] == pytest.approx(exp1, abs=1e-6)
+    assert got[2]["nll2"] == pytest.approx(exp2, abs=1e-6)
+
+
+def test_bigram_nll_detects_shuffled_text(spark):
+    # word order matters: natural bigram-repetitive docs score LOWER than a
+    # doc using the same unigrams in a never-seen order
+    base_rows = [(i, "the cat sat on the mat " * 3) for i in range(1, 9)]
+    shuffled = [(9, "mat the on cat the sat " + "cat mat sat the on the")]
+    df = spark.createDataFrame(
+        base_rows + shuffled, "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r["nll2"] for r in bigram_nll_import()(df).collect()}
+    assert got[9] > max(v for k, v in got.items() if k != 9)
+
+
+def bigram_nll_import():
+    from cdc_connector_spark.ops.textstats import bigram_nll
+
+    return bigram_nll

@@ -85,3 +85,37 @@ def test_full_cycle(spark, tmp_path):
     assert drift_main(
         ["--source-root", vroot_src, "--sink-root", vroot_sink, "--table", "orders", "--pk", "o_orderkey"]
     ) == 1
+
+
+def test_llm_training_export_journey(spark, tmp_path):
+    """The LLM-pipeline counterpart of the migration cycle: raw documents →
+    cleaned/packed pretraining corpus → vocab-id encoding → deterministic
+    shard export — the artifact a training data loader actually reads."""
+    import glob
+
+    from cdc_connector_spark.ops.corpus import shard_plan, write_training_shards
+    from cdc_connector_spark.ops.pipeline import pretrain_corpus
+    from cdc_connector_spark.ops.textstats import build_vocab, encode_with_vocab
+    from cdc_connector_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    corpus = pretrain_corpus(docs, near_dup=False, pack_budget=256)
+    n_kept = corpus.count()
+    assert 0 < n_kept < docs.count()  # the recipe genuinely filters
+    assert {"n_tokens", "seq_id", "seq_offset"} <= set(corpus.columns)
+
+    vocab = build_vocab(corpus, min_count=2)
+    enc = encode_with_vocab(corpus, vocab)
+    merged = corpus.join(enc.withColumnRenamed("n_tokens", "n_enc"), "doc_id")
+    # the packer's token accounting and the encoder's agree exactly
+    assert merged.filter(F.col("n_tokens") != F.col("n_enc")).count() == 0
+
+    out = str(tmp_path / "shards")
+    export = merged.select("doc_id", "seq_id", "seq_offset", "token_ids")
+    write_training_shards(export, out, n_shards=4)
+    back = spark.read.parquet(out)
+    assert back.count() == n_kept
+    assert len(glob.glob(out + "/shard=*")) == 4
+    # the export is bit-reproducible: same plan on a re-read of the corpus
+    plan2 = shard_plan(export, n_shards=4).select("doc_id", "shard", "pos")
+    assert back.select("doc_id", "shard", "pos").exceptAll(plan2).count() == 0
