@@ -1226,6 +1226,18 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_chars", "sample_key")
 
 
+def hash_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops: feature-hashing document embeddings (hashing trick with a
+    sign hash over the portable md5-derived 60-bit token hash) in long
+    form (doc_id, dim_idx, val) at dim=16. Signed counts are exact
+    integers, so the normalized values are bit-identical across engines.
+    Value-verified against the same derivation in DuckDB."""
+    from cdc_connector_spark.ops.textstats import hash_embed
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_embed(docs, dim=16, dense=False)
+
+
 def bigram_nll_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-ops: interpolated bigram LM perplexity (word-ORDER quality
     signal that unigram_nll can't see) — one bigram-postings lineage with
@@ -1942,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents_overlap": chunk_documents_overlap,
         "semantic_decontam_embeddings": semantic_decontam_embeddings,
         "bigram_nll_documents": bigram_nll_documents,
+        "hash_embed_documents": hash_embed_documents,
     }
 
 
@@ -3420,5 +3433,29 @@ def oracle_sql() -> dict[str, str]:
                          / SUM(c), 6) AS nll2
             FROM scored, nb
             GROUP BY doc_id
+        """,
+        "hash_embed_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text,'')) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(lower(coalesce(text,''))), '\\s+') END AS toks
+                FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       list_reduce(
+                           list_transform(range(1, 16),
+                               i -> CAST(strpos('0123456789abcdef', substring(md5(tk), i, 1)) - 1 AS BIGINT)),
+                           (a, x) -> a * 16 + x) AS hv
+                FROM (SELECT doc_id, unnest(toks) AS tk FROM t)
+            ), s AS (
+                SELECT doc_id,
+                       CAST(hv % 16 AS INT) AS dim_idx,
+                       SUM(CASE WHEN hv % 32 >= 16 THEN -1.0 ELSE 1.0 END) AS v
+                FROM h
+                GROUP BY doc_id, CAST(hv % 16 AS INT)
+            )
+            SELECT doc_id, dim_idx,
+                   round(v / sqrt(SUM(v * v) OVER (PARTITION BY doc_id)), 6) AS val
+            FROM s
         """,
     }

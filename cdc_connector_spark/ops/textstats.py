@@ -481,6 +481,70 @@ def unigram_nll(
     )
 
 
+def hash_embed(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dense: bool = True,
+) -> DataFrame:
+    """Feature-hashing document embeddings (Weinberger et al. 2009, the
+    'hashing trick' with a sign hash) — the in-engine text→vector bridge:
+    every token maps to a dimension and a ±1 sign via a PORTABLE
+    md5-derived 60-bit hash (the ``simhash_portable`` scheme — bit-identical
+    in any SQL engine), occurrences accumulate signed counts, and the
+    vector is L2-normalized. No model, no driver state, no RNG: the same
+    corpus embeds to the SAME vectors anywhere, so the output plugs
+    straight into ``cluster.kmeans_*`` / ``ann.*`` / SemDedup and the
+    whole derivation is value-verifiable.
+
+    Exactness note: the signed counts are small integers and the squared
+    norm is therefore an EXACT integer-valued double, so ``val/norm`` is
+    bit-identical across engines — no float-order caveat at all (rounding
+    to 6 is presentation, not protection).
+
+    ``dense=True`` → (id, embedding array<double>); ``dense=False`` → the
+    long form (id, dim_idx, val) of the non-zero dims (the oracle-friendly
+    shape). Token-less docs produce no row. One explode shuffle keyed by
+    (id, dim_idx) + a per-doc norm window; the dense assembly is a per-doc
+    map — never a pivot, never a collect."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokenize(F.lower(F.col(text_col)))).alias("tk")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tk")), 1, 15), 16, 10).cast("long")
+    sparse = (
+        tok.select(
+            F.col(id_col),
+            F.pmod(h, F.lit(dim)).cast("int").alias("dim_idx"),
+            F.when(F.pmod(h, F.lit(2 * dim)) >= dim, F.lit(-1.0))
+            .otherwise(F.lit(1.0))
+            .alias("s"),
+        )
+        .groupBy(id_col, "dim_idx")
+        .agg(F.sum("s").alias("v"))
+    )
+    w = Window.partitionBy(id_col)
+    normed = sparse.withColumn(
+        "val", F.round(F.col("v") / F.sqrt(F.sum(F.col("v") * F.col("v")).over(w)), 6)
+    ).select(id_col, "dim_idx", "val")
+    if not dense:
+        return normed
+    assembled = normed.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("dim_idx"), F.col("val")))
+        ).alias("__m")
+    )
+    return assembled.select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(F.element_at("__m", i.cast("int")), F.lit(0.0)),
+        ).alias("embedding"),
+    )
+
+
 def bigram_nll(
     df: DataFrame,
     text_col: str = "text",

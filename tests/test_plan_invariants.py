@@ -166,3 +166,27 @@ def test_repetition_stats_shuffle_budget(q):
     exploded side carries only id+bigram)."""
     facts = q("repetition_stats_documents")
     assert facts["exchanges"] <= 4, facts["exchanges"]
+
+
+def test_chunking_is_projection_only(q):
+    """Chunk placement is per-document: one scan, ZERO exchanges — any
+    exchange would mean the explode stopped fusing into the scan stage."""
+    facts = q("chunk_documents_overlap")
+    assert len(facts["scans"]) == 1 and facts["exchanges"] == 0, facts
+
+
+def test_semantic_decontam_no_join_no_corpus_shuffle(q):
+    """The eval matrix rides the kernel closure: no join node at all and
+    the only exchange is the final presentation sort."""
+    facts = q("semantic_decontam_embeddings")
+    assert facts["joins"] == [], facts["joins"]
+    assert len(facts["scans"]) == 1 and facts["exchanges"] <= 1, facts
+
+
+def test_bigram_nll_single_postings_lineage(q):
+    """One bigram-postings lineage + three term windows + slim scalar
+    broadcast: 2 scans / ≤5 exchanges (postings, 3 windows, doc agg — the
+    join-against-own-aggregate form would re-derive the postings)."""
+    facts = q("bigram_nll_documents")
+    assert len(facts["scans"]) <= 2, facts["scans"]
+    assert facts["exchanges"] <= 5, facts["exchanges"]

@@ -300,3 +300,45 @@ def bigram_nll_import():
     from cdc_connector_spark.ops.textstats import bigram_nll
 
     return bigram_nll
+
+
+def test_hash_embed_unit_norm_and_determinism(spark):
+    import math
+
+    from cdc_connector_spark.ops.textstats import hash_embed
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, "alpha beta gamma alpha"),
+         (3, "totally different words here"), (4, "")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["embedding"] for r in hash_embed(df, dim=16).collect()}
+    assert 4 not in out  # token-less doc: no vector
+    assert all(len(v) == 16 for v in out.values())
+    for v in out.values():
+        assert math.isqrt(0) == 0 and abs(sum(x * x for x in v) - 1.0) < 1e-9
+    assert out[1] == out[2]  # same text -> identical vector (no RNG)
+    assert out[1] != out[3]
+    # dense and long forms agree
+    long = hash_embed(df, dim=16, dense=False).collect()
+    for r in long:
+        assert out[r["doc_id"]][r["dim_idx"]] == r["val"]
+
+
+def test_hash_embed_feeds_kmeans(spark):
+    # the bridge works end-to-end: embed two text families, cluster them
+    from cdc_connector_spark.ops.cluster import kmeans_clusters
+    from cdc_connector_spark.ops.textstats import hash_embed
+
+    fam_a = "the quick brown fox jumps over the lazy dog near the river"
+    fam_b = "stochastic gradient descent optimizes the transformer network loss"
+    rows = [(i, fam_a + f" v{i % 3}") for i in range(6)] + [
+        (i, fam_b + f" v{i % 3}") for i in range(6, 12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    emb = hash_embed(df, dim=32).withColumnRenamed("doc_id", "vec_id")
+    out = kmeans_clusters(emb, k=2, iters=5).toPandas()
+    fam = {True: set(), False: set()}
+    for _, r in out.iterrows():
+        fam[r.vec_id < 6].add(r.cluster_id)
+    assert fam[True].isdisjoint(fam[False])  # families never share a cluster
