@@ -1226,6 +1226,22 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_chars", "sample_key")
 
 
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops: exact proportional stratified sampling — ceil(20%) of
+    every (source, lang) stratum, selected by the engine-portable hash
+    (composition-preserving, deterministic, small strata never lost).
+    One stratum-keyed window shuffle. Value-verified against the same
+    window arithmetic in DuckDB."""
+    from cdc_connector_spark.ops.corpus import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "stratum", F.concat_ws("/", F.col("source"), F.col("lang"))
+    )
+    return stratified_sample(docs, frac=0.2, strata_col="stratum").select(
+        "doc_id", "stratum"
+    )
+
+
 def hash_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-ops: feature-hashing document embeddings (hashing trick with a
     sign hash over the portable md5-derived 60-bit token hash) in long
@@ -1955,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontam_embeddings": semantic_decontam_embeddings,
         "bigram_nll_documents": bigram_nll_documents,
         "hash_embed_documents": hash_embed_documents,
+        "stratified_sample_documents": stratified_sample_documents,
     }
 
 
@@ -3457,5 +3474,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, dim_idx,
                    round(v / sqrt(SUM(v * v) OVER (PARTITION BY doc_id)), 6) AS val
             FROM s
+        """,
+        "stratified_sample_documents": """
+            WITH d AS (
+                SELECT doc_id, source || '/' || lang AS stratum,
+                       ((doc_id % 2147483648) * 2654435761) % 4294967296 AS h
+                FROM documents
+            ), r AS (
+                SELECT doc_id, stratum,
+                       ROW_NUMBER() OVER (PARTITION BY stratum
+                                          ORDER BY h ASC, doc_id ASC) AS rk,
+                       COUNT(*) OVER (PARTITION BY stratum) AS n
+                FROM d
+            )
+            SELECT doc_id, stratum
+            FROM r
+            WHERE rk <= ceil(n * 0.2)
         """,
     }

@@ -57,3 +57,6 @@ from cdc_connector_spark.ops.classifier import (  # noqa: F401
     score_quality,
     train_quality_classifier,
 )
+from cdc_connector_spark.ops.ann import semantic_decontaminate  # noqa: F401
+from cdc_connector_spark.ops.corpus import chunk_documents, stratified_sample  # noqa: F401
+from cdc_connector_spark.ops.textstats import bigram_nll, hash_embed  # noqa: F401

@@ -548,3 +548,36 @@ def chunk_documents(
         F.size("ch.c").cast("long").alias("n_chunk_tokens"),
         F.concat_ws(" ", F.col("ch.c")).alias("chunk_text"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    frac: float,
+    strata_col: str,
+    key_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Exact proportional stratified sampling: from EVERY stratum keep
+    ceil(frac · |stratum|) rows — the composition-preserving cut
+    (``hash_sample``'s global percent filter preserves proportions only in
+    expectation; quotas cap but don't proportion). Selection within a
+    stratum is by the engine-portable multiplicative hash (ties by key),
+    so the sample is deterministic on any engine/partitioning and
+    auditable by re-evaluating the same arithmetic anywhere.
+
+    One shuffle keyed by the stratum for the two windows (rank + size);
+    rows carry only their own columns — the classic window shape, same
+    cost class as ``quota_sample``. Small strata are never lost: ceil
+    keeps at least one row of every non-empty stratum."""
+    if not (0.0 < frac <= 1.0):
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    reduced = F.pmod(F.col(key_col) + F.lit(salt), F.lit(2147483648))
+    h = F.pmod(reduced * F.lit(2654435761), F.lit(4294967296))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    wn = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("__rk") <= F.ceil(F.col("__n") * F.lit(frac)))
+        .drop("__rk", "__n")
+    )

@@ -379,3 +379,29 @@ def test_chunk_documents_overlap_rules(spark):
 
     with _pt.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_stratified_sample_exact_proportions(spark):
+    from cdc_connector_spark.ops.corpus import stratified_sample
+
+    rows = (
+        [(i, "a") for i in range(100)]
+        + [(i, "b") for i in range(100, 120)]
+        + [(i, "c") for i in range(120, 123)]
+        + [(123, "d")]  # singleton stratum: ceil keeps it
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, grp string")
+    out = stratified_sample(df, frac=0.1, strata_col="grp").toPandas()
+    sizes = out.groupby("grp").size().to_dict()
+    assert sizes == {"a": 10, "b": 2, "c": 1, "d": 1}  # ceil(n*frac) each
+    # deterministic: same rows again
+    again = stratified_sample(df, frac=0.1, strata_col="grp").toPandas()
+    assert sorted(out.doc_id) == sorted(again.doc_id)
+    # a different salt picks a different subset of the big stratum
+    other = stratified_sample(df, frac=0.1, strata_col="grp", salt=7).toPandas()
+    assert sorted(other[other.grp == "a"].doc_id) != sorted(out[out.grp == "a"].doc_id)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="frac"):
+        stratified_sample(df, frac=0.0, strata_col="grp")
