@@ -47,6 +47,29 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokenize(col))
 
 
+def word_ngrams(toks: Column, k: int) -> Column:
+    """Space-joined word k-grams of a token array, built as a chain of
+    shifted-slice ``zip_with``s — O(n) per row and codegen-friendly.
+
+    The obvious ``transform(sequence(1, n-k+1), i -> concat_ws(' ',
+    slice(toks, i, k)))`` form produces the SAME strings but evaluates
+    ``slice``/``element_at`` per position inside an interpreted lambda —
+    O(n²) per document and ~7× slower end-to-end at sf0.1 (measured on
+    the repetition/bigram queries); never use it in a hot path."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    out = toks
+    n = F.size(toks)
+    for j in range(2, k + 1):
+        m = F.greatest(n - F.lit(j - 1), F.lit(0))
+        out = F.zip_with(
+            F.slice(out, 1, m),
+            F.slice(toks, j, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return out
+
+
 def stopword_count(tokens: Column, lang: str) -> Column:
     """Tokens (with duplicates) that are stopwords of ``lang``."""
     words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
@@ -126,13 +149,8 @@ def gopher_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
     alpha_ratio = F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0))
     n_tri = F.greatest(n_words - F.lit(2), F.lit(0))
-    tri = F.when(
-        n_tri > 0,
-        F.transform(
-            F.sequence(F.lit(1), n_tri),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    tri = word_ngrams(toks, 3)  # O(n) zip chain; same strings as the
+    # transform(sequence)+slice form, which is O(n²) interpreted
     dup_ratio = F.when(
         n_tri > 0, F.lit(1.0) - F.size(F.array_distinct(tri)) / n_tri
     ).otherwise(F.lit(0.0))
@@ -171,15 +189,16 @@ def repetition_stats(
       even when overall dup fractions stay moderate
 
     Execution: the line and dup-fraction metrics are pure higher-order
-    array expressions (one codegen projection, scan-bound). The top-bigram
-    metric genuinely needs a per-(doc, bigram) count, so it's the classic
-    explode → map-side-combined groupBy → per-doc top-1 window, joined
-    back on ``id_col`` — one shuffle keyed by (doc, bigram), one by doc;
-    both are ~n_words·16-byte rows, never the document text. Fractions are
-    rounded to 6 so the engine-portable SQL twin hash-matches.
+    array expressions (one codegen projection, scan-bound; n-grams via the
+    O(n) ``word_ngrams`` zip chain). The top-bigram metric genuinely needs
+    a per-(doc, bigram) count, so it's explode → map-side-combined groupBy
+    → a per-doc ``min(struct(-n, bg))`` aggregate (hash agg — the same
+    (count desc, bigram asc) winner as a row_number window WITHOUT the
+    per-doc sort), joined back on ``id_col`` — one shuffle keyed by
+    (doc, bigram), one by doc; both are ~n_words·16-byte rows, never the
+    document text. Fractions are rounded to 6 so the engine-portable SQL
+    twin hash-matches.
     """
-    from pyspark.sql import Window
-
     c = F.coalesce(F.col(text_col), F.lit(""))
     toks = tokenize(text_col)
     n_toks = F.size(toks)
@@ -192,18 +211,8 @@ def repetition_stats(
         n_lines > 0, F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines
     ).otherwise(F.lit(0.0))
 
-    def ngrams(n: int) -> Column:
-        cnt = F.greatest(n_toks - F.lit(n - 1), F.lit(0))
-        return F.when(
-            cnt > 0,
-            F.transform(
-                F.sequence(F.lit(1), cnt),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
     def dup_frac(n: int) -> Column:
-        g = ngrams(n)
+        g = word_ngrams(toks, n)
         total = F.size(g)
         return F.round(
             F.when(
@@ -220,18 +229,25 @@ def repetition_stats(
         dup_frac(3).alias("dup_3gram_frac"),
         dup_frac(4).alias("dup_4gram_frac"),
         F.greatest(n_toks - F.lit(1), F.lit(0)).cast("long").alias("__n_bigrams"),
-        ngrams(2).alias("__bigrams"),
+        word_ngrams(toks, 2).alias("__bigrams"),
     )
     counts = (
         base.select(id_col, F.explode("__bigrams").alias("bg"))
         .groupBy(id_col, "bg")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("n").desc(), F.col("bg").asc())
     top = (
-        counts.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .select(id_col, F.col("bg").alias("top_2gram"), F.col("n").alias("__top_n"))
+        counts.groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct((-F.col("n")).alias("negn"), F.col("bg").alias("bg"))
+            ).alias("__t")
+        )
+        .select(
+            id_col,
+            F.col("__t.bg").alias("top_2gram"),
+            (-F.col("__t.negn")).alias("__top_n"),
+        )
     )
     return (
         base.drop("__bigrams")
@@ -572,16 +588,14 @@ def bigram_nll(
 
     toks = tokenize(F.lower(F.col(text_col)))
     n = F.size(toks)
-    pairs = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + 1).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    # shifted-slice zip (O(n), codegen) — the transform(sequence)+element_at
+    # form is O(n²) interpreted and measured 7× slower; see word_ngrams
+    m = F.greatest(n - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
     postings = (
         df.select(F.col(id_col), F.explode(pairs).alias("p"))
         .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
