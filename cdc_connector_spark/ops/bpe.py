@@ -116,12 +116,13 @@ def bpe_train(
     syms = syms.localCheckpoint(eager=True)  # cut the corpus lineage
     merges: list[tuple[str, str]] = []
     for i in range(n_merges):
-        pairs = F.transform(
-            F.sequence(F.lit(1), F.size("s") - 1),
-            lambda j: F.struct(
-                F.element_at(F.col("s"), j).alias("l"),
-                F.element_at(F.col("s"), j + 1).alias("r"),
-            ),
+        # shifted-slice zip (O(len) per word; transform+element_at is
+        # interpreted and quadratic — see textstats.word_ngrams)
+        m = F.greatest(F.size("s") - 1, F.lit(0))
+        pairs = F.zip_with(
+            F.slice(F.col("s"), 1, m),
+            F.slice(F.col("s"), 2, m),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
         )
         top = (
             syms.filter(F.size("s") >= 2)
