@@ -532,13 +532,20 @@ def chunk_documents(
         .when(n <= chunk_tokens, F.lit(1))
         .otherwise(F.lit(1) + F.ceil((n - F.lit(chunk_tokens)) / F.lit(float(step))).cast("int"))
     )
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.struct(
-            i.cast("long").alias("chunk_id"),
-            F.slice(toks, i * step + 1, chunk_tokens).alias("c"),
+    # n_chunks = 0 (token-less doc) must NOT reach sequence(): Spark's
+    # sequence(0, -1) yields a DESCENDING [0, -1], and i = -1 puts the
+    # slice start at 1 - step — an ANSI runtime error when step = 1
+    # (caught by the randomized reconstruction property test)
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_id"),
+                F.slice(toks, i * step + 1, chunk_tokens).alias("c"),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<struct<chunk_id:bigint,c:array<string>>>"))
     exploded = df.select(F.col(id_col), F.explode(chunks).alias("ch")).filter(
         F.size("ch.c") > 0
     )

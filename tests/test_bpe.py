@@ -142,3 +142,21 @@ def test_bpe_max_words_head_cut(corpus_df):
     counts = _counts()
     head = dict(sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:2])
     assert got == ref_train(head, 5, min_count=1)
+
+
+def test_bpe_pieces_reconstruct_words(corpus_df):
+    # lossless property: concatenating a word's pieces (stripping the
+    # terminal marker) reproduces the word — for trained AND unseen words
+    merges = bpe_train(corpus_df, n_merges=10)
+    df = corpus_df.sparkSession.createDataFrame(
+        [(50, "low lower lowest brandnewword")], "doc_id bigint, text string"
+    )
+    [row] = bpe_encode(df, merges).collect()
+    words, cur = [], ""
+    for p in row["pieces"]:
+        cur += p
+        if cur.endswith(END):
+            words.append(cur[: -len(END)])
+            cur = ""
+    assert cur == ""  # pieces always close at a word boundary
+    assert words == ["low", "lower", "lowest", "brandnewword"]
