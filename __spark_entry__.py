@@ -1226,6 +1226,17 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_chars", "sample_key")
 
 
+def profile_numeric_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation-plane data profiling (A-family): per-column
+    rows/nulls/exact-distinct/min/max/mean over the orders numerics in
+    ONE aggregate pass (DECIMAL-accumulated mean — engine-independent).
+    Value-verified against the same arithmetic in DuckDB."""
+    from cdc_connector_spark.validation.checks import profile_numeric
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_numeric(orders, ["o_orderkey", "o_custkey", "o_totalprice"])
+
+
 def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-ops: exact proportional stratified sampling — ceil(20%) of
     every (source, lang) stratum, selected by the engine-portable hash
@@ -1972,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_nll_documents": bigram_nll_documents,
         "hash_embed_documents": hash_embed_documents,
         "stratified_sample_documents": stratified_sample_documents,
+        "profile_numeric_orders": profile_numeric_orders,
     }
 
 
@@ -3490,5 +3502,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, stratum
             FROM r
             WHERE rk <= ceil(n * 0.2)
+        """,
+        "profile_numeric_orders": """
+            SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   COUNT(DISTINCT o_orderkey) AS n_distinct,
+                   CAST(MIN(o_orderkey) AS DOUBLE) AS min_val,
+                   CAST(MAX(o_orderkey) AS DOUBLE) AS max_val,
+                   round(CAST(SUM(CAST(o_orderkey AS DECIMAL(38,6)))
+                         / COUNT(o_orderkey) AS DOUBLE), 6) AS mean_val
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', COUNT(*),
+                   CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   COUNT(DISTINCT o_custkey),
+                   CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+                   round(CAST(SUM(CAST(o_custkey AS DECIMAL(38,6)))
+                         / COUNT(o_custkey) AS DOUBLE), 6)
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', COUNT(*),
+                   CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   COUNT(DISTINCT o_totalprice),
+                   CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE),
+                   round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                         / COUNT(o_totalprice) AS DOUBLE), 6)
+            FROM orders
         """,
     }

@@ -230,3 +230,48 @@ def summarize(reports: list[TableReport]) -> dict:
         "consistent": counts[FAIL] == 0 and counts[WARN] == 0,
         "exit_code": 1 if counts[FAIL] > 0 else 0,
     }
+
+
+def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Data-profiling surface: one row per numeric column with
+    (column, n_rows, n_nulls, n_distinct, min_val, max_val, mean_val) —
+    the first thing an operator looks at when a reconciliation check
+    fires, and the stats a scheduler wants before picking partition
+    columns (the S4 chooser's rationale, exposed as data).
+
+    Exactness contract: sums accumulate in DECIMAL(38,6) so the mean is
+    engine-independent (the round-1 float-sum lesson) and min/max/distinct
+    are exact — every value in the profile hash-matches an ANSI-SQL
+    re-derivation. ONE pass over the table: a single aggregate computes
+    every column's stats side by side (count-distincts make Catalyst
+    expand the input once per column — the documented cost of exact
+    distincts; swap in approx_count_distinct at 100 TB if ±2% is fine),
+    then a stack() unpivots the single result row. No joins, no window.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("double").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("double").alias(f"__mx_{c}"),
+            F.sum(F.col(c).cast("decimal(38,6)")).alias(f"__sm_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        mean = (F.col(f"__sm_{c}") / (F.col("__n") - F.col(f"__nn_{c}"))).cast(
+            "double"
+        )
+        stack_args.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").cast("bigint").alias("n_rows"),
+                F.col(f"__nn_{c}").cast("bigint").alias("n_nulls"),
+                F.col(f"__nd_{c}").cast("bigint").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_val"),
+                F.col(f"__mx_{c}").alias("max_val"),
+                F.round(mean, 6).alias("mean_val"),
+            )
+        )
+    return one.select(F.explode(F.array(*stack_args)).alias("p")).select("p.*")

@@ -192,3 +192,18 @@ def test_runner_reads_txlog_sink_directly(spark, tmp_path):
     )
     sink.apply(dele)
     assert validate_main(args) == 1
+
+
+def test_profile_numeric_values_and_nulls(spark):
+    from cdc_connector_spark.validation.checks import profile_numeric
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (2, 30.0)], "k long, v double"
+    )
+    got = {r["column"]: r for r in profile_numeric(df, ["k", "v"]).collect()}
+    assert got["k"]["n_rows"] == 4 and got["k"]["n_nulls"] == 0
+    assert got["k"]["n_distinct"] == 3
+    assert (got["k"]["min_val"], got["k"]["max_val"]) == (1.0, 3.0)
+    assert got["k"]["mean_val"] == 2.0
+    assert got["v"]["n_nulls"] == 1 and got["v"]["n_distinct"] == 3
+    assert got["v"]["mean_val"] == 20.0  # mean over NON-null values only
