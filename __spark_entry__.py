@@ -1226,6 +1226,28 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_chars", "sample_key")
 
 
+def trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-analytics shape in batch: tumbling 6h event-time windows →
+    per-window counts (streaming/windows.py builder, identical plan under
+    readStream + watermark) → deterministic top-2 keys per window. Window
+    start surfaces as epoch seconds so both engines hash the same value.
+    Value-verified against the same bucketing/ranking in DuckDB."""
+    from cdc_connector_spark.streaming.windows import (
+        top_keys_per_window,
+        windowed_event_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    counts = windowed_event_stats(ev, window="6 hours", value_col=None)
+    top = top_keys_per_window(counts, k=2)
+    return top.select(
+        F.unix_timestamp("window_start").cast("bigint").alias("window_start_s"),
+        "event_type",
+        "n_events",
+        F.col("rk").cast("int").alias("rk"),
+    )
+
+
 def profile_numeric_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Validation-plane data profiling (A-family): per-column
     rows/nulls/exact-distinct/min/max/mean over the orders numerics in
@@ -1984,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_embed_documents": hash_embed_documents,
         "stratified_sample_documents": stratified_sample_documents,
         "profile_numeric_orders": profile_numeric_orders,
+        "trending_event_types": trending_event_types,
     }
 
 
@@ -3528,5 +3551,20 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
                          / COUNT(o_totalprice) AS DOUBLE), 6)
             FROM orders
+        """,
+        "trending_event_types": """
+            WITH c AS (
+                SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) * 21600 AS BIGINT)
+                           AS window_start_s,
+                       event_type, COUNT(*) AS n_events
+                FROM events
+                GROUP BY 1, 2
+            ), r AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start_s
+                                             ORDER BY n_events DESC, event_type ASC) AS rk
+                FROM c
+            )
+            SELECT window_start_s, event_type, n_events, CAST(rk AS INT) AS rk
+            FROM r WHERE rk <= 2
         """,
     }

@@ -74,3 +74,30 @@ def session_windows(
             "n_events",
         )
     )
+
+
+def top_keys_per_window(
+    counts: DataFrame,
+    k: int = 3,
+    window_col: str = "window_start",
+    key_col: str = "event_type",
+    n_col: str = "n_events",
+) -> DataFrame:
+    """Trending keys: rank a windowed-count frame (``windowed_event_stats``
+    output) per window by (count desc, key asc — deterministic) and keep
+    the top ``k``. A batch/emission-side op BY DESIGN: Spark cannot rank
+    incrementally inside an append-mode streaming aggregation (a late
+    event can demote an already-emitted leader), so the streaming shape
+    is counts-with-watermark → sink → this ranking over the emitted,
+    watermark-finalized windows — exactly-once semantics fall out of the
+    window finalization instead of a retraction protocol.
+
+    One shuffle keyed by the window; per-window sort over ≤ |keys| rows.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(window_col).orderBy(F.col(n_col).desc(), F.col(key_col).asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )

@@ -154,3 +154,49 @@ def test_latest_state_stream_transformwithstate(spark, tmp_path, changelog_dir):
     assert final[1]["v"] == "a2" and final[1]["__deleted"] is False
     assert final[2]["__deleted"] is True
     assert final[3]["v"] == "c" and final[3]["__deleted"] is False
+
+
+def test_trending_topk_streaming_matches_batch(spark, tmp_path):
+    from cdc_connector_spark.streaming.windows import top_keys_per_window
+
+    rows = [
+        ("2024-01-01 00:05:00", "click"), ("2024-01-01 00:10:00", "click"),
+        ("2024-01-01 00:15:00", "view"), ("2024-01-01 00:20:00", "view"),
+        ("2024-01-01 00:25:00", "error"),  # hour 0: click=2 view=2 error=1
+        ("2024-01-01 01:05:00", "view"), ("2024-01-01 01:10:00", "view"),
+        ("2024-01-01 01:15:00", "click"),  # hour 1: view=2 click=1
+    ]
+    src = str(tmp_path / "ev")
+    batch_df = spark.createDataFrame(rows, "ts string, event_type string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    batch_df.repartition(1).write.mode("overwrite").parquet(src)
+
+    # streaming counts (watermarked) -> memory sink -> emission-side rank
+    stream = spark.readStream.schema("ts timestamp, event_type string").parquet(src)
+    counts = windowed_event_stats(stream, window="1 hour", value_col=None)
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("trend_counts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_t"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("select * from trend_counts")
+    top_stream = {
+        (str(r["window_start"]), r["rk"]): r["event_type"]
+        for r in top_keys_per_window(emitted, k=2).collect()
+    }
+    # batch parity: same builder + rank on the batch frame
+    top_batch = {
+        (str(r["window_start"]), r["rk"]): r["event_type"]
+        for r in top_keys_per_window(
+            windowed_event_stats(batch_df, window="1 hour", value_col=None), k=2
+        ).collect()
+    }
+    assert top_stream == top_batch
+    # deterministic tie-break: hour 0 click(2) ties view(2) -> click first
+    h0 = [v for (w, _), v in sorted(top_stream.items()) if "00:00:00" in w]
+    assert h0 == ["click", "view"]
