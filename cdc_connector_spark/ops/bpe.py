@@ -219,3 +219,30 @@ def bpe_encode(
     return df.select(
         F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("__txt")
     ).mapInPandas(gen, out_schema)
+
+
+def bpe_save(merges: Sequence[tuple[str, str]], path: str) -> None:
+    """Persist a merge table as a rank-ordered JSON artifact (atomic
+    rename, the _META durability convention): the tokenizer is a build
+    ARTIFACT — training data pipelines pin it per corpus version, so it
+    needs the same crash-safe write discipline as the index metadata."""
+    import json
+    import os
+
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump({"version": 1, "end": END, "merges": [list(m) for m in merges]}, fh)
+    os.replace(tmp, path)
+
+
+def bpe_load(path: str) -> list[tuple[str, str]]:
+    """Load a ``bpe_save`` artifact; validates the format version and the
+    end-of-word marker so a table trained under a different convention
+    fails fast instead of silently mis-tokenizing."""
+    import json
+
+    with open(path) as fh:
+        meta = json.load(fh)
+    if meta.get("version") != 1 or meta.get("end") != END:
+        raise ValueError(f"unsupported BPE artifact at {path}: {meta.get('version')=} {meta.get('end')=}")
+    return [tuple(m) for m in meta["merges"]]

@@ -160,3 +160,25 @@ def test_bpe_pieces_reconstruct_words(corpus_df):
             cur = ""
     assert cur == ""  # pieces always close at a word boundary
     assert words == ["low", "lower", "lowest", "brandnewword"]
+
+
+def test_bpe_save_load_roundtrip(corpus_df, tmp_path):
+    from cdc_connector_spark.ops.bpe import bpe_load, bpe_save
+
+    merges = bpe_train(corpus_df, n_merges=6)
+    p = str(tmp_path / "tokenizer.json")
+    bpe_save(merges, p)
+    loaded = bpe_load(p)
+    assert loaded == merges
+    # encodings under the loaded table are identical
+    a = bpe_encode(corpus_df, merges).orderBy("doc_id").collect()
+    b = bpe_encode(corpus_df, loaded).orderBy("doc_id").collect()
+    assert [r["pieces"] for r in a] == [r["pieces"] for r in b]
+    # corrupted convention fails fast
+    import json
+
+    json.dump({"version": 2, "end": END, "merges": []}, open(p, "w"))
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unsupported"):
+        bpe_load(p)
