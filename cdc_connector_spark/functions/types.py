@@ -90,3 +90,38 @@ def describe_to_struct(columns: list[tuple[str, str]]) -> T.StructType:
     return T.StructType(
         [T.StructField(name.lower(), mysql_to_spark_type(ts), nullable=True) for name, ts in columns]
     )
+
+
+def describe_rows_to_table(
+    rows: list[tuple],
+) -> tuple[T.StructType, list[str]]:
+    """Full MySQL ``DESCRIBE`` result rows — the 6-tuple shape the
+    connector returns: (Field, Type, Null, Key, Default, Extra) — to a
+    (schema, primary_key) pair ready for TableMeta / the range planner
+    (the reference's get_table_structure flow, migrate_v3.py:292-305):
+
+    - nullability from the ``Null`` column ('NO' → non-nullable);
+    - primary key = the columns marked ``PRI``, in DESCRIBE (ordinal)
+      order — for composite keys MySQL's DESCRIBE does not expose the
+      index's own column order (that needs SHOW KEYS / seq_in_index);
+      ordinal order matches in every schema the reference migrates, and
+      key-ORDER only affects range-planning locality, never correctness;
+    - identifiers lowercased like the sink (migrate_v3.py:395,590).
+
+    No live server in this environment: this parses the canned row shape
+    the mysql client produces, so the whole discovery→plan path is
+    testable; a live cursor would feed the identical tuples in."""
+    fields = []
+    pk: list[str] = []
+    for row in rows:
+        name, type_str, null_s, key_s = row[0], row[1], row[2], row[3]
+        fields.append(
+            T.StructField(
+                name.lower(),
+                mysql_to_spark_type(type_str),
+                nullable=(str(null_s).upper() != "NO"),
+            )
+        )
+        if str(key_s).upper() == "PRI":
+            pk.append(name.lower())
+    return T.StructType(fields), pk

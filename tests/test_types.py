@@ -60,3 +60,25 @@ def test_describe_to_struct_lowercases():
     st = describe_to_struct([("ID", "bigint(20)"), ("Price", "decimal(12,2)")])
     assert st.fieldNames() == ["id", "price"]
     assert st["price"].dataType == T.DecimalType(12, 2)
+
+
+def test_describe_rows_full_shape_to_table():
+    from cdc_connector_spark.functions.types import describe_rows_to_table
+
+    # the exact 6-tuple shape a mysql client cursor yields for DESCRIBE
+    rows = [
+        ("ID", "bigint(20)", "NO", "PRI", None, "auto_increment"),
+        ("Tenant", "int(11)", "NO", "PRI", None, ""),
+        ("Name", "varchar(255)", "YES", "MUL", None, ""),
+        ("Amount", "decimal(18,4)", "YES", "", None, ""),
+        ("Flag", "tinyint(1)", "NO", "", "0", ""),
+        ("Created", "datetime", "YES", "", "CURRENT_TIMESTAMP", ""),
+    ]
+    schema, pk = describe_rows_to_table(rows)
+    assert pk == ["id", "tenant"]  # composite key, ordinal order, lowercased
+    by_name = {f.name: f for f in schema.fields}
+    assert not by_name["id"].nullable and by_name["name"].nullable
+    assert by_name["amount"].dataType.simpleString() == "decimal(18,4)"
+    assert by_name["flag"].dataType.simpleString() == "boolean"  # tinyint(1) rule
+    # datetime (no tz in MySQL) -> TIMESTAMP_NTZ per the §1.2 map
+    assert by_name["created"].dataType.simpleString() == "timestamp_ntz"
