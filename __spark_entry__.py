@@ -1226,6 +1226,27 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_chars", "sample_key")
 
 
+def length_buckets_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops: length-bucketed batching plan — equal-population token-count
+    buckets via ntile (deterministic tie-break on doc_id); same-bucket
+    batches cut padding waste. Value-verified against DuckDB's NTILE."""
+    from cdc_connector_spark.ops.corpus import length_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return length_buckets(docs, n_buckets=8)
+
+
+def vocab_coverage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops: vocabulary coverage curve — share of token occurrences
+    covered by the top-k types (build_vocab's exact ranking), the data
+    card stat behind every max_size/min_count cut. Value-verified against
+    the same rank/cumsum windows in DuckDB."""
+    from cdc_connector_spark.ops.textstats import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage(docs, top_ks=[10, 100, 1000, 10000])
+
+
 def trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-analytics shape in batch: tumbling 6h event-time windows →
     per-window counts (streaming/windows.py builder, identical plan under
@@ -2007,6 +2028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_documents": stratified_sample_documents,
         "profile_numeric_orders": profile_numeric_orders,
         "trending_event_types": trending_event_types,
+        "length_buckets_documents": length_buckets_documents,
+        "vocab_coverage_documents": vocab_coverage_documents,
     }
 
 
@@ -3566,5 +3589,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT window_start_s, event_type, n_events, CAST(rk AS INT) AS rk
             FROM r WHERE rk <= 2
+        """,
+        "length_buckets_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(coalesce(text,'')), '\\s+'))
+                       END AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(NTILE(8) OVER (ORDER BY n_tokens ASC, doc_id ASC) AS INT) AS bucket
+            FROM t
+        """,
+        "vocab_coverage_documents": """
+            WITH types AS (
+                SELECT token, COUNT(*) AS n
+                FROM (
+                    SELECT unnest(regexp_split_to_array(trim(coalesce(text,'')), '\\s+')) AS token
+                    FROM documents WHERE trim(coalesce(text,'')) <> ''
+                )
+                GROUP BY token
+            ), ranked AS (
+                SELECT n,
+                       ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rk,
+                       SUM(n) OVER (ORDER BY n DESC, token ASC
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+                FROM types
+            ), tot AS (SELECT SUM(n) AS total FROM types)
+            SELECT CAST(k AS INT) AS k,
+                   CAST(MAX(cum) AS BIGINT) AS covered_tokens,
+                   CAST(tot.total AS BIGINT) AS total_tokens,
+                   round(MAX(cum) / CAST(tot.total AS DOUBLE), 6) AS coverage
+            FROM ranked, (VALUES (10), (100), (1000), (10000)) ks(k), tot
+            WHERE rk <= k
+            GROUP BY k, tot.total
         """,
     }

@@ -588,3 +588,31 @@ def stratified_sample(
         .filter(F.col("__rk") <= F.ceil(F.col("__n") * F.lit(frac)))
         .drop("__rk", "__n")
     )
+
+
+def length_buckets(
+    df: DataFrame,
+    n_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batching plan: assign every document to one of
+    ``n_buckets`` equal-population buckets by token count (``ntile``), so
+    a training/inference batcher can draw same-bucket batches and cut
+    padding waste (the dynamic-batching trick — padding cost is set by
+    the LONGEST sequence in a batch, so batching like-with-like wins
+    ~(max/mean − 1) of the compute back).
+
+    Deterministic: ties inside ntile break on ``id_col``. Returns
+    (id, n_tokens, bucket 1-based). ONE global-ordering window — this is
+    the honest cost of exact equal-population buckets; at 100 TB switch
+    the boundary discovery to approx percentiles and keep the same
+    output contract."""
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    n_toks = token_count(text_col)
+    w = Window.orderBy(F.col("n_tokens").asc(), F.col(id_col).asc())
+    return (
+        df.select(F.col(id_col), n_toks.cast("long").alias("n_tokens"))
+        .withColumn("bucket", F.ntile(n_buckets).over(w))
+    )

@@ -712,3 +712,51 @@ def build_vocab(
     if max_size is not None:
         out = out.filter(F.col("token_id") < max_size)
     return out
+
+
+def vocab_coverage(
+    df: DataFrame,
+    top_ks: list[int] = (10, 100, 1000, 10000),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary coverage curve — the data-card statistic behind every
+    ``max_size`` / ``min_count`` vocabulary decision: for each ``k``, the
+    share of ALL token occurrences covered by the ``k`` most frequent
+    types (Zipf means a few thousand types usually cover >90%; the curve
+    says where to cut). Ranking matches ``build_vocab`` exactly (count
+    desc, token asc, raw un-lowercased tokens), so a chosen k translates
+    directly into a ``build_vocab(max_size=k)`` call.
+
+    Returns (k, covered_tokens, total_tokens, coverage round 6) — one row
+    per requested k, ``coverage=1.0`` when k exceeds the vocabulary.
+    Shape: one corpus explode → type counts (map-side combined), a
+    global rank+cumsum window over the TYPE table (vocab-sized — the
+    build_vocab caveat, not a corpus sort), and a tiny per-k aggregate.
+    """
+    from pyspark.sql import Window
+
+    types = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    ranked = types.withColumn("rk", F.row_number().over(w)).withColumn(
+        "cum", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    total = types.agg(F.sum("n").alias("__total"))
+    ks = F.explode(F.array(*[F.lit(int(k)) for k in top_ks])).alias("k")
+    return (
+        ranked.select("rk", "cum").crossJoin(ranked.sparkSession.range(1).select(ks))
+        .filter(F.col("rk") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.max("cum").alias("covered_tokens"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("k").cast("int").alias("k"),
+            F.col("covered_tokens").cast("bigint").alias("covered_tokens"),
+            F.col("__total").cast("bigint").alias("total_tokens"),
+            F.round(F.col("covered_tokens") / F.col("__total"), 6).alias("coverage"),
+        )
+    )

@@ -405,3 +405,21 @@ def test_stratified_sample_exact_proportions(spark):
 
     with _pt.raises(ValueError, match="frac"):
         stratified_sample(df, frac=0.0, strata_col="grp")
+
+
+def test_length_buckets_equal_population_and_order(spark):
+    from cdc_connector_spark.ops.corpus import length_buckets
+
+    rows = [(i, "w " * (i + 1)) for i in range(16)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = length_buckets(df, n_buckets=4).toPandas()
+    sizes = out.groupby("bucket").size().to_dict()
+    assert sizes == {1: 4, 2: 4, 3: 4, 4: 4}
+    # buckets are ordered: every doc in bucket b is <= every doc in b+1
+    for b in range(1, 4):
+        assert out[out.bucket == b].n_tokens.max() <= out[out.bucket == b + 1].n_tokens.min()
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="n_buckets"):
+        length_buckets(df, n_buckets=0)

@@ -342,3 +342,17 @@ def test_hash_embed_feeds_kmeans(spark):
     for _, r in out.iterrows():
         fam[r.vec_id < 6].add(r.cluster_id)
     assert fam[True].isdisjoint(fam[False])  # families never share a cluster
+
+
+def test_vocab_coverage_curve(spark):
+    from cdc_connector_spark.ops.textstats import vocab_coverage
+
+    # counts: a=6, b=3, c=1 -> total 10
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a a a b")], "doc_id bigint, text string"
+    )
+    got = {r["k"]: r for r in vocab_coverage(df, top_ks=[1, 2, 99]).collect()}
+    assert got[1]["covered_tokens"] == 6 and got[1]["coverage"] == 0.6
+    assert got[2]["covered_tokens"] == 9 and got[2]["coverage"] == 0.9
+    assert got[99]["coverage"] == 1.0  # k past the vocab: full coverage
+    assert all(r["total_tokens"] == 10 for r in got.values())
