@@ -60,3 +60,7 @@ from cdc_connector_spark.ops.classifier import (  # noqa: F401
 from cdc_connector_spark.ops.ann import semantic_decontaminate  # noqa: F401
 from cdc_connector_spark.ops.corpus import chunk_documents, stratified_sample  # noqa: F401
 from cdc_connector_spark.ops.textstats import bigram_nll, hash_embed  # noqa: F401
+from cdc_connector_spark.ops.bpe import bpe_load, bpe_save  # noqa: F401
+from cdc_connector_spark.ops.corpus import length_buckets  # noqa: F401
+from cdc_connector_spark.ops.multimodal import decode_bmp  # noqa: F401
+from cdc_connector_spark.ops.textstats import vocab_coverage, word_ngrams  # noqa: F401
