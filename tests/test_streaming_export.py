@@ -86,3 +86,48 @@ def test_export_requires_vocab_on_first_start(spark, tmp_path):
 
     with pytest.raises(ValueError, match="pinned vocabulary"):
         StreamingTrainingExport(spark, str(tmp_path / "nope"))
+
+
+def test_full_continuous_pipeline_dedup_then_export(spark, tmp_path):
+    """The whole continuous story in one test: raw stream → near-dup ingest
+    (StreamingCorpusDedup) → its accepted output streams into the training
+    export (StreamingTrainingExport) — duplicates never reach a shard."""
+    from cdc_connector_spark.streaming.dedup import StreamingCorpusDedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " exactly"),            # near-dup of 1 -> dropped
+        (3, "completely different text about databases and shuffles here"),
+        (4, base),                          # exact dup of 1 -> dropped
+    ]
+    src = str(tmp_path / "raw")
+    spark.createDataFrame(rows, "doc_id bigint, text string").repartition(
+        1
+    ).write.mode("overwrite").parquet(src)
+
+    dedup = StreamingCorpusDedup(
+        index_path=str(tmp_path / "idx"),
+        out_dir=str(tmp_path / "clean"),
+        jaccard_threshold=0.5,
+    )
+    q1 = dedup.start(
+        spark.readStream.schema("doc_id bigint, text string").parquet(src),
+        str(tmp_path / "ck1"),
+    )
+    q1.awaitTermination(120)
+    clean = dedup.accepted(spark)
+    kept_ids = sorted(r["doc_id"] for r in clean.select("doc_id").collect())
+    assert kept_ids == [1, 3]
+
+    # stage 2: the cleaned corpus dir IS the export loop's source
+    clean_dir = str(tmp_path / "clean")
+    vocab = build_vocab(clean, min_count=1)
+    exp = StreamingTrainingExport(spark, str(tmp_path / "shards"), vocab=vocab)
+    stream = spark.readStream.schema(clean.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(clean_dir)
+    q2 = exp.start(stream, str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    out = {r["doc_id"] for r in exp.exported().collect()}
+    assert out == {1, 3}  # only deduped survivors reach the shards
