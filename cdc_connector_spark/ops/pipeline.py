@@ -115,6 +115,9 @@ def pretrain_corpus(
     max_dup_line_frac: float | None = None,
     dsir_target: F.Column | None = None,
     min_dsir: float | None = None,
+    quality_model=None,
+    quality_pareto_alpha: float | None = None,
+    min_quality_prob: float | None = None,
 ) -> DataFrame:
     """The full pretraining data recipe, composed from the engine's
     operators in the canonical order (cheapest-and-most-selective first,
@@ -141,6 +144,15 @@ def pretrain_corpus(
     ``min_dsir`` against that target distribution are dropped — a plain
     threshold filter, no global sort (pick the cut from the score
     histogram offline).
+
+    ``quality_model`` (a ``classifier.train_quality_classifier`` fit)
+    enables MODEL-based quality filtering on the cleaned corpus: with
+    ``min_quality_prob`` it is a hard threshold; with
+    ``quality_pareto_alpha`` it is the GPT-3 keep rule (deterministic
+    hash-derived Pareto draw — reproducible corpus builds, a long tail of
+    low scorers survives by design). Model scoring is one scan; the
+    filter composes with the heuristic gates rather than replacing them
+    (heuristics catch structure, the model catches distribution).
 
     Returns the surviving docs with ``lang_pred``/``quality`` from the
     cleaning stages plus ``(n_tokens, seq_id, seq_offset)`` packing
@@ -195,6 +207,23 @@ def pretrain_corpus(
             .select(id_col)
         )
         cleaned = cleaned.join(liked, id_col, "left_semi")
+    if quality_model is not None:
+        if (quality_pareto_alpha is None) == (min_quality_prob is None):
+            raise ValueError(
+                "quality_model needs exactly one of quality_pareto_alpha "
+                "(GPT-3 keep rule) or min_quality_prob (hard threshold)"
+            )
+        from cdc_connector_spark.ops.classifier import (
+            pareto_quality_filter,
+            score_quality,
+        )
+
+        scores = score_quality(cleaned, quality_model, text_col=text_col, id_col=id_col)
+        if min_quality_prob is not None:
+            kept_q = scores.filter(F.col("quality_prob") >= min_quality_prob)
+        else:
+            kept_q = pareto_quality_filter(scores, id_col=id_col, alpha=quality_pareto_alpha)
+        cleaned = cleaned.join(kept_q.select(id_col), id_col, "left_semi")
     if eval_set is not None:
         dirty = (
             decontaminate(

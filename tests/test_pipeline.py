@@ -217,3 +217,44 @@ def test_pretrain_corpus_repetition_caps_and_dsir(spark):
 
     with _pt.raises(ValueError, match="dsir_target"):
         pretrain_corpus(t_docs, near_dup=False, min_dsir=0.0)
+
+
+def test_pretrain_corpus_model_quality_stage(spark):
+    import random
+
+    from cdc_connector_spark.ops.classifier import train_quality_classifier
+    from cdc_connector_spark.ops.pipeline import pretrain_corpus
+
+    base = GOOD_EN + " and still more ordinary english words follow here"
+    junk_words = "zxq wvv qqj klp mnx bbz ttk rrw ggh ffd click buy cheap".split()
+    rng = random.Random(11)
+    junk = " ".join(rng.choice(junk_words) for _ in range(40))
+    docs = spark.createDataFrame(
+        [(i, base + f" tail variant {i}", "sA") for i in range(1, 6)]
+        + [(6, junk, "sA")],
+        "doc_id int, text string, source string",
+    )
+    labeled = spark.createDataFrame(
+        [(100 + i, base + f" v{i}", 1) for i in range(30)]
+        + [(200 + i, " ".join(rng.choice(junk_words) for _ in range(30)), 0) for i in range(30)],
+        "doc_id int, text string, label int",
+    )
+    model = train_quality_classifier(labeled, label_col="label")
+
+    # the junk doc passes lang/Gopher? It won't (no stopwords) — disable
+    # heuristics to isolate the model stage
+    kept = pretrain_corpus(
+        docs, keep_langs=None, near_dup=False, pack_budget=64,
+        quality_model=model, min_quality_prob=0.5,
+    )
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 6 not in ids and {1, 2, 3} <= ids
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="exactly one"):
+        pretrain_corpus(docs, quality_model=model)
+    with _pt.raises(ValueError, match="exactly one"):
+        pretrain_corpus(
+            docs, quality_model=model, min_quality_prob=0.5, quality_pareto_alpha=9.0
+        )
