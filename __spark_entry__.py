@@ -3529,9 +3529,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM h
                 GROUP BY doc_id, CAST(hv % 16 AS INT)
             )
-            SELECT doc_id, dim_idx,
-                   round(v / sqrt(SUM(v * v) OVER (PARTITION BY doc_id)), 6) AS val
-            FROM s
+            SELECT doc_id, dim_idx, round(v / nrm, 6) AS val
+            FROM (
+                SELECT doc_id, dim_idx, v,
+                       sqrt(SUM(v * v) OVER (PARTITION BY doc_id)) AS nrm
+                FROM s
+            )
+            WHERE nrm > 0
         """,
         "stratified_sample_documents": """
             WITH d AS (
@@ -3547,7 +3551,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, stratum
             FROM r
-            WHERE rk <= ceil(n * 0.2)
+            WHERE rk <= (n * 200000 + 999999) // 1000000
         """,
         "profile_numeric_orders": """
             SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
@@ -3555,24 +3559,27 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT o_orderkey) AS n_distinct,
                    CAST(MIN(o_orderkey) AS DOUBLE) AS min_val,
                    CAST(MAX(o_orderkey) AS DOUBLE) AS max_val,
-                   round(CAST(SUM(CAST(o_orderkey AS DECIMAL(38,6)))
-                         / COUNT(o_orderkey) AS DOUBLE), 6) AS mean_val
+                   CASE WHEN COUNT(o_orderkey) > 0
+                        THEN round(CAST(SUM(CAST(o_orderkey AS DECIMAL(38,6)))
+                                   / COUNT(o_orderkey) AS DOUBLE), 6) END AS mean_val
             FROM orders
             UNION ALL
             SELECT 'o_custkey', COUNT(*),
                    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                    COUNT(DISTINCT o_custkey),
                    CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
-                   round(CAST(SUM(CAST(o_custkey AS DECIMAL(38,6)))
-                         / COUNT(o_custkey) AS DOUBLE), 6)
+                   CASE WHEN COUNT(o_custkey) > 0
+                        THEN round(CAST(SUM(CAST(o_custkey AS DECIMAL(38,6)))
+                                   / COUNT(o_custkey) AS DOUBLE), 6) END
             FROM orders
             UNION ALL
             SELECT 'o_totalprice', COUNT(*),
                    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                    COUNT(DISTINCT o_totalprice),
                    CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE),
-                   round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
-                         / COUNT(o_totalprice) AS DOUBLE), 6)
+                   CASE WHEN COUNT(o_totalprice) > 0
+                        THEN round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                                   / COUNT(o_totalprice) AS DOUBLE), 6) END
             FROM orders
         """,
         "trending_event_types": """

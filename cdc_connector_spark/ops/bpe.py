@@ -158,8 +158,27 @@ def bpe_encode(
     rides the closure (it is n_merges pairs — broadcast-sized by
     construction). Inside the kernel the per-word encoding is memoized
     across the batch (Zipf makes the hit rate ~1), and merges apply in
-    rank order with the same greedy semantics as training."""
+    rank order with the same greedy semantics as training.
+
+    Word-boundary parity: the kernel splits with the EXACT semantics of
+    the training side's JVM ``tokenize`` (trim ASCII spaces, split on the
+    Java ``\\s`` class ``[ \\t\\n\\x0b\\f\\r]+``) — a naive Python
+    ``str.split()`` would also split on Unicode whitespace (NBSP,
+    U+2028/U+3000, pervasive in HTML-derived corpora) and encode words
+    the merge table never saw."""
+    import re
+
     ranks = {tuple(m): i for i, m in enumerate(merges)}
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, NOT Python Unicode \s
+
+    def jvm_tokens(text: str) -> list[str]:
+        t = (text or "").lower().strip(" ")
+        if not t:
+            return []
+        toks = ws.split(t)
+        while toks and toks[-1] == "":  # Java split drops TRAILING empties
+            toks.pop()
+        return toks
 
     def encode_word(word: str, cache: dict) -> list[str]:
         hit = cache.get(word)
@@ -203,9 +222,8 @@ def bpe_encode(
                 continue
             pieces = []
             for text in pdf["__txt"]:
-                toks = (text or "").lower().split()
                 doc: list[str] = []
-                for w in toks:
+                for w in jvm_tokens(text):
                     doc.extend(encode_word(w, cache))
                 pieces.append(doc)
             yield pd.DataFrame(

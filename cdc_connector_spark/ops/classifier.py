@@ -99,12 +99,19 @@ def pareto_quality_filter(
 ) -> DataFrame:
     """The GPT-3 appendix-A keep rule, made deterministic: keep a document
     iff ``prob > 1 − pareto(alpha)`` where the Pareto draw is derived from
-    the engine-portable multiplicative hash instead of RNG state —
+    an engine-portable multiplicative hash instead of RNG state —
     re-running selects the SAME documents (reproducible corpus builds).
     Low-scoring docs survive occasionally (the long tail the rule is
-    famous for), high-scoring docs almost always."""
-    reduced = F.pmod(F.col(id_col) + F.lit(salt), F.lit(2147483648))
-    h = F.pmod(reduced * F.lit(2654435761), F.lit(4294967296))
+    famous for), high-scoring docs almost always.
+
+    The draw uses its OWN multiplier (``corpus.DRAW_MULT``), not the
+    selection hash: composing this filter after a hash-ranked sampler
+    (hash_sample / stratified_sample keep the SMALLEST selection hashes)
+    would otherwise correlate u with survival — survivors would all carry
+    tiny draws and the long tail would silently vanish."""
+    from cdc_connector_spark.ops.corpus import DRAW_MULT, knuth_hash
+
+    h = knuth_hash(id_col, salt, mult=DRAW_MULT)
     u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
     # inverse-CDF Pareto (Lomax form): (1-u)^(-1/alpha) - 1
     pareto = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)

@@ -91,15 +91,34 @@ def hash_sample(
     return df.filter(_knuth_bucket(key_col, salt) < pct)
 
 
-def _knuth_bucket(key_col: str, salt: int) -> F.Column:
-    """Percent bucket by multiplicative hash, engine-portable AND
-    overflow-safe: the key is reduced mod 2^31 BEFORE the multiply so the
-    product stays under 2^63 ((2^31-1)·2654435761 < 2^63) — pure-bigint
-    arithmetic that never wraps, so ANSI Spark and DuckDB evaluate it
-    identically for the full bigint key range (keys ≥ 2^31 fold; the hash
-    keeps mixing them). Salt must be a small non-negative constant."""
+KNUTH_MULT = 2654435761  # xxhash P1 — the default selection hash
+ORDER_MULT = 2246822519  # xxhash P2 — independent intra-shard order hash
+DRAW_MULT = 3266489917  # xxhash P3 — independent uniform DRAWS (see below)
+
+
+def knuth_hash(key_col: str, salt: int = 0, mult: int = KNUTH_MULT) -> F.Column:
+    """The engine-portable multiplicative hash behind every deterministic
+    sampling/sharding decision in this module — in [0, 2^32), overflow-safe
+    AND ANSI-safe: the key is reduced mod 2^31 BEFORE the multiply so the
+    product stays under 2^63 for every 32-bit odd ``mult`` used here
+    ((2^31-1)·3266489917 < 2^63) — pure-bigint arithmetic that never
+    wraps, so ANSI Spark and DuckDB evaluate it identically for the full
+    bigint key range (keys ≥ 2^31 fold; the hash keeps mixing them).
+    Salt must be a small non-negative constant.
+
+    Multiplier discipline: ops that SELECT rows by hash order/threshold
+    (hash_sample, stratified_sample, shard placement) share ``KNUTH_MULT``;
+    anything that needs a draw INDEPENDENT of those selections (the
+    Pareto quality filter, the intra-shard order) must use a different
+    prime, or composing it after a hash-ranked sampler correlates the
+    draw with survival and the distribution collapses."""
     reduced = F.pmod(F.col(key_col) + F.lit(salt), F.lit(2147483648))
-    return F.pmod(reduced * F.lit(2654435761), F.lit(4294967296)) % 100
+    return F.pmod(reduced * F.lit(mult), F.lit(4294967296))
+
+
+def _knuth_bucket(key_col: str, salt: int) -> F.Column:
+    """Percent bucket of ``knuth_hash`` (see its portability contract)."""
+    return knuth_hash(key_col, salt) % 100
 
 
 def quota_sample(
@@ -355,8 +374,7 @@ def temperature_sample(
             F.lit(1.0 - 1.0 / temperature),
         ).alias("__rate"),
     )
-    reduced = F.pmod(F.col(key_col) + F.lit(salt), F.lit(2147483648))
-    bucket32 = F.pmod(reduced * F.lit(2654435761), F.lit(4294967296))
+    bucket32 = knuth_hash(key_col, salt)
     return (
         df.join(F.broadcast(rates), source_col)
         .filter(bucket32.cast("double") < F.col("__rate") * F.lit(4294967296.0))
@@ -416,8 +434,7 @@ def weighted_sample(
     Scale shape: one scan computing the key expression + a distributed
     top-n (TakeOrderedAndProject — per-partition heaps, no full sort, no
     shuffle of non-winners). Ties break by key column for determinism."""
-    reduced = F.pmod(F.col(key_col) + F.lit(salt), F.lit(2147483648))
-    h = F.pmod(reduced * F.lit(2654435761), F.lit(4294967296))
+    h = knuth_hash(key_col, salt)
     u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
     skey = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
     return (
@@ -458,12 +475,10 @@ def shard_plan(
     """
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
-    reduced = F.pmod(F.col(key_col) + F.lit(salt), F.lit(2147483648))
-    h_shard = F.pmod(reduced * F.lit(2654435761), F.lit(4294967296))
-    # independent mix for the intra-shard order: different 32-bit odd
-    # multiplier (xxhash32 prime); (2^31-1)*2246822519 < 2^63, same
-    # overflow-safe argument as the Knuth path
-    h_order = F.pmod(reduced * F.lit(2246822519), F.lit(4294967296))
+    h_shard = knuth_hash(key_col, salt)
+    # independent mix for the intra-shard order (see knuth_hash's
+    # multiplier discipline)
+    h_order = knuth_hash(key_col, salt, mult=ORDER_MULT)
     planned = df.withColumn("shard", (h_shard % n_shards).cast("int")).withColumn(
         "__order", h_order
     )
@@ -578,14 +593,19 @@ def stratified_sample(
     keeps at least one row of every non-empty stratum."""
     if not (0.0 < frac <= 1.0):
         raise ValueError(f"frac must be in (0, 1], got {frac}")
-    reduced = F.pmod(F.col(key_col) + F.lit(salt), F.lit(2147483648))
-    h = F.pmod(reduced * F.lit(2654435761), F.lit(4294967296))
+    # ceil(frac·n) in EXACT integer arithmetic: frac is taken at 6-decimal
+    # precision (the contract) and the quota is (n·frac6 + 999_999) div 1e6
+    # — the naive F.ceil(n * frac) overshoots whenever the binary double
+    # inflates an exact product (100·0.07 → 7.000000000000001 → ceil 8)
+    frac6 = int(round(frac * 1_000_000))
+    h = knuth_hash(key_col, salt)
     w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
     wn = Window.partitionBy(strata_col)
+    quota = F.floor((F.col("__n") * F.lit(frac6) + F.lit(999_999)) / F.lit(1_000_000))
     return (
         df.withColumn("__rk", F.row_number().over(w))
         .withColumn("__n", F.count(F.lit(1)).over(wn))
-        .filter(F.col("__rk") <= F.ceil(F.col("__n") * F.lit(frac)))
+        .filter(F.col("__rk") <= quota)
         .drop("__rk", "__n")
     )
 

@@ -542,9 +542,16 @@ def hash_embed(
         .agg(F.sum("s").alias("v"))
     )
     w = Window.partitionBy(id_col)
-    normed = sparse.withColumn(
-        "val", F.round(F.col("v") / F.sqrt(F.sum(F.col("v") * F.col("v")).over(w)), 6)
-    ).select(id_col, "dim_idx", "val")
+    # a doc whose signed counts cancel in EVERY dimension has zero norm
+    # (~1/(2·dim) of 2-token docs): dividing would be NULL/NaN/ANSI-error
+    # depending on the engine — such docs carry zero feature information,
+    # so they drop like token-less docs (filter BEFORE the division)
+    normed = (
+        sparse.withColumn("__nrm", F.sqrt(F.sum(F.col("v") * F.col("v")).over(w)))
+        .filter(F.col("__nrm") > 0)
+        .withColumn("val", F.round(F.col("v") / F.col("__nrm"), 6))
+        .select(id_col, "dim_idx", "val")
+    )
     if not dense:
         return normed
     assembled = normed.groupBy(id_col).agg(

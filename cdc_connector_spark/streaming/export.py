@@ -86,16 +86,19 @@ class StreamingTrainingExport:
         enc = encode_with_vocab(
             batch_df, self.vocab, text_col=self.text_col, id_col=self.id_col
         ).filter(F.col("n_tokens") >= self.min_tokens)
-        planned = shard_plan(enc, self.n_shards, key_col=self.id_col)
-        out = os.path.join(self.out_dir, "data", f"batch={batch_id}")
-        (
-            planned.repartition(self.n_shards, F.col("shard"))
-            .sortWithinPartitions("shard", "pos")
-            .write.mode("overwrite")
-            .partitionBy("shard")
-            .parquet(out)
-        )
-        n_docs = self.spark.read.parquet(out).count()
+        planned = shard_plan(enc, self.n_shards, key_col=self.id_col).persist()
+        try:
+            n_docs = planned.count()  # one materialization serves stats AND write
+            out = os.path.join(self.out_dir, "data", f"batch={batch_id}")
+            (
+                planned.repartition(self.n_shards, F.col("shard"))
+                .sortWithinPartitions("shard", "pos")
+                .write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(out)
+            )
+        finally:
+            planned.unpersist()
         stat = {
             "batch_id": batch_id,
             "exported_docs": n_docs,
@@ -120,11 +123,14 @@ class StreamingTrainingExport:
     def exported(self) -> DataFrame:
         """All marker-committed exported docs: (id, n_tokens, token_ids,
         shard, pos, batch_id) — a crashed, uncommitted batch directory is
-        invisible here."""
+        invisible here. Raises (with a clear message) before the first
+        commit, matching the ``accepted()`` convention of the dedup
+        loops."""
         committed = self.committed_batch_ids()
-        df = self.spark.read.option("basePath", os.path.join(self.out_dir, "data")).parquet(
-            os.path.join(self.out_dir, "data")
-        )
+        data_dir = os.path.join(self.out_dir, "data")
+        if not committed or not os.path.isdir(data_dir):
+            raise ValueError(f"no committed export batches under {self.out_dir}")
+        df = self.spark.read.option("basePath", data_dir).parquet(data_dir)
         return df.filter(F.col("batch").isin(committed)).withColumnRenamed(
             "batch", "batch_id"
         )

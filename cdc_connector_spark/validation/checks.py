@@ -260,8 +260,12 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
     one = df.agg(*aggs)
     stack_args = []
     for c in cols:
-        mean = (F.col(f"__sm_{c}") / (F.col("__n") - F.col(f"__nn_{c}"))).cast(
-            "double"
+        n_vals = F.col("__n") - F.col(f"__nn_{c}")
+        # all-NULL column: mean is NULL, never a divide-by-zero (ANSI mode
+        # errors on x/0 — and an all-NULL column is exactly the case a
+        # reconciliation operator is investigating)
+        mean = F.when(
+            n_vals > 0, (F.col(f"__sm_{c}") / n_vals).cast("double")
         )
         stack_args.append(
             F.struct(

@@ -85,3 +85,23 @@ def test_pareto_filter_deterministic_and_monotone(spark):
     # a different salt reselects a DIFFERENT tail
     c = set(r["doc_id"] for r in pareto_quality_filter(scores, salt=1).collect())
     assert c != a
+
+
+def test_pareto_draw_independent_of_selection_hash(spark):
+    """Regression: the Pareto draw must use its own multiplier. With the
+    selection hash, composing after hash_sample (which keeps the SMALLEST
+    selection hashes) gives every survivor a tiny draw and the famous
+    low-score long tail vanishes entirely."""
+    from cdc_connector_spark.ops.corpus import hash_sample
+
+    scores = spark.range(0, 20000).selectExpr(
+        "id as doc_id", "0.5 as quality_prob"
+    )
+    sampled = hash_sample(scores, pct=10)
+    n_sampled = sampled.count()
+    assert n_sampled > 1000
+    kept = pareto_quality_filter(sampled).count()
+    # P(keep | prob=0.5) ~ 2.6%: with an independent draw some survive;
+    # under the correlated-draw bug this is exactly 0
+    assert kept > 0
+    assert kept < 0.1 * n_sampled  # and it stays a tail, not a flood

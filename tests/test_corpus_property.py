@@ -93,8 +93,12 @@ def test_stratified_sample_matches_python_reference_on_random_inputs(spark):
         by_grp: dict[str, list] = {}
         for k, g in rows:
             by_grp.setdefault(g, []).append(k)
+        frac6 = int(round(frac * 1_000_000))
         want = []
         for g, members in by_grp.items():
             members.sort(key=lambda k: (_h(k), k))
-            want.extend(members[: math.ceil(len(members) * frac)])
+            # the op's EXACT integer quota (float ceil can overshoot:
+            # 55*0.8 -> 44.000000000000007 -> ceil 45)
+            quota = (len(members) * frac6 + 999_999) // 1_000_000
+            want.extend(members[:quota])
         assert got == sorted(want), trial

@@ -356,3 +356,37 @@ def test_vocab_coverage_curve(spark):
     assert got[2]["covered_tokens"] == 9 and got[2]["coverage"] == 0.9
     assert got[99]["coverage"] == 1.0  # k past the vocab: full coverage
     assert all(r["total_tokens"] == 10 for r in got.values())
+
+
+def test_hash_embed_zero_norm_doc_drops(spark):
+    """Regression: a doc whose signed counts cancel in every dimension has
+    zero norm — it must DROP (like token-less docs), not divide by zero."""
+    import hashlib
+
+    from cdc_connector_spark.ops.textstats import hash_embed
+
+    dim = 16
+
+    def h60(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+
+    # find two tokens with the same dim index and opposite signs
+    base = None
+    pair = None
+    cands = [f"t{i}" for i in range(4000)]
+    by_idx = {}
+    for t in cands:
+        hv = h60(t)
+        key = (hv % dim, hv % (2 * dim) >= dim)
+        by_idx.setdefault(key, t)
+        other = by_idx.get((key[0], not key[1]))
+        if other:
+            pair = (other, t) if key[1] else (t, other)
+            break
+    assert pair, "no cancelling token pair found in candidate pool"
+    df = spark.createDataFrame(
+        [(1, f"{pair[0]} {pair[1]}"), (2, "normal text here")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"] for r in hash_embed(df, dim=dim).select("doc_id").distinct().collect()}
+    assert out == {2}  # the cancelling doc dropped, no NULL/NaN vector
