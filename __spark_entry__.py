@@ -3413,7 +3413,6 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents
                     WHERE trim(coalesce(text,'')) <> ''
                 )
-                WHERE term <> ''
                 GROUP BY doc_id, is_t, term
             ), terms AS (
                 SELECT term, SUM(c) AS c_r,

@@ -945,11 +945,16 @@ def semantic_decontaminate(
     ne[ne == 0] = np.nan
     En = E / ne[:, None]
 
-    id_field = corpus.schema[id_col]
+    if id_col not in corpus.columns:
+        raise ValueError(f"corpus is missing id column {id_col!r}")
+    if id_col not in eval_set.columns:
+        raise ValueError(f"eval set is missing id column {id_col!r}")
+    # eval_id carries the EVAL set's id type — it may differ from the corpus
+    # id type, and typing it off the corpus would mis-cast the Arrow output.
     out_schema = T.StructType(
         [
-            T.StructField("corpus_id", id_field.dataType),
-            T.StructField("eval_id", id_field.dataType),
+            T.StructField("corpus_id", corpus.schema[id_col].dataType),
+            T.StructField("eval_id", eval_set.schema[id_col].dataType),
             T.StructField("cos_sim", T.DoubleType()),
         ]
     )

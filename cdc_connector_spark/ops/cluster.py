@@ -130,7 +130,16 @@ def kmeans_fit(
 
     Each iteration is ONE corpus scan (fused assign+update kernel) plus a
     k×(dim+1)-row reduce; see module docstring for the scale argument.
+
+    ``iters`` and ``tol`` are mutually exclusive: passing a non-default
+    ``iters`` together with ``tol`` raises (the tol mode's round cap is
+    ``max_iters``, and silently ignoring ``iters`` surprised callers).
     """
+    if tol is not None and iters != 3:
+        raise ValueError(
+            "iters and tol are mutually exclusive: tol-mode rounds are "
+            "capped by max_iters; drop iters or use max_iters instead"
+        )
     C = kmeans_init(embeddings, k, id_col, vec_col)
     dim = C.shape[1]
     partial_schema = T.StructType(

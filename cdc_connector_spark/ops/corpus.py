@@ -595,13 +595,16 @@ def stratified_sample(
         raise ValueError(f"frac must be in (0, 1], got {frac}")
     # ceil(frac·n) in EXACT integer arithmetic: frac is taken at 6-decimal
     # precision (the contract) and the quota is (n·frac6 + 999_999) div 1e6
-    # — the naive F.ceil(n * frac) overshoots whenever the binary double
-    # inflates an exact product (100·0.07 → 7.000000000000001 → ceil 8)
+    # via `div` (long integer division — `/` would be double division,
+    # exact only below 2^53; long·int stays exact up to ~9.2e12 rows per
+    # stratum at frac6=1e6 before 64-bit overflow) — the naive
+    # F.ceil(n * frac) overshoots whenever the binary double inflates an
+    # exact product (100·0.07 → 7.000000000000001 → ceil 8)
     frac6 = int(round(frac * 1_000_000))
     h = knuth_hash(key_col, salt)
     w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
     wn = Window.partitionBy(strata_col)
-    quota = F.floor((F.col("__n") * F.lit(frac6) + F.lit(999_999)) / F.lit(1_000_000))
+    quota = F.expr(f"(__n * CAST({frac6} AS BIGINT) + 999999) div 1000000")
     return (
         df.withColumn("__rk", F.row_number().over(w))
         .withColumn("__n", F.count(F.lit(1)).over(wn))

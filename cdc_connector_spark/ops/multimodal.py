@@ -77,6 +77,11 @@ def decode_bmp(raw: bytes):
         return None
     try:
         pix_off = struct.unpack_from("<I", raw, 10)[0]
+        # A 12-byte BITMAPCOREHEADER stores w/h/bpp at different offsets;
+        # require a BITMAPINFOHEADER (>= 40) before trusting the fields below.
+        dib_size = struct.unpack_from("<I", raw, 14)[0]
+        if dib_size < 40:
+            return None
         width, height = struct.unpack_from("<ii", raw, 18)
         bpp = struct.unpack_from("<H", raw, 28)[0]
         compression = struct.unpack_from("<I", raw, 30)[0]

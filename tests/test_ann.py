@@ -402,3 +402,25 @@ def test_semantic_decontaminate_planted_paraphrase(spark):
         semantic_decontaminate(corpus, eval_set.filter("vec_id > 99"))
     with _pt.raises(ValueError, match="max_eval"):
         semantic_decontaminate(corpus, eval_set, max_eval=1)
+
+
+def test_semantic_decontaminate_mixed_id_types(spark):
+    """eval_id must carry the EVAL set's id type, not the corpus's
+    (ADVICE r6): string eval ids against a bigint corpus id."""
+    import numpy as np
+
+    from cdc_connector_spark.ops.ann import semantic_decontaminate
+
+    v = np.ones(8)
+    corpus = spark.createDataFrame(
+        [(1, v.tolist()), (2, (-v).tolist())], "vec_id bigint, embedding array<double>"
+    )
+    eval_set = spark.createDataFrame(
+        [("mmlu-0", v.tolist())], "vec_id string, embedding array<double>"
+    )
+    got = semantic_decontaminate(corpus, eval_set, threshold=0.9).collect()
+    assert [(r["corpus_id"], r["eval_id"]) for r in got] == [(1, "mmlu-0")]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="missing id column"):
+        semantic_decontaminate(corpus.withColumnRenamed("vec_id", "x"), eval_set)

@@ -287,3 +287,9 @@ def test_semdedup_index_rebuild_in_place(spark, tmp_path):
     assert {r["corpus_id"] for r in hits} == {10}
     # old corpus ids are gone
     assert not any(r["corpus_id"] < 10 for r in hits)
+
+
+def test_kmeans_fit_rejects_iters_with_tol(spark, planted):
+    df, _ = planted
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        kmeans_fit(df, k=3, iters=50, tol=1e-6)

@@ -122,3 +122,26 @@ def test_non_bmp_raises_without_fake(spark):
         decode_image_features(df).collect()
     # fake=True stubs the unsupported format instead
     assert decode_image_features(df, fake=True).count() == 1
+
+
+def test_bmp_core_header_rejected():
+    """A 12-byte BITMAPCOREHEADER stores w/h/bpp at different offsets —
+    the decoder must reject it instead of misreading the fields
+    (ADVICE r6: a garbage byte pattern could slip past the bpp guard)."""
+    import struct
+
+    import numpy as np
+
+    from cdc_connector_spark.ops.multimodal import decode_bmp
+
+    w, h = 4, 4
+    stride = (w * 3 + 3) // 4 * 4
+    body = b"\x80" * (stride * h)
+    header = struct.pack("<2sIHHI", b"BM", 26 + len(body), 0, 0, 26)
+    core = struct.pack("<IHHHH", 12, w, h, 1, 24)  # BITMAPCOREHEADER
+    # pad so total pre-pixel size lines up with pix_off=26
+    raw = header + core + body
+    assert decode_bmp(raw) is None
+    # and the plain INFOHEADER path still decodes
+    img = np.full((4, 4, 3), 7, dtype=np.uint8)
+    assert decode_bmp(_make_bmp(img)) is not None
