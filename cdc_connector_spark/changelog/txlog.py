@@ -69,7 +69,7 @@ class CommitConflict(Exception):
 class _Snapshot:
     __slots__ = (
         "version", "files", "deltas", "columns", "num_buckets", "key_cols",
-        "removed", "stats", "mapping", "tombstones",
+        "removed", "stats", "mapping", "tombstones", "widened",
     )
 
     def __init__(self):

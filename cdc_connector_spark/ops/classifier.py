@@ -90,6 +90,46 @@ def score_quality(
     )
 
 
+def score_quality_linear(
+    df: DataFrame,
+    weights: dict[str, float],
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, quality_prob) under a FIXED linear model — the deterministic
+    twin of ``score_quality`` for a model whose coefficients are already
+    known (a shipped weight vector, a distilled heuristic, or an exported
+    ``LogisticRegression`` coefficient slice):
+
+        quality_prob = sigmoid(bias + Σ_token weights.get(token, 0))
+
+    Same scoring semantics as the fitted-pipeline path (token counts ×
+    coefficients through a sigmoid) but with zero fit state, so the whole
+    computation is a pure per-row projection: the weight map rides the
+    plan as a literal CASE chain (not a map literal — ``map[key]`` errors
+    on missing keys under ANSI mode), the per-token lookup + sum is one
+    higher-order ``aggregate`` left-fold over the shared tokenizer's
+    array — no explode, no join, no shuffle; scan-bound at any corpus
+    size. The fold order (bias, then tokens left-to-right) is part of the
+    contract so a SQL re-derivation reproduces the exact IEEE doubles;
+    rounded to 6 on top."""
+    if not weights:
+        raise ValueError("weights must be a non-empty {token: coefficient} map")
+
+    def lookup(t):
+        case = None
+        for term, coef in sorted(weights.items()):
+            cond = t == F.lit(term)
+            case = F.when(cond, float(coef)) if case is None else case.when(cond, float(coef))
+        return case.otherwise(F.lit(0.0))
+
+    toks = tokenize(F.lower(F.col(text_col)))
+    z = F.aggregate(toks, F.lit(float(bias)), lambda acc, t: acc + lookup(t))
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return df.select(F.col(id_col), F.round(prob, 6).alias("quality_prob"))
+
+
 def pareto_quality_filter(
     scores: DataFrame,
     id_col: str = "doc_id",

@@ -105,3 +105,34 @@ def test_pareto_draw_independent_of_selection_hash(spark):
     # under the correlated-draw bug this is exactly 0
     assert kept > 0
     assert kept < 0.1 * n_sampled  # and it stays a tail, not a flood
+
+
+def test_score_quality_linear_matches_python(spark):
+    """Fixed-weight scoring (the driver-verifiable twin of the fitted
+    pipeline): exact sigmoid left-fold vs a Python re-derivation."""
+    import math
+
+    from cdc_connector_spark.ops.classifier import score_quality_linear
+
+    weights = {"good": 1.5, "bad": -2.0, "the": 0.1}
+    rows = [
+        (0, "The GOOD good text"),
+        (1, "bad bad stuff"),
+        (2, ""),
+        (3, None),
+        (4, "neutral words only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["quality_prob"] for r in score_quality_linear(df, weights, bias=0.25).collect()}
+
+    def expect(text):
+        z = 0.25
+        for t in (text or "").strip().lower().split():
+            z += weights.get(t, 0.0)
+        return round(1.0 / (1.0 + math.exp(-z)), 6)
+
+    assert got == {i: expect(t) for i, t in rows}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="non-empty"):
+        score_quality_linear(df, {})

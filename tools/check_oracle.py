@@ -6,7 +6,12 @@ DuckDB over the same parquet tables, then compares row count, column names,
 and an order-insensitive value hash. Flags float columns whose values differ
 so precision hazards surface before the driver sees them.
 
-Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json OUT.json] [--tail] [sf_dir] [query ...]
+
+``--tail`` restricts the run to every ``queries()`` entry BEYOND the
+driver's 50-entry correctness window — the entries the per-round
+CORRECTNESS gate does NOT see. tools/tail_tripwire.sh wires this as the
+enforced regression gate for out-of-window queries (judge r6 #2).
 """
 
 from __future__ import annotations
@@ -57,14 +62,28 @@ def value_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
+DRIVER_WINDOW = 50  # the driver's correctness gate reads the first N entries
+
+
 def main() -> int:
     argv = sys.argv[1:]
     json_out = None
-    if argv and argv[0] == "--json":
-        json_out = argv[1]
-        argv = argv[2:]
+    tail_only = False
+    while argv and argv[0].startswith("--"):
+        if argv[0] == "--json":
+            json_out = argv[1]
+            argv = argv[2:]
+        elif argv[0] == "--tail":
+            tail_only = True
+            argv = argv[1:]
+        else:
+            raise SystemExit(f"unknown flag {argv[0]}")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+    if tail_only:
+        tail = list(entry_mod.queries())[DRIVER_WINDOW:]
+        only = set(tail) & only if only else set(tail)
+        print(f"tail tripwire: {len(only)} out-of-window queries at {sf_dir}")
 
     spark = get_spark("oracle-check")
     # the driver's harness runs on a DEFAULT session where Spark 4's
