@@ -30,12 +30,16 @@ gone) is a no-op, so crash-recovery that re-delivers the schema-history
 suffix converges to the same state.
 
 Scale note: `apply_ddl` is a pure projection/cast over the state DataFrame
-— zero shuffles. `migrate_sink_schema` on the txlog sink is METADATA-ONLY
-for rename/drop: stable physical column names live in the log's column
-mapping (the Delta/Iceberg design), so the DDL is one O(1) commit touching
-zero data files (txlog.py `TxLogMergeSink.ddl`); only widen pays a rewrite
-(parquet has no read-compatible cross-file int promotion). The plain
-ParquetMergeSink keeps the full-rewrite fallback.
+— zero shuffles. On the txlog sink ALL THREE ops are METADATA-ONLY: stable
+physical column names live in the log's column mapping (the Delta/Iceberg
+design) and widened target types live in its widened-type map (the Delta
+type-widening design) — every DDL is one O(1) commit touching zero data
+files (txlog.py `TxLogMergeSink.ddl`). Widened tables read through an
+explicit schema so the Spark 4 parquet reader's widening promotions
+(SPARK-40876: int32->long, float->double, ...) upcast narrow files at scan
+time; compaction gradually migrates them. Widening a KEY column is
+rejected (xxhash64 is width-sensitive, so the bucket layout would tear).
+The plain ParquetMergeSink keeps the full-rewrite fallback.
 """
 
 from __future__ import annotations
@@ -116,6 +120,14 @@ def _check_ops(schema: T.StructType, ops: Sequence[DdlOp], key_cols: Sequence[st
                 raise ValueError(f"rename: target column {op.new!r} already exists")
             types[op.new] = types.pop(op.old)
         elif isinstance(op, WidenColumn):
+            if op.col in keys:
+                # xxhash64 hashes int and long to DIFFERENT values, so a
+                # widened key would bucket new rows away from their old
+                # versions — key identity pins the bucket layout
+                raise ValueError(
+                    f"widen of key column {op.col!r} needs a table-version "
+                    "migration (the bucket hash is width-sensitive)"
+                )
             if op.col not in types:
                 raise ValueError(f"widen: no such column {op.col!r}")
             src = types[op.col]

@@ -55,6 +55,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from cdc_connector_spark.changelog.apply import apply_changes
 
@@ -88,6 +89,12 @@ class _Snapshot:
         # physical names of dropped columns: still present in old data files,
         # never surfaced at read, never reused for a re-added logical column
         self.tombstones: list[str] = []
+        # metadata-only type widening: physical name -> target Spark DDL
+        # type string. Data files keep whatever width they were written
+        # with; reads pass an explicit schema and the parquet reader's
+        # widening promotions (int32->long, float->double — SPARK-40876)
+        # upcast narrow files at scan time. Empty until the first widen.
+        self.widened: dict[str, str] = {}
 
     def bucket_files(self, buckets: set[int]) -> list[str]:
         return [p for p, b in self.files.items() if b in buckets]
@@ -196,6 +203,7 @@ class TxLogMergeSink:
                 snap.key_cols = state.get("key_cols")
                 snap.mapping = state.get("column_mapping")
                 snap.tombstones = state.get("physical_tombstones", [])
+                snap.widened = state.get("widened_types") or {}
                 start = cp + 1
             except FileNotFoundError:
                 pass  # pointer ahead of a missing checkpoint: full replay
@@ -214,6 +222,8 @@ class TxLogMergeSink:
                         snap.mapping = md["column_mapping"]
                     if "physical_tombstones" in md:
                         snap.tombstones = md["physical_tombstones"]
+                    if "widened_types" in md:
+                        snap.widened = md["widened_types"]
                 elif "add" in a:
                     target = snap.deltas if a["add"].get("delta") else snap.files
                     target[a["add"]["path"]] = a["add"]["bucket"]
@@ -254,6 +264,7 @@ class TxLogMergeSink:
             "key_cols": snap.key_cols,
             "column_mapping": snap.mapping,
             "physical_tombstones": snap.tombstones,
+            "widened_types": snap.widened,
         }
         cp = os.path.join(self.log_dir, f"_checkpoint.{snap_version:020d}.json")
         tmp = cp + f".tmp.{os.getpid()}"
@@ -358,12 +369,66 @@ class TxLogMergeSink:
         except Exception:  # noqa: BLE001 — stats are an optimization, never fatal
             return None
 
-    def _read_files(self, rel_paths: list[str]) -> DataFrame | None:
+    def _read_files(
+        self, rel_paths: list[str], widened: dict[str, str] | None = None
+    ) -> DataFrame | None:
         if not rel_paths:
             return None
+        full = [os.path.join(self.path, p) for p in rel_paths]
+        if widened:
+            # metadata-only widen: pass an explicit schema so the parquet
+            # reader's widening promotions (SPARK-40876) upcast files still
+            # carrying the narrow physical type — mergeSchema cannot unify
+            # int/bigint footers, an explicit schema can.
+            return self.spark.read.schema(
+                self._resolve_read_schema(rel_paths, widened)
+            ).parquet(*full)
         return self.spark.read.option(
             "mergeSchema", str(self.merge_schema).lower()
-        ).parquet(*[os.path.join(self.path, p) for p in rel_paths])
+        ).parquet(*full)
+
+    def _resolve_read_schema(
+        self, rel_paths: list[str], widened: dict[str, str]
+    ) -> T.StructType:
+        """Explicit read schema for a widened table: ONE parquet footer per
+        commit dir (a commit's write has a single schema), merged
+        additively in first-seen order, with widened physical columns
+        forced to their metadata target type. O(#commits) driver-side
+        footer reads — the same cost class as reading the log itself;
+        data files are never touched."""
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        one_per_commit: dict[str, str] = {}
+        for p in sorted(rel_paths):
+            parts = p.split("/")
+            one_per_commit.setdefault(parts[1] if len(parts) > 1 else p, p)
+        fields: dict[str, T.DataType] = {}
+        order: list[str] = []
+        for p in one_per_commit.values():
+            sch = from_arrow_schema(pq.read_schema(os.path.join(self.path, p)))
+            for f in sch.fields:
+                if f.name not in fields:
+                    fields[f.name] = f.dataType
+                    order.append(f.name)
+                elif fields[f.name] != f.dataType and f.name not in widened:
+                    raise ValueError(
+                        f"conflicting physical types for column {f.name!r}: "
+                        f"{fields[f.name].simpleString()} vs "
+                        f"{f.dataType.simpleString()} (not a widened column)"
+                    )
+        return T.StructType(
+            [
+                T.StructField(
+                    name,
+                    T._parse_datatype_string(widened[name])
+                    if name in widened
+                    else fields[name],
+                    True,  # files written before an additive column lack it
+                )
+                for name in order
+            ]
+        )
 
     # -- column mapping (metadata-only DDL) ----------------------------------
     # Data files always store PHYSICAL column names; the log's metaData maps
@@ -431,10 +496,10 @@ class TxLogMergeSink:
         snap = self._snapshot(version)
         if snap.version < 0:
             return None
-        base = self._to_logical(self._read_files(sorted(snap.files)), snap)
+        base = self._to_logical(self._read_files(sorted(snap.files), snap.widened), snap)
         if not snap.deltas:
             return base
-        deltas = self._to_logical(self._read_files(sorted(snap.deltas)), snap)
+        deltas = self._to_logical(self._read_files(sorted(snap.deltas), snap.widened), snap)
         return apply_changes(base, deltas, self.key_cols)
 
     def count(self) -> int:
@@ -491,10 +556,10 @@ class TxLogMergeSink:
         if snap.version < 0:
             return None
         base_paths, delta_paths = self.pruned_files(predicates, version)
-        df = self._to_logical(self._read_files(base_paths), snap)
+        df = self._to_logical(self._read_files(base_paths, snap.widened), snap)
         if delta_paths:
             df = apply_changes(
-                df, self._to_logical(self._read_files(delta_paths), snap), self.key_cols
+                df, self._to_logical(self._read_files(delta_paths, snap.widened), snap), self.key_cols
             )
         if df is None:
             return None
@@ -529,12 +594,12 @@ class TxLogMergeSink:
         if snap.version < 0:
             return None
         base = self._to_logical(
-            self._read_files(sorted(snap.bucket_files(buckets))), snap
+            self._read_files(sorted(snap.bucket_files(buckets)), snap.widened), snap
         )
         delta_files = sorted(snap.bucket_deltas(buckets))
         if delta_files:
             base = apply_changes(
-                base, self._to_logical(self._read_files(delta_files), snap), self.key_cols
+                base, self._to_logical(self._read_files(delta_files, snap.widened), snap), self.key_cols
             )
         return base
 
@@ -724,11 +789,11 @@ class TxLogMergeSink:
                 self._discard(adds)
                 adds = None
             if adds is None:
-                current = self._to_logical(self._read_files(base_files), snap)
+                current = self._to_logical(self._read_files(base_files, snap.widened), snap)
                 if delta_files:
                     current = apply_changes(
                         current,
-                        self._to_logical(self._read_files(delta_files), snap),
+                        self._to_logical(self._read_files(delta_files, snap.widened), snap),
                         self.key_cols,
                     )
                 if snap.version >= 0:
@@ -968,9 +1033,13 @@ class TxLogMergeSink:
                 return 0
             base_paths = sorted(snap.bucket_files(frag))
             delta_paths = sorted(snap.bucket_deltas(frag))
-            df = self._read_files(base_paths)
+            # widened read here means compaction MIGRATES narrow files to
+            # the widened type as a side effect — the gradual rewrite path
+            df = self._read_files(base_paths, snap.widened)
             if delta_paths:
-                df = apply_changes(df, self._read_files(delta_paths), self.key_cols)
+                df = apply_changes(
+                    df, self._read_files(delta_paths, snap.widened), self.key_cols
+                )
             # one output file per compacted bucket (files_per_bucket
             # z-segments each when clustering); cluster cols are translated
             # logical -> physical since compact runs in physical space
@@ -1008,44 +1077,37 @@ class TxLogMergeSink:
         raise RuntimeError(f"compact lost {self.max_commit_retries} commit races")
 
     def ddl(self, ops) -> None:
-        """Schema evolution on the table (ST8, non-additive). Rename and drop
-        are METADATA-ONLY: one O(1) log commit updating the column mapping —
-        zero data files touched, the property that makes DDL on a 100 TB
-        table instant (reference anchor: the schema-history stream,
-        connectors/sources/mariadb/trading.json:23-37; design anchor: Delta/
-        Iceberg column mapping). Widen remains a rewrite (parquet has no
-        read-compatible int32->int64 promotion across mixed files), applied
-        in sequence position so rename-then-widen-of-the-new-name is legal.
+        """Schema evolution on the table (ST8, non-additive). ALL of rename,
+        drop, and widen are METADATA-ONLY: one O(1) log commit updating the
+        column mapping / widened-type map — zero data files touched, the
+        property that makes DDL on a 100 TB table instant (reference anchor:
+        the schema-history stream, connectors/sources/mariadb/trading.json:
+        23-37; design anchors: Delta/Iceberg column mapping, Delta type
+        widening). Widen stores the target type in metadata; reads pass an
+        explicit schema and the parquet reader's widening promotions
+        (SPARK-40876, Spark 4) upcast narrow files at scan time; compaction
+        gradually migrates files to the wide type.
 
         Ops validate against the EVOLVING logical schema (ddl.py guards: key
-        rename/drop rejected, narrowing rejected, replay idempotent)."""
-        from cdc_connector_spark.changelog.ddl import WidenColumn, _check_ops
+        rename/drop/widen rejected, narrowing rejected, replay idempotent)."""
+        from cdc_connector_spark.changelog.ddl import _check_ops
 
         cur = self.read()
         if cur is None:
             raise ValueError("cannot run DDL on an empty table")
         _check_ops(cur.schema, ops, self.key_cols)
-        i = 0
-        while i < len(ops):
-            if isinstance(ops[i], WidenColumn):
-                op = ops[i]
-                state = self.read()
-                if op.col in state.columns:
-                    state = state.withColumn(op.col, F.col(op.col).cast(op.to_type))
-                self.overwrite(state)
-                i += 1
-            else:
-                run = []
-                while i < len(ops) and not isinstance(ops[i], WidenColumn):
-                    run.append(ops[i])
-                    i += 1
-                self._ddl_metadata(run)
+        self._ddl_metadata(list(ops))
 
     def _ddl_metadata(self, run) -> None:
-        """Commit a batch of rename/drop ops as ONE metadata action: no data
-        file is added, removed, or rewritten. Time travel to a pre-DDL
-        version replays the pre-DDL mapping, so old reads keep old names."""
-        from cdc_connector_spark.changelog.ddl import DropColumn, RenameColumn
+        """Commit a batch of rename/drop/widen ops as ONE metadata action:
+        no data file is added, removed, or rewritten. Time travel to a
+        pre-DDL version replays the pre-DDL mapping/widening, so old reads
+        keep old names and old types."""
+        from cdc_connector_spark.changelog.ddl import (
+            DropColumn,
+            RenameColumn,
+            WidenColumn,
+        )
 
         for _ in range(self.max_commit_retries):
             snap = self._snapshot()
@@ -1055,10 +1117,18 @@ class TxLogMergeSink:
                 c: c for c in columns
             }
             tombstones = list(snap.tombstones)
+            widened = dict(snap.widened)
             changed = snap.mapping is None
             described: list[str] = []
             for op in run:
-                if isinstance(op, RenameColumn):
+                if isinstance(op, WidenColumn):
+                    phys = mapping.get(op.col, op.col)
+                    if widened.get(phys) == op.to_type:
+                        continue  # already applied — replay is idempotent (ST1)
+                    widened[phys] = op.to_type
+                    changed = True
+                    described.append(f"widen {op.col}->{op.to_type}")
+                elif isinstance(op, RenameColumn):
                     if op.old not in mapping and op.new in mapping:
                         continue  # already applied — replay is idempotent (ST1)
                     if op.old not in mapping:
@@ -1072,11 +1142,16 @@ class TxLogMergeSink:
                 elif isinstance(op, DropColumn):
                     if op.col not in mapping:
                         continue  # already dropped — replay no-op
-                    tombstones.append(mapping.pop(op.col))
+                    dropped_phys = mapping.pop(op.col)
+                    tombstones.append(dropped_phys)
+                    # a tombstoned physical is never read again; keeping its
+                    # widened entry could mask a type conflict if the name
+                    # is ever reused in a footer
+                    widened.pop(dropped_phys, None)
                     columns.remove(op.col)
                     changed = True
                     described.append(f"drop {op.col}")
-                else:  # pragma: no cover - ddl() routes widen elsewhere
+                else:  # pragma: no cover - type guard
                     raise TypeError(f"not a metadata op: {op!r}")
             if not changed:
                 return
@@ -1087,6 +1162,7 @@ class TxLogMergeSink:
                     "columns": columns,
                     "column_mapping": mapping,
                     "physical_tombstones": tombstones,
+                    "widened_types": widened,
                 }},
                 {"commitInfo": {
                     "operation": "DDL", "ts": time.time(), "ops": described,
