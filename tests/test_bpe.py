@@ -182,3 +182,42 @@ def test_bpe_save_load_roundtrip(corpus_df, tmp_path):
 
     with _pt.raises(ValueError, match="unsupported"):
         bpe_load(p)
+
+
+def test_bpe_distributed_strategy_matches_reference(corpus_df):
+    """The distributed incremental pair-delta loop (verdict r6 #4) must
+    produce the IDENTICAL merge table as the paper reference and the
+    driver-side loop."""
+    dist = bpe_train(corpus_df, n_merges=12, checkpoint_every=3, strategy="distributed")
+    drv = bpe_train(corpus_df, n_merges=12, strategy="driver")
+    want = ref_train(_counts(), 12)
+    assert dist == want
+    assert drv == want
+    # early stop agrees too
+    assert bpe_train(corpus_df, n_merges=50, min_count=6, strategy="distributed") == ref_train(
+        _counts(), 50, min_count=6
+    )
+
+
+def test_bpe_ten_thousand_merges_synthetic(spark):
+    """Verdict r6 #4 done-criterion: a 10k-merge synthetic run completes
+    within budget (driver-side incremental loop — seconds, not 10k jobs)."""
+    import random
+    import time
+
+    rng = random.Random(7)
+    words = {
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(12))
+        for _ in range(3000)
+    }
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(sorted(words))], "doc_id bigint, text string"
+    )
+    t0 = time.time()
+    merges = bpe_train(df, n_merges=10_000, min_count=1)
+    took = time.time() - t0
+    assert len(merges) == 10_000
+    assert took < 120, f"10k merges took {took:.0f}s"
+    # spot-check: a trained merge encodes greedily without error
+    out = bpe_encode(df.limit(5), merges)
+    assert out.count() == 5

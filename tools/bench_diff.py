@@ -48,6 +48,9 @@ def main() -> int:
     old = json.load(open(args[0]))
     new = json.load(open(args[1]))
     oq, nq = old.get("queries", {}), new.get("queries", {})
+    # medians-of-N artifacts (query_stats, r7+) carry per-entry run counts;
+    # annotate them so a 1-run number is read with the right skepticism
+    nstats = new.get("query_stats", {})
     shared = sorted(set(oq) & set(nq))
     rows = []
     for k in shared:
@@ -57,7 +60,9 @@ def main() -> int:
     print(f"{'query':42s} {'old':>8s} {'new':>8s} {'ratio':>7s}")
     for ratio, k, o, n in rows:
         flag = "  <-- REGRESSION" if ratio > threshold else ""
-        print(f"{k:42s} {o:8.3f} {n:8.3f} {ratio:7.2f}{flag}")
+        runs = nstats.get(k, {}).get("runs")
+        tag = f" (median of {runs})" if runs and runs > 1 else ""
+        print(f"{k:42s} {o:8.3f} {n:8.3f} {ratio:7.2f}{tag}{flag}")
     only_old = sorted(set(oq) - set(nq))
     only_new = sorted(set(nq) - set(oq))
     if only_old:
