@@ -73,6 +73,60 @@ def kmeans_init(
     return np.vstack([np.asarray(r["v"], dtype=np.float64) for r in rows])
 
 
+def kmeans_init_plusplus(
+    embeddings: DataFrame,
+    k: int,
+    seed: int = 0,
+    sample_size: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Seeded k-means++ (Arthur & Vassilvitskii 2007) over a BOUNDED,
+    hash-ranked corpus sample — the clustering-QUALITY init (verdict r6
+    #6). The deterministic smallest-k-ids init (``kmeans_init``) is
+    oracle-perfect but quality-poor on real corpora: adjacent ids often
+    share a domain/shard, so the k seeds can all land in one region and
+    fixed-iteration Lloyd's never escapes. D² seeding spreads seeds
+    proportionally to squared distance from the chosen set.
+
+    Determinism: the sample is the ``sample_size`` smallest PORTABLE HASH
+    values of the id (ties by id — reproducible on any engine/partitioning,
+    same recipe as ``corpus.hash_sample``), and the D² draws come from a
+    seeded generator. Same inputs → same seeds, but NOT SQL-re-derivable —
+    anything needing cross-engine value parity uses ``kmeans_init``.
+
+    Scale shape: one TakeOrdered over the corpus (no full sort) collects
+    ≤ sample_size × dim doubles; the D² loop is k passes over the sample
+    matrix on the driver — O(k · sample_size · dim) flops, no Spark jobs."""
+    from cdc_connector_spark.ops.corpus import knuth_hash
+
+    rows = (
+        embeddings.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy(knuth_hash("__id", seed).asc(), F.col("__id").asc())
+        .limit(sample_size)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"k={k} but corpus has only {len(rows)} vectors")
+    X = np.vstack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    rng = np.random.default_rng(seed)
+    chosen = [int(rng.integers(len(X)))]
+    d2 = ((X - X[chosen[0]]) ** 2).sum(axis=1)
+    for _ in range(k - 1):
+        total = d2.sum()
+        if total <= 0.0:  # all mass on chosen points (duplicate-heavy sample)
+            probs = np.full(len(X), 1.0 / len(X))
+        else:
+            probs = d2 / total
+        nxt = int(rng.choice(len(X), p=probs))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))
+    return X[chosen].copy()
+
+
 def _iterate_kernel(C: np.ndarray, vec_col: str):
     """mapInPandas kernel: fused assign + per-partition partial sums.
 
@@ -113,6 +167,9 @@ def kmeans_fit(
     vec_col: str = "embedding",
     tol: float | None = None,
     max_iters: int = 20,
+    init: str = "ids",
+    seed: int = 0,
+    init_sample: int = 100_000,
 ) -> np.ndarray:
     """Exact Lloyd's; returns the final k×dim centroids.
 
@@ -134,13 +191,23 @@ def kmeans_fit(
     ``iters`` and ``tol`` are mutually exclusive: passing a non-default
     ``iters`` together with ``tol`` raises (the tol mode's round cap is
     ``max_iters``, and silently ignoring ``iters`` surprised callers).
+
+    ``init``: ``"ids"`` (default) is the deterministic smallest-k-ids
+    recipe — the oracle-mirrored mode; ``"kmeans++"`` is seeded D²
+    sampling over a bounded hash-ranked sample (``seed``/``init_sample``)
+    for clustering QUALITY — reproducible but not SQL-re-derivable.
     """
     if tol is not None and iters != 3:
         raise ValueError(
             "iters and tol are mutually exclusive: tol-mode rounds are "
             "capped by max_iters; drop iters or use max_iters instead"
         )
-    C = kmeans_init(embeddings, k, id_col, vec_col)
+    if init == "ids":
+        C = kmeans_init(embeddings, k, id_col, vec_col)
+    elif init == "kmeans++":
+        C = kmeans_init_plusplus(embeddings, k, seed, init_sample, id_col, vec_col)
+    else:
+        raise ValueError(f"init must be 'ids' or 'kmeans++', got {init!r}")
     dim = C.shape[1]
     partial_schema = T.StructType(
         [
