@@ -709,6 +709,28 @@ def classifier_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_quality_linear(docs, _QUALITY_WEIGHTS, bias=_QUALITY_BIAS)
 
 
+def novelty_scores_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops (NEW r7): per-doc 3-gram novelty — fraction of a doc's
+    n-gram occurrences first seen (smallest doc_id) in this doc. One
+    postings lineage + a gram-window MIN + per-doc roll-up; exact-integer
+    ratio, value-verified against the same derivation in DuckDB."""
+    from cdc_connector_spark.ops.textstats import novelty_scores
+
+    return novelty_scores(_t(spark, sf_dir, "documents"), n=3)
+
+
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops (NEW r7): domain/source-LEVEL quality filtering (the
+    RefinedWeb/FineWeb recipe — drop whole domains whose aggregate stats
+    give them away). DECIMAL-accumulated mean of the rounded per-doc
+    score, one shuffle on source; value-verified end-to-end."""
+    from cdc_connector_spark.ops.corpus import source_quality_filter
+
+    return source_quality_filter(
+        _t(spark, sf_dir, "documents"), min_docs=10, min_mean_quality=0.93
+    )
+
+
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banding + exact-Jaccard verify — VALUE-VERIFIED against
     the same DuckDB shingle-Jaccard oracle as ngram_jaccard_pairs_subset:
@@ -2068,6 +2090,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_documents": gopher_quality_documents,
         "text_stats_documents": text_stats_documents,
         "json_extract_events": json_extract_events,
+        # --- NEW in round 7 (tail; 3-SF local verification + tripwire; the
+        #     r8 rotation moves them into the window) ---
+        "novelty_scores_documents": novelty_scores_documents,
+        "source_quality_report": source_quality_report,
     }
 
 
@@ -2641,6 +2667,76 @@ def oracle_sql() -> dict[str, str]:
                 FROM t
             )
             SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS quality_prob FROM z
+        """,
+        # Per-doc 3-gram novelty: first-appearance = MIN(doc_id) per gram,
+        # novelty = novel-occurrence fraction (exact-integer ratio).
+        "novelty_scores_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(lower(coalesce(text,''))) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(lower(coalesce(text,''))), '\\s+') END AS toks
+                FROM documents
+            ), p AS (
+                SELECT doc_id, g, COUNT(*) AS c
+                FROM (
+                    SELECT doc_id,
+                           unnest(CASE WHEN len(toks) >= 3
+                                THEN list_transform(range(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                                ELSE CAST([] AS VARCHAR[]) END) AS g
+                    FROM t
+                )
+                GROUP BY doc_id, g
+            ), f AS (
+                SELECT doc_id, g, c, MIN(doc_id) OVER (PARTITION BY g) AS first_doc
+                FROM p
+            ), sc AS (
+                SELECT doc_id,
+                       SUM(c) AS n_grams,
+                       round(CAST(SUM(CASE WHEN first_doc = doc_id THEN c ELSE 0 END) AS DOUBLE)
+                             / CAST(SUM(c) AS DOUBLE), 6) AS novelty
+                FROM f GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
+                   coalesce(sc.novelty, 0.0) AS novelty
+            FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        """,
+        # Source/domain-level filtering: DECIMAL-accumulated mean of the
+        # rounded per-doc quality score (the quality_score_documents CTE),
+        # keep = thresholds on (n_docs, mean_quality).
+        "source_quality_report": """
+            WITH t AS (
+                SELECT doc_id, source,
+                       coalesce(text, '') AS txt,
+                       length(coalesce(text, '')) AS n_chars,
+                       CASE WHEN trim(coalesce(text,'')) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, source, n_chars,
+                       len(toks) AS n_toks,
+                       CASE WHEN len(toks) > 0 THEN CAST(n_chars AS DOUBLE) / len(toks) ELSE 0.0 END AS mean_tok,
+                       len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','with'], x))) AS sw,
+                       length(regexp_replace(txt, '[^A-Za-z ]', '', 'g')) AS alpha
+                FROM t
+            ), q AS (
+                SELECT source,
+                       CAST(round(
+                         least(n_chars / 200.0, 1.0) * 0.3
+                       + (CASE WHEN mean_tok >= 3 AND mean_tok <= 12 THEN 1.0 ELSE 0.5 END) * 0.2
+                       + (CASE WHEN n_toks > 0 THEN least(sw / (n_toks * 0.02), 1.0) ELSE 0.0 END) * 0.2
+                       + (CASE WHEN n_chars > 0 THEN CAST(alpha AS DOUBLE) / n_chars ELSE 0.0 END) * 0.3,
+                       6) AS DECIMAL(18,6)) AS q
+                FROM s
+            ), rep AS (
+                SELECT source, COUNT(*) AS n_docs,
+                       round(CAST(SUM(q) AS DOUBLE) / COUNT(*), 6) AS mean_quality
+                FROM q GROUP BY source
+            )
+            SELECT source, n_docs, mean_quality,
+                   (n_docs >= 10 AND mean_quality >= 0.93) AS keep
+            FROM rep
         """,
         # MinHash-LSH banding with exact-Jaccard verify: candidate recall at
         # J≥0.5 is 1−1e-4 per pair (r=2, b=32), so the verified output equals

@@ -639,3 +639,48 @@ def length_buckets(
         df.select(F.col(id_col), n_toks.cast("long").alias("n_tokens"))
         .withColumn("bucket", F.ntile(n_buckets).over(w))
     )
+
+
+def source_quality_filter(
+    df: DataFrame,
+    min_docs: int = 1,
+    min_mean_quality: float = 0.0,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Domain/source-LEVEL filtering (the RefinedWeb / FineWeb recipe):
+    aggregate per-document quality to the source (domain) and keep or
+    drop WHOLE sources — a complement to per-doc filters, because spam
+    farms produce individually-plausible pages whose domain-level
+    statistics give them away. Returns one row per source:
+    (source, n_docs, mean_quality, keep); compose downstream with a
+    broadcast semi-join of kept sources against the corpus.
+
+    mean_quality is DECIMAL-accumulated over the rounded per-doc
+    heuristic score (sum order cannot perturb the double), then rounded —
+    the value is engine-portable. One map-side-combined shuffle on the
+    source key; the quality score itself is a codegen projection."""
+    from cdc_connector_spark.ops.textstats import quality_score
+
+    per = df.select(
+        F.col(source_col),
+        F.round(quality_score(text_col), 6).cast("decimal(18,6)").alias("q"),
+    )
+    return (
+        per.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum("q").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_quality"),
+        )
+        .select(
+            source_col,
+            "n_docs",
+            "mean_quality",
+            (
+                (F.col("n_docs") >= F.lit(min_docs))
+                & (F.col("mean_quality") >= F.lit(min_mean_quality))
+            ).alias("keep"),
+        )
+    )

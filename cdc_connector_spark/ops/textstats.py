@@ -767,3 +767,63 @@ def vocab_coverage(
             F.round(F.col("covered_tokens") / F.col("__total"), 6).alias("coverage"),
         )
     )
+
+
+def novelty_scores(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a document's n-gram
+    occurrences whose FIRST corpus appearance (smallest id) is this
+    document — "how much genuinely new content does this doc contribute
+    after everything before it" (the dedup-quality / memorization-risk
+    metric: post-dedup corpora should trend toward 1.0; boilerplate-heavy
+    docs sit near 0). Returns (id, n_grams, novelty∈[0,1], rounded 6);
+    docs with fewer than ``n`` tokens report (0, 0.0).
+
+    Shape: ONE postings lineage — explode n-grams (shifted-slice
+    ``zip_with``, linear per doc) → per-(doc, gram) count; the gram's
+    first-doc is a window MIN over that same frame partitioned by gram
+    (re-using the aggregation's hash partitioning — no second derivation
+    of the postings, the unigram_nll lesson); the per-doc roll-up is one
+    more keyed aggregate. Two shuffles total (gram, then doc), both
+    map-side combined; novel/n_grams is an exact-integer ratio so the
+    value hash-matches any engine."""
+    from pyspark.sql import Window
+
+    toks = tokenize(F.lower(F.col(text_col)))
+    postings = (
+        df.select(F.col(id_col), F.explode(word_ngrams(toks, n)).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    first = postings.withColumn(
+        "first_doc", F.min(id_col).over(Window.partitionBy("g"))
+    )
+    sc = (
+        first.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col(id_col), F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("novel"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.round(F.col("novel") / F.col("n_grams"), 6).alias("novelty"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(sc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("novelty", F.lit(0.0)).alias("novelty"),
+        )
+    )

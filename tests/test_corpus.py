@@ -423,3 +423,21 @@ def test_length_buckets_equal_population_and_order(spark):
 
     with _pt.raises(ValueError, match="n_buckets"):
         length_buckets(df, n_buckets=0)
+
+
+def test_source_quality_filter_split(spark):
+    from cdc_connector_spark.ops.corpus import source_quality_filter
+
+    rows = []
+    for i in range(6):
+        rows.append((i, "the quick brown fox jumps over the lazy dog and that is fine with everyone here today", "good.example"))
+    for i in range(6, 12):
+        rows.append((i, "x", "junk.example"))
+    rows.append((12, "lone doc of the smallest source with plenty of fine readable text in it", "tiny.example"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    rep = {r["source"]: r for r in source_quality_filter(df, min_docs=2, min_mean_quality=0.5).collect()}
+    assert rep["good.example"]["keep"] is True
+    assert rep["junk.example"]["keep"] is False  # low quality
+    assert rep["tiny.example"]["keep"] is False  # below min_docs
+    assert rep["good.example"]["n_docs"] == 6
+    assert 0.0 <= rep["junk.example"]["mean_quality"] < 0.5

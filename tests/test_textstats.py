@@ -390,3 +390,25 @@ def test_hash_embed_zero_norm_doc_drops(spark):
     )
     out = {r["doc_id"] for r in hash_embed(df, dim=dim).select("doc_id").distinct().collect()}
     assert out == {2}  # the cancelling doc dropped, no NULL/NaN vector
+
+
+def test_novelty_scores_semantics(spark):
+    """First corpus appearance (smallest doc_id) owns the gram: a verbatim
+    copy scores 0, the original 1; short docs report (0, 0.0)."""
+    from cdc_connector_spark.ops.textstats import novelty_scores
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),   # exact copy -> 0.0
+            (2, "alpha beta gamma epsilon"), # shares 2 of 2... grams partially
+            (3, "tiny doc"),                 # < 3 tokens -> no grams
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: (r["n_grams"], r["novelty"]) for r in novelty_scores(df).collect()}
+    assert got[0] == (2, 1.0)
+    assert got[1] == (2, 0.0)
+    # doc 2: grams {alpha beta gamma(seen), beta gamma epsilon(new)} -> 0.5
+    assert got[2] == (2, 0.5)
+    assert got[3] == (0, 0.0)
