@@ -731,6 +731,37 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops (NEW r7): MOSS winnowing fingerprints (Schleimer 2003) —
+    min-of-window selection over portable md5-folded 5-gram hashes
+    (window 4); the LOCAL-overlap dedup primitive (quotes/boilerplate
+    blocks) between whole-doc hashing and MinHash. Higher-order algebra
+    up to one explode+distinct; value-verified (the oracle replays the
+    exact hash fold and window minima)."""
+    from cdc_connector_spark.ops.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=5, w=4)
+
+
+def corpus_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops (NEW r7): dataset-version diff — two corpus versions derived
+    deterministically from the fixture (old = ids not ≡0 mod 7; new = ids
+    not ≡0 mod 5, text rewritten for ids ≡0 mod 11), diffed by id +
+    normalized-content fingerprint into added/removed/changed/unchanged.
+    One full-outer join on the id; fingerprints only cross the exchange."""
+    from cdc_connector_spark.ops.corpus import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.lit("edited "), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)
+
+
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banding + exact-Jaccard verify — VALUE-VERIFIED against
     the same DuckDB shingle-Jaccard oracle as ngram_jaccard_pairs_subset:
@@ -2094,6 +2125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     r8 rotation moves them into the window) ---
         "novelty_scores_documents": novelty_scores_documents,
         "source_quality_report": source_quality_report,
+        "winnow_fingerprints_documents": winnow_fingerprints_documents,
+        "corpus_diff_versions": corpus_diff_versions,
     }
 
 
@@ -2737,6 +2770,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, n_docs, mean_quality,
                    (n_docs >= 10 AND mean_quality >= 0.93) AS keep
             FROM rep
+        """,
+        # Winnowing: replays the exact md5 hash fold and per-window minima
+        # (window i = gram hashes i..i+w-1; truncated tail window takes the
+        # min of what exists, matching the Spark least-ignores-null zip).
+        "winnow_fingerprints_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(lower(coalesce(text,''))) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(lower(coalesce(text,''))), '\\s+') END AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 5
+                            THEN list_transform(range(1, len(toks) - 3),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                      || ' ' || toks[i+3] || ' ' || toks[i+4])
+                            ELSE CAST([] AS VARCHAR[]) END AS grams
+                FROM t
+            ), h AS (
+                SELECT doc_id,
+                       list_transform(grams, gr ->
+                           list_reduce(
+                               list_transform(range(1, 16),
+                                   i -> CAST(strpos('0123456789abcdef', substring(md5(gr), i, 1)) - 1 AS BIGINT)),
+                               (a, x) -> a * 16 + x)) AS gh
+                FROM g
+            )
+            SELECT DISTINCT doc_id, fp FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(gh) - 3, 1) + 1),
+                              i -> list_min(gh[i:i+3]))) AS fp
+                FROM h WHERE len(gh) > 0
+            )
+        """,
+        # Version diff: same derived old/new slices, id+fingerprint compare.
+        "corpus_diff_versions": """
+            WITH fp AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(lower(coalesce(text,'')), '[^a-z0-9]+', ' ', 'g'))) AS f,
+                       md5(trim(regexp_replace(lower('edited ' || coalesce(text,'')), '[^a-z0-9]+', ' ', 'g'))) AS f_edited
+                FROM documents
+            ), o AS (
+                SELECT doc_id, f AS fp_old FROM fp WHERE doc_id % 7 <> 0
+            ), n AS (
+                SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN f_edited ELSE f END AS fp_new
+                FROM fp WHERE doc_id % 5 <> 0
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN fp_old <> fp_new THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         """,
         # MinHash-LSH banding with exact-Jaccard verify: candidate recall at
         # J≥0.5 is 1−1e-4 per pair (r=2, b=32), so the verified output equals

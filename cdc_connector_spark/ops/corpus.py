@@ -684,3 +684,36 @@ def source_quality_filter(
             ).alias("keep"),
         )
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dataset-version diff (the data-card / reproducibility op): compare
+    two corpus versions by id and CONTENT fingerprint (md5 of the
+    normalized text — formatting-only edits don't count as changes) and
+    report one row per id with status ∈ {added, removed, changed,
+    unchanged}. The audit artifact between two pipeline runs: what did
+    the new filters/dedup actually do.
+
+    Full-outer join on the id — one co-partitioned shuffle each side,
+    fingerprints computed in the scan projection; no text leaves the
+    exchange (32-hex fingerprints only)."""
+    from cdc_connector_spark.ops.textstats import fingerprint
+
+    o = old.select(F.col(id_col), fingerprint(text_col).alias("__fp_old"))
+    n = new.select(F.col(id_col), fingerprint(text_col).alias("__fp_new"))
+    return (
+        o.join(n, id_col, "full_outer")
+        .select(
+            id_col,
+            F.when(F.col("__fp_old").isNull(), F.lit("added"))
+            .when(F.col("__fp_new").isNull(), F.lit("removed"))
+            .when(F.col("__fp_old") != F.col("__fp_new"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+    )

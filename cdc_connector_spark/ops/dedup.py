@@ -844,3 +844,87 @@ def minhash_index_lookup(
         # result replay-invariant at O(survivors) cost
         .dropDuplicates(["new_id", "corpus_id"])
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    — the MOSS local fingerprinting algorithm): hash every word ``k``-gram,
+    slide a window of ``w`` consecutive gram hashes, select each window's
+    MINIMUM, and keep the distinct selections. Guarantees: any shared run
+    of ≥ w+k−1 tokens between two documents shares at least one selected
+    fingerprint (the winnowing coverage theorem), while storing only
+    ~2/(w+1) of the gram hashes — the classic middle ground between exact
+    dedup (whole-doc hash) and MinHash (global similarity): winnowing
+    finds LOCAL overlap (quotes, boilerplate blocks, partial plagiarism).
+
+    Returns (id, fp) rows — the inverted-index-ready long form; join on
+    fp and count shared fingerprints per pair for near-dup candidates
+    (``winnow_candidate_pairs``).
+
+    Engine-portable by construction: gram hashes are the 60-bit
+    md5-derived fold (the ``hash_embed``/``simhash_portable`` scheme), so
+    a SQL engine replays the exact selection — value-verified, not just
+    tested. Docs with fewer than k tokens contribute no fingerprints
+    (nothing to localize); docs with fewer than w grams select the min of
+    what exists (a single truncated window).
+
+    Shape: everything up to the final explode is higher-order array
+    algebra inside one codegen projection — gram strings, hash fold,
+    window minima via w−1 chained shifted-slice ``zip_with(least)``
+    passes (linear per doc; see word_ngrams for why transform+slice is
+    banned) — then one explode + distinct. One shuffle (the distinct),
+    keyed by (id, fp) longs."""
+    from cdc_connector_spark.ops.textstats import tokenize, word_ngrams
+
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    grams = word_ngrams(tokenize(F.lower(F.col(text_col))), k)
+    gh = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+    m = F.greatest(F.size(gh) - (w - 1), F.lit(1))
+    mins = F.slice(gh, 1, m)
+    for j in range(1, w):
+        # shorter tail slices zip against NULL padding; least() ignores it,
+        # so the final truncated window degrades to min-of-available
+        mins = F.zip_with(mins, F.slice(gh, 1 + j, m), lambda a, b: F.least(a, b))
+    return (
+        df.select(F.col(id_col), F.explode(mins).alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .distinct()
+    )
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Local-overlap near-dup candidates from shared winnowing
+    fingerprints: (id_a < id_b, shared) pairs with ≥ ``min_shared``
+    common selections — the MOSS matching step. Inverted-index
+    self-join on the fingerprint (cost O(matching fingerprints), never
+    all-pairs); a hot fingerprint (corpus-wide boilerplate) fans out
+    quadratically within its posting list, so production runs should cap
+    or drop fingerprints whose document frequency explodes — the same
+    stop-shingle pruning rule as ``ngram_jaccard_pairs``."""
+    fps = winnow_fingerprints(df, k, w, text_col, id_col)
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

@@ -441,3 +441,19 @@ def test_source_quality_filter_split(spark):
     assert rep["tiny.example"]["keep"] is False  # below min_docs
     assert rep["good.example"]["n_docs"] == 6
     assert 0.0 <= rep["junk.example"]["mean_quality"] < 0.5
+
+
+def test_corpus_diff_statuses(spark):
+    from cdc_connector_spark.ops.corpus import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, "Delta!")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "beta CHANGED"), (3, "gamma"), (4, "delta"), (5, "epsilon")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    # id 4: 'Delta!' vs 'delta' normalizes identically -> unchanged
+    assert got == {1: "removed", 2: "changed", 3: "unchanged", 4: "unchanged", 5: "added"}

@@ -318,3 +318,39 @@ def test_incremental_lookup_survives_fixture_mutation(spark, tmp_path):
     ).coalesce(1).write.mode("overwrite").parquet(str(sf / "documents.parquet"))
     second = incremental_dedup_lookup(spark, str(sf)).collect()
     assert second == []  # a stale index would still report (3, 1)
+
+
+def test_winnow_fingerprints_local_overlap(spark):
+    """Winnowing coverage: two docs sharing a run of >= w+k-1 tokens share
+    at least one fingerprint; disjoint docs share none; short docs (<k
+    tokens) yield none."""
+    from cdc_connector_spark.ops.dedup import (
+        winnow_candidate_pairs,
+        winnow_fingerprints,
+    )
+
+    shared = "the winnowing theorem guarantees a shared selected fingerprint here"
+    rows = [
+        (0, f"intro words first {shared} tail a"),
+        (1, f"completely different framing text {shared} and another ending"),
+        (2, "nothing in common with either of the other two documents at all"),
+        (3, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fps = winnow_fingerprints(df, k=5, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] & by_doc[1], "shared 9-token run must share a fingerprint"
+    assert not (by_doc[0] & by_doc[2])
+    assert 3 not in by_doc  # < k tokens -> no fingerprints
+    pairs = {(r["id_a"], r["id_b"]): r["shared"] for r in winnow_candidate_pairs(df, k=5, w=4).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 1
+    assert (0, 2) not in pairs
+    # selection density: ~2/(w+1) of grams, never more than all of them
+    n_grams_doc0 = len(rows[0][1].split()) - 4
+    assert 1 <= len(by_doc[0]) <= n_grams_doc0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k and w"):
+        winnow_fingerprints(df, k=0)
