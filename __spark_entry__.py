@@ -762,6 +762,20 @@ def corpus_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diff(old, new)
 
 
+def budget_mixture_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops (NEW r7): token-budget mixture selection (the Pile/Dolma
+    data-recipe step) — per-source integer token targets (6-decimal weight
+    precision, pure integer div), hash-ranked selection until the budget
+    crosses. One stratum-keyed window shuffle; value-verified end-to-end."""
+    from cdc_connector_spark.ops.corpus import budget_mixture
+
+    return budget_mixture(
+        _t(spark, sf_dir, "documents"),
+        weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        total_tokens=3000,
+    )
+
+
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banding + exact-Jaccard verify — VALUE-VERIFIED against
     the same DuckDB shingle-Jaccard oracle as ngram_jaccard_pairs_subset:
@@ -2127,6 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_report": source_quality_report,
         "winnow_fingerprints_documents": winnow_fingerprints_documents,
         "corpus_diff_versions": corpus_diff_versions,
+        "budget_mixture_documents": budget_mixture_documents,
     }
 
 
@@ -2770,6 +2785,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, n_docs, mean_quality,
                    (n_docs >= 10 AND mean_quality >= 0.93) AS keep
             FROM rep
+        """,
+        # Mixture selection: integer targets (total·w6 // Σw6), hash-ranked
+        # per-source cumsum window, keep while pre-doc cum < target.
+        "budget_mixture_documents": """
+            WITH d AS (
+                SELECT doc_id, source,
+                       CAST(CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+                       ((doc_id % 2147483648) * 2654435761) % 4294967296 AS h,
+                       CASE source
+                            WHEN 'src0' THEN 3000 * 500000 // 1000000
+                            WHEN 'src1' THEN 3000 * 300000 // 1000000
+                            WHEN 'src2' THEN 3000 * 200000 // 1000000
+                            ELSE -1 END AS target
+                FROM documents
+            ), c AS (
+                SELECT doc_id, source, n_tokens, target,
+                       coalesce(SUM(n_tokens) OVER (
+                           PARTITION BY source ORDER BY h ASC, doc_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+                FROM d
+            )
+            SELECT doc_id, source, n_tokens FROM c WHERE cum_before < target
         """,
         # Winnowing: replays the exact md5 hash fold and per-window minima
         # (window i = gram hashes i..i+w-1; truncated tail window takes the

@@ -717,3 +717,62 @@ def corpus_diff(
             .alias("status"),
         )
     )
+
+
+def budget_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Token-budget mixture selection (the Pile/Dolma "data recipe" step):
+    given target source PROPORTIONS and a total token budget, select
+    documents per source — deterministically — until each source reaches
+    its share. Returns the selected (id, source, n_tokens).
+
+    Exact arithmetic contract: weights are taken at 6-decimal precision
+    and each source's target is ``total_tokens · w6 // Σw6`` (pure integer
+    — engine-portable, no float proportions). Selection within a source
+    is by the portable multiplicative hash (ties by id), and a document is
+    kept while the PRE-document cumulative token count is below the
+    target — so the budget is crossed at most once per source (standard
+    recipe semantics: slightly over, never starved), a source with a
+    positive target always contributes at least one document, and sources
+    absent from ``weights`` are dropped.
+
+    One stratum-keyed window shuffle (the same cost class as
+    stratified/quota sampling); token counts are computed in the scan
+    projection. Compose upstream of ``pack_sequences``/``shard_plan``."""
+    if total_tokens <= 0:
+        raise ValueError(f"total_tokens must be positive, got {total_tokens}")
+    if not weights:
+        raise ValueError("weights must be a non-empty {source: proportion} map")
+    w6 = {s: int(round(w * 1_000_000)) for s, w in weights.items()}
+    if any(w <= 0 for w in w6.values()):
+        raise ValueError("every mixture weight must be positive at 1e-6 precision")
+    sumw = sum(w6.values())
+    target = None
+    for s, w in sorted(w6.items()):
+        t = total_tokens * w // sumw
+        cond = F.col(source_col) == F.lit(s)
+        target = F.when(cond, t) if target is None else target.when(cond, t)
+    target = target.otherwise(F.lit(-1))  # unlisted source: never selected
+    h = knuth_hash(id_col, salt)
+    win = (
+        Window.partitionBy(source_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(source_col),
+            token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        )
+        .withColumn("__cum_before", F.coalesce(F.sum("n_tokens").over(win), F.lit(0)))
+        .filter(F.col("__cum_before") < target)
+        .drop("__cum_before")
+    )

@@ -457,3 +457,36 @@ def test_corpus_diff_statuses(spark):
     got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     # id 4: 'Delta!' vs 'delta' normalizes identically -> unchanged
     assert got == {1: "removed", 2: "changed", 3: "unchanged", 4: "unchanged", 5: "added"}
+
+
+def test_budget_mixture_semantics(spark):
+    """Per-source integer targets; budget crossed at most once per source;
+    unlisted sources dropped; a positive target always yields >=1 doc."""
+    from cdc_connector_spark.ops.corpus import budget_mixture
+
+    rows = []
+    for i in range(40):
+        src = "a" if i % 2 == 0 else "b"
+        rows.append((i, "tok " * 10, src))      # 10 tokens each... actually 10 'tok' + trailing
+    rows.append((100, "w " * 5, "unlisted"))
+    df = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows], "doc_id bigint, text string, source string"
+    )
+    out = budget_mixture(df, {"a": 0.75, "b": 0.25}, total_tokens=200)
+    pdf = out.toPandas()
+    assert set(pdf["source"]) <= {"a", "b"}
+    per = pdf.groupby("source")["n_tokens"].sum().to_dict()
+    # targets: a=150, b=50; each doc is 10 tokens -> cum crosses once:
+    assert per["a"] == 150 and per["b"] == 50
+    # determinism
+    again = budget_mixture(df, {"a": 0.75, "b": 0.25}, total_tokens=200).toPandas()
+    assert sorted(again["doc_id"]) == sorted(pdf["doc_id"])
+    # tiny positive target still yields one doc (crossing allowed)
+    one = budget_mixture(df, {"a": 1.0}, total_tokens=1).toPandas()
+    assert len(one) == 1 and one["source"][0] == "a"
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="positive"):
+        budget_mixture(df, {"a": 1.0}, total_tokens=0)
+    with _pt.raises(ValueError, match="weight"):
+        budget_mixture(df, {"a": -1.0}, total_tokens=10)

@@ -190,3 +190,38 @@ def test_bigram_nll_single_postings_lineage(q):
     facts = q("bigram_nll_documents")
     assert len(facts["scans"]) <= 2, facts["scans"]
     assert facts["exchanges"] <= 5, facts["exchanges"]
+
+
+def test_classifier_scoring_is_zero_shuffle_projection(q):
+    """Fixed-weight scoring must stay a pure projection: no exchange, no
+    join, no python-udf node (aggregate left-fold + CASE chain, all
+    codegen)."""
+    facts = q("classifier_score_documents")
+    assert facts["exchanges"] == 0, facts
+    assert not facts["joins"]
+    assert not facts["has_python_udf"]
+
+
+def test_source_quality_filter_single_shuffle(q):
+    facts = q("source_quality_report")
+    assert facts["exchanges"] <= 1, facts
+    [scan] = facts["scans"]
+    assert scan["read_cols"] <= 2  # source + text only
+
+
+def test_novelty_bounded_shuffles_and_pruned_scan(q):
+    """One postings lineage: gram agg + gram window + doc roll-up (+ the
+    left-join back) — never more than 4 exchanges, scans pruned to the
+    needed columns."""
+    facts = q("novelty_scores_documents")
+    assert facts["exchanges"] <= 4, facts
+    for scan in facts["scans"]:
+        assert scan["read_cols"] <= 2
+
+
+def test_winnow_single_shuffle_no_python(q):
+    """Winnowing is higher-order algebra up to one explode + distinct:
+    at most the distinct's exchange, zero python-udf nodes."""
+    facts = q("winnow_fingerprints_documents")
+    assert facts["exchanges"] <= 1, facts
+    assert not facts["has_python_udf"]
