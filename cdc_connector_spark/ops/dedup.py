@@ -875,11 +875,19 @@ def winnow_fingerprints(
     what exists (a single truncated window).
 
     Shape: everything up to the final explode is higher-order array
-    algebra inside one codegen projection — gram strings, hash fold,
-    window minima via w−1 chained shifted-slice ``zip_with(least)``
-    passes (linear per doc; see word_ngrams for why transform+slice is
-    banned) — then one explode + distinct. One shuffle (the distinct),
-    keyed by (id, fp) longs."""
+    algebra — gram strings, hash fold, window minima via w−1 chained
+    shifted-slice ``zip_with(least)`` passes (linear per doc; see
+    word_ngrams for why transform+slice is banned) — then one explode +
+    distinct. One shuffle (the distinct), keyed by (id, fp) longs.
+
+    Evaluation-order note (measured 6× at sf0.1): the w slices all
+    reference the gram-hash array, and Catalyst does NOT eliminate the
+    common subtree across higher-order lambdas — inlined into one
+    projection, the tokenize→ngram→md5 chain evaluates w times per row.
+    The gram-hash array is therefore materialized in its OWN projection
+    behind a nondeterministic barrier column (CollapseProject refuses to
+    merge across it), so the minima chain reads a bound attribute — one
+    evaluation per row, and the barrier never leaves this function."""
     from cdc_connector_spark.ops.textstats import tokenize, word_ngrams
 
     if k < 1 or w < 1:
@@ -889,14 +897,16 @@ def winnow_fingerprints(
         grams,
         lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
     )
-    m = F.greatest(F.size(gh) - (w - 1), F.lit(1))
-    mins = F.slice(gh, 1, m)
+    staged = df.select(F.col(id_col), gh.alias("__gh"), F.rand().alias("__barrier"))
+    ghc = F.col("__gh")
+    m = F.greatest(F.size(ghc) - (w - 1), F.lit(1))
+    mins = F.slice(ghc, 1, m)
     for j in range(1, w):
         # shorter tail slices zip against NULL padding; least() ignores it,
         # so the final truncated window degrades to min-of-available
-        mins = F.zip_with(mins, F.slice(gh, 1 + j, m), lambda a, b: F.least(a, b))
+        mins = F.zip_with(mins, F.slice(ghc, 1 + j, m), lambda a, b: F.least(a, b))
     return (
-        df.select(F.col(id_col), F.explode(mins).alias("fp"))
+        staged.select(F.col(id_col), F.explode(mins).alias("fp"))
         .filter(F.col("fp").isNotNull())
         .distinct()
     )
