@@ -2,10 +2,12 @@
 
 Media are opaque ``binary`` columns plus a typed metadata struct; the
 decode / feature-extract kernels are Arrow-batched ``mapInPandas`` functions.
-Uncompressed 24-bit BMP images decode FOR REAL (``decode_bmp`` — pure numpy
-byte parsing, no codec library): true dimensions, Rec.601 mean luma, and an
-8×8 average-hash perceptual fingerprint, round-trip-tested against pixel
-arrays. Every other format needs codecs this container lacks: those raise
+Three formats decode FOR REAL with no codec library: uncompressed 24-bit
+BMP and binary PNM P5/P6 images (``decode_bmp``/``decode_pnm`` — true
+dimensions, Rec.601 mean luma, 8×8 average-hash fingerprint,
+round-trip-tested against pixel arrays) and integer-PCM WAV audio
+(``decode_wav`` — true sample rate, duration, RMS of the normalized mono
+mix). Every other format needs codecs this container lacks: those raise
 NotImplementedError unless ``fake=True`` routes them through a deterministic
 bytes-derived stub — so schema, partitioning, UDF signature and batch shape
 (the Spark-side plumbing) are real and tested either way, and PIL/libvips
@@ -102,6 +104,86 @@ def decode_bmp(raw: bytes):
     return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+def decode_pnm(raw: bytes):
+    """REAL image decode for binary PNM — P5 (grayscale) and P6 (RGB), the
+    other codec-free raster family (netpbm). Returns (H, W, 3) uint8 RGB
+    (grayscale expanded), or None when ``raw`` is not a PNM this decoder
+    handles (maxval ≤ 255, full pixel payload present)."""
+    import numpy as np
+
+    if len(raw) < 10 or raw[:2] not in (b"P5", b"P6"):
+        return None
+    channels = 1 if raw[:2] == b"P5" else 3
+    pos, fields = 2, []
+    n = len(raw)
+    while len(fields) < 3 and pos < n:
+        c = raw[pos : pos + 1]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == b"#":  # comment to end of line
+            while pos < n and raw[pos : pos + 1] not in b"\r\n":
+                pos += 1
+        elif c.isdigit():
+            start = pos
+            while pos < n and raw[pos : pos + 1].isdigit():
+                pos += 1
+            fields.append(int(raw[start:pos]))
+        else:
+            return None
+    if len(fields) < 3 or pos >= n or raw[pos : pos + 1] not in b" \t\r\n":
+        return None
+    pos += 1  # single whitespace after maxval, then raw pixels
+    width, height, maxval = fields
+    if width <= 0 or height <= 0 or not (0 < maxval <= 255):
+        return None
+    need = width * height * channels
+    if n - pos < need:
+        return None
+    px = np.frombuffer(raw, dtype=np.uint8, offset=pos, count=need)
+    if channels == 1:
+        px = np.repeat(px, 3)
+    return px.reshape(height, width, 3).copy()
+
+
+def decode_wav(raw: bytes):
+    """REAL audio decode for PCM WAV (RIFF) — pure struct/numpy parsing, no
+    codec library: integer PCM at 8 or 16 bits, any channel count.
+    Returns (sample_rate, n_channels, mono float64 samples in [-1, 1]),
+    or None when ``raw`` is not a PCM WAV this decoder handles."""
+    import struct
+
+    import numpy as np
+
+    if len(raw) < 44 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        size = int.from_bytes(raw[pos + 4 : pos + 8], "little")
+        body = raw[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and fmt is None:
+            fmt = body
+        elif cid == b"data" and data is None:
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_format, n_ch, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_format != 1 or n_ch < 1 or rate == 0 or bits not in (8, 16):
+        return None
+    if bits == 16:
+        usable = len(data) // 2 * 2
+        s = np.frombuffer(data, dtype="<i2", count=usable // 2).astype(np.float64) / 32768.0
+    else:  # 8-bit WAV is unsigned
+        s = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    frames = len(s) // n_ch
+    if frames == 0:
+        return None
+    s = s[: frames * n_ch].reshape(frames, n_ch).mean(axis=1)
+    return int(rate), int(n_ch), s
+
+
 def _bmp_features(rgb) -> tuple[int, int, float, str]:
     """width/height, Rec.601 mean luma in [0,1], and an 8x8 average-hash
     (aHash: block-mean luma thresholded at its mean -> 64 bits hex)."""
@@ -150,14 +232,17 @@ def decode_image_features(
             for b in pdf[media_col]:
                 raw = bytes(b) if b is not None else b""
                 rgb = decode_bmp(raw)
+                if rgb is None:
+                    rgb = decode_pnm(raw)
                 if rgb is not None:
                     out.append(_bmp_features(rgb))
                 elif fake:
                     out.append(_fake_decode(raw))
                 else:
                     raise NotImplementedError(
-                        "only uncompressed 24-bit BMP decodes without codec "
-                        "libraries; pass fake=True to stub other formats"
+                        "only uncompressed 24-bit BMP and binary PNM (P5/P6) "
+                        "decode without codec libraries; pass fake=True to "
+                        "stub other formats"
                     )
             yield pd.DataFrame(
                 {
@@ -188,16 +273,37 @@ def decode_audio_features(
     id_col: str = "media_id",
     fake: bool = False,
 ) -> DataFrame:
-    """Audio decode + feature stub over ``mapInPandas`` (same plumbing shape
-    as the image path; real decoders slot in unchanged)."""
-    if not fake:
-        raise NotImplementedError("audio codecs not available; pass fake=True")
+    """Audio decode + features over ``mapInPandas``. PCM WAV (8/16-bit
+    integer, RIFF) decodes FOR REAL (``decode_wav`` — pure struct/numpy):
+    true sample rate, duration, and RMS of the normalized mono mix.
+    Compressed formats need codecs this container lacks: they raise
+    unless ``fake=True`` routes them through the deterministic stub
+    (plumbing identical; soundfile/ffmpeg would slot into the same batch
+    loop unchanged)."""
+    import math
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid, b in zip(pdf[id_col], pdf[media_col]):
                 raw = bytes(b) if b is not None else b""
+                wav = decode_wav(raw)
+                if wav is not None:
+                    rate, _n_ch, s = wav
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "sample_rate": rate,
+                            "duration_ms": len(s) * 1000 // rate,
+                            "rms_level": float(math.sqrt((s * s).mean())),
+                        }
+                    )
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "only PCM WAV decodes without codec libraries; pass "
+                        "fake=True to stub other formats"
+                    )
                 h = hashlib.sha256(raw).digest()
                 rows.append(
                     {

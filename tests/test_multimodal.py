@@ -145,3 +145,81 @@ def test_bmp_core_header_rejected():
     # and the plain INFOHEADER path still decodes
     img = np.full((4, 4, 3), 7, dtype=np.uint8)
     assert decode_bmp(_make_bmp(img)) is not None
+
+
+def _make_wav(samples, rate=16000, n_ch=1, bits=16):
+    """Build a PCM WAV from float samples in [-1, 1]."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.float64)
+    if n_ch > 1:
+        s = np.repeat(s[:, None], n_ch, axis=1).reshape(-1)
+    if bits == 16:
+        data = (np.clip(s, -1, 1) * 32767).astype("<i2").tobytes()
+    else:
+        data = ((np.clip(s, -1, 1) * 127) + 128).astype("u1").tobytes()
+    block = n_ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * block, block, bits)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_wav_decode_real_features(spark):
+    import numpy as np
+
+    from cdc_connector_spark.ops.multimodal import decode_audio_features, decode_wav
+
+    t = np.arange(16000) / 16000.0
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)  # 1s of A440 at half amplitude
+    raw = _make_wav(sine)
+    rate, n_ch, s = decode_wav(raw)
+    assert (rate, n_ch, len(s)) == (16000, 1, 16000)
+    # RMS of a 0.5-amplitude sine = 0.5/sqrt(2)
+    assert abs(np.sqrt((s * s).mean()) - 0.5 / np.sqrt(2)) < 1e-3
+    # stereo folds to mono; 8-bit path decodes too
+    rate2, n_ch2, s2 = decode_wav(_make_wav(sine[:100], rate=8000, n_ch=2))
+    assert (rate2, n_ch2, len(s2)) == (8000, 2, 100)
+    r8, _, s8 = decode_wav(_make_wav(sine[:50], bits=8))
+    assert r8 == 16000 and len(s8) == 50
+    assert decode_wav(b"RIFFxxxxWAVE") is None
+    assert decode_wav(b"not audio at all, definitely not") is None
+
+    # Spark path: real WAV decodes without fake=True
+    df = spark.createDataFrame([(1, bytearray(raw))], "media_id long, media binary")
+    [row] = decode_audio_features(df).collect()
+    assert row["sample_rate"] == 16000
+    assert row["duration_ms"] == 1000
+    assert abs(row["rms_level"] - 0.5 / 2**0.5) < 1e-3
+    # non-WAV without fake still raises through the Spark path
+    bad = spark.createDataFrame([(2, bytearray(b"mp3data"))], "media_id long, media binary")
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="PCM WAV"):
+        decode_audio_features(bad).collect()
+
+
+def test_pnm_decode_real(spark):
+    import numpy as np
+
+    from cdc_connector_spark.ops.multimodal import decode_image_features, decode_pnm
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    p6 = b"P6\n# a comment\n5 6\n255\n" + img.tobytes()
+    got = decode_pnm(p6)
+    assert got is not None and got.shape == (6, 5, 3) and (got == img).all()
+    gray = rng.integers(0, 256, (4, 7), dtype=np.uint8)
+    p5 = b"P5 7 4 255 " + gray.tobytes()
+    got5 = decode_pnm(p5)
+    assert got5.shape == (4, 7, 3) and (got5[:, :, 0] == gray).all()
+    assert (got5[:, :, 0] == got5[:, :, 2]).all()
+    assert decode_pnm(b"P6\n5 6\n255\n" + img.tobytes()[:-1]) is None  # short payload
+    assert decode_pnm(b"P7 something") is None
+
+    # Spark path: P6 decodes for real (true dims, no fake flag)
+    df = spark.createDataFrame([(1, bytearray(p6))], "media_id long, media binary")
+    [row] = decode_image_features(df).collect()
+    assert (row["width"], row["height"]) == (5, 6)
