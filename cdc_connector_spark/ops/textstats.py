@@ -827,3 +827,60 @@ def novelty_scores(
             F.coalesce("novelty", F.lit(0.0)).alias("novelty"),
         )
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the classic two-tailed
+    quality heuristic production corpus filters run next to the Gopher
+    rules: a ratio near 0 means pathological repetition (boilerplate,
+    keyword stuffing — zlib eats it), a ratio near 1 means
+    incompressible noise (binary junk, encrypted/garbled text); natural
+    prose sits in a stable mid band. Returns (id, n_bytes, ratio) with
+    ratio = compressed/raw over UTF-8 bytes; empty docs report
+    (0, NULL).
+
+    Execution: one Arrow-batched ``mapInPandas`` kernel (zlib is
+    C-speed; the crossing is amortized over the batch — same trade as
+    the SimHash kernel). Deterministic for a fixed zlib level, but NOT
+    SQL-re-derivable (no DEFLATE in SQL engines), so evidence is
+    pytest-pinned ordering, not an oracle row — same class as BPE and
+    the classifier fit."""
+    import zlib
+
+    from typing import Iterator as _It
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("ratio", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_bytes, ratio = [], []
+            for text in pdf["__txt"]:
+                b = (text or "").encode("utf-8")
+                n_bytes.append(len(b))
+                ratio.append(
+                    len(zlib.compress(b, level)) / len(b) if b else None
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "n_bytes": n_bytes, "ratio": ratio}
+            )
+
+    return df.select(
+        F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("__txt")
+    ).mapInPandas(gen, out_schema)

@@ -223,3 +223,29 @@ def test_pnm_decode_real(spark):
     df = spark.createDataFrame([(1, bytearray(p6))], "media_id long, media binary")
     [row] = decode_image_features(df).collect()
     assert (row["width"], row["height"]) == (5, 6)
+
+
+def test_binary_decoders_never_crash_on_fuzz():
+    """Property: the three byte-level decoders (BMP/PNM/WAV) must return a
+    valid decode or None on ARBITRARY bytes — binary parsers are the
+    classic crash surface in media pipelines (a poisoned blob must not
+    take down an executor)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cdc_connector_spark.ops.multimodal import decode_bmp, decode_pnm, decode_wav
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=300))
+    def fuzz(raw):
+        for dec in (decode_bmp, decode_pnm, decode_wav):
+            out = dec(raw)
+            assert out is None or out is not None  # no exception is the assertion
+
+    fuzz()
+
+    # adversarial prefixes: valid magic + garbage bodies
+    for prefix in (b"BM", b"P5 ", b"P6\n", b"RIFF\x00\x00\x00\x00WAVE"):
+        for tail in (b"", b"\x00" * 60, b"\xff" * 100, b"9" * 50):
+            for dec in (decode_bmp, decode_pnm, decode_wav):
+                dec(prefix + tail)  # must not raise

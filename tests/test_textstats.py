@@ -412,3 +412,27 @@ def test_novelty_scores_semantics(spark):
     # doc 2: grams {alpha beta gamma(seen), beta gamma epsilon(new)} -> 0.5
     assert got[2] == (2, 0.5)
     assert got[3] == (0, 0.0)
+
+
+def test_compression_ratio_two_tails(spark):
+    """Repetitive text compresses hard (low ratio), random hex stays
+    incompressible (high), prose sits between; empty -> (0, NULL)."""
+    import random
+
+    from cdc_connector_spark.ops.textstats import compression_ratio
+
+    rng = random.Random(3)
+    noise = " ".join("%08x" % rng.getrandbits(32) for _ in range(200))
+    rows = [
+        (0, "spam spam spam " * 200),
+        (1, "The quick brown fox jumps over the lazy dog and keeps going with normal varied prose about engines. " * 20),
+        (2, noise),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["n_bytes"], r["ratio"]) for r in compression_ratio(df).collect()}
+    assert got[0][1] < got[1][1] < got[2][1]
+    assert got[0][1] < 0.05          # repetition collapses
+    assert got[2][1] > 0.5           # noise stays big
+    assert got[3] == (0, None) and got[4] == (0, None)
