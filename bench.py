@@ -267,13 +267,13 @@ def main() -> None:
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             runs.append(time.time() - t0)
-        timed = [runs[1]]  # post-warmup
+        timed = [runs[1]]  # post-warmup (run 1 pays codegen — never reported)
         if min(runs) > slow_median_threshold:
             for _ in range(2):
                 t0 = time.time()
                 n = fn(spark, sf_dir).count()
                 timed.append(time.time() - t0)
-        val = statistics.median(timed) if len(timed) > 1 else min(runs)
+        val = statistics.median(timed)
         timings[name] = round(val, 3)
         query_stats[name] = {"median": round(val, 3), "runs": len(timed)}
         total += val

@@ -1144,10 +1144,12 @@ class TxLogMergeSink:
                         continue  # already dropped — replay no-op
                     dropped_phys = mapping.pop(op.col)
                     tombstones.append(dropped_phys)
-                    # a tombstoned physical is never read again; keeping its
-                    # widened entry could mask a type conflict if the name
-                    # is ever reused in a footer
-                    widened.pop(dropped_phys, None)
+                    # the widened entry for a dropped physical MUST survive:
+                    # mixed narrow/wide files for it still exist, and the
+                    # explicit read schema has to keep unifying them (the
+                    # logical column disappears in _to_logical, not at the
+                    # scan). Tombstoned physicals are never reused for new
+                    # columns (_extend_mapping), so the entry cannot collide.
                     columns.remove(op.col)
                     changed = True
                     described.append(f"drop {op.col}")

@@ -348,16 +348,9 @@ def bpe_encode(
                     best, best_rank = (s[j], s[j + 1]), r
             if best is None:
                 break
-            out: list[str] = []
-            j = 0
-            while j < len(s):
-                if j < len(s) - 1 and (s[j], s[j + 1]) == best:
-                    out.append(s[j] + s[j + 1])
-                    j += 2
-                else:
-                    out.append(s[j])
-                    j += 1
-            s = out
+            # the ONE greedy left-to-right application — shared with
+            # training (_train_in_memory) so the semantics cannot drift
+            s = _greedy_apply(s, *best)
         cache[word] = s
         return s
 

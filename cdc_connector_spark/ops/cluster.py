@@ -162,7 +162,7 @@ def _iterate_kernel(C: np.ndarray, vec_col: str):
 def kmeans_fit(
     embeddings: DataFrame,
     k: int = 8,
-    iters: int = 3,
+    iters: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     tol: float | None = None,
@@ -197,11 +197,16 @@ def kmeans_fit(
     sampling over a bounded hash-ranked sample (``seed``/``init_sample``)
     for clustering QUALITY — reproducible but not SQL-re-derivable.
     """
-    if tol is not None and iters != 3:
+    # None sentinel (not a value default): an EXPLICIT iters=3 with tol
+    # must also raise — the review caught the `iters != 3` form silently
+    # accepting exactly the default value
+    if tol is not None and iters is not None:
         raise ValueError(
             "iters and tol are mutually exclusive: tol-mode rounds are "
             "capped by max_iters; drop iters or use max_iters instead"
         )
+    if iters is None and tol is None:
+        iters = 3  # the deterministic oracle-mirrored default
     if init == "ids":
         C = kmeans_init(embeddings, k, id_col, vec_col)
     elif init == "kmeans++":

@@ -328,3 +328,9 @@ def test_kmeans_plusplus_init_beats_ids_on_adversarial_ids(spark):
     assert np.array_equal(a, b)
     with pytest.raises(ValueError, match="init must be"):
         kmeans_fit(df, k=3, init="random")
+
+
+def test_kmeans_fit_rejects_explicit_default_iters_with_tol(spark, planted):
+    df, _ = planted
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        kmeans_fit(df, k=3, iters=3, tol=1e-6)  # explicit 3 must ALSO raise

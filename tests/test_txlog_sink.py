@@ -849,3 +849,65 @@ def test_widen_survives_checkpoint_and_replay(spark, tmp_path):
     got = reopened.read()
     assert dict((f.name, f.dataType.simpleString()) for f in got.schema.fields)["n"] == "bigint"
     assert {r["id"] for r in got.collect()} == {1, 10, 11, 12}
+
+
+def test_drop_of_widened_column_keeps_table_readable(spark, tmp_path):
+    """Review r7 finding: dropping a widened column must NOT purge its
+    widened-type entry — mixed narrow/wide files for the physical still
+    exist and the read schema has to keep unifying them."""
+    from cdc_connector_spark.changelog.ddl import DropColumn, WidenColumn
+
+    sink = TxLogMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=2)
+    sink.overwrite(spark.createDataFrame([(1, 10, "a")], "id long, n int, v string"))
+    sink.ddl([WidenColumn("n", "bigint")])
+    batch = (
+        spark.createDataFrame([(2, 5_000_000_000, "b")], "id long, n long, v string")
+        .withColumn("__op", F.lit("c"))
+        .withColumn("__ts_ms", F.lit(1).cast("long"))
+        .withColumn("__seq", F.lit(1).cast("long"))
+    )
+    sink.apply(batch)  # now narrow AND wide files exist for physical 'n'
+    sink.ddl([DropColumn("n")])
+    got = sink.read()
+    assert set(got.columns) == {"id", "v"}
+    assert {r["id"]: r["v"] for r in got.collect()} == {1: "a", 2: "b"}
+    # compaction over the mixed-width files still works post-drop
+    sink.compact(min_files=1)
+    assert {r["id"]: r["v"] for r in sink.read().collect()} == {1: "a", 2: "b"}
+
+
+def test_metadata_widen_full_lattice_scan_promotable(spark, tmp_path):
+    """Pin that EVERY pair ddl._is_widening accepts is honored by the
+    Spark parquet reader's scan-time promotions on the metadata-only path
+    (probed on Spark 4.1: int ladder, float->double, int->double, decimal
+    precision AND scale growth, int->decimal). If a future Spark narrows
+    this, the metadata-only widen must grow a gate — this test is the
+    tripwire."""
+    from decimal import Decimal
+
+    from cdc_connector_spark.changelog.ddl import WidenColumn
+
+    sink = TxLogMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=2)
+    sink.overwrite(
+        spark.createDataFrame(
+            [(1, 2, 3, 1.5, 7, Decimal("12.34"))],
+            "id long, a tinyint, b int, c float, d int, e decimal(10,2)",
+        )
+    )
+    sink.ddl(
+        [
+            WidenColumn("a", "int"),
+            WidenColumn("b", "bigint"),
+            WidenColumn("c", "double"),
+            WidenColumn("d", "decimal(12,2)"),
+            WidenColumn("e", "decimal(14,4)"),
+        ]
+    )
+    [row] = sink.read().collect()
+    types = {f.name: f.dataType.simpleString() for f in sink.read().schema.fields}
+    assert types == {
+        "id": "bigint", "a": "int", "b": "bigint", "c": "double",
+        "d": "decimal(12,2)", "e": "decimal(14,4)",
+    }
+    assert (row["a"], row["b"], row["c"]) == (2, 3, 1.5)
+    assert row["d"] == Decimal("7.00") and row["e"] == Decimal("12.3400")
