@@ -118,6 +118,12 @@ def pretrain_corpus(
     quality_model=None,
     quality_pareto_alpha: float | None = None,
     min_quality_prob: float | None = None,
+    min_source_docs: int | None = None,
+    min_source_quality: float | None = None,
+    compression_ratio_bounds: tuple[float, float] | None = None,
+    winnow_min_shared: int | None = None,
+    mixture_weights: dict[str, float] | None = None,
+    mixture_total_tokens: int | None = None,
 ) -> DataFrame:
     """The full pretraining data recipe, composed from the engine's
     operators in the canonical order (cheapest-and-most-selective first,
@@ -154,6 +160,19 @@ def pretrain_corpus(
     filter composes with the heuristic gates rather than replacing them
     (heuristics catch structure, the model catches distribution).
 
+    Round-7 stages (all optional, each a published-recipe step):
+    ``min_source_docs``/``min_source_quality`` drop WHOLE sources by
+    aggregate stats BEFORE any per-doc gate (RefinedWeb domain blocking —
+    cheapest rejection first); ``compression_ratio_bounds=(lo, hi)`` is
+    the two-tailed zlib junk cut next to the Gopher gates;
+    ``winnow_min_shared`` prunes LOCAL-overlap duplicates (MOSS
+    fingerprints — quotes/boilerplate blocks MinHash's global similarity
+    misses) after the near-dup stage, keeping the smaller id of each
+    candidate pair; ``mixture_weights``+``mixture_total_tokens`` run
+    token-budget mixture selection (the Pile/Dolma recipe) as the
+    alternative to ``mix_temperature`` (mutually exclusive — both decide
+    the final mixture).
+
     Returns the surviving docs with ``lang_pred``/``quality`` from the
     cleaning stages plus ``(n_tokens, seq_id, seq_offset)`` packing
     placement. Every stage before near-dup is one pipelined scan; near-dup
@@ -165,10 +184,40 @@ def pretrain_corpus(
     from cdc_connector_spark.ops.corpus import decontaminate, pack_sequences
     from cdc_connector_spark.ops.textstats import gopher_quality
 
+    if (mixture_weights is None) != (mixture_total_tokens is None):
+        raise ValueError("mixture_weights and mixture_total_tokens go together")
+    if mixture_weights is not None and mix_temperature is not None:
+        raise ValueError(
+            "mix_temperature and mixture_weights are mutually exclusive — "
+            "both decide the final source mixture"
+        )
+    if min_source_docs is not None or min_source_quality is not None:
+        from cdc_connector_spark.ops.corpus import source_quality_filter
+
+        rep = source_quality_filter(
+            docs,
+            min_docs=min_source_docs or 1,
+            min_mean_quality=min_source_quality or 0.0,
+            text_col=text_col,
+            source_col=shard_col,
+        )
+        docs = docs.join(
+            F.broadcast(rep.filter(F.col("keep")).select(shard_col)),
+            shard_col,
+            "left_semi",
+        )
     flags = gopher_quality(docs, text_col=text_col, id_col=id_col)
     kept = docs.join(
         flags.filter(F.col("keep")).select(id_col), id_col, "left_semi"
     )
+    if compression_ratio_bounds is not None:
+        from cdc_connector_spark.ops.textstats import compression_ratio
+
+        lo, hi = compression_ratio_bounds
+        ok = compression_ratio(kept, text_col=text_col, id_col=id_col).filter(
+            F.col("ratio").isNotNull() & F.col("ratio").between(lo, hi)
+        )
+        kept = kept.join(ok.select(id_col), id_col, "left_semi")
     if max_top_2gram_frac is not None or max_dup_line_frac is not None:
         from cdc_connector_spark.ops.textstats import repetition_stats
 
@@ -238,6 +287,17 @@ def pretrain_corpus(
             .distinct()
         )
         cleaned = cleaned.join(dirty, id_col, "left_anti")
+    if winnow_min_shared is not None:
+        from cdc_connector_spark.ops.dedup import winnow_candidate_pairs
+
+        pairs = winnow_candidate_pairs(
+            cleaned,
+            min_shared=winnow_min_shared,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        cleaned = cleaned.join(losers, id_col, "left_anti")
     if mix_temperature is not None:
         from cdc_connector_spark.ops.corpus import temperature_sample
 
@@ -247,6 +307,18 @@ def pretrain_corpus(
             temperature=mix_temperature,
             key_col=id_col,
         )
+    if mixture_weights is not None:
+        from cdc_connector_spark.ops.corpus import budget_mixture
+
+        chosen = budget_mixture(
+            cleaned,
+            weights=mixture_weights,
+            total_tokens=mixture_total_tokens,
+            text_col=text_col,
+            source_col=shard_col,
+            id_col=id_col,
+        )
+        cleaned = cleaned.join(chosen.select(id_col), id_col, "left_semi")
     placed = pack_sequences(
         cleaned, budget=pack_budget, shard_col=shard_col, text_col=text_col, id_col=id_col
     )

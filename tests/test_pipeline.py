@@ -258,3 +258,60 @@ def test_pretrain_corpus_model_quality_stage(spark):
         pretrain_corpus(
             docs, quality_model=model, min_quality_prob=0.5, quality_pareto_alpha=9.0
         )
+
+
+def test_pretrain_corpus_r7_stages(spark):
+    """Source blocking, compression caps, winnow local-overlap pruning,
+    and budget-mixture selection all compose into the recipe."""
+    from cdc_connector_spark.ops.pipeline import pretrain_corpus
+
+    import random
+
+    rng = random.Random(9)
+    vocab = ("the quick brown fox river garden window music mountain letter "
+             "coffee evening story market bridge doctor yellow silver copper "
+             "with and that from over under into about").split()
+
+    def filler(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    shared = "a long shared boilerplate block of nine plus tokens repeated verbatim across docs"
+    rows = [
+        (1, filler(60), "sA"),
+        (2, filler(60), "sA"),
+        # local-overlap pair: same 12-token block inside otherwise-unique docs
+        (3, filler(30) + " " + shared + " " + filler(20), "sA"),
+        (4, filler(30) + " " + shared + " " + filler(20), "sA"),
+        # junk source: 6 docs of repeated noise -> source mean quality tanks
+        *[(10 + i, "zz " * 4, "junk") for i in range(6)],
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    out = pretrain_corpus(
+        docs,
+        near_dup=False,
+        min_source_docs=2,
+        min_source_quality=0.45,
+        compression_ratio_bounds=(0.05, 0.9),
+        winnow_min_shared=1,
+        pack_budget=64,
+    )
+    ids = {r["doc_id"] for r in out.collect()}
+    assert not ids & {10, 11, 12, 13, 14, 15}  # whole junk source blocked
+    assert 3 in ids and 4 not in ids           # winnow keeps the smaller id
+    assert {1, 2} <= ids
+    # budget mixture path: exclusive with temperature, selects within budget
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="mutually exclusive"):
+        pretrain_corpus(docs, mix_temperature=2.0, mixture_weights={"sA": 1.0},
+                        mixture_total_tokens=10)
+    with _pt.raises(ValueError, match="go together"):
+        pretrain_corpus(docs, mixture_weights={"sA": 1.0})
+    mixed = pretrain_corpus(
+        docs, near_dup=False, mixture_weights={"sA": 1.0}, mixture_total_tokens=15,
+        pack_budget=64,
+    )
+    got = mixed.collect()
+    assert all(r["source"] == "sA" for r in got)
+    # budget crossed at most once: selected tokens stay below 15 + one doc
+    assert 0 < sum(r["n_tokens"] for r in got) <= 15 + max(r["n_tokens"] for r in got)
