@@ -917,6 +917,7 @@ def winnow_candidate_pairs(
     k: int = 5,
     w: int = 4,
     min_shared: int = 1,
+    max_df: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -924,11 +925,21 @@ def winnow_candidate_pairs(
     fingerprints: (id_a < id_b, shared) pairs with ≥ ``min_shared``
     common selections — the MOSS matching step. Inverted-index
     self-join on the fingerprint (cost O(matching fingerprints), never
-    all-pairs); a hot fingerprint (corpus-wide boilerplate) fans out
-    quadratically within its posting list, so production runs should cap
-    or drop fingerprints whose document frequency explodes — the same
-    stop-shingle pruning rule as ``ngram_jaccard_pairs``."""
+    all-pairs). A hot fingerprint (corpus-wide boilerplate) fans out
+    quadratically within its posting list; ``max_df`` drops fingerprints
+    appearing in more than that many documents BEFORE the self-join —
+    the same stop-shingle pruning rule as ``ngram_jaccard_pairs`` (a
+    fingerprint in 10k docs is template text, not a copy signal, and
+    contributes 10k² pair rows). At 100 TB set it to a few hundred."""
     fps = winnow_fingerprints(df, k, w, text_col, id_col)
+    if max_df is not None:
+        from pyspark.sql import Window
+
+        fps = (
+            fps.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
     a = fps.select(F.col(id_col).alias("id_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), "fp")
     return (

@@ -354,3 +354,17 @@ def test_winnow_fingerprints_local_overlap(spark):
 
     with _pt.raises(ValueError, match="k and w"):
         winnow_fingerprints(df, k=0)
+
+
+def test_winnow_max_df_prunes_boilerplate_fingerprints(spark):
+    """A fingerprint shared by the whole corpus is template text, not a
+    copy signal: max_df drops it before the quadratic self-join."""
+    from cdc_connector_spark.ops.dedup import winnow_candidate_pairs
+
+    boiler = "this exact template footer block appears on every single page here"
+    rows = [(i, f"unique{i} alpha{i} beta{i} gamma{i} delta{i} " + boiler) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # without the cap every doc pairs with every other
+    assert winnow_candidate_pairs(df).count() == 15
+    # the boilerplate fingerprints hit df=6 > 3 and vanish; unique prefixes share nothing
+    assert winnow_candidate_pairs(df, max_df=3).count() == 0
