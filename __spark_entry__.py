@@ -762,6 +762,18 @@ def corpus_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diff(old, new)
 
 
+def subsequence_search_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series ops (NEW r7): top-10 length-4 windows of each user's
+    ordered value series closest to a fixed query pattern (squared
+    Euclidean, UCR-style subsequence search). Per-key series assembly is
+    one map-side-combined agg; the per-window distance is a fixed-order
+    left fold, so the doubles are engine-portable — value-verified."""
+    from cdc_connector_spark.ops.timeseries import subsequence_search
+
+    ev = _t(spark, sf_dir, "events")
+    return subsequence_search(ev, query=[50.0, 80.0, 60.0, 90.0], k=10)
+
+
 def budget_mixture_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-ops (NEW r7): token-budget mixture selection (the Pile/Dolma
     data-recipe step) — per-source integer token targets (6-decimal weight
@@ -2142,6 +2154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints_documents": winnow_fingerprints_documents,
         "corpus_diff_versions": corpus_diff_versions,
         "budget_mixture_documents": budget_mixture_documents,
+        "subsequence_search_events": subsequence_search_events,
     }
 
 
@@ -2785,6 +2798,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, n_docs, mean_quality,
                    (n_docs >= 10 AND mean_quality >= 0.93) AS keep
             FROM rep
+        """,
+        # Subsequence search: per-user series via list(... ORDER BY), per
+        # window the SAME fixed-order fold of squared diffs (0+t1+t2+...
+        # equals Spark's t1+t2+... — the +0 is exact for non-negative
+        # terms), global top-k with (dist, user, pos) tie-break.
+        "subsequence_search_events": """
+            WITH s AS (
+                SELECT user_id, list(value ORDER BY ts, event_id) AS s
+                FROM events WHERE value IS NOT NULL
+                GROUP BY user_id
+            ), w AS (
+                SELECT user_id, CAST(i - 1 AS INT) AS start_pos,
+                       round(list_reduce(
+                         list_prepend(CAST(0 AS DOUBLE),
+                           list_transform(range(1, 5),
+                             j -> (s[i+j-1] - ([50.0, 80.0, 60.0, 90.0])[j])
+                                * (s[i+j-1] - ([50.0, 80.0, 60.0, 90.0])[j]))),
+                         (a, x) -> a + x), 6) AS dist
+                FROM s, unnest(range(1, len(s) - 2)) AS t(i)
+                WHERE len(s) >= 4
+            )
+            SELECT user_id, start_pos, dist
+            FROM w
+            ORDER BY dist ASC, user_id ASC, start_pos ASC
+            LIMIT 10
         """,
         # Mixture selection: integer targets (total·w6 // Σw6), hash-ranked
         # per-source cumsum window, keep while pre-doc cum < target.

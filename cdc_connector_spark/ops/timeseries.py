@@ -1,0 +1,89 @@
+"""Time-series subsequence similarity search (UCR-style sliding-window
+matching, the distributed shape of EDBT'19 "Time Series Similarity Search
+for Streaming Data in Distributed Systems").
+
+Given a small query pattern, find the top-k closest length-m windows
+across every key's ordered value series under squared Euclidean distance.
+The building block behind motif discovery, anomaly matching ("find me
+windows that look like this outage"), and template detection on metrics.
+
+Spark-first shape:
+- each key's series assembles ONCE via ``sort_array(collect_list(struct))``
+  — one map-side-combined aggregation keyed by the series key, no global
+  sort (ordering happens inside each key's array, the sessionize lesson);
+- all length-m windows come from the shifted-slice ``zip_with`` chain
+  (linear per row, the word_ngrams discipline — never transform+slice);
+- the per-window distance is a FIXED-ORDER left fold (query position 0,
+  1, ...), so the IEEE doubles are engine-portable and the whole operator
+  is value-verifiable in SQL, the same contract as the classifier's
+  scoring fold;
+- the global top-k is a ``TakeOrderedAndProject`` (count desc never
+  materializes a full sort).
+
+Scale posture: work is proportional to Σ(len(series)·m) — the matmul-free
+brute force, embarrassingly parallel across keys; one shuffle (the
+per-key assembly). Series length per key is bounded by the window the
+caller feeds in (compose upstream filters/watermarks for unbounded
+streams); m is query-sized. For very long single series, split the key by
+time-bucket with an m−1 overlap and union — same algebra, no code change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def subsequence_search(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Top-k (key, start_pos, dist) windows closest to ``query`` under
+    squared Euclidean distance; ``start_pos`` is the 0-based offset into
+    the key's series ordered by ``order_cols`` (include a tiebreaker
+    column — a bare timestamp with duplicates would make the series
+    order, and therefore the distances, nondeterministic). NULL values
+    are dropped before assembly (a NULL inside a window would poison the
+    fold). Ties on distance break by (key, start_pos) ascending."""
+    m = len(query)
+    if m < 1:
+        raise ValueError("query pattern must be non-empty")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(*[F.col(c) for c in order_cols], F.col(value_col).alias("v"))
+        )
+    )
+    series = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.transform(ordered, lambda s: s["v"]).alias("s"))
+    )
+    # every length-m window as an array of m aligned slices; the fold adds
+    # (window[i] - query[i])^2 in FIXED index order -> portable doubles
+    sc = F.col("s")
+    n_win = F.size(sc) - (m - 1)
+    dist = None
+    for i in range(m):
+        term = F.transform(
+            F.slice(sc, 1 + i, F.greatest(n_win, F.lit(0))),
+            lambda x: (x - F.lit(float(query[i]))) * (x - F.lit(float(query[i]))),
+        )
+        dist = term if dist is None else F.zip_with(dist, term, lambda a, b: a + b)
+    windows = series.filter(F.size(sc) >= m).select(
+        F.col(key_col), F.posexplode(dist).alias("start_pos", "dist")
+    )
+    return (
+        windows.select(
+            key_col,
+            F.col("start_pos").cast("int").alias("start_pos"),
+            F.round("dist", 6).alias("dist"),
+        )
+        .orderBy(F.col("dist").asc(), F.col(key_col).asc(), F.col("start_pos").asc())
+        .limit(k)
+    )

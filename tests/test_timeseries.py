@@ -1,0 +1,60 @@
+"""ops/timeseries.py — UCR-style sliding-window subsequence search."""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_connector_spark.ops.timeseries import subsequence_search
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double"
+    )
+
+
+def test_subsequence_search_finds_planted_motif(spark):
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1)
+
+    def ts(i):
+        return t0.replace(minute=i)
+
+    rows = []
+    # user 1: noise, then the exact pattern at positions 3..5
+    vals1 = [5.0, 60.0, 12.0, 10.0, 20.0, 30.0, 44.0]
+    rows += [(i, ts(i), 1, v) for i, v in enumerate(vals1)]
+    # user 2: a near-miss (off by 1 at each point)
+    vals2 = [11.0, 21.0, 31.0, 90.0]
+    rows += [(100 + i, ts(i), 2, v) for i, v in enumerate(vals2)]
+    # user 3: too short for the window
+    rows += [(200, ts(0), 3, 10.0), (201, ts(1), 3, 20.0)]
+    # NULL value must be dropped, not poison the series
+    rows += [(300, ts(8), 1, None)]
+    df = _ev(spark, rows)
+
+    got = subsequence_search(df, query=[10.0, 20.0, 30.0], k=3).collect()
+    assert (got[0]["user_id"], got[0]["start_pos"], got[0]["dist"]) == (1, 3, 0.0)
+    assert (got[1]["user_id"], got[1]["start_pos"], got[1]["dist"]) == (2, 0, 3.0)
+    assert all(r["user_id"] != 3 for r in got)
+
+
+def test_subsequence_search_deterministic_order_and_guards(spark):
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1)
+    # two identical windows -> tie breaks by (user, start_pos)
+    rows = [
+        (1, t0.replace(minute=0), 1, 1.0),
+        (2, t0.replace(minute=1), 1, 2.0),
+        (3, t0.replace(minute=0), 2, 1.0),
+        (4, t0.replace(minute=1), 2, 2.0),
+    ]
+    df = _ev(spark, rows)
+    got = subsequence_search(df, query=[1.0, 2.0], k=2).collect()
+    assert [(r["user_id"], r["start_pos"]) for r in got] == [(1, 0), (2, 0)]
+    with pytest.raises(ValueError, match="non-empty"):
+        subsequence_search(df, query=[])
+    with pytest.raises(ValueError, match="k must"):
+        subsequence_search(df, query=[1.0], k=0)
