@@ -774,6 +774,17 @@ def subsequence_search_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return subsequence_search(ev, query=[50.0, 80.0, 60.0, 90.0], k=10)
 
 
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics (NEW r7): ordered funnel view→click→purchase with
+    earliest-completion chaining (strictly increasing ts). One filtered
+    agg per step chained by co-partitioned user joins; conversion is an
+    exact-integer ratio — value-verified."""
+    from cdc_connector_spark.ops.timeseries import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, steps=["view", "click", "purchase"])
+
+
 def budget_mixture_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-ops (NEW r7): token-budget mixture selection (the Pile/Dolma
     data-recipe step) — per-source integer token targets (6-decimal weight
@@ -2155,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff_versions": corpus_diff_versions,
         "budget_mixture_documents": budget_mixture_documents,
         "subsequence_search_events": subsequence_search_events,
+        "funnel_events": funnel_events,
     }
 
 
@@ -2797,6 +2809,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, n_docs, mean_quality,
                    (n_docs >= 10 AND mean_quality >= 0.93) AS keep
+            FROM rep
+        """,
+        # Funnel: earliest-completion chaining as correlated min-chains.
+        "funnel_events": """
+            WITH s1 AS (
+                SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t
+                FROM events WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+                SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t
+                GROUP BY e.user_id
+            ), s3 AS (
+                SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t
+                GROUP BY e.user_id
+            ), rep AS (
+                SELECT 1 AS step, 'view' AS event_type, (SELECT COUNT(*) FROM s1) AS users
+                UNION ALL
+                SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+                UNION ALL
+                SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+            )
+            SELECT step, event_type, users,
+                   round(CAST(users AS DOUBLE) /
+                         (SELECT CAST(users AS DOUBLE) FROM rep WHERE step = 1), 6)
+                     AS conversion_pct
             FROM rep
         """,
         # Subsequence search: per-user series via list(... ORDER BY), per

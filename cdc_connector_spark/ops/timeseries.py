@@ -87,3 +87,69 @@ def subsequence_search(
         .orderBy(F.col("dist").asc(), F.col(key_col).asc(), F.col("start_pos").asc())
         .limit(k)
     )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: for each prefix of ``steps``, how many
+    users performed the steps IN ORDER (strictly increasing timestamps —
+    the step-k event must come after the user's earliest valid step-k−1
+    completion). Returns one row per step: (step 1-based, event_type,
+    users, conversion_pct vs step 1, rounded 6).
+
+    Semantics: earliest-completion chaining (the standard funnel rule) —
+    t₁ = the user's first step-1 event; tₖ = the first step-k event
+    strictly after tₖ₋₁. Greedy-earliest is optimal here: any valid
+    ordered assignment implies the greedy one exists.
+
+    Shape: one filtered aggregation per step chained by co-partitioned
+    user-key joins (each reuses the same hash partitioning — k small by
+    construction, AQE collapses the tiny right sides to broadcasts), one
+    final COUNT per step unioned into the report. No windows over raw
+    events, no per-user arrays — a 100 TB event table streams through k
+    filtered scans."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    reached = None  # per-user latest-step completion time
+    counts = []
+    for i, step in enumerate(steps):
+        ev = df.filter(F.col(type_col) == F.lit(step)).select(
+            F.col(user_col), F.col(ts_col).alias("__t")
+        )
+        if reached is None:
+            cur = ev.groupBy(user_col).agg(F.min("__t").alias("__reached"))
+        else:
+            cur = (
+                ev.join(reached, user_col)
+                .filter(F.col("__t") > F.col("__reached"))
+                .groupBy(user_col)
+                .agg(F.min("__t").alias("__reached"))
+            )
+        reached = cur
+        counts.append(
+            cur.groupBy().count().select(
+                F.lit(i + 1).alias("step"),
+                F.lit(step).alias("event_type"),
+                F.col("count").alias("users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    # conversion vs step 1: exact-integer ratio (engine-portable)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("step").asc()).rowsBetween(Window.unboundedPreceding, 0)
+    return out.select(
+        "step",
+        "event_type",
+        "users",
+        F.round(
+            F.col("users") / F.first("users").over(w), 6
+        ).alias("conversion_pct"),
+    )

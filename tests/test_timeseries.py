@@ -58,3 +58,34 @@ def test_subsequence_search_deterministic_order_and_guards(spark):
         subsequence_search(df, query=[])
     with pytest.raises(ValueError, match="k must"):
         subsequence_search(df, query=[1.0], k=0)
+
+
+def test_funnel_earliest_completion_chaining(spark):
+    from datetime import datetime
+
+    from cdc_connector_spark.ops.timeseries import funnel
+
+    t0 = datetime(2024, 1, 1)
+
+    def ts(i):
+        return t0.replace(minute=i)
+
+    rows = [
+        # user 1 completes A -> B -> C in order
+        (1, ts(0), 1, "A"), (2, ts(1), 1, "B"), (3, ts(2), 1, "C"),
+        # user 2: B BEFORE A, no B after -> stops at A
+        (4, ts(0), 2, "B"), (5, ts(1), 2, "A"),
+        # user 3: A then C then B -> reaches B but C never after B
+        (6, ts(0), 3, "A"), (7, ts(1), 3, "C"), (8, ts(2), 3, "B"),
+        # user 4: never does A -> not counted anywhere
+        (9, ts(0), 4, "B"), (10, ts(1), 4, "C"),
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, user_id bigint, event_type string")
+    got = {r["step"]: (r["event_type"], r["users"], r["conversion_pct"]) for r in funnel(df, ["A", "B", "C"]).collect()}
+    assert got[1] == ("A", 3, 1.0)
+    assert got[2] == ("B", 2, round(2 / 3, 6))
+    assert got[3] == ("C", 1, round(1 / 3, 6))
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="non-empty"):
+        funnel(df, [])
