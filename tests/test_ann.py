@@ -15,7 +15,9 @@ from cdc_connector_spark.ops.ann import (
 
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    yield df
+    df.unpersist()  # see test_corpus docs fixture: cached plans leak
 
 
 def test_cosine_identity_and_orthogonal(spark):

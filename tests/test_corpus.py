@@ -23,7 +23,12 @@ from cdc_connector_spark.ops.corpus import (
 def docs(spark, sf_dir):
     from cdc_connector_spark.tables import load_table
 
-    return load_table(spark, sf_dir, "documents").cache()
+    df = load_table(spark, sf_dir, "documents").cache()
+    yield df
+    # unpersist at module end: a live cache substitutes InMemoryRelation
+    # into ANY later matching plan (cache manager matches by plan), which
+    # destroys the pruning/pushdown facts test_plan_invariants pins
+    df.unpersist()
 
 
 def test_decontaminate_finds_planted_contamination(spark):

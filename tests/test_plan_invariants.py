@@ -20,6 +20,11 @@ from tools.plan_report import plan_facts
 
 @pytest.fixture(scope="module")
 def q(spark, sf_dir):
+    # hermetic plan facts: a cached table from ANY earlier module would
+    # substitute InMemoryRelation into matching plans and destroy the
+    # pruning/pushdown evidence these tests pin
+    spark.catalog.clearCache()
+
     def run(name):
         return plan_facts(entry_mod.queries()[name](spark, sf_dir))
 
