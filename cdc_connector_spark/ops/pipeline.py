@@ -122,6 +122,7 @@ def pretrain_corpus(
     min_source_quality: float | None = None,
     compression_ratio_bounds: tuple[float, float] | None = None,
     winnow_min_shared: int | None = None,
+    winnow_max_df: int | None = None,
     mixture_weights: dict[str, float] | None = None,
     mixture_total_tokens: int | None = None,
 ) -> DataFrame:
@@ -167,8 +168,10 @@ def pretrain_corpus(
     the two-tailed zlib junk cut next to the Gopher gates;
     ``winnow_min_shared`` prunes LOCAL-overlap duplicates (MOSS
     fingerprints — quotes/boilerplate blocks MinHash's global similarity
-    misses) after the near-dup stage, keeping the smaller id of each
-    candidate pair; ``mixture_weights``+``mixture_total_tokens`` run
+    misses) after the near-dup stage, dropping the LOWER-QUALITY member
+    of each candidate pair (the clean_corpus survivor convention;
+    ``winnow_max_df`` caps hot boilerplate fingerprints before the
+    self-join — set it on web-scale corpora); ``mixture_weights``+``mixture_total_tokens`` run
     token-budget mixture selection (the Pile/Dolma recipe) as the
     alternative to ``mix_temperature`` (mutually exclusive — both decide
     the final mixture).
@@ -293,11 +296,39 @@ def pretrain_corpus(
         pairs = winnow_candidate_pairs(
             cleaned,
             min_shared=winnow_min_shared,
+            max_df=winnow_max_df,
             text_col=text_col,
             id_col=id_col,
         )
-        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-        cleaned = cleaned.join(losers, id_col, "left_anti")
+        # same survivor convention as the MinHash stage: drop the
+        # LOWER-QUALITY member of each pair (ties -> larger id loses);
+        # pairwise mode shares clean_corpus's documented transitive-chain
+        # hazard — close the pair graph with ops/components and keep one
+        # best per component when chains matter
+        q = cleaned.select(F.col(id_col).alias("__qid"), F.col("quality").alias("__q"))
+        losers = (
+            pairs.join(
+                q.withColumnRenamed("__qid", "id_a").withColumnRenamed("__q", "q_a"),
+                "id_a",
+            )
+            .join(
+                q.withColumnRenamed("__qid", "id_b").withColumnRenamed("__q", "q_b"),
+                "id_b",
+            )
+            .select(
+                F.when(
+                    (F.col("q_b") > F.col("q_a"))
+                    | ((F.col("q_b") == F.col("q_a")) & (F.col("id_b") < F.col("id_a"))),
+                    F.col("id_a"),
+                )
+                .otherwise(F.col("id_b"))
+                .alias("loser")
+            )
+            .distinct()
+        )
+        cleaned = cleaned.join(
+            losers, cleaned[id_col] == losers.loser, "left_anti"
+        )
     if mix_temperature is not None:
         from cdc_connector_spark.ops.corpus import temperature_sample
 

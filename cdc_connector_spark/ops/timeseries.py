@@ -141,15 +141,18 @@ def funnel(
     out = counts[0]
     for c in counts[1:]:
         out = out.unionByName(c)
-    # conversion vs step 1: exact-integer ratio (engine-portable)
+    # conversion vs step 1: exact-integer ratio (engine-portable). Zero
+    # guard: an empty funnel (no step-1 events at all) reports 0.0, not
+    # NULL/DIVIDE_BY_ZERO (Spark 4 sessions default to ANSI mode)
     from pyspark.sql import Window
 
     w = Window.orderBy(F.col("step").asc()).rowsBetween(Window.unboundedPreceding, 0)
+    first_users = F.first("users").over(w)
     return out.select(
         "step",
         "event_type",
         "users",
-        F.round(
-            F.col("users") / F.first("users").over(w), 6
-        ).alias("conversion_pct"),
+        F.when(first_users > 0, F.round(F.col("users") / first_users, 6))
+        .otherwise(F.lit(0.0))
+        .alias("conversion_pct"),
     )

@@ -315,3 +315,29 @@ def test_pretrain_corpus_r7_stages(spark):
     assert all(r["source"] == "sA" for r in got)
     # budget crossed at most once: selected tokens stay below 15 + one doc
     assert 0 < sum(r["n_tokens"] for r in got) <= 15 + max(r["n_tokens"] for r in got)
+
+
+def test_pretrain_winnow_keeps_higher_quality_member(spark):
+    """Review r7 finding: the winnow stage must keep the HIGHER-quality
+    member of a local-overlap pair (the clean_corpus survivor
+    convention), not blindly the smaller id."""
+    from cdc_connector_spark.ops.pipeline import pretrain_corpus
+    from cdc_connector_spark.ops.textstats import quality_score
+    from pyspark.sql import functions as F
+
+    shared = "a long shared boilerplate block of nine plus tokens repeated verbatim across docs"
+    # doc 1 (smaller id): junky short tail -> lower quality
+    # doc 2: long varied prose -> higher quality
+    low = "zz qq " * 12 + shared
+    high = (GOOD_EN + " and still more fine ordinary english words follow here today "
+            + shared + " with a graceful ending about the quiet river and the park")
+    docs = spark.createDataFrame(
+        [(1, low, "sA"), (2, high, "sA")], "doc_id int, text string, source string"
+    )
+    qs = {r["doc_id"]: r["q"] for r in docs.select("doc_id", F.round(quality_score("text"), 3).alias("q")).collect()}
+    assert qs[2] > qs[1]  # fixture sanity
+    out = pretrain_corpus(
+        docs, near_dup=False, keep_langs=None, winnow_min_shared=1, pack_budget=64
+    )
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {2}  # higher quality survives despite the larger id

@@ -89,3 +89,16 @@ def test_funnel_earliest_completion_chaining(spark):
 
     with _pt.raises(ValueError, match="non-empty"):
         funnel(df, [])
+
+
+def test_funnel_empty_first_step_reports_zero(spark):
+    from datetime import datetime
+
+    from cdc_connector_spark.ops.timeseries import funnel
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1, "B")],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string",
+    )
+    got = {r["step"]: (r["users"], r["conversion_pct"]) for r in funnel(df, ["A", "B"]).collect()}
+    assert got[1] == (0, 0.0) and got[2] == (0, 0.0)
