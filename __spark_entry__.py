@@ -785,6 +785,16 @@ def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(ev, steps=["view", "click", "purchase"])
 
 
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics (NEW r7): weekly cohort retention matrix — users bucketed
+    by first-event week, counted per later active week; exact-integer
+    retention ratio. Activity de-dupes to (user, week) BEFORE the cohort
+    join; two keyed shuffles. Value-verified."""
+    from cdc_connector_spark.ops.timeseries import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"), bucket="week")
+
+
 def budget_mixture_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-ops (NEW r7): token-budget mixture selection (the Pile/Dolma
     data-recipe step) — per-source integer token targets (6-decimal weight
@@ -2167,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_mixture_documents": budget_mixture_documents,
         "subsequence_search_events": subsequence_search_events,
         "funnel_events": funnel_events,
+        "cohort_retention_events": cohort_retention_events,
     }
 
 
@@ -2810,6 +2821,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, n_docs, mean_quality,
                    (n_docs >= 10 AND mean_quality >= 0.93) AS keep
             FROM rep
+        """,
+        # Cohort retention: first-event week per user, distinct active
+        # weeks, exact week-offset arithmetic on epoch seconds (UTC — no
+        # DST, so week starts differ by exact multiples of 604800).
+        "cohort_retention_events": """
+            WITH first AS (
+                SELECT user_id, date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS cohort
+                FROM events GROUP BY user_id
+            ), active AS (
+                SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS b
+                FROM events
+            ), m AS (
+                SELECT f.cohort,
+                       CAST((epoch(a.b) - epoch(f.cohort)) // 604800 AS BIGINT) AS "offset",
+                       COUNT(*) AS users
+                FROM active a JOIN first f ON a.user_id = f.user_id
+                GROUP BY f.cohort, (epoch(a.b) - epoch(f.cohort)) // 604800
+            )
+            SELECT strftime(cohort, '%Y-%m-%d') AS cohort, "offset", users,
+                   round(CAST(users AS DOUBLE) /
+                         MAX(CASE WHEN "offset" = 0 THEN users END)
+                           OVER (PARTITION BY cohort), 6) AS retention_pct
+            FROM m
         """,
         # Funnel: earliest-completion chaining as correlated min-chains.
         "funnel_events": """

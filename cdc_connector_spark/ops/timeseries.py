@@ -156,3 +156,57 @@ def funnel(
         .otherwise(F.lit(0.0))
         .alias("conversion_pct"),
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    bucket: str = "week",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by the time bucket of their
+    FIRST event (the cohort), counted at every later bucket they were
+    active in. Returns (cohort, offset, users, retention_pct) — offset 0
+    is the cohort size itself, retention_pct is users/size rounded 6
+    (exact-integer ratio). ``bucket`` is ``"week"`` / ``"day"`` /
+    ``"month"`` (trunc units).
+
+    Shape: per-user first-event via one map-side-combined agg; activity
+    de-dupes to distinct (user, bucket) pairs BEFORE the cohort join
+    (events collapse early — the cardinality entering the join is
+    user-buckets, not raw events); the matrix is one aggregation over
+    that join plus a cohort-size window. Two key shuffles, both on
+    hashed user/cohort longs."""
+    if bucket not in ("day", "week", "month"):
+        raise ValueError(f"bucket must be day/week/month, got {bucket!r}")
+    b = lambda c: F.date_trunc(bucket, c)  # noqa: E731
+    first = df.groupBy(user_col).agg(b(F.min(ts_col)).alias("__cohort"))
+    active = df.select(F.col(user_col), b(F.col(ts_col)).alias("__b")).distinct()
+    unit = {"day": 86400, "week": 7 * 86400}.get(bucket)
+    joined = active.join(first, user_col)
+    if unit is not None:
+        offset = (
+            (F.unix_timestamp("__b") - F.unix_timestamp("__cohort")) / unit
+        ).cast("long")
+    else:  # calendar months are variable-length
+        offset = (
+            (F.year("__b") - F.year("__cohort")) * 12
+            + (F.month("__b") - F.month("__cohort"))
+        ).cast("long")
+    from pyspark.sql import Window
+
+    out = (
+        joined.select(F.col("__cohort").alias("cohort"), offset.alias("offset"), user_col)
+        .groupBy("cohort", "offset")
+        .agg(F.count(F.lit(1)).alias("users"))
+    )
+    w = Window.partitionBy("cohort")
+    size = F.max(F.when(F.col("offset") == 0, F.col("users"))).over(w)
+    return out.select(
+        # ISO string, not DateType: engines and dataframe bridges render
+        # dates differently; the matrix key should hash identically anywhere
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+        "offset",
+        "users",
+        F.round(F.col("users") / size, 6).alias("retention_pct"),
+    )

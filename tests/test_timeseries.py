@@ -102,3 +102,42 @@ def test_funnel_empty_first_step_reports_zero(spark):
     )
     got = {r["step"]: (r["users"], r["conversion_pct"]) for r in funnel(df, ["A", "B"]).collect()}
     assert got[1] == (0, 0.0) and got[2] == (0, 0.0)
+
+
+def test_cohort_retention_matrix(spark):
+    from datetime import datetime
+
+    from cdc_connector_spark.ops.timeseries import cohort_retention
+
+    def d(day):
+        return datetime(2024, 1, day)
+
+    rows = [
+        # cohort week of Jan 1: users 1,2; user 1 returns both later weeks,
+        # user 2 returns only in week offset 2
+        (1, d(2), 1, "x"), (2, d(9), 1, "x"), (3, d(16), 1, "x"),
+        (4, d(3), 2, "x"), (5, d(17), 2, "x"),
+        # cohort week of Jan 8: user 3, never returns
+        (6, d(10), 3, "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    got = {(r["cohort"], r["offset"]): (r["users"], r["retention_pct"])
+           for r in cohort_retention(df, bucket="week").collect()}
+    assert got[("2024-01-01", 0)] == (2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 0.5)
+    assert got[("2024-01-01", 2)] == (2, 1.0)
+    assert got[("2024-01-08", 0)] == (1, 1.0)
+    assert ("2024-01-08", 1) not in got
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="day/week/month"):
+        cohort_retention(df, bucket="year")
+    # month buckets use calendar arithmetic
+    feb = spark.createDataFrame(
+        [(1, datetime(2024, 1, 20), 1, "x"), (2, datetime(2024, 2, 2), 1, "x")],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string",
+    )
+    gm = {(r["cohort"], r["offset"]) for r in cohort_retention(feb, bucket="month").collect()}
+    assert gm == {("2024-01-01", 0), ("2024-01-01", 1)}
