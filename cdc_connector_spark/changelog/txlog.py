@@ -1216,6 +1216,7 @@ class TxLogMergeSink:
                 # restore rolls schema back along with data
                 "column_mapping": target.mapping,
                 "physical_tombstones": target.tombstones,
+                "widened_types": target.widened,
             }
             actions: list[dict] = [{"metaData": meta}]
             for p in sorted(set(target_all) - set(current_all)):

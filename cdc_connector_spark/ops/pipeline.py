@@ -199,8 +199,10 @@ def pretrain_corpus(
 
         rep = source_quality_filter(
             docs,
-            min_docs=min_source_docs or 1,
-            min_mean_quality=min_source_quality or 0.0,
+            min_docs=min_source_docs if min_source_docs is not None else 1,
+            min_mean_quality=(
+                min_source_quality if min_source_quality is not None else 0.0
+            ),
             text_col=text_col,
             source_col=shard_col,
         )
@@ -301,8 +303,11 @@ def pretrain_corpus(
             id_col=id_col,
         )
         # same survivor convention as the MinHash stage: drop the
-        # LOWER-QUALITY member of each pair (ties -> larger id loses);
-        # pairwise mode shares clean_corpus's documented transitive-chain
+        # LOWER-QUALITY member of each pair. Pairs always arrive with
+        # id_a < id_b (winnow_candidate_pairs enforces it), so on a
+        # quality tie the otherwise(id_b) branch drops the larger id —
+        # "ties -> larger id loses" needs no explicit tie conjunct.
+        # Pairwise mode shares clean_corpus's documented transitive-chain
         # hazard — close the pair graph with ops/components and keep one
         # best per component when chains matter
         q = cleaned.select(F.col(id_col).alias("__qid"), F.col("quality").alias("__q"))
@@ -316,11 +321,7 @@ def pretrain_corpus(
                 "id_b",
             )
             .select(
-                F.when(
-                    (F.col("q_b") > F.col("q_a"))
-                    | ((F.col("q_b") == F.col("q_a")) & (F.col("id_b") < F.col("id_a"))),
-                    F.col("id_a"),
-                )
+                F.when(F.col("q_b") > F.col("q_a"), F.col("id_a"))
                 .otherwise(F.col("id_b"))
                 .alias("loser")
             )

@@ -182,11 +182,16 @@ def cohort_retention(
     b = lambda c: F.date_trunc(bucket, c)  # noqa: E731
     first = df.groupBy(user_col).agg(b(F.min(ts_col)).alias("__cohort"))
     active = df.select(F.col(user_col), b(F.col(ts_col)).alias("__b")).distinct()
-    unit = {"day": 86400, "week": 7 * 86400}.get(bucket)
+    days = {"day": 1, "week": 7}.get(bucket)
     joined = active.join(first, user_col)
-    if unit is not None:
+    if days is not None:
+        # calendar-wise (datediff of the truncated DATES), never epoch
+        # arithmetic: in a DST session timezone a one-week gap spanning
+        # spring-forward is 601200s, which /604800 would truncate to
+        # offset 0 — double-counting the cohort. datediff between two
+        # date_trunc boundaries is an exact multiple of ``days``.
         offset = (
-            (F.unix_timestamp("__b") - F.unix_timestamp("__cohort")) / unit
+            F.datediff(F.to_date("__b"), F.to_date("__cohort")) / days
         ).cast("long")
     else:  # calendar months are variable-length
         offset = (

@@ -141,3 +141,27 @@ def test_cohort_retention_matrix(spark):
     )
     gm = {(r["cohort"], r["offset"]) for r in cohort_retention(feb, bucket="month").collect()}
     assert gm == {("2024-01-01", 0), ("2024-01-01", 1)}
+
+
+def test_cohort_retention_dst_spring_forward(spark):
+    """Week offsets are calendar-wise (datediff of dates), not epoch
+    division: under a DST session timezone a one-week gap spanning
+    spring-forward is 601200s, which epoch/604800 arithmetic truncates to
+    offset 0 (double-counting the cohort). US spring-forward 2024 was
+    Mar 10; week buckets Mar 4 and Mar 11 must be offsets 0 and 1."""
+    from datetime import datetime
+
+    from cdc_connector_spark.ops.timeseries import cohort_retention
+
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        df = spark.createDataFrame(
+            [(1, datetime(2024, 3, 5), 1, "x"), (2, datetime(2024, 3, 12), 1, "x")],
+            "event_id bigint, ts timestamp, user_id bigint, event_type string",
+        )
+        got = {(r["cohort"], r["offset"]): r["users"]
+               for r in cohort_retention(df, bucket="week").collect()}
+        assert got == {("2024-03-04", 0): 1, ("2024-03-04", 1): 1}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)

@@ -120,3 +120,27 @@ def test_restore_rolls_back_ddl_schema(spark, tmp_path):
     sink.restore(0)
     assert sink.read().columns == ["id", "val"]
     assert {r["id"]: r["val"] for r in sink.read().collect()} == {1: "a"}
+
+
+def test_restore_rolls_back_widened_types(spark, tmp_path):
+    """Restore to a pre-widen version must report the NARROW type again
+    (the widened_types map is DDL state like column_mapping: restore
+    overwrites it, and the next checkpoint persists the rolled-back map —
+    the 'restore rolls schema back along with data' contract)."""
+    from cdc_connector_spark.changelog.ddl import WidenColumn
+
+    path = str(tmp_path / "t")
+    # checkpoint_interval=1 makes every commit (incl. the restore) write a
+    # checkpoint, so the replay-from-checkpoint path is exercised too
+    sink = TxLogMergeSink(spark, path, ["id"], num_buckets=4, checkpoint_interval=1)
+    sink.overwrite(
+        spark.createDataFrame([(1, 10)], "id long, qty int")
+    )  # v0: qty is int
+    sink.ddl([WidenColumn("qty", "bigint")])  # v1, metadata-only widen
+    assert dict(sink.read().dtypes)["qty"] == "bigint"
+    sink.restore(0)
+    assert dict(sink.read().dtypes)["qty"] == "int"
+    assert {r["id"]: r["qty"] for r in sink.read().collect()} == {1: 10}
+    # the rolled-back map survives the checkpoint + fresh-object replay
+    reopened = TxLogMergeSink(spark, path, ["id"], num_buckets=4)
+    assert dict(reopened.read().dtypes)["qty"] == "int"

@@ -627,9 +627,10 @@ def test_metadata_ddl_idempotent_replay_no_new_commit(spark, tmp_path):
 
 
 def test_metadata_ddl_widen_in_sequence(spark, tmp_path):
-    """[rename, widen-of-new-name, drop]: rename+drop are metadata commits;
-    only the widen rewrites, and validation runs against the evolving
-    schema (the ADVICE r5 narrowing guard)."""
+    """[rename, widen-of-new-name, drop]: all three ops are metadata-only —
+    the widen commits no data files (cast-on-read, see
+    test_metadata_widen_touches_zero_data_files) — and validation runs
+    against the evolving schema (the ADVICE r5 narrowing guard)."""
     from cdc_connector_spark.changelog.ddl import (
         DropColumn,
         RenameColumn,
