@@ -1,0 +1,27 @@
+# Developer entry points. `make bootstrap` is the one documented command a
+# fresh clone needs: it installs the pre-commit tail-tripwire hook
+# (.githooks/pre-commit — out-of-window oracle gate; SKIP_TAIL_TRIPWIRE=1
+# to bypass per-commit). Running the test suite also installs the hook
+# (tests/conftest.py::pytest_configure), so either path makes the
+# enforcement structural.
+
+.PHONY: bootstrap test oracle tripwire bench plans
+
+bootstrap:
+	git config core.hooksPath .githooks
+	@echo "pre-commit tail tripwire installed (core.hooksPath=.githooks)"
+
+test: bootstrap
+	python -m pytest tests/ -q
+
+oracle:
+	python tools/check_oracle.py /root/testdata/sf0.01
+
+tripwire:
+	sh tools/tail_tripwire.sh
+
+bench:
+	SPARK_GRAFT_SF_DIR=$${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} python bench.py
+
+plans:
+	python tools/plan_report.py
