@@ -743,6 +743,20 @@ def winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=5, w=4)
 
 
+def winnow_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops (NEW r8): the MOSS matching step — (id_a < id_b, shared)
+    pairs with >= 2 shared winnowing fingerprints AFTER the boilerplate
+    df-cap (max_df=20 here so the cap BINDS on the fixture; the library
+    default is 500). Inverted-index self-join on the fingerprint, never
+    all-pairs; value-verified incl. the cap (the oracle replays hash
+    fold, window minima, HAVING df<=20, and the pair counts)."""
+    from cdc_connector_spark.ops.dedup import winnow_candidate_pairs
+
+    return winnow_candidate_pairs(
+        _t(spark, sf_dir, "documents"), k=5, w=4, min_shared=2, max_df=20
+    ).orderBy("id_a", "id_b")
+
+
 def corpus_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-ops (NEW r7): dataset-version diff — two corpus versions derived
     deterministically from the fixture (old = ids not ≡0 mod 7; new = ids
@@ -2173,6 +2187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty_scores_documents": novelty_scores_documents,
         "source_quality_report": source_quality_report,
         "winnow_fingerprints_documents": winnow_fingerprints_documents,
+        "winnow_pairs_documents": winnow_pairs_documents,
         "corpus_diff_versions": corpus_diff_versions,
         "budget_mixture_documents": budget_mixture_documents,
         "subsequence_search_events": subsequence_search_events,
@@ -2953,6 +2968,47 @@ def oracle_sql() -> dict[str, str]:
                               i -> list_min(gh[i:i+3]))) AS fp
                 FROM h WHERE len(gh) > 0
             )
+        """,
+        # Winnow pairs: fingerprint CTEs as above, then the df cap
+        # (QUALIFY count per fp <= 20) and the shared-count self-join.
+        "winnow_pairs_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(lower(coalesce(text,''))) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(lower(coalesce(text,''))), '\\s+') END AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 5
+                            THEN list_transform(range(1, len(toks) - 3),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                      || ' ' || toks[i+3] || ' ' || toks[i+4])
+                            ELSE CAST([] AS VARCHAR[]) END AS grams
+                FROM t
+            ), h AS (
+                SELECT doc_id,
+                       list_transform(grams, gr ->
+                           list_reduce(
+                               list_transform(range(1, 16),
+                                   i -> CAST(strpos('0123456789abcdef', substring(md5(gr), i, 1)) - 1 AS BIGINT)),
+                               (a, x) -> a * 16 + x)) AS gh
+                FROM g
+            ), fps AS (
+                SELECT DISTINCT doc_id, fp FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, greatest(len(gh) - 3, 1) + 1),
+                                  i -> list_min(gh[i:i+3]))) AS fp
+                    FROM h WHERE len(gh) > 0
+                )
+            ), capped AS (
+                SELECT doc_id, fp FROM fps
+                QUALIFY count(*) OVER (PARTITION BY fp) <= 20
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+            FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+            ORDER BY id_a, id_b
         """,
         # Version diff: same derived old/new slices, id+fingerprint compare.
         "corpus_diff_versions": """

@@ -917,7 +917,7 @@ def winnow_candidate_pairs(
     k: int = 5,
     w: int = 4,
     min_shared: int = 1,
-    max_df: int | None = None,
+    max_df: int | None = 500,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -930,7 +930,10 @@ def winnow_candidate_pairs(
     appearing in more than that many documents BEFORE the self-join —
     the same stop-shingle pruning rule as ``ngram_jaccard_pairs`` (a
     fingerprint in 10k docs is template text, not a copy signal, and
-    contributes 10k² pair rows). At 100 TB set it to a few hundred."""
+    contributes 10k² pair rows). The SAFE cap is the DEFAULT (500 —
+    this engine's own 100 TB guidance; ``max_df=None`` opts out for
+    small corpora); audit what a corpus loses under the cap with
+    ``winnow_dropped_fingerprints`` before trusting pair recall."""
     fps = winnow_fingerprints(df, k, w, text_col, id_col)
     if max_df is not None:
         from pyspark.sql import Window
@@ -948,4 +951,26 @@ def winnow_candidate_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
+    )
+
+
+def winnow_dropped_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    max_df: int = 500,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The fingerprints ``winnow_candidate_pairs`` will DROP at the same
+    ``max_df`` — (fp, n_docs) rows, largest first. Each dropped
+    fingerprint is boilerplate by presumption; a NON-boilerplate hit
+    here is a recall hole (mirror of ``simhash_dropped_buckets`` — run
+    the audit before trusting pair output on a new corpus)."""
+    return (
+        winnow_fingerprints(df, k, w, text_col, id_col)
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_df)
+        .orderBy(F.col("n_docs").desc(), F.col("fp").asc())
     )

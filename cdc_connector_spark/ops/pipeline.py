@@ -170,8 +170,8 @@ def pretrain_corpus(
     fingerprints — quotes/boilerplate blocks MinHash's global similarity
     misses) after the near-dup stage, dropping the LOWER-QUALITY member
     of each candidate pair (the clean_corpus survivor convention;
-    ``winnow_max_df`` caps hot boilerplate fingerprints before the
-    self-join — set it on web-scale corpora); ``mixture_weights``+``mixture_total_tokens`` run
+    ``winnow_max_df`` overrides the library's default boilerplate
+    fingerprint cap of 500; None keeps it); ``mixture_weights``+``mixture_total_tokens`` run
     token-budget mixture selection (the Pile/Dolma recipe) as the
     alternative to ``mix_temperature`` (mutually exclusive — both decide
     the final mixture).
@@ -295,12 +295,15 @@ def pretrain_corpus(
     if winnow_min_shared is not None:
         from cdc_connector_spark.ops.dedup import winnow_candidate_pairs
 
+        # winnow_max_df=None defers to the library's safe default cap
+        # (500); passing it through verbatim would disable the cap
+        extra = {"max_df": winnow_max_df} if winnow_max_df is not None else {}
         pairs = winnow_candidate_pairs(
             cleaned,
             min_shared=winnow_min_shared,
-            max_df=winnow_max_df,
             text_col=text_col,
             id_col=id_col,
+            **extra,
         )
         # same survivor convention as the MinHash stage: drop the
         # LOWER-QUALITY member of each pair. Pairs always arrive with

@@ -368,3 +368,28 @@ def test_winnow_max_df_prunes_boilerplate_fingerprints(spark):
     assert winnow_candidate_pairs(df).count() == 15
     # the boilerplate fingerprints hit df=6 > 3 and vanish; unique prefixes share nothing
     assert winnow_candidate_pairs(df, max_df=3).count() == 0
+
+
+def test_winnow_default_cap_drops_corpus_wide_boilerplate(spark):
+    """The safe cap is the DEFAULT: a boilerplate block planted in 510
+    docs (> the default max_df=500) contributes ZERO pairs unless the
+    caller opts out with max_df=None, and the dropped fingerprints are
+    surfaced by the winnow_dropped_fingerprints audit with their df."""
+    from cdc_connector_spark.ops.dedup import (
+        winnow_candidate_pairs,
+        winnow_dropped_fingerprints,
+    )
+
+    boiler = "this exact template footer block appears on every single page here"
+    rows = [
+        (i, f"unique{i} alpha{i} beta{i} gamma{i} delta{i} " + boiler)
+        for i in range(510)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # default: boilerplate capped out, unique prefixes share nothing
+    assert winnow_candidate_pairs(df).count() == 0
+    # audit surfaces exactly the dropped fingerprints, each at df=510
+    dropped = winnow_dropped_fingerprints(df).collect()
+    assert dropped and all(r["n_docs"] == 510 for r in dropped)
+    # opting out reinstates the quadratic fan-out (C(510,2) pairs)
+    assert winnow_candidate_pairs(df, max_df=None).count() == 510 * 509 // 2
