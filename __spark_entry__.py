@@ -799,6 +799,23 @@ def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(ev, steps=["view", "click", "purchase"])
 
 
+def funnel_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics (NEW r8): windowed funnel view→click→purchase — chain
+    must complete within 3 days of ITS step-1 event (entry-anchored) with
+    step-to-step gaps <= 24h. EXACT exists-chain semantics (not greedy)
+    via the anchored range-framed running max; the oracle replays the
+    same per-user window recurrence. Value-verified."""
+    from cdc_connector_spark.ops.timeseries import funnel_windowed
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_windowed(
+        ev,
+        steps=["view", "click", "purchase"],
+        within=3 * 86400.0,
+        max_gap=86400.0,
+    )
+
+
 def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytics (NEW r7): weekly cohort retention matrix — users bucketed
     by first-event week, counted per later active week; exact-integer
@@ -2192,6 +2209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_mixture_documents": budget_mixture_documents,
         "subsequence_search_events": subsequence_search_events,
         "funnel_events": funnel_events,
+        "funnel_events_windowed": funnel_events_windowed,
         "cohort_retention_events": cohort_retention_events,
     }
 
@@ -2881,6 +2899,58 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
                 UNION ALL
                 SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+            )
+            SELECT step, event_type, users,
+                   round(CAST(users AS DOUBLE) /
+                         (SELECT CAST(users AS DOUBLE) FROM rep WHERE step = 1), 6)
+                     AS conversion_pct
+            FROM rep
+        """,
+        # Windowed funnel: the same anchored recurrence — per step, union
+        # the previous reachable set (markers carrying step-1 anchors)
+        # with the step's events and take the per-user range-framed
+        # running MAX of marker anchors (micros; frame ends at 1 PRECEDING
+        # so ordering is strict); reachable iff the max exists and is
+        # >= t - within. within=3d, max_gap=24h.
+        "funnel_events_windowed": """
+            WITH ev AS (
+                SELECT user_id, event_type, epoch_us(ts) AS t
+                FROM events WHERE event_type IN ('view','click','purchase')
+            ), r1 AS (
+                SELECT user_id, t, t AS anchor FROM ev WHERE event_type = 'view'
+            ), u2 AS (
+                SELECT user_id, t, anchor, 1 AS m FROM r1
+                UNION ALL
+                SELECT user_id, t, NULL, 0 FROM ev WHERE event_type = 'click'
+            ), w2 AS (
+                SELECT user_id, t, m,
+                       max(CASE WHEN m = 1 THEN anchor END) OVER (
+                         PARTITION BY user_id ORDER BY t
+                         RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING) AS best
+                FROM u2
+            ), r2 AS (
+                SELECT user_id, t, best AS anchor FROM w2
+                WHERE m = 0 AND best IS NOT NULL AND best >= t - 259200000000
+            ), u3 AS (
+                SELECT user_id, t, anchor, 1 AS m FROM r2
+                UNION ALL
+                SELECT user_id, t, NULL, 0 FROM ev WHERE event_type = 'purchase'
+            ), w3 AS (
+                SELECT user_id, t, m,
+                       max(CASE WHEN m = 1 THEN anchor END) OVER (
+                         PARTITION BY user_id ORDER BY t
+                         RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING) AS best
+                FROM u3
+            ), r3 AS (
+                SELECT user_id, t, best AS anchor FROM w3
+                WHERE m = 0 AND best IS NOT NULL AND best >= t - 259200000000
+            ), rep AS (
+                SELECT 1 AS step, 'view' AS event_type,
+                       (SELECT COUNT(DISTINCT user_id) FROM r1) AS users
+                UNION ALL
+                SELECT 2, 'click', (SELECT COUNT(DISTINCT user_id) FROM r2)
+                UNION ALL
+                SELECT 3, 'purchase', (SELECT COUNT(DISTINCT user_id) FROM r3)
             )
             SELECT step, event_type, users,
                    round(CAST(users AS DOUBLE) /

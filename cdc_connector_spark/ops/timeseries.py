@@ -158,6 +158,104 @@ def funnel(
     )
 
 
+def funnel_windowed(
+    df: DataFrame,
+    steps: list[str],
+    within: float | None = None,
+    max_gap: float | None = None,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel with CONVERSION WINDOWS — the real-analytics form of
+    ``funnel``: a user completes step k only via an ordered chain whose
+    step-k event falls (a) within ``within`` seconds of the chain's OWN
+    step-1 event (entry-anchored window, the Amplitude/ClickHouse
+    ``windowFunnel`` rule) and/or (b) within ``max_gap`` seconds of the
+    chain's step-k−1 event. Both bounds are inclusive; timestamps compare
+    strictly increasing at microsecond resolution.
+
+    EXACT exists-chain semantics, not greedy: a user counts for step k iff
+    ANY valid chain exists (greedy-earliest under-counts once windows
+    bound the chain — the user whose second entry converts). Correctness
+    rests on an anchor-dominance argument: extending a chain from a
+    predecessor event depends only on the predecessor's time (bounded by
+    the range frame) and its chain's step-1 anchor (bigger anchor = laxer
+    ``within`` bound), so carrying the frame-restricted RUNNING MAX of
+    predecessor anchors per event decides reachability exactly.
+
+    Shape: per step, union the previous reachable set (markers carrying
+    anchors) with the step's events and take one per-user range-framed
+    ``max`` window ordered by event time — k−1 user-keyed shuffles over
+    step-typed events only (the corpus collapses to the funnel's event
+    types before any window). With both bounds None this equals
+    ``funnel`` (kept separate: the unbounded form needs no windows).
+
+    Returns (step, event_type, users, conversion_pct) like ``funnel``."""
+    from pyspark.sql import Window
+
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if within is not None and within <= 0:
+        raise ValueError(f"within must be positive seconds, got {within}")
+    if max_gap is not None and max_gap <= 0:
+        raise ValueError(f"max_gap must be positive seconds, got {max_gap}")
+    ev = df.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col),
+        F.col(type_col).alias("__type"),
+        # cast covers TIMESTAMP_NTZ sources (session tz is UTC by default)
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__t"),
+    )
+    lo = -int(max_gap * 1_000_000) if max_gap is not None else Window.unboundedPreceding
+    counts = []
+    reached = None  # (user, __t, __anchor) — every reachable step-(k-1) event
+    for i, step in enumerate(steps):
+        cur = ev.filter(F.col("__type") == F.lit(step)).select(
+            user_col, "__t", F.lit(None).cast("long").alias("__anchor"), F.lit(0).alias("__m")
+        )
+        if reached is None:
+            cur = cur.select(user_col, "__t", F.col("__t").alias("__anchor"))
+        else:
+            u = reached.select(
+                user_col, "__t", "__anchor", F.lit(1).alias("__m")
+            ).unionByName(cur)
+            # strict predecessor: the frame ends at -1 microsecond, so a
+            # marker at the exact same timestamp never chains to the event
+            w = Window.partitionBy(user_col).orderBy("__t").rangeBetween(lo, -1)
+            best = F.max(F.when(F.col("__m") == 1, F.col("__anchor"))).over(w)
+            cond = F.col("__best").isNotNull()
+            if within is not None:
+                cond = cond & (
+                    F.col("__best") >= F.col("__t") - int(within * 1_000_000)
+                )
+            cur = (
+                u.withColumn("__best", best)
+                .filter((F.col("__m") == 0) & cond)
+                .select(user_col, "__t", F.col("__best").alias("__anchor"))
+            )
+        reached = cur
+        counts.append(
+            reached.agg(F.count_distinct(F.col(user_col)).alias("users")).select(
+                F.lit(i + 1).alias("step"),
+                F.lit(step).alias("event_type"),
+                "users",
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    w1 = Window.orderBy(F.col("step").asc()).rowsBetween(Window.unboundedPreceding, 0)
+    first_users = F.first("users").over(w1)
+    return out.select(
+        "step",
+        "event_type",
+        "users",
+        F.when(first_users > 0, F.round(F.col("users") / first_users, 6))
+        .otherwise(F.lit(0.0))
+        .alias("conversion_pct"),
+    )
+
+
 def cohort_retention(
     df: DataFrame,
     bucket: str = "week",

@@ -143,6 +143,127 @@ def test_cohort_retention_matrix(spark):
     assert gm == {("2024-01-01", 0), ("2024-01-01", 1)}
 
 
+def _brute_funnel_users(events, steps, within=None, max_gap=None):
+    """Exists-chain reference: events = [(user, type, t_seconds)]; returns
+    {step_index: user_count} by exhaustive DFS over ordered chains."""
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for u, ty, t in events:
+        per_user[u].append((t, ty))
+    out = {i: 0 for i in range(len(steps))}
+    for u, evs in per_user.items():
+        evs.sort()
+        best = -1  # deepest step index reached by any chain
+
+        def dfs(k, prev_t, anchor):
+            nonlocal best
+            best = max(best, k - 1)
+            if k == len(steps):
+                return
+            for t, ty in evs:
+                if ty != steps[k]:
+                    continue
+                if prev_t is not None and not (t > prev_t):
+                    continue
+                if prev_t is not None and max_gap is not None and t - prev_t > max_gap:
+                    continue
+                if anchor is not None and within is not None and t - anchor > within:
+                    continue
+                dfs(k + 1, t, t if anchor is None else anchor)
+
+        dfs(0, None, None)
+        for i in range(best + 1):
+            out[i] += 1
+    return out
+
+
+def test_funnel_windowed_vs_bruteforce_random(spark):
+    """Exact exists-chain semantics: the anchored running-max formulation
+    must agree with exhaustive chain search on random event paths, for
+    within-only, gap-only, and combined windows."""
+    import random
+    from datetime import datetime, timedelta
+
+    from cdc_connector_spark.ops.timeseries import funnel_windowed
+
+    rng = random.Random(42)
+    steps = ["view", "click", "purchase"]
+    base = datetime(2024, 1, 1)
+    for trial, (within, max_gap) in enumerate(
+        [(900.0, None), (None, 300.0), (900.0, 300.0), (None, None)]
+    ):
+        events = []
+        eid = 0
+        for u in range(25):
+            for _ in range(rng.randint(0, 12)):
+                eid += 1
+                events.append(
+                    (u, rng.choice(steps + ["noise"]), rng.randint(0, 3600))
+                )
+        df = spark.createDataFrame(
+            [
+                (i, u, ty, base + timedelta(seconds=t))
+                for i, (u, ty, t) in enumerate(events)
+            ],
+            "event_id bigint, user_id bigint, event_type string, ts timestamp",
+        )
+        got = {
+            r["step"] - 1: r["users"]
+            for r in funnel_windowed(df, steps, within=within, max_gap=max_gap).collect()
+        }
+        want = _brute_funnel_users(
+            [(u, ty, t) for (u, ty, t) in events], steps, within, max_gap
+        )
+        assert got == want, (trial, within, max_gap, got, want)
+
+
+def test_funnel_windowed_edges(spark):
+    """Boundary semantics: gap/within bounds are INCLUSIVE, ordering is
+    strict (same-timestamp steps never chain), greedy-earliest would
+    under-count (the second-entry user converts), unbounded equals
+    funnel()."""
+    from datetime import datetime, timedelta
+
+    from cdc_connector_spark.ops.timeseries import funnel, funnel_windowed
+
+    base = datetime(2024, 1, 1)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, u, ty, base + timedelta(seconds=s)) for i, (u, ty, s) in enumerate(rows)],
+            "event_id bigint, user_id bigint, event_type string, ts timestamp",
+        )
+
+    # inclusive gap boundary: B exactly max_gap after A converts
+    df = mk([(1, "A", 0), (1, "B", 300)])
+    got = {r["step"]: r["users"] for r in funnel_windowed(df, ["A", "B"], max_gap=300.0).collect()}
+    assert got == {1: 1, 2: 1}
+    # strict ordering: same-timestamp B does not chain
+    df = mk([(1, "A", 0), (1, "B", 0)])
+    got = {r["step"]: r["users"] for r in funnel_windowed(df, ["A", "B"], max_gap=300.0).collect()}
+    assert got == {1: 1, 2: 0}
+    # greedy-earliest trap: first A's window expires, second A converts
+    df = mk([(1, "A", 0), (1, "B", 500), (1, "A", 450)])
+    got = {r["step"]: r["users"] for r in funnel_windowed(df, ["A", "B"], within=100.0).collect()}
+    assert got == {1: 1, 2: 1}
+    # entry-anchored within: chain must fit the window of ITS step-1 event
+    df = mk([(1, "A", 0), (1, "B", 50), (1, "C", 200)])
+    got = {r["step"]: r["users"] for r in funnel_windowed(df, ["A", "B", "C"], within=100.0).collect()}
+    assert got == {1: 1, 2: 1, 3: 0}
+    # unbounded == funnel()
+    df = mk(
+        [(1, "A", 0), (1, "B", 10), (2, "A", 5), (3, "B", 7), (2, "B", 3), (1, "C", 20)]
+    )
+    a = {(r["step"], r["users"], r["conversion_pct"]) for r in funnel(df, ["A", "B", "C"]).collect()}
+    b = {(r["step"], r["users"], r["conversion_pct"]) for r in funnel_windowed(df, ["A", "B", "C"]).collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="within"):
+        funnel_windowed(df, ["A"], within=0)
+    with pytest.raises(ValueError, match="max_gap"):
+        funnel_windowed(df, ["A"], max_gap=-1)
+
+
 def test_cohort_retention_dst_spring_forward(spark):
     """Week offsets are calendar-wise (datediff of dates), not epoch
     division: under a DST session timezone a one-week gap spanning
