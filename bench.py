@@ -8,8 +8,16 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
+
+# Artifact-hygiene rule (verdict r7 #2): NEVER overwrite a committed
+# BENCH_FULL.json with a noisier same-code re-run — if a re-run of
+# unchanged code lands slower, keep the earlier artifact and record the
+# spread in NOTES.md instead. All throughput/live entries report warm-up +
+# median-of-N with the run count in query_stats, so single-run host
+# variance can't masquerade as a regression.
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -65,15 +73,15 @@ def bench_snapshot_throughput(spark, sf_dir: str) -> tuple[float, float]:
     meta = meta_from_df("bench", "lineitem", li, ["l_orderkey", "l_linenumber"])
     out = tempfile.mkdtemp(prefix="bench_snap_")
     try:
-        dt = None
-        for _ in range(2):  # best of 2 (steady state)
-            t0 = time.time()
+        runs = []
+        for _ in range(4):  # warm-up + median of 3 (throughput headline:
+            t0 = time.time()  # medians, never best-of/single — verdict r7 #2)
             snapshot_table(spark, li, meta, out, mode="overwrite")
-            cur = time.time() - t0
-            dt = cur if dt is None or cur < dt else dt
+            runs.append(time.time() - t0)
+        dt = statistics.median(runs[1:])
     finally:
         shutil.rmtree(out, ignore_errors=True)
-    return dt, n_rows / dt
+    return dt, n_rows / dt, len(runs) - 1
 
 
 def bench_changelog_apply(spark, sf_dir: str, sink_cls=None, method: str = "apply") -> tuple[float, float]:
@@ -118,19 +126,19 @@ def bench_changelog_apply(spark, sf_dir: str, sink_cls=None, method: str = "appl
         sink = sink_cls(spark, os.path.join(root, "orders"), ["o_orderkey"], num_buckets=64)
         sink.overwrite(orders)
         do_apply = getattr(sink, "apply_delta") if method == "mor" else sink.apply
-        dt = dt_small = None
-        for _ in range(3):  # best of 3; replay is idempotent (same merge work)
-            t0 = time.time()
+        runs, runs_small = [], []
+        for _ in range(4):  # warm-up + median of 3; replay is idempotent
+            t0 = time.time()  # (same merge work each pass)
             do_apply(changes)
-            cur = time.time() - t0
-            dt = cur if dt is None or cur < dt else dt
+            runs.append(time.time() - t0)
             t0 = time.time()
             do_apply(small)
-            cur = time.time() - t0
-            dt_small = cur if dt_small is None or cur < dt_small else dt_small
+            runs_small.append(time.time() - t0)
+        dt = statistics.median(runs[1:])
+        dt_small = statistics.median(runs_small[1:])
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return dt, n_events / dt, dt_small, n_small
+    return dt, n_events / dt, dt_small, n_small, len(runs) - 1
 
 
 def bench_live_plane(spark, sf_dir: str):
@@ -151,9 +159,9 @@ def bench_live_plane(spark, sf_dir: str):
     runs (robust to a one-off stall, unlike best-of, but unlike best-of it
     still moves if every run regresses).
 
-    Returns (timings dict, rates dict); empty dicts when no server."""
+    Returns (timings dict, rates dict, run-counts dict); empty when no
+    server."""
     import shutil
-    import statistics
     import tempfile
 
     from pyspark.sql import functions as F
@@ -169,8 +177,8 @@ def bench_live_plane(spark, sf_dir: str):
     server = start_local_postgres()
     if server is None:
         print("# live plane: no postgres server binaries — skipped", file=sys.stderr)
-        return {}, {}
-    timings, rates = {}, {}
+        return {}, {}, {}
+    timings, rates, run_counts = {}, {}, {}
     out = tempfile.mkdtemp(prefix="bench_live_")
     try:
         pg = server.conn
@@ -198,6 +206,7 @@ def bench_live_plane(spark, sf_dir: str):
         dt = statistics.median(runs)
         print(f"# snapshot_load_live runs: {[round(r, 2) for r in runs]}", file=sys.stderr)
         timings["snapshot_load_live"] = round(dt, 3)
+        run_counts["snapshot_load_live"] = len(runs)
         rates["live_snapshot_rows_per_sec"] = round(n_rows / dt)
         print(f"# snapshot_load_live: {dt:.2f}s ({n_rows / dt:,.0f} rows/s round trip)", file=sys.stderr)
 
@@ -224,12 +233,13 @@ def bench_live_plane(spark, sf_dir: str):
             runs.append(time.time() - t0)
         dt = statistics.median(runs)
         timings["upsert_live"] = round(dt, 3)
+        run_counts["upsert_live"] = len(runs)
         rates["live_upsert_events_per_sec"] = round(n_events / dt)
         print(f"# upsert_live: {dt:.2f}s ({n_events / dt:,.0f} events/s)", file=sys.stderr)
     finally:
         shutil.rmtree(out, ignore_errors=True)
         server.stop()
-    return timings, rates
+    return timings, rates, run_counts
 
 
 def main() -> None:
@@ -256,7 +266,6 @@ def main() -> None:
     # sub-second comparisons; entries slower than this get a median-of-3
     # so round-over-round diffs track the engine, not the box
     slow_median_threshold = 0.7
-    import statistics
 
     for name in bench_order:
         fn = qs[name]
@@ -293,38 +302,47 @@ def main() -> None:
     total += bpe_dt
     print(f"# bpe_train_documents: {bpe_dt:.2f}s ({n_merges_done} merges)", file=sys.stderr)
 
-    snap_dt, snap_rps = bench_snapshot_throughput(spark, sf_dir)
+    snap_dt, snap_rps, snap_runs = bench_snapshot_throughput(spark, sf_dir)
     timings["snapshot_load_lineitem"] = round(snap_dt, 3)
+    query_stats["snapshot_load_lineitem"] = {"median": round(snap_dt, 3), "runs": snap_runs}
     total += snap_dt
     print(f"# snapshot_load_lineitem: {snap_dt:.2f}s ({snap_rps:,.0f} rows/s)", file=sys.stderr)
 
-    apply_dt, apply_eps, small_dt, n_small = bench_changelog_apply(spark, sf_dir)
+    apply_dt, apply_eps, small_dt, n_small, apply_runs = bench_changelog_apply(spark, sf_dir)
     timings["changelog_apply_orders"] = round(apply_dt, 3)
     timings["changelog_apply_small_batch"] = round(small_dt, 3)
+    query_stats["changelog_apply_orders"] = {"median": round(apply_dt, 3), "runs": apply_runs}
+    query_stats["changelog_apply_small_batch"] = {"median": round(small_dt, 3), "runs": apply_runs}
     total += apply_dt + small_dt
     print(f"# changelog_apply_orders: {apply_dt:.2f}s ({apply_eps:,.0f} events/s)", file=sys.stderr)
     print(f"# changelog_apply_small_batch: {small_dt:.2f}s ({n_small} events, bucket-pruned)", file=sys.stderr)
 
     from cdc_connector_spark.changelog.txlog import TxLogMergeSink
 
-    tx_dt, tx_eps, tx_small_dt, _ = bench_changelog_apply(spark, sf_dir, sink_cls=TxLogMergeSink)
+    tx_dt, tx_eps, tx_small_dt, _, tx_runs = bench_changelog_apply(spark, sf_dir, sink_cls=TxLogMergeSink)
     timings["changelog_apply_txlog"] = round(tx_dt, 3)
     timings["changelog_apply_txlog_small_batch"] = round(tx_small_dt, 3)
+    query_stats["changelog_apply_txlog"] = {"median": round(tx_dt, 3), "runs": tx_runs}
+    query_stats["changelog_apply_txlog_small_batch"] = {"median": round(tx_small_dt, 3), "runs": tx_runs}
     total += tx_dt + tx_small_dt
     print(f"# changelog_apply_txlog: {tx_dt:.2f}s ({tx_eps:,.0f} events/s)", file=sys.stderr)
     print(f"# changelog_apply_txlog_small_batch: {tx_small_dt:.2f}s", file=sys.stderr)
 
-    mor_dt, mor_eps, mor_small_dt, _ = bench_changelog_apply(
+    mor_dt, mor_eps, mor_small_dt, _, mor_runs = bench_changelog_apply(
         spark, sf_dir, sink_cls=TxLogMergeSink, method="mor"
     )
     timings["changelog_apply_mor"] = round(mor_dt, 3)
     timings["changelog_apply_mor_small_batch"] = round(mor_small_dt, 3)
+    query_stats["changelog_apply_mor"] = {"median": round(mor_dt, 3), "runs": mor_runs}
+    query_stats["changelog_apply_mor_small_batch"] = {"median": round(mor_small_dt, 3), "runs": mor_runs}
     total += mor_dt + mor_small_dt
     print(f"# changelog_apply_mor: {mor_dt:.2f}s ({mor_eps:,.0f} events/s, write-side only)", file=sys.stderr)
     print(f"# changelog_apply_mor_small_batch: {mor_small_dt:.2f}s", file=sys.stderr)
 
-    live_timings, live_rates = bench_live_plane(spark, sf_dir)
+    live_timings, live_rates, live_runs = bench_live_plane(spark, sf_dir)
     timings.update(live_timings)
+    for k, v in live_timings.items():
+        query_stats[k] = {"median": v, "runs": live_runs.get(k, 1)}
     total += sum(live_timings.values())
 
     report = {

@@ -697,6 +697,54 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """CONTAINMENT near-dup pairs: the Szymkiewicz–Simpson overlap
+    coefficient |S_A ∩ S_B| / min(|S_A|, |S_B|) over n-gram shingle sets —
+    the asymmetric-duplication detector Jaccard misses. A 50-line quote
+    fully contained in a 5000-line page scores overlap 1.0 but Jaccard
+    ~0.01; containment is the right signal for subset/quote/expanded-copy
+    dedup (Broder's containment, the other half of the resemblance
+    paper). Returns (id_a < id_b, overlap, n_a, n_b); the smaller side is
+    the contained candidate.
+
+    Same engine as ``ngram_jaccard_pairs``: hashed shingles (values
+    identical modulo 2⁻⁶⁴ collisions), stop-shingle pruning above
+    ``max_shingle_freq``, inverted-index self-join — never all-pairs.
+    Caveat shared with every containment index: stop-shingle pruning
+    removes mass from BOTH numerator and denominator-set sizes are
+    pre-pruning, so heavily-boilerplate contained docs can score under
+    the threshold; lower ``max_shingle_freq`` only with that in mind."""
+    sh = _barrier(
+        df.select(F.col(id_col).alias("__id"), hashed_shingles(text_col, shingle_n).alias("__sh"))
+    )
+    sizes = sh.select("__id", F.size("__sh").alias("__n"))
+    inv = sh.select("__id", F.explode("__sh").alias("shingle"))
+    freq_ok = inv.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq).select("shingle")
+    inv = inv.join(F.broadcast(freq_ok), "shingle")
+    l, r = inv.alias("l"), inv.alias("r")
+    shared = (
+        l.join(r, on=[F.col("l.shingle") == F.col("r.shingle"), F.col("l.__id") < F.col("r.__id")])
+        .groupBy(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "n_b"), "id_b")
+        .withColumn(
+            "overlap", F.col("shared") / F.least(F.col("n_a"), F.col("n_b"))
+        )
+        .filter(F.col("overlap") >= threshold)
+        .select("id_a", "id_b", "overlap", "n_a", "n_b")
+    )
+
+
 # --- incremental MinHash index: dedup a NEW batch against a persisted corpus ---
 
 def minhash_index_write(

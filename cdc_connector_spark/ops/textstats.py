@@ -884,3 +884,116 @@ def compression_ratio(
     return df.select(
         F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("__txt")
     ).mapInPandas(gen, out_schema)
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    min_count: int = 5,
+    top_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information —
+    PMI = ln(P(xy) / (P(x)·P(y))) with P(xy) = c_xy/N_bi over corpus
+    bigram occurrences and P(x) = c_x/N_uni over corpus unigram
+    occurrences (Church & Hanks 1990, the collocation-extraction
+    classic). High-PMI pairs are multiword expressions ("new york",
+    "machine learning") — the phrase-mining primitive for tokenizer
+    vocab curation and boilerplate analysis.
+
+    ``min_count`` prunes rare bigrams BEFORE the join (PMI is notoriously
+    noisy at low counts — a 1-occurrence pair of two rare words maxes the
+    score); ``top_k`` is a TakeOrderedAndProject, never a full sort.
+
+    Value-portable: counts are exact integers; the score is one double
+    expression ln((c_xy·N_uni·N_uni)/(N_bi·c_x·c_y)) evaluated in a
+    FIXED shape (single ln of an exact-integer ratio — no float
+    accumulation to reorder), rounded to 6.
+
+    Shape: one postings lineage — tokens explode once for unigram counts
+    and once (shifted-slice zip_with) for bigram counts; the (term,count)
+    sides broadcast onto the bigram table (vocabulary-sized, never
+    corpus-sized). Ties on PMI break by bigram text ascending."""
+    toks = tokenize(F.lower(F.col(text_col)))
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        df.select(F.explode(word_ngrams(toks, 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    n_uni = uni.agg(F.sum("c").alias("__n_uni"))
+    n_bi = (
+        df.select(F.greatest(F.size(toks) - 1, F.lit(0)).alias("nb"))
+        .agg(F.sum("nb").alias("__n_bi"))
+    )
+    parts = F.split(F.col("bigram"), " ", 2)
+    return (
+        bi.withColumn("__x", parts[0])
+        .withColumn("__y", parts[1])
+        .join(F.broadcast(uni.withColumnRenamed("w", "__x").withColumnRenamed("c", "c_x")), "__x")
+        .join(F.broadcast(uni.withColumnRenamed("w", "__y").withColumnRenamed("c", "c_y")), "__y")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "bigram",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.round(
+                F.log(
+                    (F.col("c_xy") * F.col("__n_uni") * F.col("__n_uni")).cast("double")
+                    / (F.col("__n_bi") * F.col("c_x") * F.col("c_y")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+        .limit(top_k)
+    )
+
+
+def readability(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document readability profile: sentence count (terminal
+    punctuation runs), word count, a syllable PROXY (vowel-group count —
+    the standard dictionary-free approximation), and the Flesch
+    reading-ease score computed from those proxies:
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+
+    An explicit heuristic, not a claim of linguistic truth — the value is
+    a STABLE, portable quality signal (the same role as quality_score)
+    whose formula any engine can replay: counts are exact integers from
+    regexp matches; the score is one fixed double expression, rounded 6.
+    Empty docs report NULL score. Codegen projections only — no shuffle,
+    no UDF."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.size(tokenize(txt))
+    # runs of .!? count once (ellipses/interrobangs are one boundary);
+    # a final sentence without terminal punctuation still counts
+    terminals = F.size(F.regexp_extract_all(txt, F.lit(r"[.!?]+"), F.lit(0)))
+    trailing = F.regexp_extract(F.trim(txt), r"[.!?]$", 0) != ""
+    sentences = F.when(words == 0, F.lit(0)).otherwise(
+        F.greatest(terminals + F.when(trailing, F.lit(0)).otherwise(F.lit(1)), F.lit(1))
+    )
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(txt), F.lit(r"[aeiouy]+"), F.lit(0))
+    )
+    score = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / words.cast("double")),
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        F.when(words > 0, score).alias("flesch"),
+    )

@@ -313,3 +313,98 @@ def cohort_retention(
         "users",
         F.round(F.col("users") / size, 6).alias("retention_pct"),
     )
+
+
+def rolling_daily_counts(
+    df: DataFrame,
+    window_days: int = 7,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-type daily event counts with a trailing ``window_days``-day
+    rolling sum — the ops-dashboard primitive (7-day actives, weekly
+    volume trend). Returns (event_type, day ISO string, n, rolling) with
+    ``rolling`` summing the days in [day − window_days + 1, day]; days
+    with zero events contribute nothing (standard sparse convention —
+    densify upstream if gap days must appear as rows).
+
+    Shape: events collapse to (type, day) counts FIRST (one map-side-
+    combined shuffle keyed by type+day — the cardinality entering the
+    window is types×days, not raw events), then one per-type range-framed
+    window over day numbers. Exact integers end to end."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    from pyspark.sql import Window
+
+    daily = (
+        df.select(
+            F.col(type_col).alias("event_type"),
+            F.unix_date(F.to_date(F.col(ts_col))).alias("__d"),
+        )
+        .groupBy("event_type", "__d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("__d")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    return daily.select(
+        "event_type",
+        F.date_format(F.date_from_unix_date(F.col("__d").cast("int")), "yyyy-MM-dd").alias("day"),
+        "n",
+        F.sum("n").over(w).alias("rolling"),
+    )
+
+
+def daily_anomalies(
+    df: DataFrame,
+    z_threshold: float = 2.0,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Volume-anomaly days: per event type, z-score each day's count
+    against the type's own daily distribution and report days with
+    |z| >= ``z_threshold`` — the monitoring-plane drilldown behind "why
+    did clicks spike on the 14th". Returns (event_type, day, n, z).
+
+    Value-portable by construction: daily counts are exact integers, so
+    mean and sample variance come from exact integer sums (Σn, Σn², d)
+    with ONE fixed double expression per statistic —
+    var = (Σn² − Σn·Σn/d)/(d−1), z = (n − Σn/d)/sqrt(var), rounded 6 —
+    no float accumulation ordering to diverge between engines. Types
+    with fewer than 2 days or zero variance report no rows (a constant
+    series has no anomalies).
+
+    Shape: the same collapsed (type, day) table feeds one per-type
+    aggregate (types-sized) broadcast back onto it — two tiny shuffles
+    after the daily collapse."""
+    daily = (
+        df.select(
+            F.col(type_col).alias("event_type"),
+            F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__d"),
+        F.sum("n").alias("__s"),
+        F.sum(F.col("n") * F.col("n")).alias("__ss"),
+    )
+    var = (
+        F.col("__ss").cast("double")
+        - F.col("__s").cast("double") * F.col("__s").cast("double") / F.col("__d").cast("double")
+    ) / (F.col("__d") - 1).cast("double")
+    z = F.round(
+        (F.col("n").cast("double") - F.col("__s").cast("double") / F.col("__d").cast("double"))
+        / F.sqrt(var),
+        6,
+    )
+    return (
+        daily.join(F.broadcast(stats.filter(F.col("__d") > 1)), "event_type")
+        .withColumn("__var", var)
+        .filter(F.col("__var") > 0)
+        .select("event_type", "day", "n", z.alias("z"))
+        .filter(F.abs(F.col("z")) >= z_threshold)
+    )

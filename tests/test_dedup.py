@@ -393,3 +393,24 @@ def test_winnow_default_cap_drops_corpus_wide_boilerplate(spark):
     assert dropped and all(r["n_docs"] == 510 for r in dropped)
     # opting out reinstates the quadratic fan-out (C(510,2) pairs)
     assert winnow_candidate_pairs(df, max_df=None).count() == 510 * 509 // 2
+
+
+def test_ngram_overlap_containment(spark):
+    """Overlap coefficient catches a quote fully contained in a much
+    larger doc that Jaccard misses; threshold and pair orientation pin."""
+    from cdc_connector_spark.ops.dedup import ngram_jaccard_pairs, ngram_overlap_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog near the river bank"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote), (3, "totally unrelated text body")],
+        "doc_id bigint, text string",
+    )
+    got = {(r["id_a"], r["id_b"]): r for r in ngram_overlap_pairs(df, threshold=0.8).collect()}
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    # every shingle of the quote appears in doc 2 -> containment 1.0
+    assert r["overlap"] == 1.0 and r["n_a"] < r["n_b"]
+    # Jaccard at 0.5 misses the same pair (tiny intersection / huge union)
+    jac = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) not in jac

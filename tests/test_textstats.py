@@ -436,3 +436,52 @@ def test_compression_ratio_two_tails(spark):
     assert got[0][1] < 0.05          # repetition collapses
     assert got[2][1] > 0.5           # noise stays big
     assert got[3] == (0, None) and got[4] == (0, None)
+
+
+def test_pmi_bigrams_collocations(spark):
+    """A bigram that always co-occurs outranks frequent-but-independent
+    pairs; min_count prunes rare pairs; PMI matches the closed formula."""
+    import math
+
+    from cdc_connector_spark.ops.textstats import pmi_bigrams
+
+    rows = [(i, "new york is big and the the the the") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["bigram"]: r for r in pmi_bigrams(df, min_count=5, top_k=10).collect()}
+    assert "new york" in got
+    r = got["new york"]
+    # corpus: 9 tokens/doc * 6 docs = 54 unigrams, 8 bigrams/doc * 6 = 48
+    n_uni, n_bi = 54, 48
+    want = round(math.log((6 * n_uni * n_uni) / (n_bi * 6 * 6)), 6)
+    assert r["c_xy"] == 6 and r["c_x"] == 6 and r["c_y"] == 6
+    assert abs(r["pmi"] - want) < 1e-9
+    # "the the" occurs 3x per doc = 18 >= min_count but c_x=c_y=24 -> low PMI
+    assert got["the the"]["pmi"] < got["new york"]["pmi"]
+    # rare bigrams pruned: "york is" appears 6 times -> present at min_count=5,
+    # absent at min_count=7
+    assert "york is" in got
+    got7 = {r["bigram"] for r in pmi_bigrams(df, min_count=7, top_k=10).collect()}
+    assert got7 == {"the the"}
+
+
+def test_readability_flesch(spark):
+    from cdc_connector_spark.ops.textstats import readability
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),   # 6 words, 2 sentences
+            (2, "no terminal punctuation here"),  # 1 sentence by fallback
+            (3, ""),                              # empty -> NULL score
+            (4, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in readability(df).collect()}
+    r1 = got[1]
+    assert (r1["n_words"], r1["n_sentences"]) == (6, 2)
+    syl = r1["n_syllables"]
+    want = round(206.835 - 1.015 * (6 / 2) - 84.6 * (syl / 6), 6)
+    assert abs(r1["flesch"] - want) < 1e-9
+    assert got[2]["n_sentences"] == 1
+    assert got[3]["flesch"] is None and got[3]["n_words"] == 0
+    assert got[4]["flesch"] is None

@@ -286,3 +286,63 @@ def test_cohort_retention_dst_spring_forward(spark):
         assert got == {("2024-03-04", 0): 1, ("2024-03-04", 1): 1}
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz_before)
+
+
+def test_rolling_daily_counts(spark):
+    from datetime import datetime
+
+    from cdc_connector_spark.ops.timeseries import rolling_daily_counts
+
+    rows = [
+        # type a: days 1,2,3 with counts 1,2,1; day 10 isolated
+        (1, datetime(2024, 1, 1, 5), 1, "a"),
+        (2, datetime(2024, 1, 2, 5), 1, "a"), (3, datetime(2024, 1, 2, 6), 1, "a"),
+        (4, datetime(2024, 1, 3, 5), 1, "a"),
+        (5, datetime(2024, 1, 10, 5), 1, "a"),
+        # type b: one day
+        (6, datetime(2024, 1, 2, 5), 1, "b"),
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, user_id bigint, event_type string")
+    got = {(r["event_type"], r["day"]): (r["n"], r["rolling"])
+           for r in rolling_daily_counts(df, window_days=3).collect()}
+    assert got[("a", "2024-01-01")] == (1, 1)
+    assert got[("a", "2024-01-02")] == (2, 3)
+    assert got[("a", "2024-01-03")] == (1, 4)
+    assert got[("a", "2024-01-10")] == (1, 1)  # outside every earlier window
+    assert got[("b", "2024-01-02")] == (1, 1)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="window_days"):
+        rolling_daily_counts(df, window_days=0)
+
+
+def test_daily_anomalies(spark):
+    from datetime import datetime, timedelta
+
+    from cdc_connector_spark.ops.timeseries import daily_anomalies
+
+    rows = []
+    eid = 0
+    # type a: 10 quiet days of exactly 2 events, one day of 30 -> huge z
+    for d in range(10):
+        for _ in range(2):
+            eid += 1
+            rows.append((eid, datetime(2024, 1, 1) + timedelta(days=d), 1, "a"))
+    for _ in range(30):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 11), 1, "a"))
+    # type b: constant series -> zero variance -> no rows
+    for d in range(5):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + timedelta(days=d), 1, "b"))
+    # type c: single day -> d=1 -> no rows
+    eid += 1
+    rows.append((eid, datetime(2024, 1, 1), 1, "c"))
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, user_id bigint, event_type string")
+    got = daily_anomalies(df, z_threshold=2.0).collect()
+    assert [(r["event_type"], r["day"], r["n"]) for r in got] == [("a", "2024-01-11", 30)]
+    # z matches the exact-integer-sums formula
+    d, s, ss = 11, 50, 940  # 10 days of 2 + one day of 30
+    mean = s / d
+    var = (ss - s * s / d) / (d - 1)
+    assert abs(got[0]["z"] - round((30 - mean) / var ** 0.5, 6)) < 1e-9
