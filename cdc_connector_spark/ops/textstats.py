@@ -944,10 +944,20 @@ def pmi_bigrams(
             "c_xy",
             "c_x",
             "c_y",
+            # doubles FIRST, then multiply (left-assoc, mirrored verbatim in
+            # the SQL twin): long products of corpus-sized counts would
+            # ANSI-overflow at web scale; the double path is IEEE-identical
+            # across engines and exact below 2^53 anyway
             F.round(
                 F.log(
-                    (F.col("c_xy") * F.col("__n_uni") * F.col("__n_uni")).cast("double")
-                    / (F.col("__n_bi") * F.col("c_x") * F.col("c_y")).cast("double")
+                    F.col("c_xy").cast("double")
+                    * F.col("__n_uni").cast("double")
+                    * F.col("__n_uni").cast("double")
+                    / (
+                        F.col("__n_bi").cast("double")
+                        * F.col("c_x").cast("double")
+                        * F.col("c_y").cast("double")
+                    )
                 ),
                 6,
             ).alias("pmi"),

@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Staleness map: for every queries() entry, the last round with a driver
+CORRECTNESS row, and the age that row will have after the CURRENT round's
+window runs (entries in the first 50 get a fresh row this round).
+
+Writes STALENESS.md. Run from the repo root:
+
+    python tools/staleness.py [current_round]
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    import __spark_entry__ as m
+
+    last: dict[str, int] = {}
+    rounds = []
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        r = int(re.search(r"r(\d+)", path).group(1))
+        rounds.append(r)
+        for q in json.load(open(path)):
+            last[q] = r
+    current = int(sys.argv[1]) if len(sys.argv) > 1 else max(rounds) + 1
+    qs = list(m.queries())
+    window = set(qs[:50])
+    rows = []
+    for q in qs:
+        eff = current if q in window else last.get(q)
+        age = None if eff is None else current - eff
+        rows.append((q, last.get(q), q in window, age))
+    max_age = max((a for _, _, _, a in rows if a is not None), default=None)
+    never = [q for q, lr, w, _ in rows if lr is None and not w]
+    with open("STALENESS.md", "w") as f:
+        f.write(
+            f"# Driver-row staleness map (as of round {current})\n\n"
+            f"{len(qs)} queries; the driver checks the first 50 per round.\n"
+            f"`projected age` = rounds since the entry's last driver row,\n"
+            f"counting an in-window entry as checked THIS round.\n\n"
+            f"**Projected max age after round {current}: {max_age}**"
+            f" (surface/window ratio {len(qs)}/50 makes 2 the steady-state"
+            f" floor; the pre-commit tail tripwire value-verifies every"
+            f" out-of-window entry at sf0.001 in between).\n\n"
+        )
+        if never:
+            f.write(
+                "Entries with no driver row and not in this window "
+                f"(MUST rotate next): {', '.join(never)}\n\n"
+            )
+        f.write("| query | last driver row | in r{} window | projected age |\n".format(current))
+        f.write("|---|---|---|---|\n")
+        for q, lr, w, age in rows:
+            f.write(
+                f"| {q} | {'r' + str(lr) if lr else '—'} | "
+                f"{'yes' if w else ''} | {age if age is not None else '—'} |\n"
+            )
+    print(f"STALENESS.md written: {len(qs)} queries, projected max age {max_age}")
+    if never:
+        print(f"WARNING: {len(never)} never-checked entries outside the window: {never}")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
