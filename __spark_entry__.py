@@ -885,6 +885,35 @@ def readability_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability(_t(spark, sf_dir, "documents"))
 
 
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph (NEW r8): PageRank over the customer↔supplier trade graph
+    (distinct (custkey, suppkey) pairs from lineitem⋈orders, both
+    directions; supplier nodes offset by 10M) — 3 synchronous iterations,
+    contributions rounded-12 and DECIMAL-accumulated so the unrolled-CTE
+    oracle replays bit-identically. Top-50 by (rank desc, node asc).
+    Two node-keyed shuffles per iteration; value-verified."""
+    from cdc_connector_spark.ops.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + F.lit(10_000_000)).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).unionByName(
+        pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+    return (
+        pagerank(edges, iters=3)
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(50)
+    )
+
+
 def budget_mixture_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-ops (NEW r7): token-budget mixture selection (the Pile/Dolma
     data-recipe step) — per-source integer token targets (6-decimal weight
@@ -2132,10 +2161,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate checks only the FIRST 50 dict entries of
 # queries(). Round-8 window (judge r7 next-round #1): 3 sentinels, the
-# rows-only trio NEXT TO its value-verified twins, the 15 never-checked
-# entries (8 added late in r7 + 7 new in r8), ALL 15 entries whose last
+# rows-only trio NEXT TO its value-verified twins, the 16 never-checked
+# entries (8 added late in r7 + 8 new in r8), ALL 15 entries whose last
 # driver row is r5 (the oldest cohort — age 3 without this rotation), and
-# the 11 oldest r6-checked entries. The 30 remaining r6 entries are age 2
+# the 10 oldest r6-checked entries. The 31 remaining r6 entries are age 2
 # and rotate in next round; r7-checked entries are age 1 in the tail. Max
 # staleness after this round: 2 rounds (see STALENESS.md, generated by
 # tools/staleness.py). Every tail entry stays value-verified at sf0.001 by
@@ -2165,7 +2194,7 @@ _R8_WINDOW = [
     "subsequence_search_events",
     "funnel_events",
     "cohort_retention_events",
-    # never driver-checked: the 7 new r8 additions
+    # never driver-checked: the 8 new r8 additions
     "winnow_pairs_documents",
     "funnel_events_windowed",
     "rolling_activity_events",
@@ -2173,6 +2202,7 @@ _R8_WINDOW = [
     "containment_pairs_documents",
     "pmi_bigrams_documents",
     "readability_documents",
+    "pagerank_trade_graph",
     # last driver row r5 (entire cohort)
     "semi_join_discounted",
     "q2_min_cost_supplier",
@@ -2200,7 +2230,6 @@ _R8_WINDOW = [
     "date_arith_orders",
     "incremental_rollup_events",
     "ngram_jaccard_pairs_subset",
-    "multimodal_decode_documents",
 ]
 
 
@@ -2337,6 +2366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs_documents": containment_pairs_documents,
         "pmi_bigrams_documents": pmi_bigrams_documents,
         "readability_documents": readability_documents,
+        "pagerank_trade_graph": pagerank_trade_graph,
     }
     assert len(_R8_WINDOW) == 50 and set(_R8_WINDOW) <= set(base)
     out = {n: base[n] for n in _R8_WINDOW}
@@ -3209,6 +3239,60 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING count(*) >= 2
             ORDER BY id_a, id_b
+        """,
+        # PageRank: unrolled 3-iteration CTE over the same bidirectional
+        # distinct trade edges — rank/outdeg rounded 12 and
+        # DECIMAL(28,12)-summed per iteration (order-independent exact
+        # accumulation), damping update as the same double expression.
+        "pagerank_trade_graph": """
+            WITH p AS (
+                SELECT DISTINCT o.o_custkey AS cust, 10000000 + l.l_suppkey AS supp
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ), e AS (
+                SELECT cust AS s, supp AS d FROM p
+                UNION ALL
+                SELECT supp AS s, cust AS d FROM p
+            ), nodes AS (
+                SELECT DISTINCT s AS node FROM e
+                UNION
+                SELECT DISTINCT d AS node FROM e
+            ), nn AS (
+                SELECT COUNT(*) AS n FROM nodes
+            ), od AS (
+                SELECT s, COUNT(*) AS outd FROM e GROUP BY s
+            ), r0 AS (
+                SELECT node, 1.0 / CAST(n AS DOUBLE) AS rank FROM nodes CROSS JOIN nn
+            ), c1 AS (
+                SELECT e.d AS node,
+                       SUM(CAST(round(r.rank / CAST(od.outd AS DOUBLE), 12) AS DECIMAL(28,12))) AS cin
+                FROM e JOIN od ON e.s = od.s JOIN r0 r ON r.node = e.s GROUP BY e.d
+            ), r1 AS (
+                SELECT nodes.node,
+                       (1.0 - 0.85) / CAST(n AS DOUBLE)
+                         + 0.85 * coalesce(CAST(cin AS DOUBLE), 0.0) AS rank
+                FROM nodes LEFT JOIN c1 ON nodes.node = c1.node CROSS JOIN nn
+            ), c2 AS (
+                SELECT e.d AS node,
+                       SUM(CAST(round(r.rank / CAST(od.outd AS DOUBLE), 12) AS DECIMAL(28,12))) AS cin
+                FROM e JOIN od ON e.s = od.s JOIN r1 r ON r.node = e.s GROUP BY e.d
+            ), r2 AS (
+                SELECT nodes.node,
+                       (1.0 - 0.85) / CAST(n AS DOUBLE)
+                         + 0.85 * coalesce(CAST(cin AS DOUBLE), 0.0) AS rank
+                FROM nodes LEFT JOIN c2 ON nodes.node = c2.node CROSS JOIN nn
+            ), c3 AS (
+                SELECT e.d AS node,
+                       SUM(CAST(round(r.rank / CAST(od.outd AS DOUBLE), 12) AS DECIMAL(28,12))) AS cin
+                FROM e JOIN od ON e.s = od.s JOIN r2 r ON r.node = e.s GROUP BY e.d
+            ), r3 AS (
+                SELECT nodes.node,
+                       (1.0 - 0.85) / CAST(n AS DOUBLE)
+                         + 0.85 * coalesce(CAST(cin AS DOUBLE), 0.0) AS rank
+                FROM nodes LEFT JOIN c3 ON nodes.node = c3.node CROSS JOIN nn
+            )
+            SELECT node, round(rank, 6) AS rank FROM r3
+            ORDER BY round(rank, 6) DESC, node ASC
+            LIMIT 50
         """,
         # Rolling activity: same (type, day) collapse, RANGE window over
         # calendar days (inclusive 7-day trailing frame).

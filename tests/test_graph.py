@@ -1,0 +1,70 @@
+"""ops/graph.py — PageRank (synchronous iterations, portable arithmetic)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_connector_spark.ops.graph import pagerank
+
+
+def _reference_pagerank(edges, iters, damping, redistribute=False):
+    """Plain-python replay of the documented semantics (incl. the round-12
+    contribution accumulation)."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        inc = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            inc[d] += round(rank[s] / outdeg[s], 12)
+        dm = sum(round(rank[v], 12) for v in nodes if v not in outdeg) if redistribute else 0.0
+        rank = {
+            v: (1.0 - damping) / n
+            + (damping * dm / n if redistribute else 0.0)
+            + damping * inc[v]
+            for v in nodes
+        }
+    return {v: round(r, 6) for v, r in rank.items()}
+
+
+EDGES = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]  # 4 has no in-edges
+
+
+def test_pagerank_matches_reference(spark):
+    df = spark.createDataFrame(EDGES, "src bigint, dst bigint")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=3).collect()}
+    want = _reference_pagerank(EDGES, iters=3, damping=0.85)
+    assert got.keys() == want.keys()
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+    # node 3 (most in-links) outranks everyone; source-only node 4 floors
+    assert got[3] == max(got.values()) and got[4] == min(got.values())
+
+
+def test_pagerank_dangling_redistribution(spark):
+    # 3 is dangling (no out-edges): without redistribution total rank
+    # leaks; with it the total returns to ~1
+    edges = [(1, 2), (2, 3), (1, 3)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    leak = sum(r["rank"] for r in pagerank(df, iters=5).collect())
+    full = sum(
+        r["rank"] for r in pagerank(df, iters=5, redistribute_dangling=True).collect()
+    )
+    assert leak < 0.95
+    assert abs(full - 1.0) < 1e-5
+    want = _reference_pagerank(edges, iters=5, damping=0.85, redistribute=True)
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, iters=5, redistribute_dangling=True).collect()}
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9
+
+
+def test_pagerank_guards(spark):
+    df = spark.createDataFrame(EDGES, "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="iters"):
+        pagerank(df, iters=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping=1.0)
