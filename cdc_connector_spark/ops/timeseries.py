@@ -408,3 +408,70 @@ def daily_anomalies(
         .select("event_type", "day", "n", z.alias("z"))
         .filter(F.abs(F.col("z")) >= z_threshold)
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    k: int = 1,
+    h: int = 5,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Sequential drift detection on daily counts: a two-sided CUSUM
+    (Page 1954) per event type — the monitoring complement to
+    ``daily_anomalies``: z-scores flag single outlier DAYS, CUSUM flags
+    sustained SHIFTS (a 20% volume drift no single day makes anomalous).
+
+    Integer-exact by construction: the reference level is the floored
+    mean daily count (Σn div d), the allowance ``k`` and threshold ``h``
+    are integers, and the recursion S⁺_t = max(0, S⁺_{t-1} + n_t − ref − k)
+    is computed CLOSED-FORM via the identity S_t = C_t − min(0, min_{j≤t} C_j)
+    with C the running sum — so the whole operator is two window
+    functions over exact integers (no float accumulation, no fold), and
+    any SQL engine replays it bit-for-bit. Downward shifts use the
+    mirrored recursion. Returns alarm days only:
+    (event_type, day, n, s_pos, s_neg) where s_pos > h or s_neg > h.
+
+    Shape: the (type, day) collapse, one types-sized stats broadcast,
+    one per-type ordered window — same cost family as the other daily
+    ops. Days absent from the data contribute nothing (densify upstream
+    if zero-days must push the downward CUSUM)."""
+    from pyspark.sql import Window
+
+    daily = (
+        df.select(
+            F.col(type_col).alias("event_type"),
+            F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__d"), F.sum("n").alias("__s")
+    )
+    # floored mean via double division: s/d then floor — both exact IEEE
+    # ops any engine reproduces (s, d are exact integers well under 2^53)
+    ref = F.floor(F.col("__s").cast("double") / F.col("__d").cast("double")).cast("long")
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    x = F.col("n") - F.col("__ref") - F.lit(k)
+    y = F.col("__ref") - F.col("n") - F.lit(k)
+    joined = (
+        daily.join(F.broadcast(stats), "event_type")
+        .withColumn("__ref", ref)
+        .withColumn("__c", F.sum(x).over(w))
+        .withColumn("__cd", F.sum(y).over(w))
+    )
+    s_pos = F.col("__c") - F.least(F.lit(0), F.min("__c").over(w))
+    s_neg = F.col("__cd") - F.least(F.lit(0), F.min("__cd").over(w))
+    return (
+        joined.select(
+            "event_type",
+            "day",
+            "n",
+            s_pos.alias("s_pos"),
+            s_neg.alias("s_neg"),
+        )
+        .filter((F.col("s_pos") > h) | (F.col("s_neg") > h))
+    )

@@ -346,3 +346,46 @@ def test_daily_anomalies(spark):
     mean = s / d
     var = (ss - s * s / d) / (d - 1)
     assert abs(got[0]["z"] - round((30 - mean) / var ** 0.5, 6)) < 1e-9
+
+
+def test_cusum_changepoints_vs_recursive_reference(spark):
+    """The closed-form C − min(0, running-min C) must equal the textbook
+    recursion S_t = max(0, S_{t-1} + x_t) on a randomized series, and a
+    sustained small shift must alarm where single-day z-scores stay
+    quiet."""
+    import random
+    from datetime import datetime, timedelta
+
+    from cdc_connector_spark.ops.timeseries import cusum_changepoints, daily_anomalies
+
+    rng = random.Random(7)
+    rows, eid = [], 0
+    counts = []
+    # 20 baseline days of 10±1, then 10 drifted days of 13±1 (small shift)
+    for d in range(30):
+        c = (10 if d < 20 else 13) + rng.choice([-1, 0, 1])
+        counts.append(c)
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, datetime(2024, 1, 1) + timedelta(days=d), 1, "a"))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    got = {r["day"]: (r["s_pos"], r["s_neg"]) for r in cusum_changepoints(df, k=1, h=5).collect()}
+
+    # recursive reference over the same integer series
+    ref_level = sum(counts) * 1.0 / len(counts)
+    import math
+    ref_level = math.floor(ref_level)
+    sp = sn = 0
+    want = {}
+    for d, c in enumerate(counts):
+        sp = max(0, sp + c - ref_level - 1)
+        sn = max(0, sn + ref_level - c - 1)
+        if sp > 5 or sn > 5:
+            day = (datetime(2024, 1, 1) + timedelta(days=d)).strftime("%Y-%m-%d")
+            want[day] = (sp, sn)
+    assert got == want and want  # alarms exist and match exactly
+    # the drift is invisible to single-day z-scores at the same data
+    zdays = {r["day"] for r in daily_anomalies(df, z_threshold=2.5).collect()}
+    assert not (set(want) & zdays) or len(zdays) < len(want)
