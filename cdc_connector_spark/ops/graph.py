@@ -51,7 +51,15 @@ def pagerank(
 
     Parallel edges are honored (each contributes separately — pre-weight
     by deduplicating upstream if multiplicity should not count);
-    self-loops count as ordinary edges."""
+    self-loops count as ordinary edges.
+
+    The unrolled lazy loop references the edge DataFrame ~iters+2 times;
+    Spark re-derives its lineage per reference. When the edges come from
+    an expensive derivation (joins, distinct), ``edges.persist()`` (or
+    write them out once) before calling — the GraphFrames convention; the
+    function deliberately does not cache internally (a library-held cache
+    outlives the call and pollutes unrelated plans — the round-7
+    cross-module cache-leak lesson)."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     if not 0.0 < damping < 1.0:
