@@ -134,3 +134,29 @@ class StreamingJoinView:
 
     def view(self) -> DataFrame:
         return self.view_sink.read()
+
+    # -- stream wiring ------------------------------------------------------
+
+    def start_a(self, stream: DataFrame, checkpoint_dir: str, available_now: bool = True):
+        """Attach side A's changelog stream (flattened-envelope rows).
+        Each side runs as its OWN streaming query with its own checkpoint;
+        the view sink serializes concurrent batches through its commit
+        protocol (optimistic concurrency with rebase)."""
+        writer = (
+            stream.writeStream.foreachBatch(self.process_a_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def start_b(self, stream: DataFrame, checkpoint_dir: str, available_now: bool = True):
+        writer = (
+            stream.writeStream.foreachBatch(self.process_b_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

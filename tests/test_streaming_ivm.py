@@ -81,6 +81,33 @@ def test_streaming_join_view_maintenance(spark, tmp_path):
     assert got == {(1, "alicia")}
 
 
+def test_streaming_join_view_real_stream(spark, tmp_path):
+    """End-to-end through Structured Streaming: a file-backed changelog
+    stream drives side A via start_a (availableNow, 1 file per trigger =
+    2 micro-batches); the view converges to the recompute and the markers
+    record both batches."""
+    jv = _mk(spark, tmp_path)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b0 = _delta(spark, A_SCHEMA, [(6, 100, "F", "c", 10, "db", "t", 1)])
+    b1 = _delta(spark, A_SCHEMA, [(1, None, None, "d", 20, "db", "t", 2)])
+    b0.coalesce(1).write.parquet(src + "/f0")
+    b1.coalesce(1).write.parquet(src + "/f1")
+    stream = (
+        spark.readStream.schema(A_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = jv.start_a(stream, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+    _assert_view_matches(jv)
+    assert {r["o_id"] for r in jv.view().collect()} == {2, 3, 6}
+    assert sorted(
+        n for n in os.listdir(jv.marker_dir) if n.startswith("a-")
+    ) == ["a-0", "a-1"]
+
+
 def test_streaming_join_view_replay_and_crash_window(spark, tmp_path):
     jv = _mk(spark, tmp_path)
     a0 = _delta(spark, A_SCHEMA, [(5, 100, "E", "c", 10, "db", "t", 1)])
