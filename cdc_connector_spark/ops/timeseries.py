@@ -475,3 +475,76 @@ def cusum_changepoints(
         )
         .filter((F.col("s_pos") > h) | (F.col("s_neg") > h))
     )
+
+
+def linear_attribution(
+    df: DataFrame,
+    window: float = 7 * 86400.0,
+    value_event: str = "purchase",
+    touch_event: str = "click",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Linear multi-touch attribution: every ``value_event`` (purchase)
+    splits its value EQUALLY across the user's ``touch_event`` rows
+    (clicks) in the preceding ``window`` seconds (touch at or before the
+    purchase, inclusive) — the marketing-analytics complement to the
+    as-of join's last-touch rule. Returns one row per credited touch:
+    (touch id, n_conversions credited, credit) with credit rounded 6.
+
+    Composed from existing operators: the (touch, purchase) pairing is
+    ``ops.rangejoin.band_join`` — the inequality predicate planned as a
+    pure equi-join on time bins, never a cross join. Per-purchase touch
+    counts come from one window over the pair table; the per-touch sum
+    accumulates round-6 DECIMALs (order-independent — the pagerank
+    summation rule), so the whole operator is value-portable.
+
+    Purchases with NULL value or with zero in-window touches credit
+    nothing (report unattributed conversions upstream via an anti-join
+    when needed)."""
+    from pyspark.sql import Window
+
+    from cdc_connector_spark.ops.rangejoin import band_join
+
+    if window <= 0:
+        raise ValueError(f"window must be positive seconds, got {window}")
+    w_us = int(window * 1_000_000)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = df.select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col),
+        ts_us.alias("__t"),
+        F.col("event_type"),
+        F.col(value_col),
+    )
+    touches = ev.filter(F.col("event_type") == touch_event).select(
+        "__u", F.col(id_col).alias("touch_id"), F.col("__t").alias("__ct")
+    )
+    buys = ev.filter(
+        (F.col("event_type") == value_event) & F.col(value_col).isNotNull()
+    ).select(
+        "__u",
+        F.col(id_col).alias("__pid"),
+        (F.col("__t") - w_us).alias("__lo"),
+        F.col("__t").alias("__hi"),
+        F.col(value_col).alias("__val"),
+    )
+    pairs = band_join(
+        touches, buys, point_col="__ct", lo_col="__lo", hi_col="__hi",
+        bin_width=float(w_us), extra_keys=["__u"],
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy("__pid"))
+    credited = pairs.withColumn(
+        "__credit", F.round(F.col("__val") / n.cast("double"), 6)
+    )
+    return (
+        credited.groupBy(F.col("touch_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(
+                F.sum(F.col("__credit").cast("decimal(28,6)")).cast("double"), 6
+            ).alias("credit"),
+        )
+    )

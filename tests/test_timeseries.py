@@ -389,3 +389,42 @@ def test_cusum_changepoints_vs_recursive_reference(spark):
     # the drift is invisible to single-day z-scores at the same data
     zdays = {r["day"] for r in daily_anomalies(df, z_threshold=2.5).collect()}
     assert not (set(want) & zdays) or len(zdays) < len(want)
+
+
+def test_linear_attribution(spark):
+    """Equal split across in-window touches; inclusive window edge;
+    out-of-window and other-user touches excluded; NULL-value purchases
+    credit nothing."""
+    from datetime import datetime, timedelta
+
+    from cdc_connector_spark.ops.timeseries import linear_attribution
+
+    base = datetime(2024, 1, 1)
+
+    def t(s):
+        return base + timedelta(seconds=s)
+
+    rows = [
+        # user 1: clicks at 0, 50, then purchase(90) at 100 -> 45 each;
+        # click at exactly window edge (100-100=0) INCLUSIVE
+        (1, t(0), 1, "click", None),
+        (2, t(50), 1, "click", None),
+        (3, t(100), 1, "purchase", 90.0),
+        # second purchase at 130 (window 100): clicks 50 only (0 is out) -> 60
+        (4, t(130), 1, "purchase", 60.0),
+        # user 2: click AFTER the purchase -> uncredited; NULL-value purchase
+        (5, t(10), 2, "purchase", None),
+        (6, t(20), 2, "click", None),
+        # user 3: lone click, no purchase
+        (7, t(0), 3, "click", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    )
+    got = {r["event_id"]: (r["n_conversions"], r["credit"])
+           for r in linear_attribution(df, window=100.0).collect()}
+    assert got == {1: (1, 45.0), 2: (2, 105.0)}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="window"):
+        linear_attribution(df, window=0)
