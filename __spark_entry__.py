@@ -2309,7 +2309,7 @@ _R8_WINDOW = [
     "q18_large_volume_customers",
     "q20_potential_promotion",
     "q21_suppliers_who_kept_waiting",
-    # oldest r6-checked entries (11 remaining slots)
+    # oldest r6-checked entries (6 remaining slots)
     "window_user_sequence",
     "sessionize_events",
     "top3_orders_per_segment",
@@ -3529,8 +3529,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, day, n, zz AS z FROM z
             WHERE var > 0 AND abs(zz) >= 1.5
         """,
-        # Containment pairs: string-shingle set algebra (the hashed index
-        # is identical modulo 2^-64 collisions), overlap coefficient.
+        # Containment pairs: the FULL algorithm replayed — string-shingle
+        # sets (the hashed index is identical modulo 2^-64 collisions),
+        # the max_shingle_freq=1000 stop-shingle cap on the SHARED count
+        # (denominator sizes stay pre-pruning, like the Spark side), and
+        # the inverted-index self-join instead of all-pairs intersects.
         "containment_pairs_documents": """
             WITH t AS (
                 SELECT doc_id,
@@ -3544,13 +3547,26 @@ def oracle_sql() -> dict[str, str]:
                                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
                             ELSE [array_to_string(toks, ' ')] END AS sh
                 FROM t
+            ), inv AS (
+                SELECT doc_id, unnest(sh) AS g FROM s
+            ), ok AS (
+                SELECT g FROM inv GROUP BY g HAVING COUNT(*) <= 1000
+            ), iv AS (
+                SELECT inv.doc_id, inv.g FROM inv JOIN ok ON inv.g = ok.g
+            ), shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS sh_n
+                FROM iv a JOIN iv b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), sizes AS (
+                SELECT doc_id, len(sh) AS n FROM s
             )
             SELECT id_a, id_b, round(ov, 6) AS overlap, n_a, n_b FROM (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                           / least(len(a.sh), len(b.sh)) AS ov,
-                       len(a.sh) AS n_a, len(b.sh) AS n_b
-                FROM s a JOIN s b ON a.doc_id < b.doc_id
+                SELECT id_a, id_b,
+                       CAST(sh_n AS DOUBLE) / least(sa.n, sb.n) AS ov,
+                       sa.n AS n_a, sb.n AS n_b
+                FROM shared
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
             )
             WHERE ov >= 0.6
         """,

@@ -717,10 +717,11 @@ def ngram_overlap_pairs(
     Same engine as ``ngram_jaccard_pairs``: hashed shingles (values
     identical modulo 2⁻⁶⁴ collisions), stop-shingle pruning above
     ``max_shingle_freq``, inverted-index self-join — never all-pairs.
-    Caveat shared with every containment index: stop-shingle pruning
-    removes mass from BOTH numerator and denominator-set sizes are
-    pre-pruning, so heavily-boilerplate contained docs can score under
-    the threshold; lower ``max_shingle_freq`` only with that in mind."""
+    Pruning caveat: dropped stop-shingles shrink ONLY the shared count
+    (the numerator) — the set sizes in the denominator are PRE-pruning —
+    so overlap is systematically UNDERestimated for docs built from hot
+    shingles, and true containment pairs can fall below threshold.
+    Lower ``max_shingle_freq`` only with that in mind."""
     sh = _barrier(
         df.select(F.col(id_col).alias("__id"), hashed_shingles(text_col, shingle_n).alias("__sh"))
     )

@@ -47,7 +47,9 @@ def join_view_update(
 ) -> DataFrame:
     """Next state of the materialized inner equi-join view.
 
-    ``view`` None (or empty) bootstraps with the full join. ``changed_a``
+    ``view=None`` bootstraps with the full join (an EMPTY DataFrame is
+    NOT a bootstrap signal — it is taken at face value as "the view has
+    no rows", and with empty change sets stays empty). ``changed_a``
     / ``changed_b`` carry exactly the PK columns (extra columns are
     ignored). Column layout of the view: join keys once, then the
     remaining A columns, then the remaining B columns — same as

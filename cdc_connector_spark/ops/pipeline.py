@@ -171,7 +171,8 @@ def pretrain_corpus(
     misses) after the near-dup stage, dropping the LOWER-QUALITY member
     of each candidate pair (the clean_corpus survivor convention;
     ``winnow_max_df`` overrides the library's default boilerplate
-    fingerprint cap of 500; None keeps it); ``mixture_weights``+``mixture_total_tokens`` run
+    fingerprint cap of 500; None keeps it, a non-positive value disables
+    the cap entirely); ``mixture_weights``+``mixture_total_tokens`` run
     token-budget mixture selection (the Pile/Dolma recipe) as the
     alternative to ``mix_temperature`` (mutually exclusive — both decide
     the final mixture).
@@ -296,8 +297,14 @@ def pretrain_corpus(
         from cdc_connector_spark.ops.dedup import winnow_candidate_pairs
 
         # winnow_max_df=None defers to the library's safe default cap
-        # (500); passing it through verbatim would disable the cap
-        extra = {"max_df": winnow_max_df} if winnow_max_df is not None else {}
+        # (500); a non-positive value explicitly DISABLES the cap (there
+        # must be a way to express "uncapped" now that None means default)
+        if winnow_max_df is None:
+            extra = {}
+        elif winnow_max_df <= 0:
+            extra = {"max_df": None}
+        else:
+            extra = {"max_df": winnow_max_df}
         pairs = winnow_candidate_pairs(
             cleaned,
             min_shared=winnow_min_shared,

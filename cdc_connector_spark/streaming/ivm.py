@@ -35,6 +35,7 @@ the view is an ordinary sink table rather than a recomputed DataFrame.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -64,6 +65,16 @@ class StreamingJoinView:
         self.a_pk = a_pk
         self.b_pk = b_pk
         self.marker_dir = marker_dir
+        # Both sides' foreachBatch callbacks run as driver threads on THIS
+        # shared object; the lock serializes whole batches so each side's
+        # regen reads the other side's POST-commit state. Without it, a
+        # stale regen (read before the other side's concurrent commit,
+        # applied after) would overwrite newer view rows — and the sink's
+        # optimistic rebase re-applies the same stale payload, so the
+        # commit protocol alone cannot repair that. Multi-driver
+        # deployments need an external serializer (one union stream, or a
+        # storage-level lock); single-driver is the supported shape.
+        self._lock = threading.Lock()
 
     def _marker(self, side: str, batch_id: int) -> str:
         return os.path.join(self.marker_dir, f"{side}-{batch_id}")
@@ -101,36 +112,40 @@ class StreamingJoinView:
     # -- appliers (pass to foreachBatch of each side's stream) -------------
 
     def process_a_batch(self, delta: DataFrame, batch_id: int) -> None:
-        if os.path.exists(self._marker("a", batch_id)):
-            return
-        delta = delta.persist()
-        try:
+        with self._lock:
+            if os.path.exists(self._marker("a", batch_id)):
+                return
+            delta = delta.persist()
             touched = delta.select(*self.a_pk).distinct().persist()
-            self.a_sink.apply(delta)
-            a_new = self.a_sink.read()
-            regen = a_new.join(touched, self.a_pk, "left_semi").join(
-                self.b_sink.read(), self.on
-            )
-            self.view_sink.apply(self._view_changelog(touched, self.a_pk, regen))
-            self._commit("a", batch_id)
-        finally:
-            delta.unpersist()
+            try:
+                self.a_sink.apply(delta)
+                a_new = self.a_sink.read()
+                regen = a_new.join(touched, self.a_pk, "left_semi").join(
+                    self.b_sink.read(), self.on
+                )
+                self.view_sink.apply(self._view_changelog(touched, self.a_pk, regen))
+                self._commit("a", batch_id)
+            finally:
+                touched.unpersist()
+                delta.unpersist()
 
     def process_b_batch(self, delta: DataFrame, batch_id: int) -> None:
-        if os.path.exists(self._marker("b", batch_id)):
-            return
-        delta = delta.persist()
-        try:
+        with self._lock:
+            if os.path.exists(self._marker("b", batch_id)):
+                return
+            delta = delta.persist()
             touched = delta.select(*self.b_pk).distinct().persist()
-            self.b_sink.apply(delta)
-            b_new = self.b_sink.read()
-            regen = self.a_sink.read().join(
-                b_new.join(touched, self.b_pk, "left_semi"), self.on
-            )
-            self.view_sink.apply(self._view_changelog(touched, self.b_pk, regen))
-            self._commit("b", batch_id)
-        finally:
-            delta.unpersist()
+            try:
+                self.b_sink.apply(delta)
+                b_new = self.b_sink.read()
+                regen = self.a_sink.read().join(
+                    b_new.join(touched, self.b_pk, "left_semi"), self.on
+                )
+                self.view_sink.apply(self._view_changelog(touched, self.b_pk, regen))
+                self._commit("b", batch_id)
+            finally:
+                touched.unpersist()
+                delta.unpersist()
 
     def view(self) -> DataFrame:
         return self.view_sink.read()
@@ -140,8 +155,8 @@ class StreamingJoinView:
     def start_a(self, stream: DataFrame, checkpoint_dir: str, available_now: bool = True):
         """Attach side A's changelog stream (flattened-envelope rows).
         Each side runs as its OWN streaming query with its own checkpoint;
-        the view sink serializes concurrent batches through its commit
-        protocol (optimistic concurrency with rebase)."""
+        the shared instance lock serializes whole batches across the two
+        queries (see __init__) so every regen reads post-commit state."""
         writer = (
             stream.writeStream.foreachBatch(self.process_a_batch)
             .option("checkpointLocation", checkpoint_dir)
