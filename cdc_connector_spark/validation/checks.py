@@ -279,3 +279,51 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
             )
         )
     return one.select(F.explode(F.array(*stack_args)).alias("p")).select("p.*")
+
+
+def histogram_numeric(
+    df: DataFrame,
+    col: str,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column — the distribution view
+    ``profile_numeric``'s min/max/mean can't show (bimodality, spikes,
+    truncation). Returns one row per NON-EMPTY bin:
+    (bin 0-based, bin_lo, bin_hi, n) with bin = floor((x−lo)/width),
+    the top edge clamped into the last bin (so ``hi`` itself counts).
+
+    With ``lo``/``hi`` omitted they come from one min/max pass —
+    explicit bounds make the op single-pass and the bins stable across
+    partitions/days (the monitoring use). NULLs are excluded; values
+    outside [lo, hi] are clamped into the edge bins (documented — a
+    silent drop would hide outliers, the thing histograms are for).
+
+    Portable: bin indexes are floor() of one fixed double expression and
+    counts are exact integers. One map-side-combined shuffle on the bin
+    key (≤ ``bins`` groups)."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if lo is None or hi is None:
+        row = df.agg(
+            F.min(F.col(col)).alias("lo"), F.max(F.col(col)).alias("hi")
+        ).first()
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    width = (hi - lo) / bins
+    raw = F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width))
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias("bin_lo"),
+            F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6).alias("bin_hi"),
+            "n",
+        )
+    )

@@ -428,3 +428,38 @@ def test_linear_attribution(spark):
 
     with _pt.raises(ValueError, match="window"):
         linear_attribution(df, window=0)
+
+
+def test_robust_anomalies_vs_zscore(spark):
+    """A massive outlier day inflates stddev enough to HIDE a moderate
+    spike from z-scores; the MAD detector flags both. MAD=0 (constant
+    majority) types report nothing."""
+    from datetime import datetime, timedelta
+
+    from cdc_connector_spark.ops.timeseries import daily_anomalies, robust_anomalies
+
+    rows, eid = [], 0
+    # type a: alternating 9/11 baseline (MAD 1), one 1000 day (gross),
+    # one 40 day (moderate)
+    counts = [9, 11] * 10 + [1000, 40]
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, datetime(2024, 1, 1) + timedelta(days=d), 1, "a"))
+    # type b: strictly constant -> MAD 0 -> silent
+    for d in range(9):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + timedelta(days=d), 1, "b"))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    robust = {r["day"]: r["robust_z"] for r in robust_anomalies(df, z_threshold=3.5).collect()}
+    plain = {r["day"] for r in daily_anomalies(df, z_threshold=2.0).collect()}
+    d_gross = (datetime(2024, 1, 1) + timedelta(days=20)).strftime("%Y-%m-%d")
+    d_mod = (datetime(2024, 1, 1) + timedelta(days=21)).strftime("%Y-%m-%d")
+    assert d_gross in robust and d_mod in robust   # MAD flags both
+    assert d_mod not in plain                      # sigma dragged by the 1000-day
+    assert not any(day for day in robust if day not in (d_gross, d_mod))
+    # exact modified z for the moderate day: median 11 (middle of the
+    # 9/11 alternation), MAD 2 (devs 0×10, 2×10, 29, 989)
+    assert abs(robust[d_mod] - round(0.6745 * (40 - 11.0) / 2.0, 6)) < 1e-9

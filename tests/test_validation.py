@@ -207,3 +207,28 @@ def test_profile_numeric_values_and_nulls(spark):
     assert got["k"]["mean_val"] == 2.0
     assert got["v"]["n_nulls"] == 1 and got["v"]["n_distinct"] == 3
     assert got["v"]["mean_val"] == 20.0  # mean over NON-null values only
+
+
+def test_histogram_numeric(spark):
+    from cdc_connector_spark.validation.checks import histogram_numeric
+
+    df = spark.createDataFrame(
+        [(0.0,), (1.0,), (5.0,), (9.9,), (10.0,), (15.0,), (None,), (-3.0,)],
+        "x double",
+    )
+    got = {r["bin"]: (r["bin_lo"], r["bin_hi"], r["n"])
+           for r in histogram_numeric(df, "x", bins=5, lo=0.0, hi=10.0).collect()}
+    # width 2: -3 clamps into bin 0; 10 and 15 clamp into bin 4; NULL dropped
+    assert got[0] == (0.0, 2.0, 3)
+    assert got[2] == (4.0, 6.0, 1)
+    assert got[4] == (8.0, 10.0, 3)
+    assert set(got) == {0, 2, 4}  # empty bins absent
+    # bounds from data when omitted
+    auto = histogram_numeric(df, "x", bins=2)
+    assert sum(r["n"] for r in auto.collect()) == 7
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="bins"):
+        histogram_numeric(df, "x", bins=0)
+    with _pt.raises(ValueError, match="hi > lo"):
+        histogram_numeric(df, "x", bins=2, lo=5.0, hi=5.0)
