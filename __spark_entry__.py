@@ -907,6 +907,11 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).unionByName(
         pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
     )
+    # pagerank references edges ~iters+2 times; materialize the
+    # join+distinct derivation ONCE (measured 7.8 s -> the join dominates
+    # otherwise). localCheckpoint, not persist: checkpointed plans are not
+    # substituted into unrelated queries by the cache manager.
+    edges = edges.localCheckpoint(eager=True)
     return (
         pagerank(edges, iters=3)
         .orderBy(F.col("rank").desc(), F.col("node").asc())

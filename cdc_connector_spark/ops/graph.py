@@ -44,6 +44,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     redistribute_dangling: bool = False,
+    checkpoint_every: int | None = 8,
 ) -> DataFrame:
     """PageRank after ``iters`` synchronous iterations from a uniform
     start. Returns (node, rank) with rank rounded to 6 — ranks sum to ~1
@@ -55,15 +56,25 @@ def pagerank(
 
     The unrolled lazy loop references the edge DataFrame ~iters+2 times;
     Spark re-derives its lineage per reference. When the edges come from
-    an expensive derivation (joins, distinct), ``edges.persist()`` (or
-    write them out once) before calling — the GraphFrames convention; the
-    function deliberately does not cache internally (a library-held cache
-    outlives the call and pollutes unrelated plans — the round-7
-    cross-module cache-leak lesson)."""
+    an expensive derivation (joins, distinct), ``edges.localCheckpoint()``
+    (or write them out once) before calling — the GraphFrames convention;
+    the function deliberately does not cache internally (a library-held
+    cache outlives the call and pollutes unrelated plans — the round-7
+    cross-module cache-leak lesson).
+
+    ``checkpoint_every``: the rank vector's lazy plan grows linearly with
+    the iteration count (each iteration nests the previous), so deep runs
+    pay quadratic analysis time and risk driver stack limits. Every
+    ``checkpoint_every`` iterations the O(|V|) rank vector is cut with an
+    eager ``localCheckpoint`` — the same lineage discipline as the BPE
+    merge loop (``ops/bpe.py``). Values are unchanged (pinned by test);
+    pass ``None`` to disable for fully-lazy composition."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0,1), got {damping}")
+    if checkpoint_every is not None and checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1 or None, got {checkpoint_every}")
     e = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
     nodes = (
         e.select(F.col("__s").alias("node"))
@@ -77,7 +88,7 @@ def pagerank(
         "node", (F.lit(1.0) / F.col("__n").cast("double")).alias("rank")
     )
     base = F.lit(1.0 - damping) / F.col("__n").cast("double")
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (
             e.join(outdeg, "__s")
             .join(rank.withColumnRenamed("node", "__s"), "__s")
@@ -122,4 +133,12 @@ def pagerank(
                 * F.coalesce(F.col("__in").cast("double"), F.lit(0.0))
             ).alias("rank"),
         )
+        # cut the linearly-growing plan; skip after the final iteration
+        # (the caller's terminal select is cheap to leave lazy)
+        if (
+            checkpoint_every is not None
+            and (it + 1) % checkpoint_every == 0
+            and it + 1 < iters
+        ):
+            rank = rank.localCheckpoint(eager=True)
     return rank.select("node", F.round("rank", 6).alias("rank"))

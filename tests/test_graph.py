@@ -68,3 +68,19 @@ def test_pagerank_guards(spark):
         pagerank(df, iters=0)
     with pytest.raises(ValueError, match="damping"):
         pagerank(df, damping=1.0)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        pagerank(df, checkpoint_every=0)
+
+
+def test_pagerank_checkpoint_is_value_invisible(spark):
+    """Deep runs cut the rank lineage every checkpoint_every iterations;
+    the cut must not change a single bit of the output (it only truncates
+    the lazy plan). 10 iterations with two cuts vs fully lazy."""
+    df = spark.createDataFrame(EDGES, "src bigint, dst bigint")
+    lazy = {r["node"]: r["rank"] for r in pagerank(df, iters=10, checkpoint_every=None).collect()}
+    cut = {r["node"]: r["rank"] for r in pagerank(df, iters=10, checkpoint_every=3).collect()}
+    assert lazy == cut
+    # and the python reference still agrees at depth 10
+    want = _reference_pagerank(EDGES, iters=10, damping=0.85)
+    for v in want:
+        assert abs(cut[v] - want[v]) < 1e-9
