@@ -142,3 +142,83 @@ def pagerank(
         ):
             rank = rank.localCheckpoint(eager=True)
     return rank.select("node", F.round("rank", 6).alias("rank"))
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED graph — the clustering
+    /community-density primitive next to connected components (membership)
+    and PageRank (importance): a node's triangle count drives clustering
+    coefficients, spam/bot detection (genuine social neighborhoods
+    triangulate, scripted ones star), and dense-subgraph mining.
+
+    Input edges are canonicalized first: direction ignored, self-loops
+    dropped, parallel edges collapsed. Returns (node, triangles) for
+    nodes in >= 1 triangle; each triangle contributes 1 to all three
+    corners.
+
+    Spark-first shape — the degree-oriented wedge algorithm (the
+    MapReduce classic from Suri & Vassilvitskii's "Counting Triangles and
+    the Curse of the Last Reducer", WWW'11): orient every canonical edge
+    from the (degree, id)-smaller endpoint to the larger, so each node's
+    ORIENTED out-degree is O(sqrt(|E|)) regardless of raw degree — the
+    hot celebrity node with 10M followers contributes wedges bounded by
+    its out-orientation, not its fan-in. Each triangle then has exactly
+    one vertex pointing at the other two (its (degree, id)-minimum), so
+    joining wedges (u->v, u->w, v<w) against the canonical edge set
+    counts every triangle exactly once. Three keyed shuffles total
+    (degree, wedge build, closing join); the closing join keys on the
+    canonical (a, b) pair.
+
+    The orientation is a pure execution strategy — output is identical
+    to naive enumeration (the oracle replays canonical a<b<c
+    enumeration directly)."""
+    a, b = F.least(F.col(src_col), F.col(dst_col)), F.greatest(F.col(src_col), F.col(dst_col))
+    e = (
+        edges.filter(F.col(src_col) != F.col(dst_col))
+        .select(a.alias("a"), b.alias("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient: u -> v iff (deg_u, u) < (deg_v, v) — a total order, so every
+    # canonical edge gets exactly one direction
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("__db"))
+    ed = e.join(da, "a").join(db, "b")
+    fwd = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        on=[F.col("o1.u") == F.col("o2.u"), F.col("o1.v") < F.col("o2.v")],
+    ).select(
+        F.col("o1.u").alias("u"),
+        F.col("o1.v").alias("x"),
+        F.col("o2.v").alias("y"),
+    )
+    closed = wedges.join(
+        e,
+        on=[
+            F.least(F.col("x"), F.col("y")) == F.col("a"),
+            F.greatest(F.col("x"), F.col("y")) == F.col("b"),
+        ],
+    ).select("u", "x", "y")
+    corners = (
+        closed.select(F.col("u").alias("node"))
+        .unionByName(closed.select(F.col("x").alias("node")))
+        .unionByName(closed.select(F.col("y").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))

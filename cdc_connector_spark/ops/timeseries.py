@@ -550,6 +550,169 @@ def linear_attribution(
     )
 
 
+def trend_by_key(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-key linear trend: ordinary-least-squares slope/intercept of
+    daily event counts against the day number — "is this event type
+    growing, and how fast" as one number per key (the monitoring
+    complement to ``cusum_changepoints``: CUSUM flags THAT a sustained
+    shift happened, the OLS slope quantifies the drift rate).
+
+    Value-portable by construction: with x = unix day and y = the exact
+    integer daily count, every sufficient statistic (k, Σx, Σy, Σxy, Σx²)
+    is an exact BIGINT, so slope = (k·Σxy − Σx·Σy) / (k·Σx² − Σx·Σx) is
+    ONE double division of two exact integers and
+    intercept = (Σy − slope·Σx)/k one fixed double expression — both
+    rounded 6, bit-identical in any IEEE engine. ``intercept`` is the
+    fitted count at unix day 0 (the conventional OLS anchor; shift by
+    x̄ downstream if a centered anchor reads better).
+
+    Keys with < 2 distinct days or zero x-variance are dropped (no line
+    to fit). Shape: the (type, day) collapse then ONE map-side-combined
+    aggregate per type — nothing after the collapse exceeds types×days.
+    Returns (event_type, days, slope, intercept), slope in
+    events/day."""
+    daily = (
+        df.select(
+            F.col(type_col).alias("event_type"),
+            F.unix_date(F.to_date(F.col(ts_col))).alias("__x"),
+        )
+        .groupBy("event_type", "__x")
+        .agg(F.count(F.lit(1)).alias("__y"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    )
+    den = F.col("__k") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = (
+        (F.col("__k") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+        / den.cast("double")
+    )
+    return (
+        stats.filter(den > 0)
+        .withColumn("__slope", slope)
+        .select(
+            "event_type",
+            F.col("__k").alias("days"),
+            F.round("__slope", 6).alias("slope"),
+            F.round(
+                (F.col("__sy").cast("double") - F.col("__slope") * F.col("__sx").cast("double"))
+                / F.col("__k").cast("double"),
+                6,
+            ).alias("intercept"),
+        )
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current event type) — the behavioral
+    model behind next-action prediction, "what usually follows a
+    search", and detecting broken flows (a transition whose probability
+    collapses release-over-release).
+
+    Each user's events order by ``order_cols`` (include a unique
+    tiebreaker — with bare duplicate timestamps the successor, and
+    therefore the matrix, would be nondeterministic); consecutive pairs
+    count into (cur, next) cells; a user's last event has no successor.
+    Probabilities are exact-integer ratios n_cell / n_row (one double
+    division, rounded 6 — portable).
+
+    Shape: ONE user-keyed window (lead) over (user, type, order) — the
+    sessionize cost family — then a cells-sized aggregation; nothing
+    downstream exceeds |types|². Returns (cur_type, next_type, n, p)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(*[F.col(c) for c in order_cols])
+    pairs = (
+        df.select(
+            F.col(user_col),
+            F.col(type_col).alias("cur_type"),
+            *[F.col(c) for c in order_cols if c != type_col],
+        )
+        .withColumn("next_type", F.lead("cur_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    cells = pairs.groupBy("cur_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    row_w = Window.partitionBy("cur_type")
+    return cells.select(
+        "cur_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(row_w), 6).alias("p"),
+    )
+
+
+def ewma_daily(
+    df: DataFrame,
+    window: int = 8,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Exponentially-weighted moving average of daily counts with
+    α = 1/2 over a trailing ``window`` of OBSERVED days — the smoothing
+    primitive between ``rolling_daily_counts`` (uniform weights) and
+    ``daily_anomalies`` (no memory): recent days dominate, history decays
+    geometrically.
+
+    EXACT dyadic arithmetic, the operator's point: with α = 1/2 the
+    truncated EWMA recursion (s seeded at the window's oldest value)
+    closes to ewma_t = (Σⱼ₌₀^(w-2) n_{t-j}·2^(w-2-j) + n_{t-w+1}) / 2^(w-1)
+    — an exact-integer numerator over a power-of-two constant, so every
+    value is an exactly-representable double ANY IEEE engine reproduces
+    bit-for-bit (the weights sum to exactly 1; no float accumulation, no
+    rounding step needed). General-α EWMAs can't hash-match across
+    engines; the dyadic one can — choose it when the smoothing constant
+    is a tuning knob anyway.
+
+    Lag positions are observation steps over the (type, day) collapse
+    (the standard irregular-series convention; densify upstream if gap
+    days must weigh in). Only rows with a FULL trailing window emit —
+    the first window−1 days per type are warm-up. Shape: the daily
+    collapse then one per-type ordered window with ``window − 1`` lags —
+    all work types×days-sized. Returns (event_type, day, n, ewma)."""
+    if not 2 <= window <= 30:
+        raise ValueError(f"window must be in [2, 30] (2^(w-1) must stay exact), got {window}")
+    from pyspark.sql import Window
+
+    daily = (
+        df.select(
+            F.col(type_col).alias("event_type"),
+            F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    num = F.col("n") * F.lit(2 ** (window - 2))
+    for j in range(1, window - 1):
+        num = num + F.lag("n", j).over(w) * F.lit(2 ** (window - 2 - j))
+    num = num + F.lag("n", window - 1).over(w)  # seed term, weight 2^0
+    return (
+        daily.withColumn("__num", num)
+        .filter(F.col("__num").isNotNull())
+        .select(
+            "event_type",
+            "day",
+            "n",
+            (F.col("__num").cast("double") / F.lit(float(2 ** (window - 1)))).alias("ewma"),
+        )
+    )
+
+
 def robust_anomalies(
     df: DataFrame,
     z_threshold: float = 3.5,

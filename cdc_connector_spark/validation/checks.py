@@ -327,3 +327,50 @@ def histogram_numeric(
             "n",
         )
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str, buckets: int = 32) -> DataFrame:
+    """Shuffle-skew diagnostic: simulate hash-partitioning the table on
+    ``key_col`` into ``buckets`` reducers and report each bucket's load —
+    the decision input for salting / AQE skew-join before a big join or
+    aggregation keyed on this column ("would bucket 17 get 40% of the
+    rows?"). A perfectly balanced key has load_ratio ~1.0 everywhere;
+    one dominant key drives its bucket's ratio toward ``buckets``.
+
+    Returns one row per non-empty bucket:
+    (bucket, n_rows, n_keys, load_ratio) with
+    load_ratio = n_rows · buckets / total_rows (exact-integer ratio,
+    rounded 6). NULL keys — which Spark hash-partitions into a single
+    reducer, the classic silent hotspot — report as bucket −1 so they
+    are visible rather than folded into a hash bucket.
+
+    The bucket hash is the PORTABLE md5 fold (first 15 hex digits →
+    60-bit int, the ``simhash_portable`` scheme) over the key's string
+    form, NOT Spark's internal Murmur3 — deliberately: the diagnostic
+    needs a deterministic, engine-replayable assignment (the SQL oracle
+    recomputes it), and any uniform hash answers the balance question
+    identically. One map-side-combined shuffle on the bucket key
+    (≤ buckets+1 groups); the scalar total broadcasts."""
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    b = F.when(F.col(key_col).isNull(), F.lit(-1)).otherwise(
+        F.pmod(h, F.lit(buckets)).cast("int")
+    )
+    total = df.select(F.count(F.lit(1)).alias("__t"))
+    return (
+        df.groupBy(b.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col(key_col)).alias("n_keys"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_rows",
+            "n_keys",
+            F.round((F.col("n_rows") * buckets) / F.col("__t"), 6).alias("load_ratio"),
+        )
+    )

@@ -72,6 +72,52 @@ def test_pagerank_guards(spark):
         pagerank(df, checkpoint_every=0)
 
 
+def _brute_triangles(edges):
+    """Naive per-node triangle counts over canonical undirected edges."""
+    from itertools import combinations
+
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({v for e in es for v in e})
+    out = {}
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in es and (a, c) in es and (b, c) in es:
+            for v in (a, b, c):
+                out[v] = out.get(v, 0) + 1
+    return out
+
+
+def test_triangle_count_known_graphs(spark):
+    from cdc_connector_spark.ops.graph import triangle_count
+
+    # K4: 4 triangles, every node in 3 of them
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    got = {r["node"]: r["triangles"] for r in
+           triangle_count(spark.createDataFrame(k4, "src bigint, dst bigint")).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # square (4-cycle): no triangles -> empty result
+    sq = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    assert triangle_count(spark.createDataFrame(sq, "src bigint, dst bigint")).count() == 0
+    # direction/self-loop/parallel-edge canonicalization: one triangle
+    messy = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]
+    got = {r["node"]: r["triangles"] for r in
+           triangle_count(spark.createDataFrame(messy, "src bigint, dst bigint")).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_count_random_vs_brute(spark):
+    import random
+
+    from cdc_connector_spark.ops.graph import triangle_count
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 12
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(40)]
+        got = {r["node"]: r["triangles"] for r in
+               triangle_count(spark.createDataFrame(edges, "src bigint, dst bigint")).collect()}
+        assert got == _brute_triangles(edges), (trial, edges)
+
+
 def test_pagerank_checkpoint_is_value_invisible(spark):
     """Deep runs cut the rank lineage every checkpoint_every iterations;
     the cut must not change a single bit of the output (it only truncates

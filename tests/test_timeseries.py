@@ -463,3 +463,93 @@ def test_robust_anomalies_vs_zscore(spark):
     # exact modified z for the moderate day: median 11 (middle of the
     # 9/11 alternation), MAD 2 (devs 0×10, 2×10, 29, 989)
     assert abs(robust[d_mod] - round(0.6745 * (40 - 11.0) / 2.0, 6)) < 1e-9
+
+
+def test_trend_by_key_exact_line_and_degenerates(spark):
+    from datetime import datetime
+
+    from cdc_connector_spark.ops.timeseries import trend_by_key
+
+    t0 = datetime(2024, 3, 1)
+    ud0 = (t0 - datetime(1970, 1, 1)).days
+    rows = []
+    eid = 0
+    # "lin": day i has exactly 2i+3 events -> OLS fits slope 2 exactly
+    for i in range(6):
+        for _ in range(2 * i + 3):
+            rows.append((eid, t0.replace(day=1 + i), 1, "lin")); eid += 1
+    # "flat": constant 4/day -> slope 0, intercept 4
+    for i in range(4):
+        for _ in range(4):
+            rows.append((eid, t0.replace(day=1 + i), 2, "flat")); eid += 1
+    # "one": a single day -> dropped (zero x-variance)
+    rows.append((eid, t0, 3, "one"))
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, user_id bigint, event_type string")
+    got = {r["event_type"]: r for r in trend_by_key(df).collect()}
+    assert set(got) == {"lin", "flat"}
+    assert got["lin"]["days"] == 6
+    assert got["lin"]["slope"] == 2.0
+    assert got["lin"]["intercept"] == round(3.0 - 2.0 * ud0, 6)
+    assert got["flat"]["slope"] == 0.0
+    assert got["flat"]["intercept"] == 4.0
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    from datetime import datetime
+
+    from cdc_connector_spark.ops.timeseries import transition_matrix
+
+    t0 = datetime(2024, 1, 1)
+
+    def ts(i):
+        return t0.replace(minute=i)
+
+    rows = [
+        # user 1: A B A C  -> A->B, B->A, A->C
+        (1, ts(0), 1, "A"), (2, ts(1), 1, "B"), (3, ts(2), 1, "A"), (4, ts(3), 1, "C"),
+        # user 2: A B      -> A->B
+        (5, ts(0), 2, "A"), (6, ts(1), 2, "B"),
+        # user 3: single event, no successor
+        (7, ts(0), 3, "A"),
+        # user 4: duplicate timestamp -> event_id breaks the tie: B then C
+        (8, ts(5), 4, "B"), (9, ts(5), 4, "C"),
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, user_id bigint, event_type string")
+    got = {(r["cur_type"], r["next_type"]): (r["n"], r["p"]) for r in transition_matrix(df).collect()}
+    assert got[("A", "B")] == (2, round(2 / 3, 6))
+    assert got[("A", "C")] == (1, round(1 / 3, 6))
+    assert got[("B", "A")] == (1, 0.5)
+    assert got[("B", "C")] == (1, 0.5)
+    assert ("C", "A") not in got  # C is always terminal here
+
+
+def test_ewma_daily_matches_truncated_recursion_exactly(spark):
+    from datetime import datetime, timedelta
+
+    from cdc_connector_spark.ops.timeseries import ewma_daily
+    import pytest as _pytest
+
+    t0 = datetime(2024, 1, 1)
+    counts = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    rows = []
+    eid = 0
+    for i, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, t0 + timedelta(days=i), 1, "x")); eid += 1
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, user_id bigint, event_type string")
+    w = 4
+    got = {r["day"]: (r["n"], r["ewma"]) for r in ewma_daily(df, window=w).collect()}
+    # python replay of the truncated recursion, seeded at the oldest value
+    for t in range(len(counts)):
+        day = (t0 + timedelta(days=t)).strftime("%Y-%m-%d")
+        if t < w - 1:
+            assert day not in got  # warm-up rows must not emit
+            continue
+        s = float(counts[t - w + 1])
+        for i in range(t - w + 2, t + 1):
+            s = (counts[i] + s) / 2.0
+        assert got[day] == (counts[t], s), (day, got[day], s)  # EXACT equality
+    with _pytest.raises(ValueError, match="window"):
+        ewma_daily(df, window=1)
+    with _pytest.raises(ValueError, match="window"):
+        ewma_daily(df, window=31)

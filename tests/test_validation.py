@@ -232,3 +232,29 @@ def test_histogram_numeric(spark):
         histogram_numeric(df, "x", bins=0)
     with _pt.raises(ValueError, match="hi > lo"):
         histogram_numeric(df, "x", bins=2, lo=5.0, hi=5.0)
+
+
+def test_key_skew_profile_balance_and_nulls(spark):
+    from cdc_connector_spark.validation.checks import key_skew_profile
+    import pytest as _pytest
+
+    rows = [(i, "k%d" % (i % 10)) for i in range(100)] + [(900, None), (901, None)]
+    df = spark.createDataFrame(rows, "id bigint, k string")
+    got = {r["bucket"]: r for r in key_skew_profile(df, "k", buckets=4).collect()}
+    # NULLs surface as bucket -1, never hashed
+    assert got[-1]["n_rows"] == 2 and got[-1]["n_keys"] == 0
+    # totals reconcile and ratios are exact-integer arithmetic
+    assert sum(r["n_rows"] for r in got.values()) == 102
+    for b, r in got.items():
+        assert r["load_ratio"] == round(r["n_rows"] * 4 / 102, 6)
+    # 10 distinct keys distributed over hash buckets (none lost)
+    assert sum(r["n_keys"] for b, r in got.items() if b >= 0) == 10
+    # a single dominant key concentrates load in one bucket
+    skewed = spark.createDataFrame(
+        [(i, "hot") for i in range(96)] + [(100 + i, "k%d" % i) for i in range(4)],
+        "id bigint, k string",
+    )
+    prof = {r["bucket"]: r for r in key_skew_profile(skewed, "k", buckets=4).collect()}
+    assert max(r["load_ratio"] for r in prof.values()) >= 3.0
+    with _pytest.raises(ValueError, match="buckets"):
+        key_skew_profile(df, "k", buckets=0)
