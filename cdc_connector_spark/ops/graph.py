@@ -175,12 +175,22 @@ def triangle_count(
 
     The orientation is a pure execution strategy — output is identical
     to naive enumeration (the oracle replays canonical a<b<c
-    enumeration directly)."""
+    enumeration directly).
+
+    The canonical edge set is referenced four times (degree census ×2,
+    orientation, closing join) and the oriented list twice (both wedge
+    sides); both are cut with eager ``localCheckpoint`` — left lazy,
+    each reference re-derives the caller's full edge lineage and the
+    plan multiplies combinatorially (measured: 166 exchanges → 10 on
+    the co-purchase entry). localCheckpoint, not persist: checkpointed
+    plans are never substituted into unrelated queries by the cache
+    manager (the round-7 cache-leak rule)."""
     a, b = F.least(F.col(src_col), F.col(dst_col)), F.greatest(F.col(src_col), F.col(dst_col))
     e = (
         edges.filter(F.col(src_col) != F.col(dst_col))
         .select(a.alias("a"), b.alias("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -199,7 +209,7 @@ def triangle_count(
     oriented = ed.select(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
-    )
+    ).localCheckpoint(eager=True)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = o1.join(
         o2,

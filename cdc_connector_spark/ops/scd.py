@@ -1,0 +1,72 @@
+"""Slowly-changing-dimension (SCD Type 2) interval building: turn a
+per-key change stream into validity intervals — the warehouse-dimension
+complement to the changelog plane (``changelog/apply.py`` keeps the
+LATEST row per key; SCD2 keeps EVERY state with [from, to) bounds so
+facts join to the state that was true at their time — the Kimball
+dimension pattern; pairs with ``ops/asof.py`` for the point-in-time
+join).
+
+Spark-first shape: one per-key ordered window pass — lag() to compress
+consecutive duplicate states (re-asserting the same state is a CDC echo,
+not a new version), lead() to close each surviving interval; no joins,
+no iteration. Cost: one key-hash shuffle of the change stream, then
+codegen windows.
+
+Portable by construction: interval bounds surface as unix MICROSECONDS
+(exact BIGINTs — timestamp rendering differs across engines, integers
+never do), and version numbers are row_numbers over the same total
+order. Include a unique tiebreaker in ``order_cols``: with bare
+duplicate timestamps the compression, and therefore the intervals,
+would be nondeterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Build SCD Type 2 validity intervals from a change stream.
+
+    Returns one row per key STATE VERSION:
+    (key, state, version, effective_from_us, effective_to_us, is_current)
+    where version numbers from 1 in change order, ``effective_from_us``
+    is the first event that asserted the state, ``effective_to_us`` is
+    the next version's start (NULL on the open/current version — the
+    half-open [from, to) convention), and consecutive re-assertions of
+    the same state collapse into their first occurrence (the CDC-echo
+    compression; an A→B→A history keeps three versions — state
+    recurrence IS a new version, only adjacency compresses)."""
+    from pyspark.sql import Window
+
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    extra = [c for c in order_cols if c not in (ts_col, key_col, state_col)]
+    base = df.select(
+        F.col(key_col),
+        F.col(state_col).alias("state"),
+        ts_us.alias("__t"),
+        *[F.col(c) for c in extra],
+    )
+    # both windows use the SAME total order (micros + tiebreakers) — the
+    # compression filter and the interval lead must agree on adjacency
+    order = [F.col("__t")] + [F.col(c) for c in extra]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changes = base.withColumn("__prev", F.lag("state").over(w)).filter(
+        F.col("__prev").isNull() | (F.col("state") != F.col("__prev"))
+    )
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return changes.select(
+        F.col(key_col),
+        "state",
+        F.row_number().over(w2).alias("version"),
+        F.col("__t").alias("effective_from_us"),
+        F.lead("__t").over(w2).alias("effective_to_us"),
+        F.lead("__t").over(w2).isNull().alias("is_current"),
+    )
