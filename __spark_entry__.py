@@ -1032,6 +1032,91 @@ def key_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(_t(spark, sf_dir, "events"), "user_id", buckets=32)
 
 
+def scd2_user_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-dimension (NEW r8): SCD Type 2 validity intervals from
+    the event stream (user_id % 10 == 3 slice — scale-proportional) —
+    consecutive same-state echoes compress, every surviving version gets
+    [from, to) unix-micros bounds and an is_current flag; one per-key
+    ordered window pass, no joins. Value-verified."""
+    from cdc_connector_spark.ops.scd import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 3)
+    out = scd2_intervals(ev)
+    return out.select(
+        "user_id",
+        "state",
+        F.col("version").cast("long").alias("version"),
+        "effective_from_us",
+        "effective_to_us",
+        "is_current",
+    )
+
+
+def golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM (NEW r8): golden-record survivorship over matched customers —
+    match pairs = fuzzy name pairs (the fuzzy_match_customers algorithm)
+    GATED by exact attribute agreement (same nation AND market segment,
+    the standard deterministic+probabilistic MDM blocking; the gate also
+    breaks the digit-chain mega-components bare name-distance would
+    form), closed into clusters by connected components, then
+    most-frequent-non-NULL survivorship (ties to the smallest value) on
+    c_name and c_acctbal. Clusters with >= 2 members only. The oracle
+    replays EVERYTHING: blocking, cap, verify, the attribute gate,
+    recursive-CTE components, and the survivorship windows.
+    Value-verified."""
+    from cdc_connector_spark.ops.fuzzy import fuzzy_pairs
+    from cdc_connector_spark.ops.mdm import golden_records
+
+    cust = _t(spark, sf_dir, "customer")
+    pairs = fuzzy_pairs(
+        cust, text_col="c_name", id_col="c_custkey", max_dist=1, block="qgram"
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_nationkey").alias("__na"),
+        F.col("c_mktsegment").alias("__sa"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_nationkey").alias("__nb"),
+        F.col("c_mktsegment").alias("__sb"),
+    )
+    gated = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter((F.col("__na") == F.col("__nb")) & (F.col("__sa") == F.col("__sb")))
+        .select("id_a", "id_b")
+    )
+    return golden_records(
+        cust.select("c_custkey", "c_name", "c_acctbal"),
+        gated,
+        "c_custkey",
+        ["c_name", "c_acctbal"],
+    ).filter(F.col("n_members") >= 2)
+
+
+def rolling_actives_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics (NEW r8): trailing-7-day DISTINCT active users per event
+    type — the windowed-distinct metric rolling sums can't express;
+    sliding window via sequence-explode replication (pure equi-plan, no
+    inequality join), emission on real event days only. Exact integers.
+    Value-verified."""
+    from cdc_connector_spark.ops.timeseries import rolling_distinct_actives
+
+    return rolling_distinct_actives(_t(spark, sf_dir, "events"), window_days=7)
+
+
+def benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation-plane (NEW r8): Benford first-digit distribution of
+    o_totalprice — leading digit via exact BIGINT-cents string (never
+    float formatting or libm log10), expectations inlined as shared
+    literals, share/deviation from exact-integer divisions.
+    Value-verified."""
+    from cdc_connector_spark.validation.checks import benford_profile
+
+    return benford_profile(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
 def attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytics (NEW r8): linear multi-touch attribution — each purchase
     splits its value equally over the user's clicks in the preceding 3
@@ -2368,9 +2453,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # two sf0.01-PINNED ivf recall twins (must stay in-window: their oracles
 # pin sf0.01 constants — the driver's SF — and the sf0.001 tripwire
 # would flag them by construction; enforced by the assertion in
-# queries()), ALL 28 never-checked entries (8 added late in r7 + 20 new
-# in r8), ALL 15 entries whose last driver row is r5 (the oldest cohort
-# — age 3 without this rotation), and the 2 oldest r6-checked entries.
+# queries()), 30 never-checked entries (8 added late in r7 + 22 new
+# in r8), and ALL 15 entries whose last driver row is r5 (the oldest
+# cohort — age 3 without this rotation). Saturated: 3+2+30+15 = 50.
 # The rows-only trio and the simhash twin sit in the TAIL this round
 # (the planned r5-style alternation — last driver row r7, age 1; the
 # tripwire rows-runs the trio and value-verifies the simhash twin at
@@ -2411,13 +2496,15 @@ _R8_WINDOW = [
     "attribution_events",
     "histogram_order_totals",
     "robust_anomaly_events",
-    # never driver-checked: the 6 second-session r8 additions
+    # never driver-checked: the second-session r8 additions
     "triangle_count_parts",
     "trend_events",
     "transitions_events",
     "ewma_events",
     "basket_rules_lineitem",
     "key_skew_events",
+    "scd2_user_states",
+    "golden_record_customers",
     # last driver row r5 (entire cohort)
     "semi_join_discounted",
     "q2_min_cost_supplier",
@@ -2434,10 +2521,13 @@ _R8_WINDOW = [
     "q18_large_volume_customers",
     "q20_potential_promotion",
     "q21_suppliers_who_kept_waiting",
-    # oldest r6-checked entries (2 remaining slots)
-    "window_user_sequence",
-    "sessionize_events",
 ]
+# window_user_sequence / sessionize_events (r6-checked, age 2 in the
+# tail) were displaced by scd2_user_states / golden_record_customers —
+# never-checked entries outrank age-2 re-checks for the scarce slots;
+# rolling_actives_events / benford_order_totals ride the tripwire until
+# r9 (window saturated — tools/staleness.py verifies no displaceable
+# slot remains).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2588,6 +2678,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_events": ewma_events,
         "basket_rules_lineitem": basket_rules_lineitem,
         "key_skew_events": key_skew_events,
+        "scd2_user_states": scd2_user_states,
+        "golden_record_customers": golden_record_customers,
+        "rolling_actives_events": rolling_actives_events,
+        "benford_order_totals": benford_order_totals,
     }
     assert len(_R8_WINDOW) == 50 and set(_R8_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -3627,6 +3721,162 @@ def oracle_sql() -> dict[str, str]:
             JOIN item_n nb ON nb.i = consequent
             CROSS JOIN n_total
             ORDER BY lift DESC, antecedent ASC, consequent ASC LIMIT 200
+        """,
+        "scd2_user_states": """
+            WITH src AS (
+                SELECT user_id, event_type AS state,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id
+                FROM events WHERE user_id % 10 = 3
+            ), c AS (
+                SELECT user_id, state, t, event_id,
+                       lag(state) OVER (
+                           PARTITION BY user_id ORDER BY t, event_id
+                       ) AS prev
+                FROM src
+            ), k AS (
+                SELECT user_id, state, t, event_id
+                FROM c WHERE prev IS NULL OR state <> prev
+            )
+            SELECT user_id, state,
+                   CAST(row_number() OVER w AS BIGINT) AS version,
+                   t AS effective_from_us,
+                   lead(t) OVER w AS effective_to_us,
+                   lead(t) OVER w IS NULL AS is_current
+            FROM k WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+        """,
+        # replays the ENTIRE pipeline: fuzzy blocking + cap + verify
+        # (the fuzzy_match_customers oracle), the exact-attribute gate,
+        # recursive-CTE connected components (min reachable id), and the
+        # per-field survivorship windows (most frequent non-NULL, ties
+        # to the smallest value)
+        "golden_record_customers": """
+            WITH RECURSIVE nb AS (
+                SELECT c_custkey AS id,
+                       regexp_replace(trim(lower(coalesce(c_name,''))), '\\s+', ' ', 'g') AS s
+                FROM customer
+                WHERE regexp_replace(trim(lower(coalesce(c_name,''))), '\\s+', ' ', 'g') <> ''
+            ), inv AS (
+                SELECT DISTINCT id, s, g FROM (
+                    SELECT id, s,
+                           unnest(list_transform(range(1, greatest(len(s) - 2, 1) + 1),
+                                  i -> substring(s, CAST(i AS INT), 3))) AS g
+                    FROM nb
+                )
+            ), ok AS (
+                SELECT g FROM inv GROUP BY g HAVING COUNT(*) <= 1000
+            ), iv AS (
+                SELECT inv.id, inv.s, inv.g FROM inv JOIN ok ON inv.g = ok.g
+            ), cand AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+                FROM iv a JOIN iv b ON a.g = b.g AND a.id < b.id
+                WHERE abs(len(a.s) - len(b.s)) <= 1
+            ), fp AS (
+                SELECT id_a, id_b FROM cand WHERE levenshtein(sa, sb) <= 1
+            ), gp AS (
+                SELECT fp.id_a, fp.id_b
+                FROM fp
+                JOIN customer ca ON ca.c_custkey = fp.id_a
+                JOIN customer cb ON cb.c_custkey = fp.id_b
+                WHERE ca.c_nationkey = cb.c_nationkey
+                  AND ca.c_mktsegment = cb.c_mktsegment
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM gp
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM gp
+            ), cc(id, comp) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, cc.comp FROM edges e JOIN cc ON e.dst = cc.id
+            ), lab AS (
+                SELECT id, min(comp) AS comp FROM cc GROUP BY id
+            ), mem AS (
+                SELECT coalesce(l.comp, c.c_custkey) AS cluster_id,
+                       c.c_name, c.c_acctbal
+                FROM customer c LEFT JOIN lab l ON l.id = c.c_custkey
+            ), agg AS (
+                SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+                FROM mem GROUP BY 1
+            ), f1c AS (
+                SELECT cluster_id, c_name, COUNT(*) AS fn
+                FROM mem WHERE c_name IS NOT NULL GROUP BY 1, 2
+            ), f1 AS (
+                SELECT cluster_id, c_name FROM (
+                    SELECT cluster_id, c_name,
+                           row_number() OVER (
+                               PARTITION BY cluster_id
+                               ORDER BY fn DESC, c_name ASC
+                           ) AS rn
+                    FROM f1c
+                ) WHERE rn = 1
+            ), f2c AS (
+                SELECT cluster_id, c_acctbal, COUNT(*) AS fn
+                FROM mem WHERE c_acctbal IS NOT NULL GROUP BY 1, 2
+            ), f2 AS (
+                SELECT cluster_id, c_acctbal FROM (
+                    SELECT cluster_id, c_acctbal,
+                           row_number() OVER (
+                               PARTITION BY cluster_id
+                               ORDER BY fn DESC, c_acctbal ASC
+                           ) AS rn
+                    FROM f2c
+                ) WHERE rn = 1
+            )
+            SELECT agg.cluster_id, agg.n_members, f1.c_name, f2.c_acctbal
+            FROM agg
+            LEFT JOIN f1 ON f1.cluster_id = agg.cluster_id
+            LEFT JOIN f2 ON f2.cluster_id = agg.cluster_id
+            WHERE agg.n_members >= 2
+        """,
+        # sliding distinct via the same replication trick: each
+        # (type, user, day) serves the next 7 emission days; real event
+        # days only
+        "rolling_actives_events": """
+            WITH ud AS (
+                SELECT DISTINCT event_type, user_id,
+                       CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+                FROM events
+            ), emit AS (
+                SELECT event_type, user_id, unnest(range(d, d + 7)) AS e
+                FROM ud
+            ), real_days AS (
+                SELECT DISTINCT event_type, d AS e FROM ud
+            )
+            SELECT emit.event_type,
+                   strftime(DATE '1970-01-01' + INTERVAL (emit.e) DAY, '%Y-%m-%d') AS day,
+                   CAST(COUNT(DISTINCT emit.user_id) AS BIGINT) AS actives
+            FROM emit JOIN real_days
+              ON emit.event_type = real_days.event_type AND emit.e = real_days.e
+            GROUP BY 1, 2
+        """,
+        # first digit from the exact BIGINT-cents string; Benford
+        # expectations inlined as the SAME literals the Spark side uses
+        "benford_order_totals": """
+            WITH pos AS (
+                SELECT CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS s
+                FROM orders
+                WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+                  AND CAST(round(o_totalprice * 100.0, 0) AS BIGINT) >= 1
+            ), d AS (
+                SELECT CAST(substring(CAST(s AS VARCHAR), 1, 1) AS INTEGER) AS digit
+                FROM pos
+            ), t AS (SELECT COUNT(*) AS tot FROM d)
+            SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+                   round(CAST(COUNT(*) AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+                   CASE digit
+                        WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091
+                        WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691
+                        WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+                        WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+                        WHEN 9 THEN 0.045757 END AS benford_p,
+                   round(CAST(COUNT(*) AS DOUBLE) / CAST(tot AS DOUBLE)
+                         - CASE digit
+                                WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091
+                                WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691
+                                WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+                                WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+                                WHEN 9 THEN 0.045757 END, 6) AS deviation
+            FROM d CROSS JOIN t
+            GROUP BY digit, tot
         """,
         # the portable md5 60-bit fold (winnow/simhash_portable scheme)
         # over the key's decimal string, mod 32; NULL keys -> bucket -1

@@ -713,6 +713,64 @@ def ewma_daily(
     )
 
 
+def rolling_distinct_actives(
+    df: DataFrame,
+    window_days: int = 7,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Trailing N-day DISTINCT active users per event type — the real
+    "7-day actives" metric ``rolling_daily_counts`` cannot express
+    (distinct counts don't sum across days; a user active daily is one
+    active, not seven). Returns (event_type, day, actives) for each day
+    the type has events.
+
+    Spark-first shape — sliding distinct via REPLICATION, not a range
+    self-join: activity collapses to DISTINCT (type, user, day) first
+    (raw events never fan out), then each user-day replicates to the
+    ≤ ``window_days`` emission days it can serve (one ``explode`` of an
+    integer sequence — pure equi-plan, no inequality join for Catalyst
+    to nested-loop), an inner join against the type's REAL event days
+    drops phantom emission days, and one count_distinct per (type, day)
+    finishes. Cost: window_days × |user-days| exploded rows through one
+    keyed shuffle — the standard scale trick for windowed distincts; an
+    HLL sketch (approx_count_distinct) is the documented swap when
+    exactness can yield.
+
+    Exact integers end to end (value-portable)."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    ud = (
+        df.select(
+            F.col(type_col).alias("event_type"),
+            F.col(user_col).alias("__u"),
+            F.unix_date(F.to_date(F.col(ts_col))).alias("__d"),
+        )
+        .distinct()
+    )
+    emit = ud.select(
+        "event_type",
+        "__u",
+        F.explode(
+            F.sequence(F.col("__d"), F.col("__d") + (window_days - 1))
+        ).alias("__e"),
+    )
+    real_days = ud.select("event_type", F.col("__d").alias("__e")).distinct()
+    return (
+        emit.join(real_days, ["event_type", "__e"])
+        .groupBy("event_type", "__e")
+        .agg(F.count_distinct("__u").alias("actives"))
+        .select(
+            "event_type",
+            F.date_format(
+                F.date_from_unix_date(F.col("__e").cast("int")), "yyyy-MM-dd"
+            ).alias("day"),
+            "actives",
+        )
+    )
+
+
 def robust_anomalies(
     df: DataFrame,
     z_threshold: float = 3.5,

@@ -374,3 +374,62 @@ def key_skew_profile(df: DataFrame, key_col: str, buckets: int = 32) -> DataFram
             F.round((F.col("n_rows") * buckets) / F.col("__t"), 6).alias("load_ratio"),
         )
     )
+
+
+# Benford first-digit expectations log10(1 + 1/d), rounded 6 — inlined as
+# LITERALS (not computed at runtime) so Spark and any SQL oracle use the
+# identical constants
+_BENFORD_P = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+def benford_profile(df: DataFrame, col: str, decimals: int = 2) -> DataFrame:
+    """First-digit (Benford) distribution of a positive numeric column —
+    the forensic-accounting / data-fabrication screen: organically-grown
+    magnitudes follow log10(1+1/d); invented or truncated ones don't.
+    Returns one row per observed leading digit:
+    (digit, n, share, benford_p, deviation = share − benford_p).
+
+    Engine-portable digit extraction: the value scales to an exact
+    BIGINT at ``decimals`` precision (round(x·10^decimals) — the cent
+    trick; float noise around the true fixed-point value never sits at
+    an exact .5, so round is tie-free), converts to its decimal STRING
+    (integer-to-string is exact everywhere, unlike float formatting or
+    log10-based digit math whose last-ulp behavior is libm-specific),
+    and takes the first character. NULL and non-positive values are
+    excluded (Benford is defined on positive magnitudes). share and
+    deviation are single divisions/subtractions of exact integers and
+    the literal constants, rounded 6.
+
+    One map-side-combined shuffle on the digit key (≤ 9 groups); the
+    scalar total broadcasts."""
+    if decimals < 0:
+        raise ValueError(f"decimals must be >= 0, got {decimals}")
+    scaled0 = F.round(F.col(col).cast("double") * F.lit(float(10**decimals)), 0).cast(
+        "long"
+    )
+    # values rounding to 0 at this precision have no leading digit — out
+    pos = df.filter(
+        F.col(col).isNotNull() & (F.col(col) > 0) & (scaled0 >= 1)
+    ).select(scaled0.alias("__s"))
+    digit = F.substring(F.col("__s").cast("string"), 1, 1).cast("int")
+    total = pos.select(F.count(F.lit(1)).alias("__t"))
+    bp = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_P.items() for x in kv]
+    )
+    return (
+        pos.groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("__t"), 6).alias("share"),
+            bp[F.col("digit")].alias("benford_p"),
+            F.round(F.col("n") / F.col("__t") - bp[F.col("digit")], 6).alias(
+                "deviation"
+            ),
+        )
+    )

@@ -553,3 +553,40 @@ def test_ewma_daily_matches_truncated_recursion_exactly(spark):
         ewma_daily(df, window=1)
     with _pytest.raises(ValueError, match="window"):
         ewma_daily(df, window=31)
+
+
+def test_rolling_distinct_actives(spark):
+    from datetime import datetime, timedelta
+
+    from cdc_connector_spark.ops.timeseries import rolling_distinct_actives
+    import pytest as _pytest
+
+    t0 = datetime(2024, 1, 1)
+
+    def d(i):
+        return t0 + timedelta(days=i)
+
+    rows = [
+        # type A: user 1 active days 0,1,2; user 2 active day 2 ONLY;
+        # user 1 twice on day 0 (distinct, not 2 actives)
+        (1, d(0), 1, "A"), (2, d(0), 1, "A"), (3, d(1), 1, "A"),
+        (4, d(2), 1, "A"), (5, d(2), 2, "A"),
+        # day 9: outside any 3-day window of the earlier days
+        (6, d(9), 3, "A"),
+        # type B: single event — window isolation across types
+        (7, d(1), 1, "B"),
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, user_id bigint, event_type string")
+    got = {(r["event_type"], r["day"]): r["actives"]
+           for r in rolling_distinct_actives(df, window_days=3).collect()}
+    day = lambda i: d(i).strftime("%Y-%m-%d")  # noqa: E731
+    assert got[("A", day(0))] == 1          # dup rows collapse
+    assert got[("A", day(1))] == 1
+    assert got[("A", day(2))] == 2          # users {1, 2} in the window
+    assert got[("A", day(9))] == 1          # old users aged out
+    assert got[("B", day(1))] == 1
+    # emission only on REAL event days — no phantom day-3/day-4 rows
+    assert ("A", day(3)) not in got and ("A", day(4)) not in got
+    assert len(got) == 5
+    with _pytest.raises(ValueError, match="window_days"):
+        rolling_distinct_actives(df, window_days=0)

@@ -258,3 +258,21 @@ def test_key_skew_profile_balance_and_nulls(spark):
     assert max(r["load_ratio"] for r in prof.values()) >= 3.0
     with _pytest.raises(ValueError, match="buckets"):
         key_skew_profile(df, "k", buckets=0)
+
+
+def test_benford_profile_digits_and_constants(spark):
+    from cdc_connector_spark.validation.checks import benford_profile, _BENFORD_P
+    import pytest as _pytest
+
+    rows = [(1, 123.45), (2, 19.99), (3, 0.31), (4, 9000.0), (5, 1.0),
+            (6, None), (7, -5.0), (8, 0.001)]  # 0.001 rounds to 0 cents -> out
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    got = {r["digit"]: r for r in benford_profile(df, "v").collect()}
+    # digits: 123.45->1, 19.99->1, 0.31->3, 9000->9, 1.0->1; NULL/neg/0-cent out
+    assert {d: r["n"] for d, r in got.items()} == {1: 3, 3: 1, 9: 1}
+    assert got[1]["share"] == 0.6
+    assert got[1]["benford_p"] == _BENFORD_P[1]
+    assert got[1]["deviation"] == round(0.6 - _BENFORD_P[1], 6)
+    assert got[9]["deviation"] == round(0.2 - _BENFORD_P[9], 6)
+    with _pytest.raises(ValueError, match="decimals"):
+        benford_profile(df, "v", decimals=-1)
