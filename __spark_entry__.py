@@ -1117,6 +1117,50 @@ def benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_profile(_t(spark, sf_dir, "orders"), "o_totalprice")
 
 
+def sequence_gaps_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation-plane (NEW r8): gaps-and-islands hole detection over
+    lineitem's l_orderkey sequence (orders with no lineitems leave real
+    holes in this fixture): the CDC-completeness screen for
+    offsets/sequence numbers where a duplicate can mask a loss from the
+    rowcount check. One ordered window, output proportional to RUNS;
+    top-100 largest gaps. Value-verified."""
+    from cdc_connector_spark.validation.checks import sequence_gaps
+
+    return sequence_gaps(_t(spark, sf_dir, "lineitem"), "l_orderkey", top_k=100)
+
+
+def unpivot_lineitem_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshape (NEW r8): UNPIVOT/melt — the inverse of
+    pivot_status_by_priority: the four lineitem amount columns melt into
+    (l_orderkey, l_linenumber, metric, value) long form (orderkey < 100
+    slice — the keyspace starts at 1 at every SF). Projection-only, no
+    shuffle. Value-verified."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+
+
+def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiling (NEW r8): Pearson correlation of quantity vs
+    extended-price cents per returnflag from EXACT integer sufficient
+    statistics (DECIMAL(38,0)-accumulated — Σcents² overflows BIGINT) —
+    the value-portable twin of float-accumulated F.corr; one fixed
+    IEEE double expression, rounded 6. Value-verified."""
+    from cdc_connector_spark.validation.checks import pearson_corr_exact
+
+    li = _t(spark, sf_dir, "lineitem")
+    return pearson_corr_exact(
+        li,
+        F.col("l_quantity"),
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+        "l_returnflag",
+    )
+
+
 def attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytics (NEW r8): linear multi-touch attribution — each purchase
     splits its value equally over the user's clicks in the preceding 3
@@ -2682,6 +2726,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_record_customers": golden_record_customers,
         "rolling_actives_events": rolling_actives_events,
         "benford_order_totals": benford_order_totals,
+        "sequence_gaps_lineitem": sequence_gaps_lineitem,
+        "unpivot_lineitem_amounts": unpivot_lineitem_amounts,
+        "corr_quantity_price": corr_quantity_price,
     }
     assert len(_R8_WINDOW) == 50 and set(_R8_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -3877,6 +3924,65 @@ def oracle_sql() -> dict[str, str]:
                                 WHEN 9 THEN 0.045757 END, 6) AS deviation
             FROM d CROSS JOIN t
             GROUP BY digit, tot
+        """,
+        "sequence_gaps_lineitem": """
+            WITH ids AS (
+                SELECT DISTINCT l_orderkey AS id FROM lineitem
+                WHERE l_orderkey IS NOT NULL
+            ), g AS (
+                SELECT lag(id) OVER (ORDER BY id) + 1 AS gap_start,
+                       id - 1 AS gap_end,
+                       id - lag(id) OVER (ORDER BY id) - 1 AS missing
+                FROM ids
+            )
+            SELECT gap_start, gap_end, missing FROM g
+            WHERE missing > 0
+            ORDER BY missing DESC, gap_start ASC LIMIT 100
+        """,
+        "unpivot_lineitem_amounts": """
+            SELECT l_orderkey, l_linenumber, metric, value FROM (
+                SELECT l_orderkey, l_linenumber,
+                       'l_quantity' AS metric, l_quantity AS value
+                FROM lineitem WHERE l_orderkey < 100
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+                FROM lineitem WHERE l_orderkey < 100
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+                FROM lineitem WHERE l_orderkey < 100
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+                FROM lineitem WHERE l_orderkey < 100
+            )
+        """,
+        # exact-integer sufficient statistics (DECIMAL-accumulated), one
+        # fixed IEEE double expression — the same closed form as the
+        # Spark side; cents via the round(x*100) BIGINT trick
+        "corr_quantity_price": """
+            WITH s AS (
+                SELECT l_returnflag,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS DECIMAL(38,0)) AS sx,
+                       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DECIMAL(38,0)) AS sy,
+                       CAST(sum(CAST(l_quantity AS BIGINT)
+                                * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DECIMAL(38,0)) AS sxy,
+                       CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DECIMAL(38,0)) AS sxx,
+                       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                                * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DECIMAL(38,0)) AS syy
+                FROM lineitem GROUP BY 1
+            )
+            SELECT l_returnflag, n,
+                   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
+            FROM s
+            WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+              AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
         """,
         # the portable md5 60-bit fold (winnow/simhash_portable scheme)
         # over the key's decimal string, mod 32; NULL keys -> bucket -1

@@ -433,3 +433,106 @@ def benford_profile(df: DataFrame, col: str, decimals: int = 2) -> DataFrame:
             ),
         )
     )
+
+
+def sequence_gaps(
+    df: DataFrame,
+    id_col: str,
+    group_col: str | None = None,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Gaps-and-islands hole detector over a monotonically-assigned id or
+    offset column — the CDC-completeness screen: a hole in commit
+    sequence numbers / Kafka offsets / monotonic PKs is a lost or
+    unapplied batch the rowcount check can miss (counts agree when a
+    duplicate masks a loss). Returns one row per MISSING RUN:
+    (gap_start, gap_end, missing = end−start+1), optionally per
+    ``group_col`` (e.g. per partition id), largest gaps first
+    (missing desc, gap_start asc — deterministic) and capped at
+    ``top_k`` when set.
+
+    Shape: distinct ids (duplicates are duplication's problem, not a
+    hole), ONE ordered window (lag) per group, emit only where the
+    predecessor distance exceeds 1 — no self-joins, no sequence
+    materialization (a 10¹²-id keyspace never explodes; output is
+    proportional to the number of RUNS). NULL ids are excluded (the
+    null_pk check owns those). Exact integers end to end."""
+    from pyspark.sql import Window
+
+    ids = df.filter(F.col(id_col).isNotNull()).select(
+        *( [F.col(group_col)] if group_col else [] ), F.col(id_col).alias("__id")
+    ).distinct()
+    w = (
+        Window.partitionBy(group_col).orderBy("__id")
+        if group_col
+        else Window.partitionBy().orderBy("__id")
+    )
+    out = (
+        ids.withColumn("__prev", F.lag("__id").over(w))
+        .filter(F.col("__prev").isNotNull() & (F.col("__id") - F.col("__prev") > 1))
+        .select(
+            *([F.col(group_col)] if group_col else []),
+            (F.col("__prev") + 1).alias("gap_start"),
+            (F.col("__id") - 1).alias("gap_end"),
+            (F.col("__id") - F.col("__prev") - 1).alias("missing"),
+        )
+        .orderBy(F.col("missing").desc(), F.col("gap_start").asc())
+    )
+    return out.limit(top_k) if top_k is not None else out
+
+
+def pearson_corr_exact(
+    df: DataFrame,
+    x_col,
+    y_col,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Pearson correlation per group from EXACT integer sufficient
+    statistics — the value-portable profiling twin of the built-in
+    ``F.corr`` (which float-accumulates in partition order and therefore
+    cannot hash-match across engines or even across runs). ``x_col`` /
+    ``y_col`` are Column expressions (or names) whose values must be
+    EXACT INTEGERS — scale fixed-point columns yourself (the cent
+    trick: ``F.round(col * 100).cast("long")``); ANSI mode will surface
+    violations as cast errors rather than silent drift.
+
+    Sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    DECIMAL(38,0) — exact and order-independent at any scale (Σy² of
+    cent-scaled values overflows BIGINT around 10⁵ rows; the r6
+    ``sum_name_len`` lesson) — then r is ONE fixed double expression
+    (IEEE multiply/subtract/sqrt/divide are correctly rounded, so every
+    engine reproduces the same double), rounded 6. Groups with zero
+    variance in either variable are dropped (no line to correlate).
+
+    One map-side-combined aggregation; group-count-sized output."""
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("long")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("long")
+    dec = "decimal(38,0)"
+    keys = [F.col(group_col)] if group_col else []
+    stats = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(dec)).alias("__sx"),
+        F.sum(y.cast(dec)).alias("__sy"),
+        F.sum((x * y).cast(dec)).alias("__sxy"),
+        F.sum((x * x).cast(dec)).alias("__sxx"),
+        F.sum((y * y).cast(dec)).alias("__syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("__sxy").cast("double"),
+        F.col("__sxx").cast("double"),
+        F.col("__syy").cast("double"),
+    )
+    varx = nd * sxx - sx * sx
+    vary = nd * syy - sy * sy
+    return (
+        stats.filter((varx > 0) & (vary > 0))
+        .select(
+            *keys,
+            "n",
+            F.round((nd * sxy - sx * sy) / (F.sqrt(varx) * F.sqrt(vary)), 6).alias(
+                "corr"
+            ),
+        )
+    )

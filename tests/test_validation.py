@@ -276,3 +276,45 @@ def test_benford_profile_digits_and_constants(spark):
     assert got[9]["deviation"] == round(0.2 - _BENFORD_P[9], 6)
     with _pytest.raises(ValueError, match="decimals"):
         benford_profile(df, "v", decimals=-1)
+
+
+def test_sequence_gaps_holes_and_cap(spark):
+    from cdc_connector_spark.validation.checks import sequence_gaps
+
+    # ids 1,2,3, 7,8, 15 -> gaps [4..6] (3 missing) and [9..14] (6 missing);
+    # duplicates and NULLs must not fabricate or mask holes
+    rows = [(1,), (2,), (3,), (7,), (8,), (15,), (8,), (None,)]
+    df = spark.createDataFrame(rows, "id bigint")
+    got = [(r["gap_start"], r["gap_end"], r["missing"])
+           for r in sequence_gaps(df, "id").collect()]
+    assert got == [(9, 14, 6), (4, 6, 3)]  # largest first
+    assert [(r["gap_start"], r["gap_end"]) for r in sequence_gaps(df, "id", top_k=1).collect()] == [(9, 14)]
+    # grouped: holes are per-group, not across groups
+    rows = [("a", 1), ("a", 3), ("b", 10), ("b", 11)]
+    df2 = spark.createDataFrame(rows, "g string, id bigint")
+    got2 = [(r["g"], r["gap_start"], r["gap_end"]) for r in sequence_gaps(df2, "id", group_col="g").collect()]
+    assert got2 == [("a", 2, 2)]
+    # contiguous sequence -> no rows
+    assert sequence_gaps(spark.createDataFrame([(i,) for i in range(5)], "id bigint"), "id").count() == 0
+
+
+def test_pearson_corr_exact(spark):
+    from cdc_connector_spark.validation.checks import pearson_corr_exact
+    import pyspark.sql.functions as F
+    import math
+
+    # y = 3x exactly -> r = 1; y = -x -> r = -1; constant -> dropped
+    rows = ([("a", x, 3 * x) for x in range(1, 6)]
+            + [("b", x, -x) for x in range(1, 6)]
+            + [("c", x, 7) for x in range(1, 6)])
+    df = spark.createDataFrame(rows, "g string, x bigint, y bigint")
+    got = {r["g"]: r["corr"] for r in pearson_corr_exact(df, "x", "y", "g").collect()}
+    assert got == {"a": 1.0, "b": -1.0}
+    # hand-checked non-degenerate value on expressions
+    rows2 = [(1, 2), (2, 3), (3, 5), (4, 4)]
+    df2 = spark.createDataFrame(rows2, "x bigint, y bigint")
+    r = pearson_corr_exact(df2, F.col("x"), F.col("y")).collect()[0]
+    n, sx, sy = 4, 10, 14
+    sxy = sum(a * b for a, b in rows2); sxx = sum(a * a for a, _ in rows2); syy = sum(b * b for _, b in rows2)
+    want = round((n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)), 6)
+    assert r["corr"] == want and r["n"] == 4
