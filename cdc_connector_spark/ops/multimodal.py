@@ -347,3 +347,130 @@ def resize_stub(df: DataFrame, media_col: str = "media", width: int = 224, heigh
     return df.withColumn(
         "resize_spec", F.struct(F.lit(width).alias("width"), F.lit(height).alias("height"))
     )
+
+
+def encode_pnm(rgb) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as binary PNM P6 — the
+    codec-free container this module can also DECODE (round-trip tested),
+    making resize a real pixels-in/pixels-out transform."""
+    import numpy as np
+
+    arr = np.asarray(rgb, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+RESIZED = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media", T.BinaryType()),
+        T.StructField("media_meta", MEDIA_META),
+    ]
+)
+
+
+def resize_image(
+    df: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    media_col: str = "media",
+    id_col: str = "media_id",
+    fake: bool = False,
+) -> DataFrame:
+    """REAL image resize (supersedes ``resize_stub`` for decodable
+    formats): decode BMP/PNM → nearest-neighbor index sampling (pure
+    numpy, the deterministic kernel PIL's NEAREST matches) → re-encode
+    as binary PNM P6. Returns (media_id, media, media_meta) with the
+    new geometry — the normalize-before-embedding step of a multimodal
+    training pipeline, in the same Arrow ``mapInPandas`` slot a
+    libvips/PIL kernel would occupy.
+
+    Non-decodable formats raise unless ``fake=True``, which emits a
+    deterministic bytes-derived P6 at the requested geometry (plumbing
+    and schema identical)."""
+    import numpy as np
+
+    if width < 1 or height < 1:
+        raise ValueError(f"target geometry must be positive, got {width}x{height}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for b in pdf[media_col]:
+                raw = bytes(b) if b is not None else b""
+                rgb = decode_bmp(raw)
+                if rgb is None:
+                    rgb = decode_pnm(raw)
+                if rgb is not None:
+                    h, w = rgb.shape[:2]
+                    yi = (np.arange(height) * h) // height
+                    xi = (np.arange(width) * w) // width
+                    out.append(encode_pnm(rgb[np.ix_(yi, xi)]))
+                elif fake:
+                    seed = hashlib.sha256(raw).digest()
+                    px = np.frombuffer(
+                        (seed * (width * height * 3 // len(seed) + 1))[: width * height * 3],
+                        dtype=np.uint8,
+                    ).reshape(height, width, 3)
+                    out.append(encode_pnm(px))
+                else:
+                    raise NotImplementedError(
+                        "only BMP/PNM decode without codec libraries; "
+                        "pass fake=True to stub other formats"
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "media": out,
+                    "media_meta": [
+                        {
+                            "kind": "image",
+                            "format": "pnm",
+                            "width": width,
+                            "height": height,
+                            "sample_rate": None,
+                            "duration_ms": None,
+                        }
+                    ]
+                    * len(out),
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(batches, schema=RESIZED)
+
+
+def phash_to_long(col):
+    """Hex 64-bit perceptual hash → SIGNED long, overflow-safe under ANSI
+    (a plain conv(...,16,10).cast('long') errors past 2^63): the two
+    32-bit halves parse separately and recombine with bit ops."""
+    hi = F.conv(F.substring(col, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(col, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    max_bucket: int = 4000,
+    fake: bool = False,
+) -> DataFrame:
+    """Perceptual image near-dup pairs: aHash fingerprints from the real
+    decode (``decode_image_features``) fed through the SAME pigeonhole
+    blocking + Hamming verify as text SimHash (``simhash_pairs_from_sigs``
+    — 8×8-bit blocks, exact for Hamming ≤ 7, capped buckets) — re-encoded
+    or resized copies of an image land within a few aHash bits while
+    byte-level dedup sees nothing. Returns (id_a < id_b, hamming).
+
+    The scale posture is SimHash's: candidate generation is blocked and
+    capped, never all-pairs; audit dropped buckets with the simhash
+    tooling if the corpus is screenshot-dense (large uniform regions
+    collapse aHash buckets the way boilerplate collapses text buckets)."""
+    from cdc_connector_spark.ops.dedup import simhash_pairs_from_sigs
+
+    feats = decode_image_features(df, media_col, id_col, fake=fake)
+    sig = feats.select(
+        F.col("media_id").alias("id"), phash_to_long(F.col("phash")).alias("sig")
+    )
+    return simhash_pairs_from_sigs(sig, max_hamming=max_hamming, max_bucket=max_bucket)

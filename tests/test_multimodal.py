@@ -249,3 +249,75 @@ def test_binary_decoders_never_crash_on_fuzz():
         for tail in (b"", b"\x00" * 60, b"\xff" * 100, b"9" * 50):
             for dec in (decode_bmp, decode_pnm, decode_wav):
                 dec(prefix + tail)  # must not raise
+
+
+def test_resize_image_real_roundtrip(spark):
+    """Nearest-neighbor resize over a real BMP: output is decodable P6 at
+    the requested geometry with the exact sampled pixels."""
+    import numpy as np
+
+    from cdc_connector_spark.ops.multimodal import decode_pnm, resize_image
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (10, 8, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(_make_bmp(img)))], "media_id long, media binary"
+    )
+    row = resize_image(df, width=4, height=5).collect()[0]
+    assert (row["media_meta"]["width"], row["media_meta"]["height"]) == (4, 5)
+    got = decode_pnm(bytes(row["media"]))
+    yi = (np.arange(5) * 10) // 5
+    xi = (np.arange(4) * 8) // 4
+    assert got.shape == (5, 4, 3)
+    assert (got == img[np.ix_(yi, xi)]).all()
+    # upscale also exact under index sampling
+    up = decode_pnm(bytes(resize_image(df, width=16, height=20).collect()[0]["media"]))
+    assert up.shape == (20, 16, 3)
+    with pytest.raises(Exception, match="fake=True"):
+        resize_image(
+            spark.createDataFrame([(1, b"\x89PNG")], "media_id long, media binary")
+        ).collect()
+    # fake mode: deterministic stub at the requested geometry
+    fk1 = resize_image(
+        spark.createDataFrame([(1, b"\x89PNG")], "media_id long, media binary"),
+        width=6, height=7, fake=True,
+    ).collect()[0]
+    assert decode_pnm(bytes(fk1["media"])).shape == (7, 6, 3)
+
+
+def test_image_neardup_pairs_perceptual(spark):
+    """Re-encoded / lightly-perturbed copies pair up; unrelated images
+    don't. Exercises the real decode -> aHash -> pigeonhole path."""
+    import numpy as np
+
+    from cdc_connector_spark.ops.multimodal import encode_pnm, image_neardup_pairs
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+    tweaked = base.copy()
+    tweaked[:2, :2] = 255  # tiny corner change -> few aHash bits flip
+    other = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(_make_bmp(base))),
+        (2, bytearray(encode_pnm(base))),   # same pixels, different container
+        (3, bytearray(_make_bmp(tweaked))),
+        (4, bytearray(_make_bmp(other))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_neardup_pairs(df, max_hamming=6).collect()}
+    assert pairs[(1, 2)] == 0           # container change is hamming 0
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_phash_to_long_top_bit(spark):
+    """Hex hashes with the sign bit set parse without ANSI overflow."""
+    from cdc_connector_spark.ops.multimodal import phash_to_long
+
+    df = spark.createDataFrame(
+        [("ffffffffffffffff",), ("8000000000000000",), ("0000000000000001",)],
+        "h string",
+    )
+    got = [r["v"] for r in df.select(phash_to_long(F.col("h")).alias("v")).collect()]
+    assert got == [-1, -(2**63), 1]
