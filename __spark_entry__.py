@@ -2568,10 +2568,12 @@ _R8_WINDOW = [
 ]
 # window_user_sequence / sessionize_events (r6-checked, age 2 in the
 # tail) were displaced by scd2_user_states / golden_record_customers —
-# never-checked entries outrank age-2 re-checks for the scarce slots;
-# rolling_actives_events / benford_order_totals ride the tripwire until
-# r9 (window saturated — tools/staleness.py verifies no displaceable
-# slot remains).
+# never-checked entries outrank age-2 re-checks for the scarce slots.
+# FIVE never-checked entries ride the tripwire until r9 (window
+# saturated — tools/staleness.py verifies no displaceable slot remains
+# and lists them): rolling_actives_events, benford_order_totals,
+# sequence_gaps_lineitem, unpivot_lineitem_amounts, corr_quantity_price.
+# The r9 window MUST include all five.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3960,15 +3962,18 @@ def oracle_sql() -> dict[str, str]:
         # Spark side; cents via the round(x*100) BIGINT trick
         "corr_quantity_price": """
             WITH s AS (
+                -- products in HUGEINT (int128), mirroring the Spark
+                -- side's cast-before-multiply DECIMAL(38,0) arithmetic:
+                -- BIGINT products overflow at cent-scaled ~$30M values
                 SELECT l_returnflag,
                        CAST(COUNT(*) AS BIGINT) AS n,
-                       CAST(sum(CAST(l_quantity AS BIGINT)) AS DECIMAL(38,0)) AS sx,
-                       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DECIMAL(38,0)) AS sy,
-                       CAST(sum(CAST(l_quantity AS BIGINT)
-                                * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DECIMAL(38,0)) AS sxy,
-                       CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DECIMAL(38,0)) AS sxx,
-                       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-                                * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DECIMAL(38,0)) AS syy
+                       CAST(sum(CAST(l_quantity AS HUGEINT)) AS DECIMAL(38,0)) AS sx,
+                       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS HUGEINT)) AS DECIMAL(38,0)) AS sy,
+                       CAST(sum(CAST(l_quantity AS HUGEINT)
+                                * CAST(round(l_extendedprice * 100, 0) AS HUGEINT)) AS DECIMAL(38,0)) AS sxy,
+                       CAST(sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS DECIMAL(38,0)) AS sxx,
+                       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS HUGEINT)
+                                * CAST(round(l_extendedprice * 100, 0) AS HUGEINT)) AS DECIMAL(38,0)) AS syy
                 FROM lineitem GROUP BY 1
             )
             SELECT l_returnflag, n,

@@ -37,13 +37,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _kept_memberships(
-    df: DataFrame, basket_col: str, item_col: str, max_basket_size: int
-) -> DataFrame:
+def _basket_sizes(
+    df: DataFrame, basket_col: str, item_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared census behind the cap and its audit: distinct memberships
+    (__b, __i) plus per-basket distinct-item counts (__b, __sz) — ONE
+    derivation, so the audit can never desynchronize from the filter it
+    documents."""
     bi = df.select(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
     ).distinct()
-    sizes = bi.groupBy("__b").agg(F.count(F.lit(1)).alias("__sz"))
+    return bi, bi.groupBy("__b").agg(F.count(F.lit(1)).alias("__sz"))
+
+
+def _kept_memberships(
+    df: DataFrame, basket_col: str, item_col: str, max_basket_size: int
+) -> DataFrame:
+    bi, sizes = _basket_sizes(df, basket_col, item_col)
     ok = sizes.filter(F.col("__sz") <= max_basket_size).select("__b")
     return bi.join(ok, "__b")
 
@@ -59,15 +69,8 @@ def oversized_baskets(
     from the pair statistics. Nonzero on a real corpus usually means a
     degenerate basket key (a catch-all session id, a NULL-ish default) —
     inspect before raising the cap."""
-    bi = df.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
-    return (
-        bi.groupBy("__b")
-        .agg(F.count(F.lit(1)).alias("__sz"))
-        .filter(F.col("__sz") > max_basket_size)
-        .count()
-    )
+    _, sizes = _basket_sizes(df, basket_col, item_col)
+    return sizes.filter(F.col("__sz") > max_basket_size).count()
 
 
 def association_rules(
@@ -98,7 +101,14 @@ def association_rules(
         raise ValueError(f"min_pair_count must be >= 1, got {min_pair_count}")
     if max_basket_size < 2:
         raise ValueError(f"max_basket_size must be >= 2, got {max_basket_size}")
-    bi = _kept_memberships(df, basket_col, item_col, max_basket_size)
+    # the kept-membership subtree (distinct + size census + semi-join) is
+    # referenced FIVE times below (N, item counts, both self-join sides,
+    # pairs) — cut it once or every reference re-derives the full input
+    # lineage (the triangle_count 166→13-exchange lesson). localCheckpoint,
+    # not persist: no cache-manager substitution into unrelated plans.
+    bi = _kept_memberships(df, basket_col, item_col, max_basket_size).localCheckpoint(
+        eager=True
+    )
     n_total = bi.select(F.count_distinct("__b").alias("__n"))
     item_n = bi.groupBy("__i").agg(F.count(F.lit(1)).alias("__in"))
     l, r = bi.alias("l"), bi.alias("r")

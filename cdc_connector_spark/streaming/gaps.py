@@ -120,6 +120,17 @@ class StreamingGapMonitor:
         os.makedirs(os.path.dirname(self._marker(batch_id)), exist_ok=True)
         with open(self._marker(batch_id), "w") as fh:
             fh.write("")
+        # prune superseded snapshots — without this, storage grows
+        # linearly with batch count even though only the latest islands
+        # dir is ever read. The IMMEDIATELY-previous snapshot is kept as
+        # the crash cushion (an uncommitted-replay recovery reads it);
+        # markers stay for every batch (replay short-circuiting needs
+        # them, and they are empty files)
+        import shutil
+
+        for old in self.committed_batch_ids():
+            if old < batch_id - 1:
+                shutil.rmtree(self._islands_dir(old), ignore_errors=True)
 
     # -- lifecycle -----------------------------------------------------------
 

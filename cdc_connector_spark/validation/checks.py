@@ -451,30 +451,55 @@ def sequence_gaps(
     (missing desc, gap_start asc — deterministic) and capped at
     ``top_k`` when set.
 
-    Shape: distinct ids (duplicates are duplication's problem, not a
-    hole), ONE ordered window (lag) per group, emit only where the
-    predecessor distance exceeds 1 — no self-joins, no sequence
-    materialization (a 10¹²-id keyspace never explodes; output is
-    proportional to the number of RUNS). NULL ids are excluded (the
-    null_pk check owns those). Exact integers end to end."""
+    Shape — TWO-LEVEL islands so no stage ever sorts the full id set in
+    one task (the naive form is a single unpartitioned window — the
+    classic silent single-reducer): (1) ids hash into 2^``bucket_bits``-
+    wide ranges and each (group, bucket)'s islands come from a window
+    partitioned by BOTH keys (parallel, ≤ bucket-width rows each);
+    (2) the per-bucket island fragments — at most one per non-empty
+    bucket per maximal run — merge with the streaming monitor's
+    ``merge_islands`` fold (runs + non-empty-buckets rows, ids/2^20 of
+    the input at the default); (3) holes are the lags between merged
+    islands (runs-sized). Duplicates collapse first (duplication's
+    problem, not a hole); NULL ids are excluded (the null_pk check owns
+    those). Exact integers end to end; output proportional to RUNS."""
     from pyspark.sql import Window
 
+    from cdc_connector_spark.streaming.gaps import merge_islands
+
+    bucket_bits = 20
+    keys = [group_col] if group_col else []
     ids = df.filter(F.col(id_col).isNotNull()).select(
-        *( [F.col(group_col)] if group_col else [] ), F.col(id_col).alias("__id")
+        *[F.col(c) for c in keys], F.col(id_col).alias("__id")
     ).distinct()
-    w = (
-        Window.partitionBy(group_col).orderBy("__id")
-        if group_col
-        else Window.partitionBy().orderBy("__id")
+    b = F.shiftright(F.col("__id"), bucket_bits)
+    wb = Window.partitionBy(*keys, "__b").orderBy("__id")
+    frags = (
+        ids.withColumn("__b", b)
+        .withColumn("__prev", F.lag("__id").over(wb))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull() | (F.col("__id") - F.col("__prev") > 1), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__isl", F.sum("__new").over(wb.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy(*keys, "__b", "__isl")
+        .agg(F.min("__id").alias("lo"), F.max("__id").alias("hi"))
+        .select(*keys, "lo", "hi")
     )
+    islands = merge_islands(frags, group_col)
+    w = Window.partitionBy(*keys).orderBy("lo")
     out = (
-        ids.withColumn("__prev", F.lag("__id").over(w))
-        .filter(F.col("__prev").isNotNull() & (F.col("__id") - F.col("__prev") > 1))
+        islands.withColumn("__prev_hi", F.lag("hi").over(w))
+        .filter(F.col("__prev_hi").isNotNull())
         .select(
-            *([F.col(group_col)] if group_col else []),
-            (F.col("__prev") + 1).alias("gap_start"),
-            (F.col("__id") - 1).alias("gap_end"),
-            (F.col("__id") - F.col("__prev") - 1).alias("missing"),
+            *[F.col(c) for c in keys],
+            (F.col("__prev_hi") + 1).alias("gap_start"),
+            (F.col("lo") - 1).alias("gap_end"),
+            (F.col("lo") - F.col("__prev_hi") - 1).alias("missing"),
         )
         .orderBy(F.col("missing").desc(), F.col("gap_start").asc())
     )
@@ -505,14 +530,17 @@ def pearson_corr_exact(
     variance in either variable are dropped (no line to correlate).
 
     One map-side-combined aggregation; group-count-sized output."""
-    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("long")
-    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("long")
     dec = "decimal(38,0)"
+    # cast to DECIMAL BEFORE multiplying: a BIGINT product x*y overflows
+    # at |x|,|y| ~ 3e9 (cent-scaled $30M) long before the decimal SUM
+    # would — the sum_name_len lesson applied one level deeper
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("long").cast(dec)
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("long").cast(dec)
     keys = [F.col(group_col)] if group_col else []
     stats = df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x.cast(dec)).alias("__sx"),
-        F.sum(y.cast(dec)).alias("__sy"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
         F.sum((x * y).cast(dec)).alias("__sxy"),
         F.sum((x * x).cast(dec)).alias("__sxx"),
         F.sum((y * y).cast(dec)).alias("__syy"),

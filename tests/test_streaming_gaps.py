@@ -129,3 +129,8 @@ def test_streaming_gaps_healthy_stream_single_island(spark, tmp_path):
     isl = [(r["lo"], r["hi"]) for r in mon.islands(spark).collect()]
     assert isl == [(0, 29)]
     assert mon.holes(spark).count() == 0
+    # superseded snapshots are pruned (latest + one crash cushion stay);
+    # markers remain for every batch
+    assert not os.path.isdir(mon._islands_dir(0))
+    assert os.path.isdir(mon._islands_dir(1)) and os.path.isdir(mon._islands_dir(2))
+    assert mon.committed_batch_ids() == [0, 1, 2]

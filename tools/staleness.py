@@ -77,7 +77,8 @@ def main() -> int:
                 f"(MUST rotate next): {', '.join(never)}\n"
                 + (
                     "(window SATURATED — every slot is structural, "
-                    "never-checked, or age-2-pinned; these entries are "
+                    "never-checked, or an occupant whose removal would "
+                    "push its driver-row age past 2; these entries are "
                     "tripwire-verified until they rotate)\n\n"
                     if not displaceable
                     else "\n"
