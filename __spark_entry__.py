@@ -1161,6 +1161,18 @@ def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ab_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation (NEW r8): A/B readout — stable portable-md5 hash
+    split of users, exposure = first 'view', conversion = 'purchase'
+    strictly AFTER first exposure (pre-exposure purchases don't credit),
+    pooled two-proportion z statistic from exact integer counts in one
+    fixed IEEE expression. One user-keyed collapse; single-row output.
+    Value-verified."""
+    from cdc_connector_spark.ops.experiment import ab_test_report
+
+    return ab_test_report(_t(spark, sf_dir, "events"))
+
+
 def attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytics (NEW r8): linear multi-touch attribution — each purchase
     splits its value equally over the user's clicks in the preceding 3
@@ -2569,11 +2581,11 @@ _R8_WINDOW = [
 # window_user_sequence / sessionize_events (r6-checked, age 2 in the
 # tail) were displaced by scd2_user_states / golden_record_customers —
 # never-checked entries outrank age-2 re-checks for the scarce slots.
-# FIVE never-checked entries ride the tripwire until r9 (window
+# SIX never-checked entries ride the tripwire until r9 (window
 # saturated — tools/staleness.py verifies no displaceable slot remains
 # and lists them): rolling_actives_events, benford_order_totals,
-# sequence_gaps_lineitem, unpivot_lineitem_amounts, corr_quantity_price.
-# The r9 window MUST include all five.
+# sequence_gaps_lineitem, unpivot_lineitem_amounts, corr_quantity_price,
+# ab_test_events. The r9 window MUST include all six.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2731,6 +2743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_gaps_lineitem": sequence_gaps_lineitem,
         "unpivot_lineitem_amounts": unpivot_lineitem_amounts,
         "corr_quantity_price": corr_quantity_price,
+        "ab_test_events": ab_test_events,
     }
     assert len(_R8_WINDOW) == 50 and set(_R8_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -3988,6 +4001,66 @@ def oracle_sql() -> dict[str, str]:
                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
               AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        """,
+        # replays: md5-fold 2-way hash split, per-user first exposure,
+        # post-exposure conversion flag, pooled z in the same fixed
+        # expression
+        "ab_test_events": """
+            WITH ev AS (
+                SELECT user_id,
+                       CAST(list_reduce(
+                           list_transform(range(1, 16),
+                               i -> CAST(strpos('0123456789abcdef',
+                                         substring(md5(CAST(user_id AS VARCHAR)), i, 1))
+                                         - 1 AS BIGINT)),
+                           (a, x) -> a * 16 + x) % 2 AS INTEGER) AS v,
+                       event_type AS t,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+                FROM events
+            ), exposed AS (
+                SELECT user_id, v,
+                       min(CASE WHEN t = 'view' THEN tsu END) AS first_exp
+                FROM ev GROUP BY 1, 2
+                HAVING min(CASE WHEN t = 'view' THEN tsu END) IS NOT NULL
+            ), flagged AS (
+                SELECT e.user_id, e.v,
+                       max(CASE WHEN c.tsu > e.first_exp THEN 1 ELSE 0 END) AS c
+                FROM exposed e
+                LEFT JOIN (SELECT user_id, tsu FROM ev WHERE t = 'purchase') c
+                  ON c.user_id = e.user_id
+                GROUP BY 1, 2
+            ), agg AS (
+                SELECT
+                    CAST(coalesce(sum(CASE WHEN v = 0 THEN 1 END), 0) AS BIGINT) AS users_a,
+                    CAST(coalesce(sum(CASE WHEN v = 0 THEN c END), 0) AS BIGINT) AS conv_a,
+                    CAST(coalesce(sum(CASE WHEN v = 1 THEN 1 END), 0) AS BIGINT) AS users_b,
+                    CAST(coalesce(sum(CASE WHEN v = 1 THEN c END), 0) AS BIGINT) AS conv_b
+                FROM flagged
+            )
+            SELECT users_a, conv_a,
+                   CASE WHEN users_a > 0
+                        THEN round(CAST(conv_a AS DOUBLE) / CAST(users_a AS DOUBLE), 6)
+                        ELSE 0.0 END AS cvr_a,
+                   users_b, conv_b,
+                   CASE WHEN users_b > 0
+                        THEN round(CAST(conv_b AS DOUBLE) / CAST(users_b AS DOUBLE), 6)
+                        ELSE 0.0 END AS cvr_b,
+                   CASE WHEN users_a > 0 AND users_b > 0
+                             AND ((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                                  / (CAST(users_a AS DOUBLE) + CAST(users_b AS DOUBLE)))
+                                 * (1.0 - (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                                          / (CAST(users_a AS DOUBLE) + CAST(users_b AS DOUBLE)))
+                                 * (1.0 / CAST(users_a AS DOUBLE) + 1.0 / CAST(users_b AS DOUBLE)) > 0
+                        THEN round(
+                            (CAST(conv_a AS DOUBLE) / CAST(users_a AS DOUBLE)
+                             - CAST(conv_b AS DOUBLE) / CAST(users_b AS DOUBLE))
+                            / sqrt(((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                                    / (CAST(users_a AS DOUBLE) + CAST(users_b AS DOUBLE)))
+                                   * (1.0 - (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                                            / (CAST(users_a AS DOUBLE) + CAST(users_b AS DOUBLE)))
+                                   * (1.0 / CAST(users_a AS DOUBLE) + 1.0 / CAST(users_b AS DOUBLE))), 6)
+                        ELSE 0.0 END AS z
+            FROM agg
         """,
         # the portable md5 60-bit fold (winnow/simhash_portable scheme)
         # over the key's decimal string, mod 32; NULL keys -> bucket -1
