@@ -441,9 +441,23 @@ class TxLogMergeSink:
     def _to_logical(self, df: DataFrame | None, snap: _Snapshot) -> DataFrame | None:
         """Physical file frame -> logical user frame: select the mapped
         columns under their logical names (dropped columns' physicals fall
-        away here) and pass `__`-meta columns (delta layers) through."""
-        if df is None or snap.mapping is None:
+        away here) and pass `__`-meta columns (delta layers) through.
+
+        Runs even with no column mapping: data files written by different
+        commits can carry different column ORDERS (an overwrite stores the
+        caller's order, a merge stores the merge output's), and a
+        multi-file parquet read takes its schema from an ARBITRARY footer
+        — without the normalization below, read() column order was a
+        per-call coin flip on such tables (caught as a 1-in-3 flake in
+        the streaming-join-view crash-replay test)."""
+        if df is None:
             return df
+        if snap.mapping is None:
+            if snap.columns is None:
+                return df
+            cols = [F.col(c) for c in snap.columns if c in df.columns]
+            cols.extend(F.col(c) for c in df.columns if c.startswith("__"))
+            return df.select(*cols)
         cols = []
         for logical in snap.columns or []:
             phys = snap.mapping.get(logical, logical)

@@ -912,3 +912,34 @@ def test_metadata_widen_full_lattice_scan_promotable(spark, tmp_path):
     }
     assert (row["a"], row["b"], row["c"]) == (2, 3, 1.5)
     assert row["d"] == Decimal("7.00") and row["e"] == Decimal("12.3400")
+
+
+def test_read_column_order_deterministic_across_mixed_files(spark, tmp_path):
+    """Data files from different commits can carry different column
+    orders (overwrite stores the caller's order, a merge stores the
+    merge output's); a multi-file parquet read takes its schema from an
+    arbitrary footer, so without log-order normalization read() column
+    order was a per-call coin flip (the streaming-join-view 1-in-3
+    flake). Pin: read()/scan() always return the log's recorded order."""
+    sink = TxLogMergeSink(spark, str(tmp_path / "t"), ["k1", "k2"], num_buckets=4)
+    # overwrite order: (b, k1, a, k2) — deliberately NOT key-first
+    sink.overwrite(
+        spark.createDataFrame(
+            [("x", 1, "y", 10), ("z", 2, "w", 20)],
+            "b string, k1 bigint, a string, k2 bigint",
+        )
+    )
+    want = ["b", "k1", "a", "k2"]
+    assert sink.read().columns == want
+    # merge touches a subset of buckets: its files store the merge
+    # output's order while untouched buckets keep the overwrite's
+    ch = spark.createDataFrame(
+        [(1, 10, "B", "A", "u", 5, "db", "t", 1)],
+        "k1 bigint, k2 bigint, b string, a string, __op string, "
+        "__ts_ms bigint, __source_db string, __source_table string, __seq bigint",
+    )
+    sink.apply(ch)
+    for _ in range(5):  # was racy per call — hammer it
+        assert sink.read().columns == want
+    got = {tuple(r) for r in sink.read().collect()}
+    assert got == {("B", 1, "A", 10), ("z", 2, "w", 20)}
