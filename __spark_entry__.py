@@ -1173,6 +1173,34 @@ def ab_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_test_report(_t(spark, sf_dir, "events"))
 
 
+def duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops (NEW r8): exact duplicated token spans between document
+    pairs — the ExactSubstr dedup of Lee et al. (ACL 2022) as a
+    gram-anchor + diagonal-islands plan (ops/dedup.py::duplicate_spans):
+    every maximal shared run of ≥ 6 tokens, with start positions on both
+    sides. Portable 60-bit md5-fold gram hashes, df-capped postings
+    (boilerplate audit via duplicate_span_dropped_grams) — the oracle
+    replays the ENTIRE pipeline incl. the cap. Value-verified."""
+    from cdc_connector_spark.ops.dedup import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_spans(docs, length=6, max_df=20)
+
+
+def substring_dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops (NEW r8): per-document duplicated-span coverage under the
+    deterministic earlier-doc-keeps policy — (doc_id, n_tokens,
+    dup_tokens, dup_ratio) for every doc holding tokens that appear
+    verbatim in a lower-id doc; overlapping spans interval-merged so no
+    token double-counts. dup_ratio = one IEEE division of exact ints.
+    The span-removal decision input for substring-level corpus cleaning.
+    Value-verified."""
+    from cdc_connector_spark.ops.dedup import duplicate_span_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_span_coverage(docs, length=6, max_df=20)
+
+
 def attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytics (NEW r8): linear multi-touch attribution — each purchase
     splits its value equally over the user's clicks in the preceding 3
@@ -2744,6 +2772,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_lineitem_amounts": unpivot_lineitem_amounts,
         "corr_quantity_price": corr_quantity_price,
         "ab_test_events": ab_test_events,
+        # --- NEW in round 8, third session (tail; 3-SF local verification
+        #     + tripwire; rotate into the window next round) ---
+        "duplicate_spans_documents": duplicate_spans_documents,
+        "substring_dedup_coverage": substring_dedup_coverage,
     }
     assert len(_R8_WINDOW) == 50 and set(_R8_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -5458,5 +5490,107 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked, (VALUES (10), (100), (1000), (10000)) ks(k), tot
             WHERE rk <= k
             GROUP BY k, tot.total
+        """,
+        # ExactSubstr span dedup: full replay — grams w/ positions,
+        # portable md5-fold hashes, df cap, anchor join, diagonal islands.
+        "duplicate_spans_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(lower(coalesce(text,''))) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(lower(coalesce(text,''))), '\\s+') END AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 6
+                            THEN list_transform(range(1, len(toks) - 4),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                      || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5])
+                            ELSE CAST([] AS VARCHAR[]) END AS grams
+                FROM t
+            ), h AS (
+                SELECT doc_id,
+                       unnest(list_transform(grams, gr ->
+                           list_reduce(
+                               list_transform(range(1, 16),
+                                   i -> CAST(strpos('0123456789abcdef', substring(md5(gr), i, 1)) - 1 AS BIGINT)),
+                               (a, x) -> a * 16 + x))) AS gh,
+                       unnest(range(1, len(grams) + 1)) AS pos
+                FROM g WHERE len(grams) > 0
+            ), capped AS (
+                SELECT * FROM h QUALIFY count(*) OVER (PARTITION BY gh) <= 20
+            ), anch AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+                FROM capped a JOIN capped b ON a.gh = b.gh AND a.doc_id < b.doc_id
+            ), isl AS (
+                SELECT *, pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS grp
+                FROM anch
+            )
+            SELECT id_a, id_b,
+                   CAST(MIN(pos_a) AS INT) AS start_a,
+                   CAST(MIN(pos_b) AS INT) AS start_b,
+                   CAST(COUNT(*) + 5 AS BIGINT) AS span_tokens
+            FROM isl GROUP BY id_a, id_b, diag, grp
+        """,
+        # Coverage: spans replay as above, then the interval-union pass
+        # (cumulative-max gaps-and-islands) and one exact-int division.
+        "substring_dedup_coverage": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(lower(coalesce(text,''))) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(lower(coalesce(text,''))), '\\s+') END AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 6
+                            THEN list_transform(range(1, len(toks) - 4),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                      || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5])
+                            ELSE CAST([] AS VARCHAR[]) END AS grams
+                FROM t
+            ), h AS (
+                SELECT doc_id,
+                       unnest(list_transform(grams, gr ->
+                           list_reduce(
+                               list_transform(range(1, 16),
+                                   i -> CAST(strpos('0123456789abcdef', substring(md5(gr), i, 1)) - 1 AS BIGINT)),
+                               (a, x) -> a * 16 + x))) AS gh,
+                       unnest(range(1, len(grams) + 1)) AS pos
+                FROM g WHERE len(grams) > 0
+            ), capped AS (
+                SELECT * FROM h QUALIFY count(*) OVER (PARTITION BY gh) <= 20
+            ), anch AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+                FROM capped a JOIN capped b ON a.gh = b.gh AND a.doc_id < b.doc_id
+            ), isl AS (
+                SELECT *, pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS grp
+                FROM anch
+            ), spans AS (
+                SELECT id_b AS id, MIN(pos_b) AS s, MIN(pos_b) + COUNT(*) + 4 AS e
+                FROM isl GROUP BY id_a, id_b, diag, grp
+            ), marked AS (
+                SELECT id, s, e,
+                       CASE WHEN MAX(e) OVER w IS NULL THEN 1
+                            WHEN s > MAX(e) OVER w THEN 1 ELSE 0 END AS newg
+                FROM spans
+                WINDOW w AS (PARTITION BY id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ), grouped AS (
+                SELECT id, s, e,
+                       SUM(newg) OVER (PARTITION BY id ORDER BY s, e
+                                       ROWS UNBOUNDED PRECEDING) AS grp
+                FROM marked
+            ), cov AS (
+                SELECT id, SUM(seg) AS dup_tokens FROM (
+                    SELECT id, grp, MAX(e) - MIN(s) + 1 AS seg
+                    FROM grouped GROUP BY id, grp
+                ) GROUP BY id
+            )
+            SELECT c.id AS doc_id,
+                   CAST(len(t.toks) AS INT) AS n_tokens,
+                   CAST(c.dup_tokens AS BIGINT) AS dup_tokens,
+                   CAST(c.dup_tokens AS DOUBLE) / len(t.toks) AS dup_ratio
+            FROM cov c JOIN t ON c.id = t.doc_id
         """,
     }

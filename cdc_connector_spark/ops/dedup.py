@@ -1023,3 +1023,179 @@ def winnow_dropped_fingerprints(
         .filter(F.col("n_docs") > max_df)
         .orderBy(F.col("n_docs").desc(), F.col("fp").asc())
     )
+
+
+def duplicate_span_anchors(
+    df: DataFrame,
+    length: int = 6,
+    max_df: int | None = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional gram anchors for exact duplicated-span detection:
+    (id, pos, gh) rows — the portable 60-bit hash of every ``length``-token
+    window, with its 1-based token start position. Shared building block
+    for ``duplicate_spans`` / ``duplicate_span_coverage``.
+
+    ``max_df`` drops gram hashes with more than that many OCCURRENCES
+    corpus-wide BEFORE any self-join (boilerplate grams fan out
+    quadratically in the anchor join — same stop-shingle rule as
+    ``ngram_jaccard_pairs``; audit with ``duplicate_span_dropped_grams``).
+    Docs with fewer than ``length`` tokens contribute no anchors."""
+    from cdc_connector_spark.ops.textstats import word_ngrams
+
+    if length < 2:
+        raise ValueError(f"length must be >= 2, got {length}")
+    grams = word_ngrams(tokenize(F.lower(F.col(text_col))), length)
+    gh = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+    anchors = df.select(F.col(id_col).alias("id"), gh.alias("__gh")).select(
+        "id", F.posexplode("__gh").alias("pos0", "gh")
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "gh")
+    if max_df is not None:
+        from pyspark.sql import Window
+
+        anchors = (
+            anchors.withColumn(
+                "__df", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+            )
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+    return anchors
+
+
+def duplicate_spans(
+    df: DataFrame,
+    length: int = 6,
+    min_tokens: int | None = None,
+    max_df: int | None = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated token spans between document pairs — the
+    ExactSubstr dedup of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (ACL 2022), re-expressed Spark-first: instead
+    of a monolithic suffix array (the paper's single-node construction),
+    hash every ``length``-token window with its position, self-join equal
+    gram hashes into (id_a < id_b, pos_a, pos_b) anchors, and coalesce
+    anchors that are consecutive along the same DIAGONAL
+    (pos_a − pos_b constant) with a gaps-and-islands pass — a maximal
+    run of g consecutive anchors is exactly a maximal shared token run
+    of g + length − 1 tokens.
+
+    Returns (id_a, id_b, start_a, start_b, span_tokens): every maximal
+    shared exact token run of ≥ ``min_tokens`` (default: ``length``)
+    tokens between any two documents. Note a hot gram dropped by
+    ``max_df`` splits the island it sat in — the cap trades boilerplate
+    fan-out for conservatively fragmented spans (both halves still
+    reported; audit with ``duplicate_span_dropped_grams``).
+
+    Scale shape: one shuffle builds the anchor index; the self-join is
+    inverted-index-style O(matching grams), never all-pairs, with the
+    ``max_df`` cap bounding any posting list's fan-out; the islands
+    window partitions by (id_a, id_b, diagonal) — cardinality bounded by
+    the anchor join output. Reference parity: the reference validates
+    row-identity by full-row hash (`migrate_v3.py` checksum mode); span
+    dedup is the corpus-level generalization this engine adds."""
+    if min_tokens is None:
+        min_tokens = length
+    from pyspark.sql import Window
+
+    anchors = duplicate_span_anchors(df, length, max_df, text_col, id_col)
+    a = anchors.select(F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "gh")
+    b = anchors.select(F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "gh")
+    hits = (
+        a.join(b, "gh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pos_a", "pos_b", (F.col("pos_a") - F.col("pos_b")).alias("diag"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    islands = hits.withColumn("__isl", F.col("pos_a") - F.row_number().over(w))
+    return (
+        islands.groupBy("id_a", "id_b", "diag", "__isl")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(length - 1)).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_tokens)
+        .select("id_a", "id_b", "start_a", "start_b", "span_tokens")
+    )
+
+
+def duplicate_span_coverage(
+    df: DataFrame,
+    length: int = 6,
+    max_df: int | None = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-span coverage under the deterministic
+    "earlier document keeps the bytes" policy (the Lee et al. removal
+    rule made order-stable): for every document, how many of its tokens
+    sit inside a span that also appears verbatim in some LOWER-id
+    document. Returns (doc_id, n_tokens, dup_tokens, dup_ratio) for
+    every document with ≥ 1 duplicated token — the direct input to
+    span-level corpus cleaning (drop or trim high-ratio docs; the
+    earliest copy is never charged).
+
+    Overlapping spans from different partners are merged with a
+    cumulative-max interval-union pass before counting, so a token is
+    never double-counted. dup_ratio is one IEEE division of exact
+    integers — engine-portable."""
+    from pyspark.sql import Window
+
+    from cdc_connector_spark.ops.textstats import token_count
+
+    spans = duplicate_spans(df, length, None, max_df, text_col, id_col)
+    ivals = spans.select(
+        F.col("id_b").alias("id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("span_tokens") - 1).alias("e"),
+    )
+    w = Window.partitionBy("id").orderBy("s", "e")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    marked = ivals.withColumn(
+        "__new", F.when(F.col("s") > F.max("e").over(wprev), 1).otherwise(
+            F.when(F.max("e").over(wprev).isNull(), 1).otherwise(0)
+        )
+    ).withColumn("__grp", F.sum("__new").over(w))
+    covered = (
+        marked.groupBy("id", "__grp")
+        .agg((F.max("e") - F.min("s") + 1).alias("__len"))
+        .groupBy("id")
+        .agg(F.sum("__len").alias("dup_tokens"))
+    )
+    toks = df.select(F.col(id_col).alias("id"), token_count(F.lower(F.col(text_col))).alias("n_tokens"))
+    return (
+        covered.join(toks, "id")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "dup_tokens",
+            (F.col("dup_tokens").cast("double") / F.col("n_tokens")).alias("dup_ratio"),
+        )
+    )
+
+
+def duplicate_span_dropped_grams(
+    df: DataFrame,
+    length: int = 6,
+    max_df: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The gram hashes ``duplicate_spans`` will DROP at the same
+    ``max_df`` — (gh, n_occurrences) rows, largest first. Dropped grams
+    are boilerplate by presumption; a NON-boilerplate hit here fragments
+    real spans (mirror of ``winnow_dropped_fingerprints``)."""
+    return (
+        duplicate_span_anchors(df, length, None, text_col, id_col)
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > max_df)
+        .orderBy(F.col("n_occurrences").desc(), F.col("gh").asc())
+    )

@@ -414,3 +414,88 @@ def test_ngram_overlap_containment(spark):
     # Jaccard at 0.5 misses the same pair (tiny intersection / huge union)
     jac = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(df, threshold=0.5).collect()}
     assert (1, 2) not in jac
+
+
+def test_duplicate_spans_exact_positions(spark):
+    """ExactSubstr span dedup (Lee et al. 2022 shape): a planted 10-token
+    shared run is reported ONCE as a maximal span with exact start
+    positions and length on both sides; disjoint docs produce nothing;
+    a sub-threshold (5-token < length=6) overlap produces nothing."""
+    from cdc_connector_spark.ops.dedup import duplicate_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, f"prefix one two {shared} suffix here"),             # run at pos 4
+        (2, f"{shared} trailing words only"),                    # run at pos 1
+        (3, "totally unrelated text with no overlap whatsoever at all today"),
+        (4, "alpha bravo charlie delta echo nothing else matches further on"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    spans = {
+        (r.id_a, r.id_b): (r.start_a, r.start_b, r.span_tokens)
+        for r in duplicate_spans(df, length=6, max_df=None).collect()
+    }
+    # the 10-token run: doc1 tokens 4..13, doc2 tokens 1..10 — one maximal span
+    assert spans == {(1, 2): (4, 1, 10)}
+
+
+def test_duplicate_spans_df_cap_fragments_and_audits(spark):
+    """A gram over the occurrence cap is dropped BEFORE the anchor join:
+    the island it sat in splits into two conservative halves, and the
+    dropped gram surfaces in the audit (never a silent recall hole)."""
+    from cdc_connector_spark.ops.dedup import (
+        duplicate_span_dropped_grams,
+        duplicate_spans,
+    )
+
+    # 12-token run shared by two docs; its middle gram (tokens 4..9 of the
+    # run) additionally appears in 8 boilerplate docs -> 10 occurrences.
+    run = "w1 w2 w3 w4 mid1 mid2 mid3 mid4 mid5 mid6 w11 w12"
+    hot = "w4 mid1 mid2 mid3 mid4 mid5"  # the gram starting at run-token 4
+    rows = [(1, run), (2, f"lead {run}")] + [
+        (10 + i, f"filler{i} {hot} filler{i}b pad{i} more{i} words{i}")
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    uncapped = {
+        (r.id_a, r.id_b): (r.start_a, r.start_b, r.span_tokens)
+        for r in duplicate_spans(df, length=6, max_df=None).collect()
+        if r.id_a == 1 and r.id_b == 2
+    }
+    assert uncapped == {(1, 2): (1, 2, 12)}
+    capped = sorted(
+        (r.start_a, r.start_b, r.span_tokens)
+        for r in duplicate_spans(df, length=6, max_df=9).collect()
+        if r.id_a == 1 and r.id_b == 2
+    )
+    # hot gram at doc1 pos 4 dropped -> islands [1..3] and [5..7] ->
+    # spans of 3+5=8 and 3+5=8 tokens starting at 1 and 5
+    assert capped == [(1, 2, 8), (5, 6, 8)]
+    audit = duplicate_span_dropped_grams(df, length=6, max_df=9).collect()
+    assert len(audit) == 1 and audit[0].n_occurrences == 10
+
+
+def test_duplicate_span_coverage_merges_overlaps(spark):
+    """Coverage counts each token once under the earlier-doc-keeps policy:
+    two overlapping spans from DIFFERENT earlier partners interval-merge;
+    the earliest doc is never charged; ratio is exact-count division."""
+    from cdc_connector_spark.ops.dedup import duplicate_span_coverage
+
+    a = "s1 s2 s3 s4 s5 s6 s7 s8"          # 8 tokens
+    b = "s5 s6 s7 s8 s9 s10 t1 t2"         # overlaps a's tail
+    rows = [
+        (1, a),
+        (2, b),
+        # doc 3 contains a's run at pos 3..10 and b's run at pos 7..14:
+        # covered union = tokens 3..14 = 12 of 16 tokens
+        (3, f"x1 x2 {a} s9 s10 t1 t2 y1 y2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cov = {r.doc_id: r for r in duplicate_span_coverage(df, length=6, max_df=None).collect()}
+    assert 1 not in cov, "the earliest copy is never charged"
+    r3 = cov[3]
+    assert (r3.n_tokens, r3.dup_tokens) == (16, 12)
+    assert r3.dup_ratio == 12 / 16
+    # doc 2 shares s5..s8 with doc 1 (4 tokens < length) -> no 6-gram match
+    # except via doc 3... doc3 id is HIGHER so doc 2 is only charged by doc 1.
+    assert 2 not in cov
