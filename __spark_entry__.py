@@ -1201,6 +1201,81 @@ def substring_dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_coverage(docs, length=6, max_df=20)
 
 
+def acf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series (NEW r8): sample autocorrelation of the daily event-count
+    series at lags 1..7 (the weekly-seasonality screen) — calendar-wise lag
+    pairing (a missing day never shifts alignment) + the exact-integer
+    Pearson machinery (DECIMAL(38,0) sufficient stats, one fixed IEEE
+    expression). Value-verified."""
+    from cdc_connector_spark.ops.timeseries import autocorrelation
+
+    return autocorrelation(_t(spark, sf_dir, "events"), max_lag=7)
+
+
+def chi_square_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiling (NEW r8): chi-square independence of o_orderstatus ×
+    o_orderpriority — the categorical-drift screen. Exact integer cell
+    counts, each (o−e)²/e term a fixed IEEE expression, summed in ONE
+    deterministic left fold over cells sorted by (a, b) (never a float
+    SUM aggregate). Single-row output. Value-verified."""
+    from cdc_connector_spark.validation.checks import chi_square_independence
+
+    orders = _t(spark, sf_dir, "orders")
+    return chi_square_independence(orders, "o_orderstatus", "o_orderpriority")
+
+
+def fk_integrity_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation (NEW r8): one-shot referential-integrity sweep over ALL
+    seven TPC-H FK edges — child rows, distinct fks, orphans (NULL fks
+    counted separately, never as orphans), NULL fks per edge; one plan,
+    parallel unioned branches. The whole-schema generalization of
+    anti_join_orphans. Value-verified."""
+    from cdc_connector_spark.validation.checks import referential_integrity
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    edges = [
+        ("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+        ("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
+        ("lineitem.l_suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"),
+        ("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"),
+        ("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey"),
+        ("supplier.s_nationkey->nation", supp, "s_nationkey", nation, "n_nationkey"),
+        ("nation.n_regionkey->region", nation, "n_regionkey", region, "r_regionkey"),
+    ]
+    return referential_integrity(edges)
+
+
+def session_window_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-native sessionization surfaced in batch (NEW r8): Spark's
+    built-in ``F.session_window`` (the operator the stateful streaming
+    path uses) over per-user events with a 30-minute gap — merge rule:
+    an event EXACTLY at prev_ts + gap still merges (empirically pinned);
+    window_end = last_ts + gap. The gaps-and-islands ``sessionize_events``
+    entry is the hand-rolled twin; this one exercises the native operator.
+    Value-verified (oracle replays the islands + end arithmetic)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+
+
 def attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytics (NEW r8): linear multi-touch attribution — each purchase
     splits its value equally over the user's clicks in the preceding 3
@@ -2776,6 +2851,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     + tripwire; rotate into the window next round) ---
         "duplicate_spans_documents": duplicate_spans_documents,
         "substring_dedup_coverage": substring_dedup_coverage,
+        "acf_events": acf_events,
+        "chi_square_orders": chi_square_orders,
+        "fk_integrity_all": fk_integrity_all,
+        "session_window_stats_events": session_window_stats_events,
     }
     assert len(_R8_WINDOW) == 50 and set(_R8_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -5592,5 +5671,146 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.dup_tokens AS BIGINT) AS dup_tokens,
                    CAST(c.dup_tokens AS DOUBLE) / len(t.toks) AS dup_ratio
             FROM cov c JOIN t ON c.id = t.doc_id
+        """,
+        # ACF: daily counts, calendar-wise lag join, exact-integer Pearson
+        # (HUGEINT products mirroring the DECIMAL(38,0) Spark side).
+        "acf_events": """
+            WITH daily AS (
+                SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, COUNT(*) AS n_day
+                FROM events GROUP BY 1
+            ), pairs AS (
+                SELECT CAST(l.lag AS INT) AS lag, a.n_day AS x, b.n_day AS y
+                FROM daily a CROSS JOIN range(1, 8) l(lag)
+                JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)
+            ), s AS (
+                SELECT lag,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(sum(CAST(x AS HUGEINT)) AS DECIMAL(38,0)) AS sx,
+                       CAST(sum(CAST(y AS HUGEINT)) AS DECIMAL(38,0)) AS sy,
+                       CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DECIMAL(38,0)) AS sxy,
+                       CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DECIMAL(38,0)) AS sxx,
+                       CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DECIMAL(38,0)) AS syy
+                FROM pairs GROUP BY 1
+            )
+            SELECT lag, n,
+                   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
+            FROM s
+            WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+              AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        """,
+        # Chi-square: exact cell/marginal counts, per-cell IEEE term,
+        # ONE left fold over cells sorted by (a, b) — the classifier-fold
+        # idiom (list_prepend 0.0 makes DuckDB's first-element init match
+        # Spark's explicit 0.0 init: 0.0 + t == t in IEEE).
+        "chi_square_orders": """
+            WITH cells AS (
+                SELECT coalesce(CAST(o_orderstatus AS VARCHAR), '<NULL>') AS a,
+                       coalesce(CAST(o_orderpriority AS VARCHAR), '<NULL>') AS b,
+                       CAST(COUNT(*) AS BIGINT) AS o
+                FROM orders GROUP BY 1, 2
+            ), tot AS (
+                SELECT a, b, o,
+                       CAST(SUM(o) OVER (PARTITION BY a) AS BIGINT) AS rt,
+                       CAST(SUM(o) OVER (PARTITION BY b) AS BIGINT) AS ct,
+                       CAST(SUM(o) OVER () AS BIGINT) AS n
+                FROM cells
+            ), terms AS (
+                SELECT a, b, n,
+                       (CAST(o AS DOUBLE)
+                        - CAST(CAST(rt AS HUGEINT) * CAST(ct AS HUGEINT) AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                       * (CAST(o AS DOUBLE)
+                          - CAST(CAST(rt AS HUGEINT) * CAST(ct AS HUGEINT) AS DOUBLE)
+                            / CAST(n AS DOUBLE))
+                       / (CAST(CAST(rt AS HUGEINT) * CAST(ct AS HUGEINT) AS DOUBLE)
+                          / CAST(n AS DOUBLE)) AS term
+                FROM tot
+            )
+            SELECT any_value(n) AS n,
+                   CAST(COUNT(DISTINCT a) AS INT) AS n_a,
+                   CAST(COUNT(DISTINCT b) AS INT) AS n_b,
+                   CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS INT) AS dof,
+                   round(list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY a, b)),
+                       (acc, x) -> acc + x), 6) AS chi2
+            FROM terms
+        """,
+        # FK sweep: one LEFT JOIN against the distinct parent keys per edge.
+        "fk_integrity_all": """
+            SELECT 'lineitem.l_orderkey->orders' AS relation,
+                   CAST(COUNT(*) AS BIGINT) AS child_rows,
+                   CAST(COUNT(DISTINCT c.l_orderkey) AS BIGINT) AS distinct_fks,
+                   CAST(coalesce(SUM(CASE WHEN c.l_orderkey IS NOT NULL AND p.k IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS orphan_rows,
+                   CAST(coalesce(SUM(CASE WHEN c.l_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS null_fks
+            FROM lineitem c LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p ON c.l_orderkey = p.k
+            UNION ALL
+            SELECT 'lineitem.l_partkey->part',
+                   CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT c.l_partkey) AS BIGINT),
+                   CAST(coalesce(SUM(CASE WHEN c.l_partkey IS NOT NULL AND p.k IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+                   CAST(coalesce(SUM(CASE WHEN c.l_partkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+            FROM lineitem c LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p ON c.l_partkey = p.k
+            UNION ALL
+            SELECT 'lineitem.l_suppkey->supplier',
+                   CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT c.l_suppkey) AS BIGINT),
+                   CAST(coalesce(SUM(CASE WHEN c.l_suppkey IS NOT NULL AND p.k IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+                   CAST(coalesce(SUM(CASE WHEN c.l_suppkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+            FROM lineitem c LEFT JOIN (SELECT DISTINCT s_suppkey AS k FROM supplier) p ON c.l_suppkey = p.k
+            UNION ALL
+            SELECT 'orders.o_custkey->customer',
+                   CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT c.o_custkey) AS BIGINT),
+                   CAST(coalesce(SUM(CASE WHEN c.o_custkey IS NOT NULL AND p.k IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+                   CAST(coalesce(SUM(CASE WHEN c.o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+            FROM orders c LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p ON c.o_custkey = p.k
+            UNION ALL
+            SELECT 'customer.c_nationkey->nation',
+                   CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT c.c_nationkey) AS BIGINT),
+                   CAST(coalesce(SUM(CASE WHEN c.c_nationkey IS NOT NULL AND p.k IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+                   CAST(coalesce(SUM(CASE WHEN c.c_nationkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+            FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p ON c.c_nationkey = p.k
+            UNION ALL
+            SELECT 'supplier.s_nationkey->nation',
+                   CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT c.s_nationkey) AS BIGINT),
+                   CAST(coalesce(SUM(CASE WHEN c.s_nationkey IS NOT NULL AND p.k IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+                   CAST(coalesce(SUM(CASE WHEN c.s_nationkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+            FROM supplier c LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p ON c.s_nationkey = p.k
+            UNION ALL
+            SELECT 'nation.n_regionkey->region',
+                   CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT c.n_regionkey) AS BIGINT),
+                   CAST(coalesce(SUM(CASE WHEN c.n_regionkey IS NOT NULL AND p.k IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+                   CAST(coalesce(SUM(CASE WHEN c.n_regionkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+            FROM nation c LEFT JOIN (SELECT DISTINCT r_regionkey AS k FROM region) p ON c.n_regionkey = p.k
+        """,
+        # Native session_window replay: islands with the MERGE-AT-EQUALITY
+        # rule (new session only when the microsecond gap EXCEEDS 30 min —
+        # empirically pinned against F.session_window), end = last + gap.
+        "session_window_stats_events": """
+            WITH marked AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                       CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                                 OR epoch_us(CAST(ts AS TIMESTAMP))
+                                    - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER w)
+                                    > 1800000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+            ), sess AS (
+                SELECT user_id, ts, value,
+                       SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            )
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents
+            FROM sess GROUP BY user_id, sid
         """,
     }

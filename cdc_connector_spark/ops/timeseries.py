@@ -817,3 +817,43 @@ def robust_anomalies(
         .select("event_type", "day", "n", rz.alias("robust_z"))
         .filter(F.abs(F.col("robust_z")) >= z_threshold)
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    ts_col: str = "ts",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation of the daily event-count series at lags
+    1..``max_lag`` — the seasonality screen (a weekly cycle shows as a
+    peak at lag 7). Defined as the exact grouped Pearson of the
+    (x_t, x_{t+lag}) pairs, paired CALENDAR-wise (t+lag means t + lag
+    DAYS, never "lag rows down": a missing day must NOT silently shift
+    the alignment — the DST/cohort lesson applied to lags), so only days
+    where both endpoints exist contribute. Returns (lag, n, corr) rows;
+    lags with zero variance on either side are dropped (no line to
+    correlate — ``pearson_corr_exact`` semantics).
+
+    Value-portable by construction: counts are exact integers, and the
+    Pearson machinery is the DECIMAL(38,0) sufficient-statistics + one
+    fixed IEEE expression path (validation/checks.py::pearson_corr_exact).
+    Scale shape: the corpus collapses to one row per DAY first (map-side
+    combined), so the lag join and Pearson run on a day-count-sized
+    frame — O(days · max_lag), independent of event volume."""
+    from cdc_connector_spark.validation.checks import pearson_corr_exact
+
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    daily = df.groupBy(F.to_date(F.col(ts_col)).alias("day")).agg(
+        F.count(F.lit(1)).alias("n_day")
+    )
+    lagged = daily.select(
+        "day",
+        F.col("n_day").alias("x"),
+        F.explode(F.array(*[F.lit(i) for i in range(1, max_lag + 1)])).alias("lag"),
+    )
+    pairs = lagged.join(
+        daily.select(F.col("day").alias("day_b"), F.col("n_day").alias("y")),
+        F.expr("date_add(day, lag)") == F.col("day_b"),
+    )
+    return pearson_corr_exact(pairs, "x", "y", "lag").orderBy("lag")

@@ -564,3 +564,107 @@ def pearson_corr_exact(
             ),
         )
     )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — the drift screen for "did the status mix change with
+    priority?" questions a per-column profile can't answer. Returns ONE
+    row: (n, n_a, n_b, dof, chi2) — observed cell counts vs the
+    independence expectation e = row_total · col_total / n.
+
+    Value-portable: counts and totals are exact integers; each cell term
+    (o − e)²/e is a fixed IEEE expression of exactly-rounded casts, and
+    the terms are summed in ONE deterministic left fold over the cells
+    sorted by (a, b) — never a float SUM aggregate (partition-order
+    accumulation cannot hash-match; the classifier-fold lesson). NULL
+    category values participate as their own level via a sentinel.
+
+    Scale shape: one map-side-combined aggregation to the (a, b) cell
+    table — cardinality |A|·|B|, independent of row count — then window
+    totals and the fold on that tiny frame. The fold's collect_list is
+    bounded by the cell count, never the data."""
+    from pyspark.sql import Window
+
+    a = F.coalesce(F.col(a_col).cast("string"), F.lit("<NULL>"))
+    b = F.coalesce(F.col(b_col).cast("string"), F.lit("<NULL>"))
+    cells = df.groupBy(a.alias("a"), b.alias("b")).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    tot = cells.withColumn("rt", F.sum("o").over(Window.partitionBy("a"))).withColumn(
+        "ct", F.sum("o").over(Window.partitionBy("b"))
+    ).withColumn("n", F.sum("o").over(Window.partitionBy()))
+    e = (F.col("rt").cast("decimal(38,0)") * F.col("ct").cast("decimal(38,0)")).cast(
+        "double"
+    ) / F.col("n").cast("double")
+    term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    packed = tot.select(
+        F.struct(
+            F.col("a"), F.col("b"), term.alias("term"), F.col("n").alias("n")
+        ).alias("s")
+    )
+    agg = packed.groupBy().agg(
+        F.sort_array(F.collect_list("s")).alias("ss"),
+        F.count_distinct("s.a").alias("n_a"),
+        F.count_distinct("s.b").alias("n_b"),
+    )
+    return agg.select(
+        F.element_at("ss", 1)["n"].alias("n"),
+        F.col("n_a").cast("int").alias("n_a"),
+        F.col("n_b").cast("int").alias("n_b"),
+        ((F.col("n_a") - 1) * (F.col("n_b") - 1)).cast("int").alias("dof"),
+        F.round(
+            F.aggregate(
+                "ss", F.lit(0.0), lambda acc, s: acc + s["term"]
+            ),
+            6,
+        ).alias("chi2"),
+    )
+
+
+def referential_integrity(
+    edges: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """One-shot referential-integrity sweep over a list of FK edges —
+    the whole-schema generalization of the single-edge orphan check
+    (``orphan_rows``): for each (name, child_df, fk_col, parent_df,
+    pk_col) edge, counts child rows, distinct child keys, orphan rows
+    (child keys with no parent — NULL fks are counted separately, not
+    as orphans), and NULL fks. Returns one row per edge.
+
+    Each edge is an aggregate over the child's key column joined to the
+    parent's DISTINCT key set (broadcast when small; Catalyst/AQE picks
+    the strategy) — no child table is scanned more than once per edge,
+    and edges execute as independent unioned branches (one action,
+    parallel stages). The reference's validation loop runs one COUNT
+    query per table per check (`migrate_v3.py` checksum/count mode);
+    this rolls the whole FK graph into one plan."""
+    parts = []
+    for name, child, fk, parent, pk in edges:
+        keys = parent.select(F.col(pk).alias("__pk")).distinct()
+        joined = child.select(F.col(fk).alias("__fk")).join(
+            keys, F.col("__fk") == F.col("__pk"), "left"
+        )
+        parts.append(
+            joined.agg(
+                F.lit(name).alias("relation"),
+                F.count(F.lit(1)).alias("child_rows"),
+                F.count_distinct("__fk").alias("distinct_fks"),
+                F.sum(
+                    F.when(
+                        F.col("__fk").isNotNull() & F.col("__pk").isNull(), 1
+                    ).otherwise(0)
+                ).alias("orphan_rows"),
+                F.sum(F.when(F.col("__fk").isNull(), 1).otherwise(0)).alias(
+                    "null_fks"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

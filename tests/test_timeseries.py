@@ -590,3 +590,80 @@ def test_rolling_distinct_actives(spark):
     assert len(got) == 5
     with _pytest.raises(ValueError, match="window_days"):
         rolling_distinct_actives(df, window_days=0)
+
+
+def test_autocorrelation_alternating_series(spark):
+    """A strictly alternating daily count series has ACF(1) = -1 and
+    ACF(2) = +1; a lag with zero variance on a side is dropped."""
+    from pyspark.sql import functions as F
+
+    from cdc_connector_spark.ops.timeseries import autocorrelation
+
+    rows = []
+    eid = 0
+    for d in range(10):  # days 1..10: counts 1,3,1,3,...
+        n = 1 if d % 2 == 0 else 3
+        for _ in range(n):
+            rows.append((eid, f"2026-01-{d+1:02d} 12:00:00"))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id bigint, ts string").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    acf = {r.lag: (r.n, r.corr) for r in autocorrelation(df, max_lag=3).collect()}
+    assert acf[1] == (9, -1.0)
+    assert acf[2] == (8, 1.0)
+    assert acf[3] == (7, -1.0)
+
+
+def test_autocorrelation_pairs_calendar_wise(spark):
+    """A missing day must NOT shift alignment: with days 1,2,4,5 at
+    counts 1,2,4,5, lag-1 pairs are (1,2) and (4,5) only — never (2,4)."""
+    from pyspark.sql import functions as F
+
+    from cdc_connector_spark.ops.timeseries import autocorrelation
+
+    rows = []
+    eid = 0
+    for d, n in [(1, 1), (2, 2), (4, 4), (5, 5)]:
+        for _ in range(n):
+            rows.append((eid, f"2026-01-{d:02d} 12:00:00"))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id bigint, ts string").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    acf = {r.lag: (r.n, r.corr) for r in autocorrelation(df, max_lag=2).collect()}
+    # lag 1: pairs (1,2),(4,5) -> perfect positive line
+    assert acf[1] == (2, 1.0)
+    # lag 2: only (2..day4) pair exists -> 1 point, zero variance -> dropped
+    assert 2 not in acf
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_lag"):
+        autocorrelation(df, max_lag=0)
+
+
+def test_session_window_merges_at_exact_gap_boundary(spark):
+    """F.session_window semantics pin: an event EXACTLY gap seconds after
+    the previous one still merges (new session strictly beyond the gap);
+    session end = last event + gap."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2026-01-01 10:00:00"),
+        (1, "2026-01-01 10:30:00"),   # exactly +gap -> merges
+        (1, "2026-01-01 11:00:01"),   # +30:01 -> new session
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", "sw.start", "sw.end", "n")
+        .orderBy("start")
+        .collect()
+    )
+    assert [(r.n, str(r.start), str(r.end)) for r in out] == [
+        (2, "2026-01-01 10:00:00", "2026-01-01 11:00:00"),
+        (1, "2026-01-01 11:00:01", "2026-01-01 11:30:01"),
+    ]

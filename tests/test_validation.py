@@ -318,3 +318,50 @@ def test_pearson_corr_exact(spark):
     sxy = sum(a * b for a, b in rows2); sxx = sum(a * a for a, _ in rows2); syy = sum(b * b for _, b in rows2)
     want = round((n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)), 6)
     assert r["corr"] == want and r["n"] == 4
+
+
+def test_chi_square_independent_table_is_zero(spark):
+    """A perfectly independent 2x2 table has chi2 = 0 and dof = 1."""
+    from cdc_connector_spark.validation.checks import chi_square_independence
+
+    rows = [("A", "X")] * 10 + [("A", "Y")] * 10 + [("B", "X")] * 10 + [("B", "Y")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    [r] = chi_square_independence(df, "a", "b").collect()
+    assert (r.n, r.n_a, r.n_b, r.dof, r.chi2) == (40, 2, 2, 1, 0.0)
+
+
+def test_chi_square_hand_computed(spark):
+    """Cells (20,10 / 10,20): all expectations 15, each term 25/15,
+    chi2 = 4 * 5^2/15 = 6.666667. NULL categories form their own level."""
+    from cdc_connector_spark.validation.checks import chi_square_independence
+
+    rows = (
+        [("A", "X")] * 20 + [("A", "Y")] * 10 + [("B", "X")] * 10 + [("B", "Y")] * 20
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    [r] = chi_square_independence(df, "a", "b").collect()
+    assert r.dof == 1
+    assert r.chi2 == round(4 * 25 / 15, 6)
+    withnull = df.union(spark.createDataFrame([(None, "X")] * 5, "a string, b string"))
+    [rn] = chi_square_independence(withnull, "a", "b").collect()
+    assert rn.n_a == 3 and rn.n == 65
+
+
+def test_referential_integrity_counts_orphans_and_nulls(spark):
+    """Orphans are non-NULL fks with no parent; NULL fks count separately
+    and never inflate orphan_rows; one row per edge, single action."""
+    from cdc_connector_spark.validation.checks import referential_integrity
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk bigint")
+    child = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 2), (4, 99), (5, None)], "id bigint, fk bigint"
+    )
+    out = {r.relation: r for r in referential_integrity(
+        [("child->parent", child, "fk", parent, "pk"),
+         ("parent->parent", parent, "pk", parent, "pk")]
+    ).collect()}
+    r = out["child->parent"]
+    # distinct_fks counts DISTINCT NON-NULL fks ({1, 2, 99} = 3)
+    assert (r.child_rows, r.distinct_fks, r.orphan_rows, r.null_fks) == (5, 3, 1, 1)
+    r2 = out["parent->parent"]
+    assert (r2.child_rows, r2.orphan_rows, r2.null_fks) == (2, 0, 0)
