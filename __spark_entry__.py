@@ -1201,6 +1201,58 @@ def substring_dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_coverage(docs, length=6, max_df=20)
 
 
+def hits_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph (NEW r8): HITS hubs/authorities over the DIRECTED bipartite
+    trade graph (customer → supplier via lineitem⋈orders; supplier ids
+    offset 10M) — 3 synchronous iterations, each half-step normalized by
+    its MAX (exact order statistic, portable — not the float-fold L2),
+    contributions rounded-12 DECIMAL-accumulated (the pagerank
+    discipline). Customers are pure hubs, suppliers pure authorities.
+    Top-50 by (authority desc, hub desc, node asc). Value-verified."""
+    from cdc_connector_spark.ops.graph import hits
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # referenced 2*iters times
+    )
+    return (
+        hits(edges, iters=3)
+        .orderBy(F.col("authority").desc(), F.col("hub").desc(), F.col("node").asc())
+        .limit(50)
+    )
+
+
+def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph (NEW r8): 2-core membership of the part co-purchase graph
+    (same graph as triangle_count_parts) — iterative peel to the
+    FIXPOINT (a degree-2 node whose neighbors peel away peels too;
+    degree alone over-counts), returning (node, within-core degree).
+    The oracle unrolls 8 peel rounds — empirically ≥ 2 rounds past the
+    measured fixpoint depth at every SF (1/4/6 rounds); extra rounds are
+    no-ops at fixpoint, and a corpus needing more would hash-mismatch
+    LOUDLY rather than silently diverge. Value-verified."""
+    from cdc_connector_spark.ops.graph import kcore
+
+    li = _t(spark, sf_dir, "lineitem")
+    co = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    l, r = co.alias("l"), co.alias("r")
+    edges = (
+        l.join(r, on=[F.col("l.o") == F.col("r.o"), F.col("l.p") < F.col("r.p")])
+        .groupBy(F.col("l.p").alias("src"), F.col("r.p").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("src", "dst")
+    )
+    return kcore(edges, k=2)
+
+
 def acf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series (NEW r8): sample autocorrelation of the daily event-count
     series at lags 1..7 (the weekly-seasonality screen) — calendar-wise lag
@@ -2855,6 +2907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi_square_orders": chi_square_orders,
         "fk_integrity_all": fk_integrity_all,
         "session_window_stats_events": session_window_stats_events,
+        "hits_trade_graph": hits_trade_graph,
+        "kcore_parts": kcore_parts,
     }
     assert len(_R8_WINDOW) == 50 and set(_R8_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -5671,6 +5725,97 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.dup_tokens AS BIGINT) AS dup_tokens,
                    CAST(c.dup_tokens AS DOUBLE) / len(t.toks) AS dup_ratio
             FROM cov c JOIN t ON c.id = t.doc_id
+        """,
+        # HITS: 3 unrolled iterations, max-normalized half-steps, rounded-12
+        # DECIMAL(28,12) contribution sums (the pagerank oracle discipline).
+        "hits_trade_graph": """
+            WITH e AS (
+                SELECT DISTINCT o.o_custkey AS s, 10000000 + l.l_suppkey AS d
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ), nodes AS (
+                SELECT DISTINCT s AS node FROM e UNION SELECT DISTINCT d FROM e
+            ), a1r AS (
+                SELECT d AS node, CAST(SUM(CAST(round(1.0, 12) AS DECIMAL(28,12))) AS DOUBLE) AS a
+                FROM e GROUP BY d
+            ), am1 AS (SELECT MAX(a) AS m FROM a1r),
+            auth1 AS (
+                SELECT n.node,
+                       CASE WHEN am1.m > 0 THEN coalesce(a1r.a, 0.0) / am1.m ELSE 0.0 END AS auth
+                FROM nodes n LEFT JOIN a1r ON n.node = a1r.node CROSS JOIN am1
+            ), h1r AS (
+                SELECT e.s AS node, CAST(SUM(CAST(round(au.auth, 12) AS DECIMAL(28,12))) AS DOUBLE) AS h
+                FROM e JOIN auth1 au ON au.node = e.d GROUP BY e.s
+            ), hm1 AS (SELECT MAX(h) AS m FROM h1r),
+            hub1 AS (
+                SELECT n.node,
+                       CASE WHEN hm1.m > 0 THEN coalesce(h1r.h, 0.0) / hm1.m ELSE 0.0 END AS hub
+                FROM nodes n LEFT JOIN h1r ON n.node = h1r.node CROSS JOIN hm1
+            ), a2r AS (
+                SELECT e.d AS node, CAST(SUM(CAST(round(hu.hub, 12) AS DECIMAL(28,12))) AS DOUBLE) AS a
+                FROM e JOIN hub1 hu ON hu.node = e.s GROUP BY e.d
+            ), am2 AS (SELECT MAX(a) AS m FROM a2r),
+            auth2 AS (
+                SELECT n.node,
+                       CASE WHEN am2.m > 0 THEN coalesce(a2r.a, 0.0) / am2.m ELSE 0.0 END AS auth
+                FROM nodes n LEFT JOIN a2r ON n.node = a2r.node CROSS JOIN am2
+            ), h2r AS (
+                SELECT e.s AS node, CAST(SUM(CAST(round(au.auth, 12) AS DECIMAL(28,12))) AS DOUBLE) AS h
+                FROM e JOIN auth2 au ON au.node = e.d GROUP BY e.s
+            ), hm2 AS (SELECT MAX(h) AS m FROM h2r),
+            hub2 AS (
+                SELECT n.node,
+                       CASE WHEN hm2.m > 0 THEN coalesce(h2r.h, 0.0) / hm2.m ELSE 0.0 END AS hub
+                FROM nodes n LEFT JOIN h2r ON n.node = h2r.node CROSS JOIN hm2
+            ), a3r AS (
+                SELECT e.d AS node, CAST(SUM(CAST(round(hu.hub, 12) AS DECIMAL(28,12))) AS DOUBLE) AS a
+                FROM e JOIN hub2 hu ON hu.node = e.s GROUP BY e.d
+            ), am3 AS (SELECT MAX(a) AS m FROM a3r),
+            auth3 AS (
+                SELECT n.node,
+                       CASE WHEN am3.m > 0 THEN coalesce(a3r.a, 0.0) / am3.m ELSE 0.0 END AS auth
+                FROM nodes n LEFT JOIN a3r ON n.node = a3r.node CROSS JOIN am3
+            ), h3r AS (
+                SELECT e.s AS node, CAST(SUM(CAST(round(au.auth, 12) AS DECIMAL(28,12))) AS DOUBLE) AS h
+                FROM e JOIN auth3 au ON au.node = e.d GROUP BY e.s
+            ), hm3 AS (SELECT MAX(h) AS m FROM h3r),
+            hub3 AS (
+                SELECT n.node,
+                       CASE WHEN hm3.m > 0 THEN coalesce(h3r.h, 0.0) / hm3.m ELSE 0.0 END AS hub
+                FROM nodes n LEFT JOIN h3r ON n.node = h3r.node CROSS JOIN hm3
+            )
+            SELECT h.node, round(h.hub, 6) AS hub, round(a.auth, 6) AS authority
+            FROM hub3 h JOIN auth3 a ON h.node = a.node
+            ORDER BY round(a.auth, 6) DESC, round(h.hub, 6) DESC, h.node ASC
+            LIMIT 50
+        """,
+        # 2-core: 8 unrolled peel rounds (>= 2 past the measured fixpoint
+        # depth at every SF; no-ops once converged).
+        "kcore_parts": """
+            WITH co AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            ), pr AS (
+                SELECT l.p AS a, r.p AS b FROM co l JOIN co r ON l.o = r.o AND l.p < r.p
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ), s0 AS MATERIALIZED (
+                SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr
+            ), k1 AS MATERIALIZED (SELECT a FROM s0 GROUP BY a HAVING COUNT(*) >= 2),
+            s1 AS MATERIALIZED (SELECT s.a, s.b FROM s0 s JOIN k1 x ON s.a = x.a JOIN k1 y ON s.b = y.a),
+            k2 AS MATERIALIZED (SELECT a FROM s1 GROUP BY a HAVING COUNT(*) >= 2),
+            s2 AS MATERIALIZED (SELECT s.a, s.b FROM s1 s JOIN k2 x ON s.a = x.a JOIN k2 y ON s.b = y.a),
+            k3 AS MATERIALIZED (SELECT a FROM s2 GROUP BY a HAVING COUNT(*) >= 2),
+            s3 AS MATERIALIZED (SELECT s.a, s.b FROM s2 s JOIN k3 x ON s.a = x.a JOIN k3 y ON s.b = y.a),
+            k4 AS MATERIALIZED (SELECT a FROM s3 GROUP BY a HAVING COUNT(*) >= 2),
+            s4 AS MATERIALIZED (SELECT s.a, s.b FROM s3 s JOIN k4 x ON s.a = x.a JOIN k4 y ON s.b = y.a),
+            k5 AS MATERIALIZED (SELECT a FROM s4 GROUP BY a HAVING COUNT(*) >= 2),
+            s5 AS MATERIALIZED (SELECT s.a, s.b FROM s4 s JOIN k5 x ON s.a = x.a JOIN k5 y ON s.b = y.a),
+            k6 AS MATERIALIZED (SELECT a FROM s5 GROUP BY a HAVING COUNT(*) >= 2),
+            s6 AS MATERIALIZED (SELECT s.a, s.b FROM s5 s JOIN k6 x ON s.a = x.a JOIN k6 y ON s.b = y.a),
+            k7 AS MATERIALIZED (SELECT a FROM s6 GROUP BY a HAVING COUNT(*) >= 2),
+            s7 AS MATERIALIZED (SELECT s.a, s.b FROM s6 s JOIN k7 x ON s.a = x.a JOIN k7 y ON s.b = y.a),
+            k8 AS MATERIALIZED (SELECT a FROM s7 GROUP BY a HAVING COUNT(*) >= 2),
+            s8 AS MATERIALIZED (SELECT s.a, s.b FROM s7 s JOIN k8 x ON s.a = x.a JOIN k8 y ON s.b = y.a)
+            SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM s8 GROUP BY a
         """,
         # ACF: daily counts, calendar-wise lag join, exact-integer Pearson
         # (HUGEINT products mirroring the DECIMAL(38,0) Spark side).

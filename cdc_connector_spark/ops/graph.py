@@ -232,3 +232,147 @@ def triangle_count(
         .unionByName(closed.select(F.col("y").alias("node")))
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS link analysis (Kleinberg 1999) after ``iters`` synchronous
+    iterations: authority(v) = Σ_{u→v} hub(u), then hub(u) = Σ_{u→v}
+    authority(v), each half-step normalized by its MAXIMUM (an exact
+    order statistic — one portable IEEE division per node; the textbook
+    L2 norm needs a float fold over all nodes, which no engine replays
+    bit-identically). Returns (node, hub, authority) rounded 6 for every
+    node in the graph; a node missing a side (no out-edges / no
+    in-edges) scores 0.0 there.
+
+    Portability discipline is the ``pagerank`` one: per-edge
+    contributions round to 12 digits and accumulate as DECIMAL(28,12) —
+    exact and order-independent — then ONE double division by the max.
+    Parallel edges contribute separately (dedupe upstream if
+    multiplicity should not count).
+
+    Scale shape: two node-keyed shuffles per iteration (the edge joins),
+    two scalar max aggregates broadcast back; the edge frame is
+    referenced 2·iters times — ``localCheckpoint`` expensive derivations
+    first (the pagerank convention)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionByName(e.select(F.col("__d").alias("node")))
+        .distinct()
+    )
+    dec = "decimal(28,12)"
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(iters):
+        araw = (
+            e.join(hub.withColumnRenamed("node", "__s"), "__s")
+            .select(
+                F.col("__d").alias("node"),
+                F.round("hub", 12).cast(dec).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").cast("double").alias("__a"))
+        )
+        amax = araw.agg(F.max("__a").alias("__m"))
+        auth = (
+            nodes.join(araw, "node", "left")
+            .crossJoin(F.broadcast(amax))
+            .select(
+                "node",
+                F.when(
+                    F.col("__m") > 0, F.coalesce("__a", F.lit(0.0)) / F.col("__m")
+                )
+                .otherwise(F.lit(0.0))
+                .alias("auth"),
+            )
+        )
+        hraw = (
+            e.join(auth.withColumnRenamed("node", "__d"), "__d")
+            .select(
+                F.col("__s").alias("node"),
+                F.round("auth", 12).cast(dec).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").cast("double").alias("__h"))
+        )
+        hmax = hraw.agg(F.max("__h").alias("__m"))
+        hub = (
+            nodes.join(hraw, "node", "left")
+            .crossJoin(F.broadcast(hmax))
+            .select(
+                "node",
+                F.when(
+                    F.col("__m") > 0, F.coalesce("__h", F.lit(0.0)) / F.col("__m")
+                )
+                .otherwise(F.lit(0.0))
+                .alias("hub"),
+            )
+        )
+    return (
+        hub.join(auth, "node")
+        .select("node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("authority"))
+    )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """k-core decomposition membership for a FIXED k: iteratively peel
+    nodes of (undirected) degree < k until a fixpoint; the survivors are
+    exactly the maximal subgraph where every node keeps ≥ k neighbors
+    INSIDE the subgraph (the densely-connected backbone; degree alone
+    over-counts — a degree-k node whose neighbors all peel away is not
+    in the core). Returns (node, degree) for core members, with degree =
+    the WITHIN-CORE degree at the fixpoint.
+
+    Distinct undirected neighbor pairs (parallel edges and direction
+    collapse; self-loops dropped — a self-loop is not a neighbor).
+    Each round: one degree aggregation + one semi-join edge filter —
+    O(E) per round, converging in at most the peel depth (≤ diameter-ish
+    in practice; ``max_rounds`` is a loud guard, never a silent cap —
+    raises if the fixpoint isn't reached). Lineage is cut every round
+    (eager localCheckpoint — the iterative-op discipline), so the plan
+    never nests."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    pairs = (
+        und.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("a")
+        n_before = sym.count()
+        sym2 = (
+            sym.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        if sym2.count() == n_before:
+            return (
+                sym2.groupBy(F.col("a").alias("node"))
+                .agg(F.count(F.lit(1)).alias("degree"))
+            )
+        sym = sym2
+    raise RuntimeError(
+        f"k-core did not reach a fixpoint within max_rounds={max_rounds}"
+    )

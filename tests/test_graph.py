@@ -130,3 +130,63 @@ def test_pagerank_checkpoint_is_value_invisible(spark):
     want = _reference_pagerank(EDGES, iters=10, damping=0.85)
     for v in want:
         assert abs(cut[v] - want[v]) < 1e-9
+
+
+def test_hits_one_iteration_hand_computed(spark):
+    """h1->{a1,a2}, h2->a1 after one iteration: auth(a1)=1 (max), auth(a2)
+    = 1/2, hub(h1) = 1 (max), hub(h2) = (1/2)/(3/2) = 2/3; bipartite
+    sides score 0.0 on the side they lack."""
+    from cdc_connector_spark.ops.graph import hits
+
+    edges = spark.createDataFrame(
+        [(1, 101), (1, 102), (2, 101)], "src bigint, dst bigint"
+    )
+    out = {r.node: (r.hub, r.authority) for r in hits(edges, iters=1).collect()}
+    assert out[101] == (0.0, 1.0)
+    assert out[102] == (0.0, 0.5)
+    assert out[1] == (1.0, 0.0)
+    assert out[2] == (round(2 / 3, 6), 0.0)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="iters"):
+        hits(edges, iters=0)
+
+
+def test_hits_converges_toward_principal_eigenvector(spark):
+    """Power iteration converges to the principal eigenvector of AᵀA:
+    for hubs {1:(101,102), 2:(101), 3:(101,102)}, AᵀA = [[3,2],[2,2]]
+    whose max-normalized eigenvector gives auth(102) = (λ−3)/2 with
+    λ = (5+√17)/2 — each iteration moves strictly closer."""
+    from cdc_connector_spark.ops.graph import hits
+
+    edges = spark.createDataFrame(
+        [(1, 101), (1, 102), (2, 101), (3, 101), (3, 102)],
+        "src bigint, dst bigint",
+    )
+    limit = ((5 + 17 ** 0.5) / 2 - 3) / 2  # ≈ 0.780776
+    o1 = {r.node: r.authority for r in hits(edges, iters=1).collect()}
+    o3 = {r.node: r.authority for r in hits(edges, iters=3).collect()}
+    assert o1[101] == 1.0 and o3[101] == 1.0
+    assert abs(o3[102] - limit) < abs(o1[102] - limit)
+    assert abs(o3[102] - limit) < 2e-3
+
+
+def test_kcore_peels_transitively(spark):
+    """Triangle {1,2,3} with pendant path 3-4-5: node 4 has RAW degree 2
+    but must peel after 5 does (the transitive peel degree alone cannot
+    see); the 2-core is exactly the triangle at within-core degree 2.
+    Direction/parallel duplicates and self-loops are collapsed/dropped."""
+    from cdc_connector_spark.ops.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (2, 1), (5, 4), (4, 4)],
+        "src bigint, dst bigint",
+    )
+    out = {r.node: r.degree for r in kcore(edges, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    # k=3: the triangle's within-core degree is only 2 -> empty core
+    assert kcore(edges, k=3).count() == 0
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError, match="fixpoint"):
+        kcore(edges, k=2, max_rounds=1)
