@@ -2652,6 +2652,40 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_decontam_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch (NEW r8): Bloom-filter benchmark decontamination — the
+    broadcast-bitset screen in front of the exact inverted-index check
+    (`decontam_overlap_documents`). Eval = doc_id % 50 = 0 collapses to a
+    2048-bit filter (k=3, portable md5-salted positions); every training
+    doc's distinct 3-grams probe it; ≥3 flagged grams ⇒ contaminated.
+    NO false negatives by construction; the deterministic false positives
+    are part of the value-verified output (the oracle replays the exact
+    bit positions, collisions included). Zero gram-keyed shuffle on the
+    train side — the scan rides one doc-keyed collapse. Value-verified."""
+    from cdc_connector_spark.ops.sketch import bloom_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    return bloom_decontaminate(train, eval_set, n=3, m_bits=2048, k=3, min_flagged=3)
+
+
+def cms_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch (NEW r8): Count-Min-Sketch heavy hitters over events.user_id
+    (depth 4 × width 64, portable md5-salted rows) — top-40 by CMS
+    estimate next to the exact count, so the collision over-estimate is
+    measurable per key (est ≥ exact ALWAYS; err = est − exact). The
+    counter table is ≤ 256 rows regardless of input size — the whole
+    100 TB argument. Deterministic total order (est desc, exact desc,
+    key asc). Value-verified — the oracle replays cells, collisions and
+    all."""
+    from cdc_connector_spark.ops.sketch import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        _t(spark, sf_dir, "events"), "user_id", depth=4, width=64, topn=40
+    )
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2909,6 +2943,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_stats_events": session_window_stats_events,
         "hits_trade_graph": hits_trade_graph,
         "kcore_parts": kcore_parts,
+        # --- NEW in round 8, fourth session (tail; 3-SF local verification
+        #     + tripwire; rotate into the window next round) ---
+        "bloom_decontam_documents": bloom_decontam_documents,
+        "cms_heavy_hitters_events": cms_heavy_hitters_events,
     }
     assert len(_R8_WINDOW) == 50 and set(_R8_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -5957,5 +5995,94 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents
             FROM sess GROUP BY user_id, sid
+        """,
+        # Bloom decontamination: replays the EXACT sketch — salted 60-bit
+        # md5 folds mod 2048 for eval-gram bit positions and train-gram
+        # probes, so collisions (false positives) hash-match too.
+        "bloom_decontam_documents": """
+            WITH tok AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text,'')) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(coalesce(text,'')), '\\s+') END AS toks
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                            ELSE CAST([] AS VARCHAR[]) END AS gs
+                FROM tok
+            ), eg AS (
+                SELECT DISTINCT gram
+                FROM (SELECT unnest(gs) AS gram FROM grams WHERE doc_id % 50 = 0)
+            ), bits AS (
+                SELECT DISTINCT
+                       list_reduce(
+                           list_transform(range(1, 16),
+                               j -> CAST(strpos('0123456789abcdef',
+                                         substring(md5(CAST(t.i AS VARCHAR) || ':' || gram), j, 1))
+                                         - 1 AS BIGINT)),
+                           (a, x) -> a * 16 + x) % 2048 AS pos
+                FROM eg, range(0, 3) t(i)
+            ), tg AS (
+                SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 50 <> 0
+            ), probe AS (
+                SELECT doc_id, gram,
+                       list_reduce(
+                           list_transform(range(1, 16),
+                               j -> CAST(strpos('0123456789abcdef',
+                                         substring(md5(CAST(t.i AS VARCHAR) || ':' || gram), j, 1))
+                                         - 1 AS BIGINT)),
+                           (a, x) -> a * 16 + x) % 2048 AS pos
+                FROM tg, range(0, 3) t(i)
+            ), gh AS (
+                SELECT p.doc_id, p.gram,
+                       (COUNT(b.pos) = 3) AS hit
+                FROM probe p LEFT JOIN bits b ON p.pos = b.pos
+                GROUP BY p.doc_id, p.gram
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS flagged_grams,
+                   (SUM(CASE WHEN hit THEN 1 ELSE 0 END) >= 3) AS contaminated
+            FROM gh GROUP BY doc_id
+            HAVING SUM(CASE WHEN hit THEN 1 ELSE 0 END) > 0
+        """,
+        # CMS heavy hitters: replays the 4x64 counter table (salted md5
+        # folds), per-key min-over-rows estimate, exact twin column.
+        "cms_heavy_hitters_events": """
+            WITH keyed AS (
+                SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE user_id IS NOT NULL
+            ), cells AS (
+                SELECT t.i AS row_idx,
+                       list_reduce(
+                           list_transform(range(1, 16),
+                               j -> CAST(strpos('0123456789abcdef',
+                                         substring(md5(CAST(t.i AS VARCHAR) || ':' || k), j, 1))
+                                         - 1 AS BIGINT)),
+                           (a, x) -> a * 16 + x) % 64 AS pos,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM keyed, range(0, 4) t(i)
+                GROUP BY 1, 2
+            ), keys AS (
+                SELECT k, CAST(COUNT(*) AS BIGINT) AS exact FROM keyed GROUP BY k
+            ), probes AS (
+                SELECT keys.k, keys.exact, t.i AS row_idx,
+                       list_reduce(
+                           list_transform(range(1, 16),
+                               j -> CAST(strpos('0123456789abcdef',
+                                         substring(md5(CAST(t.i AS VARCHAR) || ':' || k), j, 1))
+                                         - 1 AS BIGINT)),
+                           (a, x) -> a * 16 + x) % 64 AS pos
+                FROM keys, range(0, 4) t(i)
+            ), est AS (
+                SELECT p.k, p.exact, MIN(c.cnt) AS est
+                FROM probes p JOIN cells c ON c.row_idx = p.row_idx AND c.pos = p.pos
+                GROUP BY p.k, p.exact
+            )
+            SELECT k AS "key", est, exact, est - exact AS err
+            FROM est
+            ORDER BY est DESC, exact DESC, k ASC
+            LIMIT 40
         """,
     }
