@@ -2686,6 +2686,66 @@ def cms_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bfs_hops_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph (NEW r8): multi-source BFS hop distance over the undirected
+    bipartite trade graph (customer↔supplier via lineitem⋈orders,
+    supplier ids offset 10M) from the customers of nation 0, out to 3
+    hops — the reachability / blast-radius primitive. Deterministic
+    min-hop by construction (visited anti-join); per-round frontier⋈edges
+    is one keyed shuffle. Value-verified against an unrolled-level SQL
+    replay."""
+    from cdc_connector_spark.ops.graph import bfs_hops
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sources = cust.filter(F.col("c_nationkey") == 0).select(
+        F.col("c_custkey").alias("node")
+    )
+    return bfs_hops(edges, sources, max_hops=3)
+
+
+def rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmentation (NEW r8): RFM table over orders — recency (calendar
+    days to the corpus max order date), frequency, exact monetary cents,
+    each scored 1..5 by the exact distinct-value CDF rule (ceil integer
+    division; ties share a bucket — deterministic and engine-replayable,
+    unlike ntile's row-order tie split) and combined into segment =
+    100r+10f+m. Scale-safe: the only ordered windows run over BOUNDED
+    distinct-value tables (days / order counts / whole currency units),
+    never over customers. Value-verified."""
+    from cdc_connector_spark.ops.rfm import rfm_segments
+
+    return rfm_segments(_t(spark, sf_dir, "orders"))
+
+
+def cube_revenue_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP (NEW r8): CUBE grouping-sets over (l_returnflag, l_linestatus)
+    — all four grouping combinations in ONE pass with grouping_id
+    disambiguating rolled-up NULLs from data NULLs (the piece
+    rollup_order_revenue's linear hierarchy can't express). Exact integer
+    measures (cents trick). Value-verified (DuckDB GROUPING bitmask
+    convention matches Spark's — first column = MSB, checked)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
+        F.grouping_id().alias("gid"),
+    )
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2947,6 +3007,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     + tripwire; rotate into the window next round) ---
         "bloom_decontam_documents": bloom_decontam_documents,
         "cms_heavy_hitters_events": cms_heavy_hitters_events,
+        "bfs_hops_trade_graph": bfs_hops_trade_graph,
+        "rfm_segments_customers": rfm_segments_customers,
+        "cube_revenue_flags": cube_revenue_flags,
     }
     assert len(_R8_WINDOW) == 50 and set(_R8_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -6084,5 +6147,91 @@ def oracle_sql() -> dict[str, str]:
             FROM est
             ORDER BY est DESC, exact DESC, k ASC
             LIMIT 40
+        """,
+        # BFS: unrolled levels; each level's anti-membership check makes
+        # the hop the MINIMUM by construction (same as the Spark loop).
+        "bfs_hops_trade_graph": """
+            WITH e AS (
+                SELECT DISTINCT o.o_custkey AS a, 10000000 + l.l_suppkey AS b
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ), sym AS (
+                SELECT a, b FROM e UNION SELECT b, a FROM e
+            ), d0 AS (
+                SELECT DISTINCT c_custkey AS node FROM customer WHERE c_nationkey = 0
+            ), n1 AS (
+                SELECT DISTINCT s.b AS node FROM sym s JOIN d0 ON s.a = d0.node
+                WHERE s.b NOT IN (SELECT node FROM d0)
+            ), n2 AS (
+                SELECT DISTINCT s.b AS node FROM sym s JOIN n1 ON s.a = n1.node
+                WHERE s.b NOT IN (SELECT node FROM d0)
+                  AND s.b NOT IN (SELECT node FROM n1)
+            ), n3 AS (
+                SELECT DISTINCT s.b AS node FROM sym s JOIN n2 ON s.a = n2.node
+                WHERE s.b NOT IN (SELECT node FROM d0)
+                  AND s.b NOT IN (SELECT node FROM n1)
+                  AND s.b NOT IN (SELECT node FROM n2)
+            )
+            SELECT node, 0 AS hop FROM d0
+            UNION ALL SELECT node, 1 FROM n1
+            UNION ALL SELECT node, 2 FROM n2
+            UNION ALL SELECT node, 3 FROM n3
+        """,
+        # RFM: per-customer collapse, derived as-of anchor, three
+        # distinct-value CDF windows with the exact ceil-division bucket.
+        "rfm_segments_customers": """
+            WITH per AS (
+                SELECT o_custkey AS customer,
+                       MAX(CAST(o_orderdate AS DATE)) AS last_d,
+                       CAST(COUNT(*) AS BIGINT) AS frequency,
+                       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS monetary_cents
+                FROM orders GROUP BY 1
+            ), anch AS (SELECT MAX(last_d) AS anchor_d FROM per),
+            base AS (
+                SELECT customer,
+                       CAST(anchor_d - last_d AS BIGINT) AS recency_days,
+                       frequency, monetary_cents,
+                       monetary_cents // 100 AS mu
+                FROM per CROSS JOIN anch
+            ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+            rs AS (
+                SELECT v, CAST((5 * cum + n - 1) // n AS INT) AS r FROM (
+                    SELECT recency_days AS v,
+                           CAST(SUM(COUNT(*)) OVER (ORDER BY recency_days DESC
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                    FROM base GROUP BY recency_days
+                ) CROSS JOIN nn
+            ), fs AS (
+                SELECT v, CAST((5 * cum + n - 1) // n AS INT) AS f FROM (
+                    SELECT frequency AS v,
+                           CAST(SUM(COUNT(*)) OVER (ORDER BY frequency ASC
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                    FROM base GROUP BY frequency
+                ) CROSS JOIN nn
+            ), ms AS (
+                SELECT v, CAST((5 * cum + n - 1) // n AS INT) AS m FROM (
+                    SELECT mu AS v,
+                           CAST(SUM(COUNT(*)) OVER (ORDER BY mu ASC
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                    FROM base GROUP BY mu
+                ) CROSS JOIN nn
+            )
+            SELECT b.customer, b.recency_days, b.frequency, b.monetary_cents,
+                   rs.r, fs.f, ms.m,
+                   CAST(rs.r * 100 + fs.f * 10 + ms.m AS INT) AS segment
+            FROM base b
+            JOIN rs ON b.recency_days = rs.v
+            JOIN fs ON b.frequency = fs.v
+            JOIN ms ON b.mu = ms.v
+        """,
+        # CUBE: DuckDB GROUPING(a, b) uses the same bitmask convention as
+        # Spark grouping_id (first column = MSB; verified).
+        "cube_revenue_flags": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
     }

@@ -190,3 +190,53 @@ def test_kcore_peels_transitively(spark):
 
     with _pt.raises(RuntimeError, match="fixpoint"):
         kcore(edges, k=2, max_rounds=1)
+
+
+# ---------------------------------------------------------------- bfs_hops
+
+
+def _bfs_edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _bfs_sources(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "node long")
+
+
+def test_bfs_path_graph_hops(spark):
+    from cdc_connector_spark.ops.graph import bfs_hops
+
+    e = _bfs_edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    out = bfs_hops(e, _bfs_sources(spark, [1]), max_hops=2)
+    assert {(r["node"], r["hop"]) for r in out.collect()} == {(1, 0), (2, 1), (3, 2)}
+
+
+def test_bfs_multi_source_takes_min_hop(spark):
+    from cdc_connector_spark.ops.graph import bfs_hops
+
+    e = _bfs_edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    out = bfs_hops(e, _bfs_sources(spark, [1, 5]), max_hops=4)
+    got = {r["node"]: r["hop"] for r in out.collect()}
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_directed_respects_direction_and_early_exit(spark):
+    from cdc_connector_spark.ops.graph import bfs_hops
+
+    e = _bfs_edges(spark, [(1, 2)])
+    got = {r["node"]: r["hop"] for r in bfs_hops(
+        e, _bfs_sources(spark, [2]), max_hops=10, directed=True
+    ).collect()}
+    assert got == {2: 0}
+    got_u = {r["node"]: r["hop"] for r in bfs_hops(
+        e, _bfs_sources(spark, [2]), max_hops=10
+    ).collect()}
+    assert got_u == {2: 0, 1: 1}
+
+
+def test_bfs_unreachable_absent_and_self_loop_harmless(spark):
+    from cdc_connector_spark.ops.graph import bfs_hops
+
+    e = _bfs_edges(spark, [(1, 2), (1, 1), (7, 8)])
+    got = {r["node"]: r["hop"] for r in bfs_hops(e, _bfs_sources(spark, [1]), max_hops=3).collect()}
+    assert got == {1: 0, 2: 1}
