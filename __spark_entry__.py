@@ -2746,6 +2746,35 @@ def cube_revenue_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def prefix_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops (NEW r8): LOSSLESS prefix-filtered similarity self-join
+    (AllPairs/PPJoin) — every doc pair with 3-gram Jaccard ≥ 7/10 over
+    the FULL corpus, candidates generated only from each doc's
+    p = n − ceil(t·n) + 1 rarest shingles (df-ascending global order;
+    completeness theorem in ops/dedup.py). Rational-threshold integer
+    comparisons end-to-end — no float ceil can drop a boundary pair.
+    The oracle is the straight all-pairs replay: the THEOREM, not the
+    prefix code, makes them equal. Value-verified."""
+    from cdc_connector_spark.ops.dedup import prefix_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(
+        docs, shingle_n=3, threshold_num=7, threshold_den=10
+    )
+
+
+def weekday_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series (NEW r8): weekly seasonality profile — per weekday
+    (0=Monday), observed days, total events, mean/day, and the seasonal
+    ratio vs the overall daily mean; turns acf_events' "lag-7 is high"
+    into WHICH days carry the cycle. Exact integer sufficient statistics;
+    mean and ratio each one fixed IEEE expression rounded 6.
+    Value-verified."""
+    from cdc_connector_spark.ops.timeseries import weekday_profile
+
+    return weekday_profile(_t(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3010,6 +3039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hops_trade_graph": bfs_hops_trade_graph,
         "rfm_segments_customers": rfm_segments_customers,
         "cube_revenue_flags": cube_revenue_flags,
+        "prefix_jaccard_pairs_documents": prefix_jaccard_pairs_documents,
+        "weekday_profile_events": weekday_profile_events,
     }
     assert len(_R8_WINDOW) == 50 and set(_R8_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -6233,5 +6264,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
             FROM lineitem
             GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        # Prefix-filtered Jaccard: the oracle is the STRAIGHT all-pairs
+        # join over the identical md5-fold hashed 3-gram sets — the
+        # AllPairs completeness theorem (not replayed prefix code) makes
+        # the outputs equal; integer threshold comparison mirrors Spark.
+        "prefix_jaccard_pairs_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text,'')) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(coalesce(text,'')), '\\s+') END AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                 i -> list_reduce(
+                                     list_transform(range(1, 16),
+                                         j -> CAST(strpos('0123456789abcdef',
+                                                   substring(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), j, 1))
+                                                   - 1 AS BIGINT)),
+                                     (a, x) -> a * 16 + x)))
+                            ELSE CAST([] AS BIGINT[]) END AS hs
+                FROM t
+            ), inv AS (
+                SELECT doc_id, unnest(hs) AS h FROM g WHERE len(hs) > 0
+            ), sizes AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM inv GROUP BY 1
+            ), shared AS (
+                SELECT l.doc_id AS a, r.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS sh
+                FROM inv l JOIN inv r ON l.h = r.h AND l.doc_id < r.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT s.a AS id_a, s.b AS id_b, s.sh AS shared,
+                   na.n AS n_a, nb.n AS n_b,
+                   round(CAST(s.sh AS DOUBLE) / CAST(na.n + nb.n - s.sh AS DOUBLE), 6) AS jaccard
+            FROM shared s
+            JOIN sizes na ON s.a = na.doc_id
+            JOIN sizes nb ON s.b = nb.doc_id
+            WHERE s.sh * 10 >= (na.n + nb.n - s.sh) * 7
+        """,
+        # Weekday profile: isodow-1 == Spark weekday (0=Monday); exact
+        # integer daily counts, two fixed IEEE expressions rounded 6.
+        "weekday_profile_events": """
+            WITH daily AS (
+                SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1
+            ), tot AS (
+                SELECT CAST(SUM(n) AS BIGINT) AS total_all,
+                       CAST(COUNT(*) AS BIGINT) AS days_all
+                FROM daily
+            )
+            SELECT CAST(isodow(day) - 1 AS INT) AS weekday,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(n) AS BIGINT) AS total_events,
+                   round(CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_per_day,
+                   round((CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                         / (CAST(any_value(total_all) AS DOUBLE)
+                            / CAST(any_value(days_all) AS DOUBLE)), 6) AS seasonal_ratio
+            FROM daily CROSS JOIN tot
+            GROUP BY 1
         """,
     }

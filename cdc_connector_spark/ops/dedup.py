@@ -22,10 +22,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from cdc_connector_spark.ops.textstats import fingerprint, tokenize
+from cdc_connector_spark.ops.textstats import fingerprint, tokenize, word_ngrams
 
 # XXH64 primes (public xxHash constants, as used by Spark's xxhash64)
 _XXP1 = 0x9E3779B185EBCA87
@@ -1198,4 +1198,119 @@ def duplicate_span_dropped_grams(
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .filter(F.col("n_occurrences") > max_df)
         .orderBy(F.col("n_occurrences").desc(), F.col("gh").asc())
+    )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """Prefix-filtered set-similarity self-join (the AllPairs/PPJoin
+    family — Bayardo et al. WWW'07, Xiao et al. WWW'08): all document
+    pairs with shingle-set Jaccard ≥ threshold, with candidates generated
+    ONLY from each document's rarest shingles.
+
+    Unlike ``ngram_jaccard_pairs``' stop-shingle cap (a recall dial),
+    prefix filtering is LOSSLESS — a pure plan optimization with a
+    completeness theorem: order every document's shingles by one global
+    total order (ascending document frequency, hash tiebreak) and keep
+    the first ``p = n − ceil(t·n) + 1`` as its prefix; any pair with
+    J ≥ t must share its rarest common shingle inside BOTH prefixes
+    (if it didn't, the ≥ ceil(t·n) intersection elements would all sit
+    in the last ceil(t·n) − 1 positions — a contradiction). Rare-first
+    ordering makes the shared element as infrequent as possible, so the
+    candidate join fans out on the LOW-df tail instead of the stop-gram
+    head — the difference between an O(Σdf²) blowup and a usable plan at
+    100 TB, with zero recall loss.
+
+    Exactness: the threshold is a RATIONAL (num/den) and every
+    comparison is integer (``inter·den ≥ union·num``) — float ceil/comp
+    misrounding (0.7·10 → 7.000…01) can silently shorten a prefix and
+    drop true pairs; integers can't. Shingle hashes are the portable
+    60-bit md5 fold, so the all-pairs SQL oracle replays the IDENTICAL
+    sets and the theorem (not the prefix code) guarantees equal output.
+
+    Returns (id_a, id_b, shared, n_a, n_b, jaccard) with id_a < id_b;
+    jaccard is one IEEE division rounded 6 for reporting — the FILTER is
+    the integer comparison.
+
+    Shape: shingle projection materialized once (exchange barrier);
+    one df census; one per-doc rank window (doc-keyed); prefix self-join
+    on shingle hash; per-pair verify via array_intersect on the compact
+    hash arrays. No stage touches more than the prefix postings or the
+    candidate pairs."""
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError(
+            f"threshold must be in (0, 1]: got {threshold_num}/{threshold_den}"
+        )
+    grams = word_ngrams(tokenize(F.col(text_col)), shingle_n)
+    hashes = F.array_distinct(
+        F.transform(
+            grams,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+        )
+    )
+    sh = _barrier(
+        df.select(F.col(id_col).alias("__id"), hashes.alias("__sh")).filter(
+            F.size("__sh") > 0
+        )
+    )
+    sizes = sh.select("__id", F.size("__sh").alias("__n"))
+    inv = sh.select("__id", F.explode("__sh").alias("h"))
+    census = inv.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = (
+        inv.join(census, "h")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__id").orderBy(
+                    F.col("__df").asc(), F.col("h").asc()
+                )
+            ),
+        )
+        .join(sizes, "__id")
+        # p = n - ceil(t*n) + 1, all-integer ceil
+        .filter(
+            F.col("__rn")
+            <= F.col("__n")
+            - F.expr(
+                f"CAST(({threshold_num} * __n + {threshold_den} - 1) DIV {threshold_den} AS INT)"
+            )
+            + F.lit(1)
+        )
+        .select("__id", "h")
+    )
+    l, r = ranked.alias("l"), ranked.alias("r")
+    cand = (
+        l.join(r, on=[F.col("l.h") == F.col("r.h"), F.col("l.__id") < F.col("r.__id")])
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("shared"),
+            F.size("__sha").alias("n_a"),
+            F.size("__shb").alias("n_b"),
+        )
+        .filter(
+            F.col("shared") * F.lit(threshold_den)
+            >= (F.col("n_a") + F.col("n_b") - F.col("shared")) * F.lit(threshold_num)
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6
+            ),
+        )
     )

@@ -857,3 +857,37 @@ def autocorrelation(
         F.expr("date_add(day, lag)") == F.col("day_b"),
     )
     return pearson_corr_exact(pairs, "x", "y", "lag").orderBy("lag")
+
+
+def weekday_profile(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Weekly seasonality profile of the daily event-count series: per
+    weekday (0=Monday..6=Sunday), the number of observed days, total
+    events, mean events/day, and the seasonal ratio vs the overall daily
+    mean — the screen that turns ``autocorrelation``'s "lag-7 is high"
+    into WHICH days carry the cycle (and the denominator a
+    day-of-week-aware anomaly threshold needs).
+
+    Exact integer sufficient statistics (daily counts, day tallies);
+    mean and ratio are each ONE fixed IEEE expression rounded 6, so the
+    7-row output value-verifies. Corpus collapses to one row per day
+    first — everything after is O(days)."""
+    daily = (
+        df.select(F.to_date(F.col(ts_col).cast("timestamp")).alias("__day"))
+        .groupBy("__day")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    tot = daily.agg(
+        F.sum("__n").alias("__total_all"), F.count(F.lit(1)).alias("__days_all")
+    )
+    per = daily.groupBy(F.weekday("__day").alias("weekday")).agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("__n").alias("total_events")
+    )
+    mean = F.col("total_events").cast("double") / F.col("n_days").cast("double")
+    overall = F.col("__total_all").cast("double") / F.col("__days_all").cast("double")
+    return per.join(F.broadcast(tot)).select(
+        "weekday",
+        "n_days",
+        "total_events",
+        F.round(mean, 6).alias("mean_per_day"),
+        F.round(mean / overall, 6).alias("seasonal_ratio"),
+    )

@@ -499,3 +499,95 @@ def test_duplicate_span_coverage_merges_overlaps(spark):
     # doc 2 shares s5..s8 with doc 1 (4 tokens < length) -> no 6-gram match
     # except via doc 3... doc3 id is HIGHER so doc 2 is only charged by doc 1.
     assert 2 not in cov
+
+
+# ------------------------------------------------- prefix_jaccard_pairs
+
+
+def _pj_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _brute_jaccard_pairs(texts, n, num, den):
+    """All-pairs reference over distinct word n-gram sets (strings —
+    equality of sets of grams == equality of sets of their hashes)."""
+    def grams(t):
+        toks = t.split()
+        return set(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+
+    gs = {i: grams(t) for i, t in enumerate(texts)}
+    out = set()
+    for a in gs:
+        for b in gs:
+            if a < b and gs[a] and gs[b]:
+                inter = len(gs[a] & gs[b])
+                union = len(gs[a] | gs[b])
+                if inter * den >= union * num:
+                    out.add((a, b))
+    return out
+
+
+def test_prefix_jaccard_matches_bruteforce_random(spark):
+    """Completeness theorem end-to-end: the prefix-filtered join must
+    return EXACTLY the all-pairs result on randomized near-dup corpora."""
+    import random
+
+    from cdc_connector_spark.ops.dedup import prefix_jaccard_pairs
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+    base = [" ".join(rng.choice(vocab) for _ in range(20)) for _ in range(12)]
+    texts = list(base)
+    for t in base[:6]:  # mutated near-dups
+        toks = t.split()
+        toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        texts.append(" ".join(toks))
+    for num, den in [(1, 2), (7, 10), (9, 10)]:
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in prefix_jaccard_pairs(
+                _pj_docs(spark, texts), shingle_n=3, threshold_num=num, threshold_den=den
+            ).collect()
+        }
+        assert got == _brute_jaccard_pairs(texts, 3, num, den), (num, den)
+
+
+def test_prefix_jaccard_exact_threshold_boundary_kept(spark):
+    """A pair with Jaccard EXACTLY n/d survives — the integer comparison
+    can't misround the boundary the way a float >= can."""
+    from cdc_connector_spark.ops.dedup import prefix_jaccard_pairs
+
+    # doc0: grams {a b c, b c d, c d e} ; doc1: {a b c, b c d, c d X}
+    # shared 2, union 4 -> J = 1/2 exactly
+    docs = _pj_docs(spark, ["a b c d e", "a b c d X"])
+    rows = prefix_jaccard_pairs(
+        docs, shingle_n=3, threshold_num=1, threshold_den=2
+    ).collect()
+    assert len(rows) == 1 and rows[0]["shared"] == 2 and rows[0]["jaccard"] == 0.5
+    assert (
+        prefix_jaccard_pairs(docs, shingle_n=3, threshold_num=51, threshold_den=100)
+        .count()
+        == 0
+    )
+
+
+def test_prefix_jaccard_short_and_empty_docs(spark):
+    from cdc_connector_spark.ops.dedup import prefix_jaccard_pairs
+
+    docs = _pj_docs(spark, ["", "a b", "x y z q", "x y z q"])
+    rows = prefix_jaccard_pairs(docs, shingle_n=3, threshold_num=1, threshold_den=2).collect()
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(2, 3)}
+    assert rows[0]["jaccard"] == 1.0
+
+
+def test_prefix_jaccard_rejects_bad_threshold(spark):
+    from cdc_connector_spark.ops.dedup import prefix_jaccard_pairs
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        prefix_jaccard_pairs(_pj_docs(spark, ["a"]), threshold_num=0, threshold_den=10)
+    with _pytest.raises(ValueError):
+        prefix_jaccard_pairs(_pj_docs(spark, ["a"]), threshold_num=11, threshold_den=10)

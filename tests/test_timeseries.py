@@ -667,3 +667,39 @@ def test_session_window_merges_at_exact_gap_boundary(spark):
         (2, "2026-01-01 10:00:00", "2026-01-01 11:00:00"),
         (1, "2026-01-01 11:00:01", "2026-01-01 11:30:01"),
     ]
+
+
+# ------------------------------------------------------- weekday_profile
+
+
+def test_weekday_profile_hand_checked(spark):
+    import datetime as dt
+
+    from cdc_connector_spark.ops.timeseries import weekday_profile
+
+    # 2024-01-01 is a Monday. Mon: 3 events on 1 day; Tue: 1+3 on 2 days.
+    rows = (
+        [(dt.datetime(2024, 1, 1, 10), 1)] * 3
+        + [(dt.datetime(2024, 1, 2, 10), 1)]
+        + [(dt.datetime(2024, 1, 9, 10), 1)] * 3
+    )
+    df = spark.createDataFrame(rows, "ts timestamp, v int")
+    out = {r["weekday"]: r for r in weekday_profile(df).collect()}
+    assert out[0]["n_days"] == 1 and out[0]["total_events"] == 3
+    assert out[1]["n_days"] == 2 and out[1]["total_events"] == 4
+    assert out[0]["mean_per_day"] == 3.0 and out[1]["mean_per_day"] == 2.0
+    # overall mean = 7/3; ratios = 3/(7/3), 2/(7/3)
+    assert out[0]["seasonal_ratio"] == round(3.0 / (7.0 / 3.0), 6)
+    assert out[1]["seasonal_ratio"] == round(2.0 / (7.0 / 3.0), 6)
+
+
+def test_weekday_profile_flat_series_ratio_one(spark):
+    import datetime as dt
+
+    from cdc_connector_spark.ops.timeseries import weekday_profile
+
+    rows = [(dt.datetime(2024, 1, d, 12), 1) for d in range(1, 15)]
+    df = spark.createDataFrame(rows, "ts timestamp, v int")
+    out = weekday_profile(df).collect()
+    assert len(out) == 7
+    assert all(r["seasonal_ratio"] == 1.0 and r["n_days"] == 2 for r in out)
