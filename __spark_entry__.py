@@ -2775,6 +2775,30 @@ def weekday_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekday_profile(_t(spark, sf_dir, "events"))
 
 
+def token_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops (NEW r8): per-document unigram Shannon entropy (nats) from
+    EXACT integer token counts — the repetitiveness screen fixed-gram
+    ratios miss (a 3-token cycle has high distinct-gram ratios, entropy
+    ≈ ln 3). Per-token terms rounded 12 + DECIMAL(38,12) accumulation
+    (order-independent), final expression one fixed IEEE double rounded
+    6. Value-verified."""
+    from cdc_connector_spark.ops.textstats import token_entropy
+
+    return token_entropy(_t(spark, sf_dir, "documents"))
+
+
+def zipf_slope_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops (NEW r8): Zipf's-law OLS fit (ln freq vs ln rank, top-300
+    terms) — the one-scalar corpus-health readout (natural text ≈ −1;
+    templated corpora drift shallow). Deterministic total rank order
+    (freq desc, term asc); round-12 + DECIMAL sums; slope/intercept each
+    one fixed IEEE expression. The rank window runs over the already-
+    truncated top-K table — the scale bound. Value-verified."""
+    from cdc_connector_spark.ops.textstats import zipf_slope
+
+    return zipf_slope(_t(spark, sf_dir, "documents"), top_k=300)
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3041,6 +3065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_revenue_flags": cube_revenue_flags,
         "prefix_jaccard_pairs_documents": prefix_jaccard_pairs_documents,
         "weekday_profile_events": weekday_profile_events,
+        "token_entropy_documents": token_entropy_documents,
+        "zipf_slope_documents": zipf_slope_documents,
     }
     assert len(_R8_WINDOW) == 50 and set(_R8_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -6325,5 +6351,71 @@ def oracle_sql() -> dict[str, str]:
                             / CAST(any_value(days_all) AS DOUBLE)), 6) AS seasonal_ratio
             FROM daily CROSS JOIN tot
             GROUP BY 1
+        """,
+        # Entropy: exact counts, round-12 per-term ln, DECIMAL(38,12)
+        # accumulation, one final fixed IEEE expression.
+        "token_entropy_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text,'')) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(coalesce(text,'')), '\\s+') END AS toks
+                FROM documents
+            ), w AS (
+                SELECT doc_id, unnest(toks) AS w FROM t
+            ), c AS (
+                SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY 1, 2
+            ), p AS (
+                SELECT doc_id,
+                       CAST(SUM(c) AS BIGINT) AS n_tokens,
+                       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                       SUM(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 12)
+                                AS DECIMAL(38,12))) AS s
+                FROM c GROUP BY 1
+            )
+            SELECT doc_id, n_tokens, n_distinct,
+                   round(ln(CAST(n_tokens AS DOUBLE))
+                         - CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS entropy
+            FROM p
+        """,
+        # Zipf: deterministic rank order, round-12 + DECIMAL sums, the
+        # identical slope/intercept expressions.
+        "zipf_slope_documents": """
+            WITH t AS (
+                SELECT CASE WHEN trim(coalesce(text,'')) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(coalesce(text,'')), '\\s+') END AS toks
+                FROM documents
+            ), f AS (
+                SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+                FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+            ), top AS (
+                SELECT w, f FROM f ORDER BY f DESC, w ASC LIMIT 300
+            ), r AS (
+                SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, w ASC) AS rk FROM top
+            ), s AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+                       CAST(SUM(f) AS BIGINT) AS total_tokens,
+                       SUM(CAST(round(ln(CAST(rk AS DOUBLE)), 12) AS DECIMAL(38,12))) AS sx,
+                       SUM(CAST(round(ln(CAST(f AS DOUBLE)), 12) AS DECIMAL(38,12))) AS sy,
+                       SUM(CAST(round(round(ln(CAST(rk AS DOUBLE)), 12)
+                                      * round(ln(CAST(f AS DOUBLE)), 12), 12)
+                                AS DECIMAL(38,12))) AS sxy,
+                       SUM(CAST(round(round(ln(CAST(rk AS DOUBLE)), 12)
+                                      * round(ln(CAST(rk AS DOUBLE)), 12), 12)
+                                AS DECIMAL(38,12))) AS sxx
+                FROM r
+            )
+            SELECT n_terms, total_tokens,
+                   round((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+                   round((CAST(sy AS DOUBLE)
+                          - (CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                            / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * CAST(sx AS DOUBLE))
+                         / CAST(n_terms AS DOUBLE), 6) AS intercept
+            FROM s
         """,
     }

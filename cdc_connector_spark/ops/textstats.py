@@ -1007,3 +1007,103 @@ def readability(
         syllables.alias("n_syllables"),
         F.when(words > 0, score).alias("flesch"),
     )
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram (Shannon) entropy in nats — the
+    repetitiveness screen that catches low-diversity spam
+    ``repetition_stats``' fixed-gram ratios can miss (a doc cycling 3
+    tokens has high distinct-gram ratios at n=1 but entropy ≈ ln 3).
+
+    H = ln(n) − (1/n)·Σ_w c_w·ln(c_w) from EXACT integer token counts;
+    each per-token term is one fixed IEEE expression rounded 12 and
+    accumulated as DECIMAL(38,12) (the pagerank discipline —
+    order-independent exact summation, so the value hash-matches any
+    engine); the final expression is one fixed double rounded 6.
+
+    Returns (doc_id, n_tokens, n_distinct, entropy); empty docs are
+    absent (no tokens — entropy undefined, stated rather than NULL).
+    Shape: one explode + two keyed aggregations; output O(docs)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("__w")
+    )
+    counts = toks.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__c"))
+    per = counts.groupBy(id_col).agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(
+            F.round(
+                F.col("__c").cast("double") * F.log(F.col("__c").cast("double")), 12
+            ).cast("decimal(38,12)")
+        ).alias("__s"),
+    )
+    return per.select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        F.round(
+            F.log(F.col("n_tokens").cast("double"))
+            - F.col("__s").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("entropy"),
+    )
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 500,
+    min_freq: int = 1,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope/intercept of
+    ln(freq) vs ln(rank) for the ``top_k`` most frequent terms — the
+    corpus-health scalar (natural text ≈ −1; generated/templated corpora
+    drift shallow, token-salad drifts steep). Fitting the top-K ranks is
+    the standard practice AND the scale bound: the ordered rank window
+    runs over a table already truncated to ``top_k`` rows, never the
+    full vocabulary.
+
+    Determinism + portability: rank ties break by (freq DESC, term ASC)
+    — a total order; per-rank x/y/xy/xx terms are fixed IEEE expressions
+    rounded 12, DECIMAL(38,12)-accumulated; slope and intercept are each
+    ONE fixed double expression over the exact sums, rounded 6.
+
+    Returns one row: (n_terms, total_tokens, slope, intercept)."""
+    freq = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__f"))
+        .filter(F.col("__f") >= min_freq)
+        .orderBy(F.col("__f").desc(), F.col("__w").asc())
+        .limit(top_k)
+    )
+    from pyspark.sql import Window
+
+    ranked = freq.withColumn(
+        "__r",
+        F.row_number().over(Window.orderBy(F.col("__f").desc(), F.col("__w").asc())),
+    )
+    x = F.round(F.log(F.col("__r").cast("double")), 12)
+    y = F.round(F.log(F.col("__f").cast("double")), 12)
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("__f").alias("total_tokens"),
+        F.sum(x.cast("decimal(38,12)")).alias("__sx"),
+        F.sum(y.cast("decimal(38,12)")).alias("__sy"),
+        F.sum(F.round(x * y, 12).cast("decimal(38,12)")).alias("__sxy"),
+        F.sum(F.round(x * x, 12).cast("decimal(38,12)")).alias("__sxx"),
+    )
+    k = F.col("n_terms").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    den = k * sxx - sx * sx
+    return sums.select(
+        "n_terms",
+        "total_tokens",
+        F.round((k * sxy - sx * sy) / den, 6).alias("slope"),
+        F.round((sy - (k * sxy - sx * sy) / den * sx) / k, 6).alias("intercept"),
+    )

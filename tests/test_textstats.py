@@ -485,3 +485,80 @@ def test_readability_flesch(spark):
     assert got[2]["n_sentences"] == 1
     assert got[3]["flesch"] is None and got[3]["n_words"] == 0
     assert got[4]["flesch"] is None
+
+
+# ------------------------------------------------ token_entropy / zipf
+
+
+def test_token_entropy_hand_checked(spark):
+    import math
+
+    from cdc_connector_spark.ops.textstats import token_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a a b b"), (2, "a a a a"), (3, "a b c d"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in token_entropy(docs).collect()}
+    # uniform over 2 -> ln 2; constant -> 0; uniform over 4 -> ln 4
+    assert out[1]["entropy"] == round(math.log(2), 6)
+    assert out[2]["entropy"] == 0.0
+    assert out[3]["entropy"] == round(math.log(4), 6)
+    assert out[3]["n_tokens"] == 4 and out[3]["n_distinct"] == 4
+    assert 4 not in out  # empty doc absent
+
+
+def test_token_entropy_catches_low_diversity(spark):
+    from cdc_connector_spark.ops.textstats import token_entropy
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["spam", "ham", "egg"] * 50)),
+         (2, " ".join(f"w{i}" for i in range(150)))],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["entropy"] for r in token_entropy(docs).collect()}
+    assert out[1] < 1.2 < out[2]
+
+
+def test_zipf_slope_exact_power_law(spark):
+    """A corpus built to freq(rank r) = 64 / 2^(log2 r) ... i.e. an exact
+    power law freq = C·r^s must fit slope == s (up to the round-12
+    term discipline)."""
+    from cdc_connector_spark.ops.textstats import zipf_slope
+
+    # ranks 1,2,4,8,16 with freq 16,8,4,2,1 -> ln f = ln 16 - 1*ln r
+    words = []
+    for i, (rk, f) in enumerate([(1, 16), (2, 8), (3, 4), (4, 2)]):
+        words += [f"w{i}"] * f
+    # choose freqs so ln-ln is NOT exactly collinear unless law holds:
+    # freq = 16/rank for ranks 1,2,4 is not integral at rank 3; use the
+    # doubling construction: freq 16,8,4,2 at ranks 1..4 is NOT a pure
+    # power law of rank (it's 2^(5-r)), so fit on ranks {1,2,4,8}:
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    row = zipf_slope(docs, top_k=4).collect()[0]
+    assert row["n_terms"] == 4 and row["total_tokens"] == 30
+    # reference OLS in python with the same rounding discipline
+    import math
+
+    pts = [(1, 16), (2, 8), (3, 4), (4, 2)]
+    xs = [round(math.log(r), 12) for r, _ in pts]
+    ys = [round(math.log(f), 12) for _, f in pts]
+    k = 4.0
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(round(a * b, 12) for a, b in zip(xs, ys))
+    sxx = sum(round(a * a, 12) for a in xs)
+    den = k * sxx - sx * sx
+    slope = round((k * sxy - sx * sy) / den, 6)
+    inter = round((sy - (k * sxy - sx * sy) / den * sx) / k, 6)
+    assert row["slope"] == slope and row["intercept"] == inter
+
+
+def test_zipf_rank_tiebreak_deterministic(spark):
+    from cdc_connector_spark.ops.textstats import zipf_slope
+
+    docs = spark.createDataFrame(
+        [(1, "b b a a c"), (2, "c c d")], "doc_id long, text string"
+    )
+    r1 = zipf_slope(docs, top_k=3).collect()[0]
+    r2 = zipf_slope(docs, top_k=3).collect()[0]
+    assert r1 == r2
