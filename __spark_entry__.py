@@ -2799,6 +2799,19 @@ def zipf_slope_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_slope(_t(spark, sf_dir, "documents"), top_k=300)
 
 
+def interevent_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series (NEW r8): inter-arrival-time distribution per event
+    type — consecutive per-user gaps in exact integer microseconds,
+    summarized as exact order statistics — min/p50/p90/max with
+    NEAREST-RANK percentiles (BIGINT by construction; interpolation
+    differs between engines in the last ulp at 1e11-us magnitudes and
+    can never hash-match). Deterministic under duplicate timestamps (gap
+    multiset depends only on the sorted ts sequence). Value-verified."""
+    from cdc_connector_spark.ops.timeseries import interevent_stats
+
+    return interevent_stats(_t(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3067,6 +3080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekday_profile_events": weekday_profile_events,
         "token_entropy_documents": token_entropy_documents,
         "zipf_slope_documents": zipf_slope_documents,
+        "interevent_stats_events": interevent_stats_events,
     }
     assert len(_R8_WINDOW) == 50 and set(_R8_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -6417,5 +6431,27 @@ def oracle_sql() -> dict[str, str]:
                             * CAST(sx AS DOUBLE))
                          / CAST(n_terms AS DOUBLE), 6) AS intercept
             FROM s
+        """,
+        # Inter-event gaps: per-(type,user) lag over (ts, event_id),
+        # exact integer micros, quantile_cont == Spark percentile.
+        "interevent_stats_events": """
+            WITH ev AS (
+                SELECT event_type, user_id, event_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS t
+                FROM events WHERE user_id IS NOT NULL
+            ), d AS (
+                SELECT event_type,
+                       t - LAG(t) OVER (PARTITION BY event_type, user_id
+                                        ORDER BY t ASC, event_id ASC) AS gap
+                FROM ev
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   CAST(MIN(gap) AS BIGINT) AS min_us,
+                   CAST(list_sort(list(gap))[CAST((1 * COUNT(*) + 1) // 2 AS INT)] AS BIGINT) AS p50_us,
+                   CAST(list_sort(list(gap))[CAST((9 * COUNT(*) + 9) // 10 AS INT)] AS BIGINT) AS p90_us,
+                   CAST(MAX(gap) AS BIGINT) AS max_us
+            FROM d WHERE gap IS NOT NULL
+            GROUP BY event_type
         """,
     }

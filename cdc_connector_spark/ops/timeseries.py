@@ -30,7 +30,7 @@ time-bucket with an m−1 overlap and union — same algebra, no code change.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -890,4 +890,64 @@ def weekday_profile(df: DataFrame, ts_col: str = "ts") -> DataFrame:
         "total_events",
         F.round(mean, 6).alias("mean_per_day"),
         F.round(mean / overall, 6).alias("seasonal_ratio"),
+    )
+
+
+def interevent_stats(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Inter-arrival-time distribution per event type: consecutive
+    per-user gaps (microseconds) summarized as exact order statistics —
+    the input a rate-limiter, SLA, or burst-alert threshold is actually
+    set from (a mean hides the bimodal "instant retry vs daily visit"
+    shape every real stream has).
+
+    Deterministic: events order by (ts, event_id) per (type, user); with
+    duplicate timestamps the gap multiset depends only on the sorted
+    timestamp sequence, so tie order cannot change the answer. Exact
+    integer micros; percentiles use the NEAREST-RANK definition (value at
+    1-based rank ceil(p·n)) — an exact order statistic that stays a
+    BIGINT, where linear interpolation's a + frac·(b−a) differs between
+    engines in the last ulp at 1e11-microsecond magnitudes (measured:
+    …571.5 vs …571.50006) and can never hash-match.
+
+    Shape: one (type,user)-keyed lag window over events, one per-type
+    sorted-array aggregation. The array buffers one type's gaps per
+    group — at 100 TB swap for approx_percentile or bucket the gaps
+    (documented trade; group count is |event types|, the skew hazard is
+    a single hot type)."""
+    ev = df.filter(F.col(user_col).isNotNull()).select(
+        F.col(type_col).alias("__ty"),
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("__eid"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__t"),
+    )
+    w = Window.partitionBy("__ty", "__u").orderBy(
+        F.col("__t").asc(), F.col("__eid").asc()
+    )
+    gaps = ev.withColumn("__gap", F.col("__t") - F.lag("__t").over(w)).filter(
+        F.col("__gap").isNotNull()
+    )
+    per = gaps.groupBy(F.col("__ty").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("__gap").alias("min_us"),
+        F.sort_array(F.collect_list("__gap")).alias("__sorted"),
+        F.max("__gap").alias("max_us"),
+    )
+    # nearest-rank: 1-based index ceil(p*n) via exact integer arithmetic
+    def nr(num: int, den: int):
+        idx = F.expr(f"CAST(({num} * n_gaps + {den} - 1) DIV {den} AS INT)")
+        return F.element_at(F.col("__sorted"), idx)
+
+    return per.select(
+        "event_type",
+        "n_gaps",
+        "min_us",
+        nr(1, 2).alias("p50_us"),
+        nr(9, 10).alias("p90_us"),
+        "max_us",
     )

@@ -703,3 +703,54 @@ def test_weekday_profile_flat_series_ratio_one(spark):
     out = weekday_profile(df).collect()
     assert len(out) == 7
     assert all(r["seasonal_ratio"] == 1.0 and r["n_days"] == 2 for r in out)
+
+
+# ----------------------------------------------------- interevent_stats
+
+
+def test_interevent_hand_checked_and_tie_stable(spark):
+    import datetime as dt
+
+    from cdc_connector_spark.ops.timeseries import interevent_stats
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # user 1 click at 0, 10, 30 -> gaps 10s, 20s
+        (1, ts(0), 1, "click"), (2, ts(10), 1, "click"), (3, ts(30), 1, "click"),
+        # user 2 click at 5, 5 (duplicate ts) -> gap 0
+        (4, ts(5), 2, "click"), (5, ts(5), 2, "click"),
+        # single view -> no gap, type absent
+        (6, ts(0), 1, "view"),
+        # NULL user ignored
+        (7, ts(1), None, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r["event_type"]: r for r in interevent_stats(df).collect()}
+    c = out["click"]
+    assert c["n_gaps"] == 3 and c["min_us"] == 0
+    assert c["max_us"] == 20_000_000
+    # gaps sorted: [0, 10s, 20s] -> nearest-rank p50 = rank ceil(1.5)=2
+    assert c["p50_us"] == 10_000_000
+    assert "view" not in out
+
+
+def test_interevent_nearest_rank_percentiles(spark):
+    import datetime as dt
+
+    from cdc_connector_spark.ops.timeseries import interevent_stats
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, 0, i * 10), 1, "t") for i in [0, 1, 3, 6, 10, 15]
+    ]  # gaps 10,20,30,40,50 us
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    r = interevent_stats(df).collect()[0]
+    # nearest-rank p90 over [10,20,30,40,50]: rank ceil(4.5) = 5 -> 50
+    assert r["p90_us"] == 50 and r["n_gaps"] == 5
+    # p50: rank ceil(2.5) = 3 -> 30
+    assert r["p50_us"] == 30
