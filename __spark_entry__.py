@@ -2812,6 +2812,47 @@ def interevent_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interevent_stats(_t(spark, sf_dir, "events"))
 
 
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops (NEW r8): hard-negative mining for contrastive training —
+    for probes vec_id 0/1/2, the top-3 most cosine-similar corpus
+    vectors with a DIFFERENT label (near the anchor, labeled otherwise —
+    the triplet/InfoNCE negatives). Brute-force exact baseline (swap the
+    candidate generator for IVF/LSH at scale; ordering semantics stay).
+    Value-verified."""
+    from cdc_connector_spark.ops.ann import hard_negatives
+
+    return hard_negatives(_t(spark, sf_dir, "embeddings"), [0, 1, 2], k=3)
+
+
+def label_balance_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiling (NEW r8): class-balance audit of the labeled embedding
+    set — per-label counts/shares plus Gini impurity and normalized
+    entropy (round-12 terms, DECIMAL accumulation, fixed final
+    expressions). NULL labels surface as '<NULL>'. Value-verified."""
+    from cdc_connector_spark.validation.checks import label_balance
+
+    return label_balance(_t(spark, sf_dir, "embeddings"), "label")
+
+
+def psi_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift (NEW r8): Population Stability Index of o_totalprice between
+    the even- and odd-orderkey halves — the numeric drift scalar next to
+    chi_square_orders' categorical one; explicit [0, 600000]×10 bins
+    (clamp-and-floor), Laplace-smoothed shares keep empty-bin logs
+    defined deterministically. Value-verified."""
+    from cdc_connector_spark.validation.drift import population_stability
+
+    orders = _t(spark, sf_dir, "orders")
+    return population_stability(
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        orders.filter(F.col("o_orderkey") % 2 == 1),
+        "o_totalprice",
+        lo=0.0,
+        hi=600000.0,
+        bins=10,
+    )
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3081,6 +3122,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy_documents": token_entropy_documents,
         "zipf_slope_documents": zipf_slope_documents,
         "interevent_stats_events": interevent_stats_events,
+        "hard_negatives_embeddings": hard_negatives_embeddings,
+        "label_balance_embeddings": label_balance_embeddings,
+        "psi_order_totals": psi_order_totals,
     }
     assert len(_R8_WINDOW) == 50 and set(_R8_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -6453,5 +6497,86 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(gap) AS BIGINT) AS max_us
             FROM d WHERE gap IS NOT NULL
             GROUP BY event_type
+        """,
+        # Hard negatives: cross join vs 3 probes, label-inequality filter,
+        # identical cosine expression, QUALIFY top-3 per probe.
+        "hard_negatives_embeddings": """
+            WITH probes AS (
+                SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pvec,
+                       label AS plabel
+                FROM embeddings WHERE vec_id IN (0, 1, 2)
+            ), scored AS (
+                SELECT p.probe_id, e.vec_id, e.label,
+                       round(list_inner_product(CAST(e.embedding AS DOUBLE[]), p.pvec)
+                             / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                                        CAST(e.embedding AS DOUBLE[])))
+                                * sqrt(list_inner_product(p.pvec, p.pvec))), 6) AS cos_sim
+                FROM embeddings e CROSS JOIN probes p
+                WHERE e.label <> p.plabel AND e.vec_id <> p.probe_id
+            )
+            SELECT probe_id, vec_id, label, cos_sim FROM scored
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+                                       ORDER BY cos_sim DESC, vec_id ASC) <= 3
+        """,
+        # Label balance: exact counts, round-12 terms, DECIMAL sums, the
+        # identical gini/entropy closed forms.
+        "label_balance_embeddings": """
+            WITH per AS (
+                SELECT coalesce(CAST(label AS VARCHAR), '<NULL>') AS label,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM embeddings GROUP BY 1
+            ), tt AS (
+                SELECT CAST(SUM(n) AS BIGINT) AS total,
+                       CAST(COUNT(*) AS BIGINT) AS k
+                FROM per
+            ), s AS (
+                SELECT any_value(total) AS total, any_value(k) AS k,
+                       SUM(CAST(round((CAST(n AS DOUBLE) / CAST(total AS DOUBLE))
+                                      * (CAST(n AS DOUBLE) / CAST(total AS DOUBLE)), 12)
+                                AS DECIMAL(38,12))) AS p2,
+                       SUM(CAST(round(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)), 12)
+                                AS DECIMAL(38,12))) AS clnc
+                FROM per CROSS JOIN tt
+            )
+            SELECT per.label, per.n,
+                   round(CAST(per.n AS DOUBLE) / CAST(s.total AS DOUBLE), 6) AS share,
+                   round(1.0 - CAST(s.p2 AS DOUBLE), 6) AS gini,
+                   CASE WHEN s.k > 1
+                        THEN round((ln(CAST(s.total AS DOUBLE))
+                                    - CAST(s.clnc AS DOUBLE) / CAST(s.total AS DOUBLE))
+                                   / ln(CAST(s.k AS DOUBLE)), 6)
+                        ELSE 0.0 END AS norm_entropy
+            FROM per CROSS JOIN s
+        """,
+        # PSI: identical clamp-and-floor bins, full bin spine, Laplace
+        # smoothing, round-12 terms + DECIMAL sum.
+        "psi_order_totals": """
+            WITH eb AS (
+                SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 60000.0), 0), 9) AS INT) AS bin,
+                       CAST(COUNT(*) AS BIGINT) AS e
+                FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL
+                GROUP BY 1
+            ), ab AS (
+                SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 60000.0), 0), 9) AS INT) AS bin,
+                       CAST(COUNT(*) AS BIGINT) AS a
+                FROM orders WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL
+                GROUP BY 1
+            ), spine AS (
+                SELECT CAST(range AS INT) AS bin FROM range(0, 10)
+            ), filled AS (
+                SELECT s.bin, coalesce(eb.e, 0) AS e, coalesce(ab.a, 0) AS a
+                FROM spine s LEFT JOIN eb USING (bin) LEFT JOIN ab USING (bin)
+            ), t AS (
+                SELECT CAST(SUM(e) AS BIGINT) AS ne, CAST(SUM(a) AS BIGINT) AS na FROM filled
+            ), terms AS (
+                SELECT ne, na,
+                       CAST(e + 1 AS DOUBLE) / CAST(ne + 10 AS DOUBLE) AS p,
+                       CAST(a + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE) AS q
+                FROM filled CROSS JOIN t
+            )
+            SELECT any_value(ne) AS n_expected, any_value(na) AS n_actual,
+                   round(CAST(SUM(CAST(round((p - q) * ln(p / q), 12)
+                                       AS DECIMAL(38,12))) AS DOUBLE), 6) AS psi
+            FROM terms
         """,
     }

@@ -981,3 +981,67 @@ def semantic_decontaminate(
     return corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     ).mapInPandas(gen, out_schema)
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining: for each probe vector, the top-``k`` most
+    cosine-similar corpus vectors with a DIFFERENT label — the
+    contrastive-training data step (triplet/InfoNCE negatives that are
+    hard because they're near the anchor yet labeled differently).
+
+    Brute-force exact by design (this is the verification-grade
+    baseline, same contract as ``brute_force_topk``); at corpus scale
+    swap the candidate generator for the IVF/LSH paths and keep the
+    label-inequality filter + re-rank — the scoring and ordering here
+    are the semantics, the scan strategy is not.
+
+    Returns (probe_id, vec_id, label, cos_sim) — ``k`` rows per probe,
+    ordered within probe by (cos_sim desc, vec_id asc); a probe's own
+    row and same-label rows never appear. Probes missing from the corpus
+    yield no rows (stated, not NULL-padded).
+
+    Shape: probes (a handful) broadcast against one corpus pass; the
+    per-probe top-k is a probe-keyed rank window over the scored rows."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    probes = (
+        embeddings.filter(F.col(id_col).isin(probe_ids))
+        .select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).cast("array<double>").alias("__pvec"),
+            F.col(label_col).alias("__plabel"),
+        )
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(probes))
+        .filter(
+            (F.col(label_col) != F.col("__plabel"))
+            & (F.col(id_col) != F.col("probe_id"))
+        )
+        .select(
+            "probe_id",
+            id_col,
+            label_col,
+            F.round(
+                cosine_similarity(
+                    F.col(vec_col).cast("array<double>"), F.col("__pvec")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

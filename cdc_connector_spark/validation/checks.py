@@ -668,3 +668,54 @@ def referential_integrity(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def label_balance(df: DataFrame, label_col: str) -> DataFrame:
+    """Class-balance audit of a labeled training set: per-label counts and
+    exact shares plus the corpus-level imbalance scalars — Gini impurity
+    (1 − Σ pᵢ²) and normalized entropy (H / ln k) — repeated on every row
+    for a one-table readout. NULL labels surface as their own class
+    (``<NULL>`` sentinel): silent drops hide exactly the labeling bugs
+    this audit exists to catch.
+
+    Portable arithmetic: counts exact; per-class terms (pᵢ², cᵢ·ln cᵢ)
+    are fixed IEEE expressions rounded 12 and DECIMAL(38,12)-accumulated;
+    each scalar is one final fixed expression rounded 6. A single-class
+    corpus reports normalized entropy 0.0 (stated, not NULL — ln 1 = 0
+    denominators are degenerate, not missing). One label-keyed shuffle,
+    ≤ |classes| rows after it."""
+    per = df.groupBy(
+        F.coalesce(F.col(label_col).cast("string"), F.lit("<NULL>")).alias("label")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per = per.localCheckpoint(eager=True)  # referenced by totals + sums + output
+    totals = per.agg(
+        F.sum("n").alias("__total"), F.count(F.lit(1)).alias("__k")
+    )
+    p_i = F.col("n").cast("double") / F.col("__total").cast("double")
+    tot = (
+        per.join(F.broadcast(totals))
+        .agg(
+            F.any_value("__total").alias("__total"),
+            F.any_value("__k").alias("__k"),
+            F.sum(F.round(p_i * p_i, 12).cast("decimal(38,12)")).alias("__p2"),
+            F.sum(
+                F.round(
+                    F.col("n").cast("double") * F.log(F.col("n").cast("double")), 12
+                ).cast("decimal(38,12)")
+            ).alias("__clnc"),
+        )
+    )
+    n_d = F.col("__total").cast("double")
+    ent = F.log(n_d) - F.col("__clnc").cast("double") / n_d
+    return per.join(F.broadcast(tot)).select(
+        "label",
+        "n",
+        F.round(F.col("n").cast("double") / n_d, 6).alias("share"),
+        F.round(F.lit(1.0) - F.col("__p2").cast("double"), 6).alias("gini"),
+        F.when(
+            F.col("__k") > 1,
+            F.round(ent / F.log(F.col("__k").cast("double")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("norm_entropy"),
+    )

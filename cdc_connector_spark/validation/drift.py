@@ -53,3 +53,68 @@ def replay_window(source: DataFrame, sink: DataFrame, ts_col: str) -> dict:
         "sink": {"min_ts": str(k["min_ts"]), "max_ts": str(k["max_ts"]), "count": k["n"]},
         "verdict": verdict,
     }
+
+
+def population_stability(
+    expected: DataFrame,
+    actual: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two samples of a numeric
+    column — THE model-monitoring drift scalar (rule of thumb: < 0.1
+    stable, 0.1–0.25 shifting, > 0.25 drifted). Complements
+    ``chi_square_independence`` (categorical) with the numeric case.
+
+    Bins are EXPLICIT equi-width over [lo, hi] (the histogram_numeric
+    clamp-and-floor expression, outliers land in edge bins) — explicit
+    bounds make the readout stable across days, which is the whole point
+    of a monitoring metric. Laplace-smoothed shares pᵢ = (eᵢ+1)/(Nₑ+B)
+    keep ln(p/q) defined on empty bins DETERMINISTICALLY (the usual
+    "add epsilon" made exact and engine-replayable).
+
+    PSI = Σ (pᵢ − qᵢ)·ln(pᵢ/qᵢ): per-bin terms are fixed IEEE
+    expressions rounded 12, DECIMAL(38,12)-accumulated, final round 6.
+    Returns ONE row: (n_expected, n_actual, psi). Each side collapses to
+    ≤ ``bins`` rows before anything joins."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    width = (hi - lo) / bins
+    spark = expected.sparkSession
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        raw = F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width))
+        b = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
+        return (
+            df.filter(F.col(col).isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+    all_bins = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+    e = counts(expected, "__e")
+    a = counts(actual, "__a")
+    full = (
+        all_bins.join(e, "bin", "left")
+        .join(a, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce(F.col("__e"), F.lit(0)).alias("__e"),
+            F.coalesce(F.col("__a"), F.lit(0)).alias("__a"),
+        )
+    )
+    tot = full.agg(F.sum("__e").alias("__ne"), F.sum("__a").alias("__na"))
+    p = (F.col("__e") + 1).cast("double") / (F.col("__ne") + bins).cast("double")
+    q = (F.col("__a") + 1).cast("double") / (F.col("__na") + bins).cast("double")
+    term = F.round((p - q) * F.log(p / q), 12).cast("decimal(38,12)")
+    return (
+        full.join(F.broadcast(tot))
+        .agg(
+            F.any_value("__ne").alias("n_expected"),
+            F.any_value("__na").alias("n_actual"),
+            F.round(F.sum(term).cast("double"), 6).alias("psi"),
+        )
+    )

@@ -426,3 +426,35 @@ def test_semantic_decontaminate_mixed_id_types(spark):
 
     with _pt.raises(ValueError, match="missing id column"):
         semantic_decontaminate(corpus.withColumnRenamed("vec_id", "x"), eval_set)
+
+
+# -------------------------------------------------------- hard_negatives
+
+
+def test_hard_negatives_excludes_same_label_and_self(spark):
+    from cdc_connector_spark.ops.ann import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.99, 0.1], 1),   # same label, closest — must be excluded
+        (2, [0.9, 0.2], 2),    # different label, close
+        (3, [0.0, 1.0], 2),    # different label, far
+        (4, [0.95, 0.05], 3),  # different label, closest valid
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = hard_negatives(emb, [0], k=2).collect()
+    assert [r["vec_id"] for r in out] == [4, 2]
+    assert all(r["label"] != 1 and r["vec_id"] != 0 for r in out)
+    assert out[0]["cos_sim"] > out[1]["cos_sim"]
+
+
+def test_hard_negatives_k_rows_per_probe_and_missing_probe(spark):
+    from cdc_connector_spark.ops.ann import hard_negatives
+
+    rows = [(i, [float(i), 1.0], i % 2) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = hard_negatives(emb, [0, 1, 999], k=3).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["probe_id"], []).append(r)
+    assert set(per) == {0, 1} and all(len(v) == 3 for v in per.values())
