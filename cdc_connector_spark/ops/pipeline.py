@@ -125,6 +125,10 @@ def pretrain_corpus(
     winnow_max_df: int | None = None,
     mixture_weights: dict[str, float] | None = None,
     mixture_total_tokens: int | None = None,
+    min_entropy: float | None = None,
+    bloom_prescreen: bool = False,
+    bloom_m_bits: int = 1 << 20,
+    bloom_k: int = 3,
 ) -> DataFrame:
     """The full pretraining data recipe, composed from the engine's
     operators in the canonical order (cheapest-and-most-selective first,
@@ -176,6 +180,18 @@ def pretrain_corpus(
     token-budget mixture selection (the Pile/Dolma recipe) as the
     alternative to ``mix_temperature`` (mutually exclusive — both decide
     the final mixture).
+
+    Round-8 stages: ``min_entropy`` gates on per-doc unigram Shannon
+    entropy (textstats.token_entropy — the low-diversity spam cut the
+    fixed-gram repetition caps miss), applied up front with the other
+    cheap rejections. ``bloom_prescreen=True`` puts the Bloom-filter
+    probe (ops/sketch.py) in FRONT of the exact decontamination join:
+    only Bloom-flagged docs enter the exact inverted-index check. The
+    sketch has NO false negatives, so the screen is LOSSLESS — the final
+    corpus is bit-identical with or without it (pinned by a parity
+    test); what changes is that the gram-keyed exact join runs over the
+    flagged sliver instead of the whole corpus, which is the 100 TB
+    shape. ``bloom_m_bits``/``bloom_k`` size the filter.
 
     Returns the surviving docs with ``lang_pred``/``quality`` from the
     cleaning stages plus ``(n_tokens, seq_id, seq_offset)`` packing
@@ -234,6 +250,15 @@ def pretrain_corpus(
         if max_dup_line_frac is not None:
             cond = cond & (F.col("dup_line_frac") <= max_dup_line_frac)
         kept = kept.join(rep.filter(cond).select(id_col), id_col, "left_semi")
+    if min_entropy is not None:
+        from cdc_connector_spark.ops.textstats import token_entropy
+
+        ok_ids = (
+            token_entropy(kept, text_col=text_col, id_col=id_col)
+            .filter(F.col("entropy") >= min_entropy)
+            .select(id_col)
+        )
+        kept = kept.join(ok_ids, id_col, "left_semi")
     cleaned = clean_corpus(
         kept,
         text_col=text_col,
@@ -280,9 +305,28 @@ def pretrain_corpus(
             kept_q = pareto_quality_filter(scores, id_col=id_col, alpha=quality_pareto_alpha)
         cleaned = cleaned.join(kept_q.select(id_col), id_col, "left_semi")
     if eval_set is not None:
+        base = cleaned
+        if bloom_prescreen:
+            from cdc_connector_spark.ops.sketch import bloom_decontaminate
+
+            # min_flagged=1: ANY flagged gram makes a doc a candidate —
+            # with the sketch's zero-false-negative guarantee the screen
+            # is a strict superset of the exact check's positives, so
+            # the composition is lossless
+            flagged = bloom_decontaminate(
+                cleaned,
+                eval_set,
+                n=decontam_ngram,
+                m_bits=bloom_m_bits,
+                k=bloom_k,
+                min_flagged=1,
+                text_col=text_col,
+                id_col=id_col,
+            ).select(id_col)
+            base = cleaned.join(flagged, id_col, "left_semi")
         dirty = (
             decontaminate(
-                cleaned,
+                base,
                 eval_set,
                 n=decontam_ngram,
                 min_overlap=decontam_min_overlap,

@@ -341,3 +341,70 @@ def test_pretrain_winnow_keeps_higher_quality_member(spark):
     )
     ids = {r["doc_id"] for r in out.collect()}
     assert ids == {2}  # higher quality survives despite the larger id
+
+
+# --------------------------------- r8 stages: entropy gate, bloom prescreen
+
+
+def test_min_entropy_gate_drops_low_diversity(spark):
+    """Both docs pass the Gopher gate (pinned in-test — a fixture Gopher
+    rejects would pass this test without ever exercising the entropy
+    stage); only the low-entropy one falls to min_entropy."""
+    import random
+
+    from cdc_connector_spark.ops.pipeline import pretrain_corpus
+    from cdc_connector_spark.ops.textstats import gopher_quality
+
+    rng = random.Random(3)
+    low = [f"tok{i}" for i in range(16)] * 5      # H = ln 16 ~ 2.77
+    rng.shuffle(low)
+    high = [f"word{i}" for i in range(80)]        # H = ln 80 ~ 4.38
+    rows = [(1, " ".join(low), "s0"), (2, " ".join(high), "s0")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    import pyspark.sql.functions as SF
+
+    assert {
+        r["doc_id"] for r in gopher_quality(docs).filter(SF.col("keep")).collect()
+    } == {1, 2}
+    out = pretrain_corpus(docs, keep_langs=None, near_dup=False, min_entropy=3.5)
+    assert {r["doc_id"] for r in out.collect()} == {2}
+
+
+def test_bloom_prescreen_is_lossless(spark):
+    """The whole point: with a TINY filter (false positives everywhere)
+    the final corpus must still be IDENTICAL to the unscreened run —
+    the exact stage re-checks every candidate; the sketch only prunes.
+    Docs are built to pass the upstream Gopher/quality gates (pinned)."""
+    from cdc_connector_spark.ops.pipeline import pretrain_corpus
+    from cdc_connector_spark.ops.textstats import gopher_quality
+
+    def filler(i):
+        return " ".join(f"tok{i}x{j} mid{i}y{j}" for j in range(18))  # 36 words
+
+    rows = [(i, f"unique{i} " + filler(i), "s0") for i in range(8)]
+    dirty_phrase = "alpha beta gamma delta epsilon zeta"
+    rows[6] = (6, dirty_phrase + " eta theta " + filler(6), "s0")
+    rows[7] = (7, dirty_phrase + " other words " + filler(7), "s0")
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    import pyspark.sql.functions as SF
+
+    assert gopher_quality(docs).filter(SF.col("keep")).count() == 8
+    eval_set = spark.createDataFrame(
+        [(100, dirty_phrase)], "doc_id long, text string"
+    )
+    kw = dict(
+        keep_langs=None, near_dup=False, decontam_ngram=3, decontam_min_overlap=3
+    )
+    plain = {
+        r["doc_id"]
+        for r in pretrain_corpus(docs, eval_set=eval_set, **kw).collect()
+    }
+    screened = {
+        r["doc_id"]
+        for r in pretrain_corpus(
+            docs, eval_set=eval_set, bloom_prescreen=True, bloom_m_bits=16,
+            bloom_k=2, **kw
+        ).collect()
+    }
+    assert screened == plain
+    assert 6 not in plain and 7 not in plain and 1 in plain
