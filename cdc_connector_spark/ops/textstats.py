@@ -1107,3 +1107,46 @@ def zipf_slope(
         F.round((k * sxy - sx * sy) / den, 6).alias("slope"),
         F.round((sy - (k * sxy - sx * sy) / den * sx) / k, 6).alias("intercept"),
     )
+
+
+def normalize_text(
+    col: Column | str,
+    lowercase: bool = False,
+    strip_controls: bool = True,
+    collapse_whitespace: bool = True,
+    unify_quotes: bool = True,
+) -> Column:
+    """User-facing text normalization — the corpus-prep cleanup that runs
+    BEFORE hashing/tokenizing (``fingerprint`` normalizes destructively
+    for a dedup KEY; this produces text you keep):
+
+    - strip C0/C1 control characters (except \\t \\n which become spaces
+      via the whitespace pass) — the mojibake/terminal-escape scrub;
+    - unify typographic quotes/dashes to ASCII (' ' " " — –  → ' " -),
+      the normalization that makes downstream regex/dedup rules see one
+      form;
+    - collapse all whitespace runs to single spaces and trim;
+    - optional lowercasing (OFF by default — case is signal for quality
+      scoring and NER-ish rules; turn on only for matching keys).
+
+    One chained ``regexp_replace``/``translate`` projection — pure
+    whole-stage codegen, scan-bound at any scale, and every piece is
+    expressible in ANSI SQL so the op value-verifies. Patterns avoid
+    lookaround (Java regex ↔ RE2 portability, the PII_PATTERNS rule).
+    NULL → empty string (stated: cleaning yields a clean EMPTY doc, not
+    a NULL hole downstream ops must re-guard)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.coalesce(c, F.lit(""))
+    if unify_quotes:
+        out = F.translate(
+            out,
+            "‘’“”–—",
+            "''\"\"--",
+        )
+    if strip_controls:
+        out = F.regexp_replace(out, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    if collapse_whitespace:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    if lowercase:
+        out = F.lower(out)
+    return out

@@ -562,3 +562,32 @@ def test_zipf_rank_tiebreak_deterministic(spark):
     r1 = zipf_slope(docs, top_k=3).collect()[0]
     r2 = zipf_slope(docs, top_k=3).collect()[0]
     assert r1 == r2
+
+
+# -------------------------------------------------------- normalize_text
+
+
+def test_normalize_text_full_cleanup(spark):
+    from cdc_connector_spark.ops.textstats import normalize_text
+
+    rows = [
+        (1, "a\x00b\x07c  \t d\ne"),
+        (2, "‘hi’ “there” – ok — yes"),
+        (3, None),
+        (4, "  already clean  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["t"] for r in df.select("doc_id", normalize_text("text").alias("t")).collect()}
+    assert out[1] == "abc d e"
+    assert out[2] == "'hi' \"there\" - ok - yes"
+    assert out[3] == ""
+    assert out[4] == "already clean"
+
+
+def test_normalize_text_lowercase_opt_in(spark):
+    from cdc_connector_spark.ops.textstats import normalize_text
+
+    df = spark.createDataFrame([(1, "MiXeD Case")], "doc_id long, text string")
+    keep = df.select(normalize_text("text").alias("t")).collect()[0]["t"]
+    low = df.select(normalize_text("text", lowercase=True).alias("t")).collect()[0]["t"]
+    assert keep == "MiXeD Case" and low == "mixed case"

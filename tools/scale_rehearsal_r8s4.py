@@ -44,10 +44,11 @@ def shift_keyed(df, keys, repl=REPL, offset=10_000_000):
 
 
 def timed(name, build):
-    df = build()
-    df.count()  # warm-up
+    build().count()  # warm-up (JIT, IO cache)
+    # ops that localCheckpoint internally do their work EAGERLY at build
+    # time — the timer must wrap build() too, not just the final count
     t0 = time.time()
-    n = df.count()
+    n = build().count()
     print(f"| {name} | {time.time() - t0:.2f}s | {n} rows |", flush=True)
 
 
