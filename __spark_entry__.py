@@ -2853,6 +2853,33 @@ def psi_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def normalize_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops (NEW r8): user-facing text normalization (control-char
+    scrub, typographic-quote/dash unification, whitespace collapse) as
+    one codegen projection — the cleanup that runs BEFORE hashing. The
+    fixture is already clean, so the query PLANTS deterministic dirt
+    (control chars, curly quotes, en/em dashes, tab runs) from table
+    values — the pii_redact pattern — and proves the scrub: cleaned text
+    hash-matches and chars_removed > 0 on every row. Value-verified."""
+    from cdc_connector_spark.ops.textstats import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.lit("\x07 ‘"),
+        F.col("lang"),
+        F.lit("’ – “"),
+        F.col("source"),
+        F.lit("” \x1b \t\t "),
+        F.col("text"),
+    )
+    cleaned = normalize_text(planted)
+    return docs.select(
+        "doc_id",
+        cleaned.alias("text_clean"),
+        (F.length(planted) - F.length(cleaned)).alias("chars_removed"),
+    )
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3125,6 +3152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives_embeddings": hard_negatives_embeddings,
         "label_balance_embeddings": label_balance_embeddings,
         "psi_order_totals": psi_order_totals,
+        "normalize_text_documents": normalize_text_documents,
     }
     assert len(_R8_WINDOW) == 50 and set(_R8_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -6578,5 +6606,28 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(SUM(CAST(round((p - q) * ln(p / q), 12)
                                        AS DECIMAL(38,12))) AS DOUBLE), 6) AS psi
             FROM terms
+        """,
+        # normalize_text: identical plant + translate/regexp chain (RE2
+        # and Java regex agree on these classes; no lookaround). The
+        # translate to-string is built with chr(39) to dodge quoting.
+        "normalize_text_documents": """
+            WITH planted AS (
+                SELECT doc_id,
+                       chr(7) || ' ‘' || lang || '’ – “' || source
+                       || '” ' || chr(27) || ' ' || chr(9) || chr(9) || ' ' || text AS raw
+                FROM documents
+            ), cleaned AS (
+                SELECT doc_id, raw,
+                       trim(regexp_replace(
+                           regexp_replace(
+                               translate(raw, '‘’“”–—',
+                                         chr(39) || chr(39) || '""--'),
+                               '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                           '\\s+', ' ', 'g')) AS text_clean
+                FROM planted
+            )
+            SELECT doc_id, text_clean,
+                   CAST(length(raw) - length(text_clean) AS INT) AS chars_removed
+            FROM cleaned
         """,
     }
