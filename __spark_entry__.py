@@ -2880,6 +2880,29 @@ def normalize_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def standardize_embeddings_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML-prep (NEW r8): per-dimension z-score standardization of the
+    embedding table (ops/features.py) — round-12 + DECIMAL(38,12)
+    dimension sums, fixed mean/std/z expressions. The z vector is
+    emitted as a comma-joined string of INTEGER MILLIONTHS (BIGINT→
+    string digits — float formatting is never portable across engines).
+    Value-verified."""
+    from cdc_connector_spark.ops.features import standardize_embeddings
+
+    out = standardize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        "label",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("z"),
+                lambda v: F.round(v * F.lit(1000000.0)).cast("long").cast("string"),
+            ),
+        ).alias("z_csv"),
+    )
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3153,6 +3176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_balance_embeddings": label_balance_embeddings,
         "psi_order_totals": psi_order_totals,
         "normalize_text_documents": normalize_text_documents,
+        "standardize_embeddings_z": standardize_embeddings_z,
     }
     assert len(_R8_WINDOW) == 50 and set(_R8_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -6629,5 +6653,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text_clean,
                    CAST(length(raw) - length(text_clean) AS INT) AS chars_removed
             FROM cleaned
+        """,
+        # z-score standardization: identical round-12/DECIMAL dim sums,
+        # raw mean/std expressions, integer-millionths digits.
+        "standardize_embeddings_z": """
+            WITH cells AS (
+                SELECT vec_id, label,
+                       generate_subscripts(embedding, 1) - 1 AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings
+            ), sums AS (
+                SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(round(x, 12) AS DECIMAL(38,12))) AS sx,
+                       SUM(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS sxx
+                FROM cells GROUP BY dim
+            ), stats AS (
+                SELECT dim,
+                       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                       sqrt(greatest(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                                     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                                       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)),
+                                     0.0)) AS std
+                FROM sums
+            ), z AS (
+                SELECT c.vec_id, c.label, c.dim,
+                       CASE WHEN s.std > 0 THEN round((c.x - s.mean) / s.std, 6)
+                            ELSE 0.0 END AS z
+                FROM cells c JOIN stats s USING (dim)
+            )
+            SELECT vec_id, label,
+                   array_to_string(list(CAST(CAST(round(z * 1000000.0, 0) AS BIGINT) AS VARCHAR)
+                                        ORDER BY dim), ',') AS z_csv
+            FROM z GROUP BY vec_id, label
         """,
     }
