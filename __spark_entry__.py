@@ -2903,6 +2903,45 @@ def standardize_embeddings_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def canonical_docs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops (NEW r8): canonical-document selection — the keep-ONE-per-
+    near-dup-family decision, composed end-to-end from value-verified
+    parts: MinHash verified pairs → transitive groups (hash-min CC) →
+    best-quality survivor per family (quality desc, doc_id asc — a total
+    order over the rounded score both engines share), singletons survive
+    as their own family. Returns every SURVIVING doc with its family
+    size and quality. The group-dedup semantic clean_corpus(group_dedup=
+    True) applies, value-verified in isolation. Oracle replays the WHOLE
+    pipeline: exact pair set, recursive-CTE closure, survivorship
+    window. Value-verified."""
+    from cdc_connector_spark.ops.components import neardup_groups
+    from cdc_connector_spark.ops.dedup import minhash_verified_pairs
+    from cdc_connector_spark.ops.textstats import quality_score
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.select("doc_id", F.round(quality_score("text"), 6).alias("quality"))
+    pairs = minhash_verified_pairs(
+        docs, num_hashes=64, bands=32, jaccard_threshold=0.5
+    )
+    groups = neardup_groups(pairs)
+    mem = groups.join(q, groups["id"] == q["doc_id"]).select(
+        "doc_id", "rep_id", "group_size", "quality"
+    )
+    w = Window.partitionBy("rep_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    winners = (
+        mem.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "group_size", "quality")
+    )
+    singles = q.join(
+        groups.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
+    ).select("doc_id", F.lit(1).cast("long").alias("group_size"), "quality")
+    return winners.unionByName(singles)
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3177,6 +3216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_order_totals": psi_order_totals,
         "normalize_text_documents": normalize_text_documents,
         "standardize_embeddings_z": standardize_embeddings_z,
+        "canonical_docs_documents": canonical_docs_documents,
     }
     assert len(_R8_WINDOW) == 50 and set(_R8_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -6685,5 +6725,71 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list(CAST(CAST(round(z * 1000000.0, 0) AS BIGINT) AS VARCHAR)
                                         ORDER BY dim), ',') AS z_csv
             FROM z GROUP BY vec_id, label
+        """,
+        # Canonical docs: exact pair set + recursive-CTE closure (the
+        # neardup_groups oracle) + quality survivorship window + the
+        # singleton union.
+        "canonical_docs_documents": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id,
+                       coalesce(text, '') AS txt,
+                       length(coalesce(text, '')) AS n_chars,
+                       CASE WHEN trim(coalesce(text,'')) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                            ELSE [array_to_string(toks, ' ')] END AS sh
+                FROM t
+            ), q AS (
+                SELECT doc_id,
+                       round(
+                         least(n_chars / 200.0, 1.0) * 0.3
+                       + (CASE WHEN (CASE WHEN len(toks) > 0 THEN CAST(n_chars AS DOUBLE) / len(toks) ELSE 0.0 END) >= 3
+                               AND (CASE WHEN len(toks) > 0 THEN CAST(n_chars AS DOUBLE) / len(toks) ELSE 0.0 END) <= 12
+                          THEN 1.0 ELSE 0.5 END) * 0.2
+                       + (CASE WHEN len(toks) > 0
+                          THEN least(len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','with'], x)))
+                                     / (len(toks) * 0.02), 1.0)
+                          ELSE 0.0 END) * 0.2
+                       + (CASE WHEN n_chars > 0
+                          THEN CAST(length(regexp_replace(txt, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / n_chars
+                          ELSE 0.0 END) * 0.3,
+                       6) AS quality
+                FROM t
+            ), pairs AS (
+                SELECT id_a, id_b FROM (
+                    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+                    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                )
+                WHERE jaccard >= 0.5
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ), cc(id, comp) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, cc.comp FROM edges e JOIN cc ON e.dst = cc.id
+            ), lab AS (
+                SELECT id, MIN(comp) AS rep_id FROM cc GROUP BY id
+            ), sizes AS (
+                SELECT rep_id, COUNT(*) AS group_size FROM lab GROUP BY rep_id
+            ), winners AS (
+                SELECT lab.id AS doc_id, sizes.group_size, q.quality
+                FROM lab JOIN sizes ON lab.rep_id = sizes.rep_id
+                         JOIN q ON q.doc_id = lab.id
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY lab.rep_id
+                                           ORDER BY q.quality DESC, lab.id ASC) = 1
+            )
+            SELECT doc_id, group_size, quality FROM winners
+            UNION ALL
+            SELECT q.doc_id, CAST(1 AS BIGINT) AS group_size, q.quality
+            FROM q WHERE q.doc_id NOT IN (SELECT id FROM lab)
         """,
     }

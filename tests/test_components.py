@@ -111,3 +111,37 @@ def test_star_contraction_matches_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["id"]: r["comp"] for r in connected_components_star(pairs).collect()}
     assert got == _union_find(edges)
+
+
+def test_canonical_survivorship_composition(spark):
+    """The keep-one-per-family rule end-to-end on a planted corpus: the
+    best-quality member survives, singletons pass through untouched."""
+    import pyspark.sql.functions as F
+
+    from cdc_connector_spark.ops.components import neardup_groups
+    from cdc_connector_spark.ops.dedup import minhash_verified_pairs
+    from cdc_connector_spark.ops.textstats import quality_score
+    from pyspark.sql import Window
+
+    base = "the quick brown fox jumps over the lazy dog and runs away fast today"
+    rows = [
+        (1, base),
+        (2, base + " extra"),          # near-dup of 1, slightly longer -> higher quality
+        (3, "completely different words about shipping containers and ports"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = docs.select("doc_id", F.round(quality_score("text"), 6).alias("quality"))
+    pairs = minhash_verified_pairs(docs, num_hashes=64, bands=32, jaccard_threshold=0.5)
+    groups = neardup_groups(pairs)
+    mem = groups.join(q, groups["id"] == q["doc_id"]).select(
+        "doc_id", "rep_id", "group_size", "quality"
+    )
+    w = Window.partitionBy("rep_id").orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    winners = (
+        mem.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        .select("doc_id", "group_size")
+    )
+    singles = q.join(groups.select(F.col("id").alias("doc_id")), "doc_id", "left_anti")
+    got = {r["doc_id"]: r["group_size"] for r in winners.collect()}
+    assert got == {2: 2}  # doc 2 beats doc 1 on quality within the family
+    assert {r["doc_id"] for r in singles.collect()} == {3}
