@@ -2942,6 +2942,34 @@ def canonical_docs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winners.unionByName(singles)
 
 
+def curriculum_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops (NEW r8): curriculum export plan — stage 0 (easiest =
+    highest quality) → last, from EXPLICIT score cuts (stable across
+    corpus versions, the PSI explicit-bins rule); deterministic hash
+    shard + hash-shuffled pos within (stage, shard), all from the
+    portable md5 fold so the ENTIRE plan value-verifies. The reader
+    consumes (stage, shard, pos) lexicographically. Value-verified."""
+    from cdc_connector_spark.ops.corpus import curriculum_plan
+    from cdc_connector_spark.ops.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.round(quality_score("text"), 6).alias("quality")
+    )
+    return curriculum_plan(docs, "quality", cuts=[0.56, 0.52], n_shards=4)
+
+
+def session_summary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product analytics (NEW r8): one-row engagement report over
+    30-minute gap sessions — session count, distinct users, bounce
+    sessions/rate (single-event sessions), mean events/session, and the
+    NEAREST-RANK median session length in whole seconds (exact BIGINT
+    order statistic). Same total order as sessionize_events incl. the
+    event-id tiebreak. Value-verified."""
+    from cdc_connector_spark.ops.timeseries import session_summary
+
+    return session_summary(_t(spark, sf_dir, "events"), gap_seconds=1800)
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3217,6 +3245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text_documents": normalize_text_documents,
         "standardize_embeddings_z": standardize_embeddings_z,
         "canonical_docs_documents": canonical_docs_documents,
+        "curriculum_plan_documents": curriculum_plan_documents,
+        "session_summary_events": session_summary_events,
     }
     assert len(_R8_WINDOW) == 50 and set(_R8_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -6791,5 +6821,78 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT q.doc_id, CAST(1 AS BIGINT) AS group_size, q.quality
             FROM q WHERE q.doc_id NOT IN (SELECT id FROM lab)
+        """,
+        # Curriculum: quality replay + explicit cuts + md5-fold shard and
+        # within-(stage,shard) hash order.
+        "curriculum_plan_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       coalesce(text, '') AS txt,
+                       length(coalesce(text, '')) AS n_chars,
+                       CASE WHEN trim(coalesce(text,'')) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+                FROM documents
+            ), q AS (
+                SELECT doc_id,
+                       round(
+                         least(n_chars / 200.0, 1.0) * 0.3
+                       + (CASE WHEN (CASE WHEN len(toks) > 0 THEN CAST(n_chars AS DOUBLE) / len(toks) ELSE 0.0 END) >= 3
+                               AND (CASE WHEN len(toks) > 0 THEN CAST(n_chars AS DOUBLE) / len(toks) ELSE 0.0 END) <= 12
+                          THEN 1.0 ELSE 0.5 END) * 0.2
+                       + (CASE WHEN len(toks) > 0
+                          THEN least(len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','with'], x)))
+                                     / (len(toks) * 0.02), 1.0)
+                          ELSE 0.0 END) * 0.2
+                       + (CASE WHEN n_chars > 0
+                          THEN CAST(length(regexp_replace(txt, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / n_chars
+                          ELSE 0.0 END) * 0.3,
+                       6) AS quality
+                FROM t
+            ), planned AS (
+                SELECT doc_id, quality,
+                       CAST(CASE WHEN quality >= 0.56 THEN 0
+                                 WHEN quality >= 0.52 THEN 1
+                                 ELSE 2 END AS INT) AS stage,
+                       CAST(list_reduce(list_transform(range(1, 16), j -> CAST(strpos('0123456789abcdef', substring(md5('shard:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)), (a, x) -> a * 16 + x) % 4 AS INT) AS shard,
+                       list_reduce(list_transform(range(1, 16), j -> CAST(strpos('0123456789abcdef', substring(md5('pos:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)), (a, x) -> a * 16 + x) AS ord
+                FROM q
+            )
+            SELECT doc_id, quality, stage, shard,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY stage, shard
+                                           ORDER BY ord ASC, doc_id ASC) - 1 AS BIGINT) AS pos
+            FROM planned
+        """,
+        # Session summary: sessionize replay (same tiebreak), floored
+        # epoch seconds (unix_timestamp semantics), nearest-rank median.
+        "session_summary_events": """
+            WITH marked AS (
+                SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tts,
+                       CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                                 OR CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                                    - CAST(floor(epoch(LAG(CAST(ts AS TIMESTAMP)) OVER w)) AS BIGINT)
+                                    > 1800
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events WHERE user_id IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            ), sess AS (
+                SELECT user_id,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(floor(epoch(MAX(tts))) AS BIGINT)
+                       - CAST(floor(epoch(MIN(tts))) AS BIGINT) AS len_s
+                FROM (
+                    SELECT user_id, event_id, tts,
+                           SUM(is_new) OVER (PARTITION BY user_id ORDER BY tts ASC, event_id ASC
+                                             ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM marked
+                ) GROUP BY user_id, sid
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounce_sessions,
+                   round(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate,
+                   round(CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_events,
+                   CAST(list_sort(list(len_s))[CAST((1 * COUNT(*) + 1) // 2 AS INT)] AS BIGINT) AS p50_session_s
+            FROM sess
         """,
     }

@@ -776,3 +776,54 @@ def budget_mixture(
         .filter(F.col("__cum_before") < target)
         .drop("__cum_before")
     )
+
+
+def curriculum_plan(
+    df: DataFrame,
+    score_col: str,
+    cuts: list[float],
+    n_shards: int = 8,
+    key_col: str = "doc_id",
+    higher_is_easier: bool = True,
+) -> DataFrame:
+    """Curriculum ordering for training export: assign every doc a
+    ``stage`` (0 = easiest) from explicit difficulty-score ``cuts``, a
+    deterministic hash ``shard`` within the stage, and a hash-shuffled
+    ``pos`` within (stage, shard) — the reader consumes (stage, shard,
+    pos) lexicographically and gets easy→hard progression with
+    decorrelated order inside each stage (the ``shard_plan`` property,
+    staged).
+
+    ``cuts`` are stage boundaries on the score, best-first: with
+    ``higher_is_easier`` (quality-like scores), stage 0 is score ≥
+    cuts[0], stage 1 is ≥ cuts[1], …, last stage is the rest; pass
+    ``higher_is_easier=False`` for loss-like scores (NLL: low = easy).
+    Explicit cuts — not quantiles — so the plan is stable across corpus
+    versions and engine-replayable (the PSI explicit-bins rule).
+
+    Everything derives from the portable md5 fold of ``key_col``, so the
+    WHOLE plan value-verifies; the ``pos`` window partitions by
+    (stage, shard) — parallelism n_shards×stages, each partition
+    1/n_shards of a stage (pick n_shards for the target file size, same
+    sizing rule as shard_plan)."""
+    if not cuts:
+        raise ValueError("cuts must be non-empty (else use shard_plan)")
+    if sorted(cuts, reverse=higher_is_easier) != list(cuts):
+        raise ValueError("cuts must be ordered best-stage-first")
+    from cdc_connector_spark.ops.sketch import portable_hash60
+
+    sc = F.col(score_col)
+    stage = None
+    for i, c in enumerate(cuts):
+        cond = sc >= F.lit(c) if higher_is_easier else sc <= F.lit(c)
+        stage = F.when(cond, F.lit(i)) if stage is None else stage.when(cond, F.lit(i))
+    stage = stage.otherwise(F.lit(len(cuts))).cast("int")
+    shard = F.pmod(portable_hash60(F.col(key_col), salt="shard"), F.lit(n_shards)).cast(
+        "int"
+    )
+    order_key = portable_hash60(F.col(key_col), salt="pos")
+    out = df.withColumn("stage", stage).withColumn("shard", shard)
+    w = Window.partitionBy("stage", "shard").orderBy(
+        order_key.asc(), F.col(key_col).asc()
+    )
+    return out.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))

