@@ -57,7 +57,10 @@ def standardize_embeddings(
     z-scored vector as array<double> (each coordinate rounded 6; a
     zero-variance dimension contributes 0.0). Mean/std here are the RAW
     fixed expressions (not the display-rounded ``dimension_stats``
-    values) so the transform loses no precision before the final round."""
+    values) so the transform loses no precision before the final round.
+    Rows with a NULL vector are ABSENT from the output (posexplode drops
+    them — there is nothing to standardize; left-join the result back if
+    the caller needs the holes surfaced)."""
     keep = [c for c in df.columns if c != vec_col]
     x = F.col("__x")
     cells = df.select(

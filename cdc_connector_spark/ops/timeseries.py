@@ -970,7 +970,10 @@ def session_summary(
     order as sessionize_events incl. the event-id tiebreak); every
     output is an exact integer or ONE fixed IEEE expression rounded 6.
     Shape: one user-keyed window pass, one session collapse, one global
-    single-row aggregate."""
+    single-row aggregate. The median buffers the session-length list in
+    that one row — |sessions| longs; at 100 TB swap the nearest-rank
+    lookup for approx_percentile or a two-pass count+offset (the
+    interevent_stats documented trade; counts/rates need no change)."""
     w = Window.partitionBy(user_col).orderBy(
         F.col(ts_col).asc(), F.col(id_col).asc()
     )
