@@ -1001,18 +1001,30 @@ def session_summary(
         F.sum("__n").alias("n_events"),
         F.sort_array(F.collect_list("__len_s")).alias("__lens"),
     )
-    med_idx = F.expr("CAST((1 * n_sessions + 1) DIV 2 AS INT)")
+    # empty-input guard: element_at index 0 is an ANSI error and 0/0 is
+    # NaN — an empty stream reports zeros, stated, not a crash
+    med_idx = F.expr("CAST(greatest((1 * n_sessions + 1) DIV 2, 1) AS INT)")
+    nonempty = F.col("n_sessions") > 0
     return per.select(
         "n_sessions",
         "n_users",
         "bounce_sessions",
-        F.round(
-            F.col("bounce_sessions").cast("double")
-            / F.col("n_sessions").cast("double"),
-            6,
-        ).alias("bounce_rate"),
-        F.round(
-            F.col("n_events").cast("double") / F.col("n_sessions").cast("double"), 6
-        ).alias("mean_events"),
-        F.element_at(F.col("__lens"), med_idx).alias("p50_session_s"),
+        F.when(
+            nonempty,
+            F.round(
+                F.col("bounce_sessions").cast("double")
+                / F.col("n_sessions").cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("bounce_rate"),
+        F.when(
+            nonempty,
+            F.round(
+                F.col("n_events").cast("double") / F.col("n_sessions").cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("mean_events"),
+        F.when(nonempty, F.element_at(F.col("__lens"), med_idx))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("p50_session_s"),
     )

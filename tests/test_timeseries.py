@@ -783,3 +783,12 @@ def test_session_summary_hand_checked(spark):
     assert r["mean_events"] == round(4 / 3, 6)
     # lengths sorted [0, 0, 600]; nearest-rank median = rank 2 -> 0
     assert r["p50_session_s"] == 0
+
+
+def test_session_summary_empty_input_reports_zeros(spark):
+    from cdc_connector_spark.ops.timeseries import session_summary
+
+    df = spark.createDataFrame([], "event_id long, ts timestamp, user_id long")
+    r = session_summary(df).collect()[0]
+    assert r["n_sessions"] == 0 and r["bounce_rate"] == 0.0
+    assert r["p50_session_s"] is None
