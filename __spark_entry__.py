@@ -2970,6 +2970,35 @@ def session_summary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_summary(_t(spark, sf_dir, "events"), gap_seconds=1800)
 
 
+def clustering_coeff_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph (NEW r8): local clustering coefficient over the part
+    co-purchase graph (same graph as triangle_count_parts/kcore_parts)
+    — C(v) = 2T/(d(d−1)) per node, exact integers + one fixed IEEE
+    division; degree-1 nodes report 0.0 by stated convention. Top-50 by
+    (coefficient desc, degree desc, node asc). Value-verified."""
+    from cdc_connector_spark.ops.graph import clustering_coefficient
+
+    li = _t(spark, sf_dir, "lineitem")
+    co = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    l, r = co.alias("l"), co.alias("r")
+    edges = (
+        l.join(r, on=[F.col("l.o") == F.col("r.o"), F.col("l.p") < F.col("r.p")])
+        .groupBy(F.col("l.p").alias("src"), F.col("r.p").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("src", "dst")
+    )
+    return (
+        clustering_coefficient(edges)
+        .orderBy(
+            F.col("coefficient").desc(), F.col("degree").desc(), F.col("node").asc()
+        )
+        .limit(50)
+    )
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3247,6 +3276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_docs_documents": canonical_docs_documents,
         "curriculum_plan_documents": curriculum_plan_documents,
         "session_summary_events": session_summary_events,
+        "clustering_coeff_parts": clustering_coeff_parts,
     }
     assert len(_R8_WINDOW) == 50 and set(_R8_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -6894,5 +6924,41 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_events,
                    CAST(list_sort(list(len_s))[CAST((1 * COUNT(*) + 1) // 2 AS INT)] AS BIGINT) AS p50_session_s
             FROM sess
+        """,
+        # Clustering coefficient: naive canonical triangles + degree
+        # census + the identical fixed division.
+        "clustering_coeff_parts": """
+            WITH co AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            ), e AS (
+                SELECT l.p AS a, r.p AS b
+                FROM co l JOIN co r ON l.o = r.o AND l.p < r.p
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ), tri AS (
+                SELECT e1.a AS u, e1.b AS v, e2.b AS w
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            ), tcount AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+                    SELECT u AS node FROM tri
+                    UNION ALL SELECT v FROM tri
+                    UNION ALL SELECT w FROM tri
+                ) GROUP BY node
+            ), deg AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+                    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+                ) GROUP BY node
+            )
+            SELECT d.node, d.degree,
+                   coalesce(t.triangles, 0) AS triangles,
+                   CASE WHEN d.degree >= 2
+                        THEN round(2.0 * CAST(coalesce(t.triangles, 0) AS DOUBLE)
+                                   / (CAST(d.degree AS DOUBLE)
+                                      * (CAST(d.degree AS DOUBLE) - 1.0)), 6)
+                        ELSE 0.0 END AS coefficient
+            FROM deg d LEFT JOIN tcount t USING (node)
+            ORDER BY coefficient DESC, d.degree DESC, d.node ASC
+            LIMIT 50
         """,
     }

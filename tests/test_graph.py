@@ -240,3 +240,28 @@ def test_bfs_unreachable_absent_and_self_loop_harmless(spark):
     e = _bfs_edges(spark, [(1, 2), (1, 1), (7, 8)])
     got = {r["node"]: r["hop"] for r in bfs_hops(e, _bfs_sources(spark, [1]), max_hops=3).collect()}
     assert got == {1: 0, 2: 1}
+
+
+# ------------------------------------------------- clustering_coefficient
+
+
+def test_clustering_coefficient_hand_checked(spark):
+    from cdc_connector_spark.ops.graph import clustering_coefficient
+
+    # K3 plus a pendant: 1-2, 2-3, 1-3, 3-4
+    e = _bfs_edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    out = {r["node"]: r for r in clustering_coefficient(e).collect()}
+    assert out[1]["coefficient"] == 1.0 and out[1]["triangles"] == 1
+    # node 3: degree 3, 1 triangle -> 2/(3*2) = 1/3
+    assert out[3]["degree"] == 3 and out[3]["coefficient"] == round(1 / 3, 6)
+    # pendant: degree 1 -> 0.0 by convention, zero triangles
+    assert out[4]["coefficient"] == 0.0 and out[4]["triangles"] == 0
+
+
+def test_clustering_coefficient_square_is_zero(spark):
+    from cdc_connector_spark.ops.graph import clustering_coefficient
+
+    e = _bfs_edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    out = clustering_coefficient(e).collect()
+    assert all(r["coefficient"] == 0.0 and r["triangles"] == 0 for r in out)
+    assert all(r["degree"] == 2 for r in out)
