@@ -2999,6 +2999,42 @@ def clustering_coeff_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph (NEW r8): degree assortativity of the part co-purchase graph
+    (Newman 2002, both orientations) — one scalar: positive = hubs link
+    hubs, negative = hub-and-spoke. Composes the exact-integer Pearson
+    machinery over degree pairs (DECIMAL sufficient statistics, one
+    fixed IEEE expression). Value-verified."""
+    from cdc_connector_spark.ops.graph import degree_assortativity
+
+    li = _t(spark, sf_dir, "lineitem")
+    co = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    l, r = co.alias("l"), co.alias("r")
+    edges = (
+        l.join(r, on=[F.col("l.o") == F.col("r.o"), F.col("l.p") < F.col("r.p")])
+        .groupBy(F.col("l.p").alias("src"), F.col("r.p").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("src", "dst")
+    )
+    return degree_assortativity(edges)
+
+
+def revenue_concentration_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business analytics (NEW r8): revenue-concentration report — Gini
+    coefficient of per-customer revenue + the top-decile share (the
+    whale-dependence readout). Customer totals bucket to whole currency
+    units (the rfm_segments discretization) so the exact rank arithmetic
+    runs over the bounded distinct-value table; tied groups enter Gini
+    through their rank SUM (order-independent); DECIMAL(38,0) products,
+    two fixed IEEE expressions. Value-verified."""
+    from cdc_connector_spark.ops.rfm import revenue_concentration
+
+    return revenue_concentration(_t(spark, sf_dir, "orders"), top_num=1, top_den=10)
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3277,6 +3313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_plan_documents": curriculum_plan_documents,
         "session_summary_events": session_summary_events,
         "clustering_coeff_parts": clustering_coeff_parts,
+        "assortativity_parts": assortativity_parts,
+        "revenue_concentration_customers": revenue_concentration_customers,
     }
     assert len(_R8_WINDOW) == 50 and set(_R8_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -6960,5 +6998,91 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tcount t USING (node)
             ORDER BY coefficient DESC, d.degree DESC, d.node ASC
             LIMIT 50
+        """,
+        # Assortativity: symmetrized degree pairs + the HUGEINT Pearson.
+        "assortativity_parts": """
+            WITH co AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            ), e AS (
+                SELECT l.p AS a, r.p AS b
+                FROM co l JOIN co r ON l.o = r.o AND l.p < r.p
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ), deg AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+                ) GROUP BY node
+            ), sym AS (
+                SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e
+            ), p AS (
+                SELECT d1.deg AS x, d2.deg AS y
+                FROM sym JOIN deg d1 ON sym.a = d1.node JOIN deg d2 ON sym.b = d2.node
+            ), s AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(sum(CAST(x AS HUGEINT)) AS DECIMAL(38,0)) AS sx,
+                       CAST(sum(CAST(y AS HUGEINT)) AS DECIMAL(38,0)) AS sy,
+                       CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DECIMAL(38,0)) AS sxy,
+                       CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DECIMAL(38,0)) AS sxx,
+                       CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DECIMAL(38,0)) AS syy
+                FROM p
+            )
+            SELECT n AS n_edge_ends,
+                   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS assortativity
+            FROM s
+            WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+              AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        """,
+        # Revenue concentration: dollar-bucketed totals, tied-group rank
+        # sums, HUGEINT/DECIMAL exact arithmetic, straddling top-k group.
+        "revenue_concentration_customers": """
+            WITH per AS (
+                SELECT o_custkey,
+                       CAST(CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) // 100 AS BIGINT) AS v
+                FROM orders GROUP BY 1
+            ), vals AS (
+                SELECT v, CAST(COUNT(*) AS BIGINT) AS m FROM per GROUP BY v
+            ), tot AS (
+                SELECT CAST(SUM(m) AS BIGINT) AS n,
+                       CAST(SUM(CAST(v AS HUGEINT) * CAST(m AS HUGEINT)) AS DECIMAL(38,0)) AS t
+                FROM vals
+            ), aw AS (
+                SELECT v, m,
+                       CAST(coalesce(SUM(m) OVER (ORDER BY v ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS HUGEINT) AS cprev
+                FROM vals
+            ), s1 AS (
+                SELECT CAST(SUM(CAST(v AS HUGEINT)
+                                * (CAST(m AS HUGEINT) * cprev
+                                   + (CAST(m AS HUGEINT) * (CAST(m AS HUGEINT) + 1)) // 2))
+                            AS DECIMAL(38,0)) AS s1
+                FROM aw
+            ), dw AS (
+                SELECT v, m,
+                       CAST(coalesce(SUM(m) OVER (ORDER BY v DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cprev_d,
+                       CAST(coalesce(SUM(CAST(v AS HUGEINT) * CAST(m AS HUGEINT)) OVER (ORDER BY v DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DECIMAL(38,0)) AS csum_d
+                FROM vals
+            ), st AS (
+                SELECT n, t, s1.s1,
+                       csum_d + CAST(((1 * n + 9) // 10) - cprev_d AS DECIMAL(38,0))
+                                * CAST(v AS DECIMAL(38,0)) AS topsum
+                FROM dw CROSS JOIN tot CROSS JOIN s1
+                WHERE cprev_d < (1 * n + 9) // 10
+                  AND cprev_d + m >= (1 * n + 9) // 10
+            )
+            SELECT n AS n_customers,
+                   CAST(t AS BIGINT) AS total_units,
+                   round(2.0 * CAST(s1 AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+                         - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini,
+                   round(CAST(topsum AS DOUBLE) / CAST(t AS DOUBLE), 6) AS top_share
+            FROM st
         """,
     }

@@ -506,3 +506,50 @@ def clustering_coefficient(
             .alias("coefficient"),
         )
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degree assortativity of the canonicalized undirected simple graph:
+    the Pearson correlation of endpoint degrees over the edge list, both
+    orientations counted (the Newman 2002 convention for undirected
+    graphs) — one scalar in [−1, 1]: positive = hubs attach to hubs
+    (social cores), negative = hub-and-spoke (infrastructure, bot
+    farms). Returns one row (n_edge_ends, assortativity).
+
+    Composes ``validation.checks.pearson_corr_exact`` over the integer
+    degree pairs — exact DECIMAL(38,0) sufficient statistics, one fixed
+    IEEE expression, engine-replayable. Cost: degree census + two
+    node-keyed joins; the correlation is one map-side-combined
+    aggregate. Degenerate (regular) graphs have zero degree variance
+    and yield an EMPTY result (the pearson convention: no line to
+    correlate), stated rather than NULL."""
+    from cdc_connector_spark.validation.checks import pearson_corr_exact
+
+    a, b = F.least(F.col(src_col), F.col(dst_col)), F.greatest(
+        F.col(src_col), F.col(dst_col)
+    )
+    e = (
+        edges.filter(F.col(src_col) != F.col(dst_col))
+        .select(a.alias("a"), b.alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # degree census + both endpoint joins
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    pairs = (
+        sym.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("__dx")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("__dy")), "b")
+    )
+    out = pearson_corr_exact(pairs, F.col("__dx"), F.col("__dy"))
+    return out.select(
+        F.col("n").alias("n_edge_ends"), F.col("corr").alias("assortativity")
+    )

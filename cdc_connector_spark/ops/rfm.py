@@ -106,3 +106,95 @@ def rfm_segments(
             .alias("segment"),
         )
     )
+
+
+def revenue_concentration(
+    orders: DataFrame,
+    customer_col: str = "o_custkey",
+    amount_col: str = "o_totalprice",
+    top_num: int = 1,
+    top_den: int = 10,
+) -> DataFrame:
+    """Revenue-concentration report: the Gini coefficient of per-customer
+    revenue plus the share held by the top ``top_num/top_den`` of
+    customers (default: top decile) — the whale-dependence readout
+    behind every "top 10% of customers drive X% of revenue" decision.
+
+    Customer totals are bucketed to WHOLE currency units before ranking
+    (the rfm_segments discretization, stated): it bounds the ordered
+    window to the distinct-value table instead of |customers|, which is
+    what makes the exact rank arithmetic scale-safe. Ranks within a tied
+    value group are interchangeable — the group's rank SUM (m·c_prev +
+    m(m+1)/2) is what enters Gini, so ties cannot make the answer
+    order-dependent.
+
+    All sums are DECIMAL(38,0)-accumulated exact integers (value·rank
+    products overflow BIGINT long before 100 TB); Gini and the top share
+    are each ONE fixed IEEE expression rounded 6. Returns one row:
+    (n_customers, total_units, gini, top_share)."""
+    if not (0 < top_num < top_den):
+        raise ValueError(f"top fraction must be in (0,1): {top_num}/{top_den}")
+    dec = "decimal(38,0)"
+    per = (
+        orders.groupBy(F.col(customer_col).alias("customer"))
+        .agg(
+            F.expr(
+                f"CAST(SUM(CAST(round({amount_col} * 100) AS BIGINT)) DIV 100 AS BIGINT)"
+            ).alias("v")
+        )
+    )
+    vals = per.groupBy("v").agg(F.count(F.lit(1)).alias("m")).localCheckpoint(
+        eager=True
+    )  # two ordered windows + totals read it
+    tot = vals.agg(
+        F.sum("m").alias("n"),
+        F.sum(F.col("v").cast(dec) * F.col("m").cast(dec)).alias("t"),
+    )
+    asc = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    m_dec = F.col("m").cast(dec)
+    cprev = F.coalesce(F.sum("m").over(asc), F.lit(0)).cast(dec)
+    ranksum = m_dec * cprev + ((m_dec * (m_dec + F.lit(1))) / F.lit(2)).cast(dec)
+    s1 = vals.select(
+        (F.col("v").cast(dec) * ranksum).cast(dec).alias("__rv")
+    ).agg(F.sum("__rv").alias("s1"))
+    desc = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    with_desc = vals.select(
+        "v",
+        "m",
+        F.coalesce(F.sum("m").over(desc), F.lit(0)).alias("cprev_d"),
+        F.coalesce(
+            F.sum(F.col("v").cast(dec) * F.col("m").cast(dec)).over(desc),
+            F.lit(0).cast(dec),
+        ).alias("csum_d"),
+    )
+    k = F.expr(f"CAST(({top_num} * n + {top_den} - 1) DIV {top_den} AS BIGINT)")
+    straddle = (
+        with_desc.join(F.broadcast(tot))
+        .filter(
+            (F.col("cprev_d") < k) & (F.col("cprev_d") + F.col("m") >= k)
+        )
+        .select(
+            "n",
+            "t",
+            (
+                F.col("csum_d")
+                + (k - F.col("cprev_d")).cast(dec) * F.col("v").cast(dec)
+            ).alias("topsum"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    t_d = F.col("t").cast("double")
+    return straddle.join(F.broadcast(s1)).select(
+        F.col("n").alias("n_customers"),
+        F.col("t").cast("long").alias("total_units"),
+        F.round(
+            F.lit(2.0) * F.col("s1").cast("double") / (n_d * t_d)
+            - (n_d + F.lit(1.0)) / n_d,
+            6,
+        ).alias("gini"),
+        F.round(F.col("topsum").cast("double") / t_d, 6).alias("top_share"),
+    )

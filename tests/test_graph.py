@@ -265,3 +265,20 @@ def test_clustering_coefficient_square_is_zero(spark):
     out = clustering_coefficient(e).collect()
     assert all(r["coefficient"] == 0.0 and r["triangles"] == 0 for r in out)
     assert all(r["degree"] == 2 for r in out)
+
+
+def test_assortativity_star_is_negative_one(spark):
+    """A star graph is perfectly disassortative: every edge pairs the hub
+    (degree n) with a leaf (degree 1)."""
+    from cdc_connector_spark.ops.graph import degree_assortativity
+
+    e = _bfs_edges(spark, [(0, i) for i in range(1, 6)])
+    r = degree_assortativity(e).collect()[0]
+    assert r["assortativity"] == -1.0 and r["n_edge_ends"] == 10
+
+
+def test_assortativity_regular_graph_empty(spark):
+    from cdc_connector_spark.ops.graph import degree_assortativity
+
+    e = _bfs_edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])  # 2-regular cycle
+    assert degree_assortativity(e).count() == 0

@@ -95,3 +95,47 @@ def test_rfm_matches_python_reference(spark):
         row = out[c]
         assert (row["recency_days"], row["frequency"], row["monetary_cents"]) == (rd, fq, cents)
         assert (row["r"], row["f"], row["m"]) == (rs[rd], fs[fq], ms[mu]), c
+
+
+# --------------------------------------------------- revenue_concentration
+
+
+def test_revenue_concentration_hand_checked(spark):
+    from cdc_connector_spark.ops.rfm import revenue_concentration
+
+    rows = [(i, c, _ts(1), amt) for i, (c, amt) in enumerate(
+        [(1, 100.0), (2, 100.0), (3, 100.0), (4, 700.0)]
+    )]
+    df = _orders(spark, rows)
+    r = revenue_concentration(df, top_num=1, top_den=4).collect()[0]
+    # sorted asc [100,100,100,700]: S1=3400, G = 2*3400/(4*1000) - 5/4
+    assert r["gini"] == 0.45 and r["top_share"] == 0.7
+    assert r["n_customers"] == 4 and r["total_units"] == 1000
+
+
+def test_revenue_concentration_equal_is_zero_gini(spark):
+    from cdc_connector_spark.ops.rfm import revenue_concentration
+
+    rows = [(i, i, _ts(1), 100.0) for i in range(10)]
+    r = revenue_concentration(_orders(spark, rows)).collect()[0]
+    assert r["gini"] == 0.0 and r["top_share"] == 0.1
+
+
+def test_revenue_concentration_tie_straddle(spark):
+    """k falls inside a tied value group: the straddling group contributes
+    exactly (k - cprev) of its members."""
+    from cdc_connector_spark.ops.rfm import revenue_concentration
+
+    rows = [(i, i, _ts(1), 100.0) for i in range(9)] + [(9, 9, _ts(1), 1000.0)]
+    # top 1/2 of 10 customers = 5: the 1000 whale + 4 of the 9 tied 100s
+    r = revenue_concentration(_orders(spark, rows), top_num=1, top_den=2).collect()[0]
+    assert r["top_share"] == round((1000 + 4 * 100) / 1900, 6)
+
+
+def test_revenue_concentration_rejects_bad_fraction(spark):
+    import pytest as _pytest
+
+    from cdc_connector_spark.ops.rfm import revenue_concentration
+
+    with _pytest.raises(ValueError):
+        revenue_concentration(_orders(spark, [(1, 1, _ts(1), 1.0)]), top_num=5, top_den=5)
