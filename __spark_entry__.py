@@ -3035,6 +3035,17 @@ def revenue_concentration_customers(spark: SparkSession, sf_dir: str) -> DataFra
     return revenue_concentration(_t(spark, sf_dir, "orders"), top_num=1, top_den=10)
 
 
+def corpus_inventory_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops (NEW r8): corpus governance inventory — per (source, lang):
+    docs, chars, share of source, dominant-language flag (ties
+    lexicographic — total order). NULL provenance surfaces as '<NULL>'
+    cells. Exact integers + one fixed IEEE division; the rank window
+    runs over the collapsed sources×langs table. Value-verified."""
+    from cdc_connector_spark.ops.corpus import corpus_inventory
+
+    return corpus_inventory(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3315,6 +3326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff_parts": clustering_coeff_parts,
         "assortativity_parts": assortativity_parts,
         "revenue_concentration_customers": revenue_concentration_customers,
+        "corpus_inventory_documents": corpus_inventory_documents,
     }
     assert len(_R8_WINDOW) == 50 and set(_R8_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -7084,5 +7096,23 @@ def oracle_sql() -> dict[str, str]:
                          - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini,
                    round(CAST(topsum AS DOUBLE) / CAST(t AS DOUBLE), 6) AS top_share
             FROM st
+        """,
+        # Inventory: (source, lang) cells, per-source share, dominant via
+        # the same (docs desc, lang asc) total order.
+        "corpus_inventory_documents": """
+            WITH per AS (
+                SELECT coalesce(CAST(source AS VARCHAR), '<NULL>') AS source,
+                       coalesce(CAST(lang AS VARCHAR), '<NULL>') AS lang,
+                       CAST(COUNT(*) AS BIGINT) AS docs,
+                       CAST(SUM(coalesce(CAST(n_chars AS BIGINT), 0)) AS BIGINT) AS chars
+                FROM documents GROUP BY 1, 2
+            )
+            SELECT source, lang, docs, chars,
+                   round(CAST(docs AS DOUBLE)
+                         / CAST(SUM(docs) OVER (PARTITION BY source) AS DOUBLE), 6)
+                       AS share_of_source,
+                   (ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY docs DESC, lang ASC) = 1) AS dominant
+            FROM per
         """,
     }

@@ -827,3 +827,48 @@ def curriculum_plan(
         order_key.asc(), F.col(key_col).asc()
     )
     return out.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+
+
+def corpus_inventory(
+    df: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Corpus governance inventory: one row per (source, language) with
+    document/character counts, the cell's share of its source, and a
+    dominant-language flag (most docs; ties to the lexicographically
+    first language — a total order) — the what-is-actually-in-my-mix
+    readout that licensing review, mixture design, and lang-filter
+    sanity checks all start from.
+
+    Exact integers + one fixed IEEE division; NULL source/lang surface
+    as '<NULL>' cells (silent drops hide exactly the provenance holes an
+    inventory exists to find). One (source, lang)-keyed collapse; the
+    rank window runs over the collapsed ≤|sources|·|langs| table."""
+    per = (
+        df.groupBy(
+            F.coalesce(F.col(source_col).cast("string"), F.lit("<NULL>")).alias(
+                "source"
+            ),
+            F.coalesce(F.col(lang_col).cast("string"), F.lit("<NULL>")).alias("lang"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.coalesce(F.col(chars_col).cast("long"), F.lit(0))).alias("chars"),
+        )
+    )
+    w_tot = Window.partitionBy("source")
+    w_rank = Window.partitionBy("source").orderBy(
+        F.col("docs").desc(), F.col("lang").asc()
+    )
+    return per.select(
+        "source",
+        "lang",
+        "docs",
+        "chars",
+        F.round(
+            F.col("docs").cast("double") / F.sum("docs").over(w_tot).cast("double"), 6
+        ).alias("share_of_source"),
+        (F.row_number().over(w_rank) == 1).alias("dominant"),
+    )

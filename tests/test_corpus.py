@@ -538,3 +538,28 @@ def test_curriculum_rejects_bad_cuts(spark):
         curriculum_plan(df, "score", cuts=[])
     with _pytest.raises(ValueError):
         curriculum_plan(df, "score", cuts=[0.4, 0.7])  # not best-first
+
+
+def test_corpus_inventory_hand_checked(spark):
+    from cdc_connector_spark.ops.corpus import corpus_inventory
+
+    rows = [
+        (1, "s0", "en", 10), (2, "s0", "en", 20), (3, "s0", "de", 5),
+        (4, "s1", "fr", 7), (5, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, lang string, n_chars long")
+    out = {(r["source"], r["lang"]): r for r in corpus_inventory(df).collect()}
+    en = out[("s0", "en")]
+    assert en["docs"] == 2 and en["chars"] == 30
+    assert en["share_of_source"] == round(2 / 3, 6) and en["dominant"] is True
+    assert out[("s0", "de")]["dominant"] is False
+    assert out[("<NULL>", "<NULL>")]["docs"] == 1 and out[("<NULL>", "<NULL>")]["chars"] == 0
+
+
+def test_corpus_inventory_tie_breaks_lexicographic(spark):
+    from cdc_connector_spark.ops.corpus import corpus_inventory
+
+    rows = [(1, "s", "en", 1), (2, "s", "de", 1)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, lang string, n_chars long")
+    out = {r["lang"]: r["dominant"] for r in corpus_inventory(df).collect()}
+    assert out == {"de": True, "en": False}
