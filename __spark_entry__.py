@@ -3046,6 +3046,28 @@ def corpus_inventory_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_inventory(_t(spark, sf_dir, "documents"))
 
 
+def dup_rate_by_source_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops (NEW r8): per-source exact-duplicate exposure — docs whose
+    normalized fingerprint recurs ANYWHERE in the corpus, counted for
+    every source involved (the "which feeds send me copies" provenance
+    view next to corpus_inventory). Exact integers + one fixed IEEE
+    division. Value-verified."""
+    from cdc_connector_spark.ops.corpus import duplicate_rate_by_source
+
+    return duplicate_rate_by_source(_t(spark, sf_dir, "documents"))
+
+
+def top_terms_per_source_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops (NEW r8): distinctive vocabulary per source — top-5 terms
+    by source-level tf·ln(N_sources/source_df) (terms in every source
+    score 0 and sink); deterministic total order, exact counts, one ln
+    expression rounded 6. Rank window over the bounded (source, term)
+    table. Value-verified."""
+    from cdc_connector_spark.ops.textstats import top_terms_per_source
+
+    return top_terms_per_source(_t(spark, sf_dir, "documents"), k=5, min_tf=2)
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3327,6 +3349,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity_parts": assortativity_parts,
         "revenue_concentration_customers": revenue_concentration_customers,
         "corpus_inventory_documents": corpus_inventory_documents,
+        "dup_rate_by_source_documents": dup_rate_by_source_documents,
+        "top_terms_per_source_documents": top_terms_per_source_documents,
     }
     assert len(_R8_WINDOW) == 50 and set(_R8_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -7114,5 +7138,48 @@ def oracle_sql() -> dict[str, str]:
                    (ROW_NUMBER() OVER (PARTITION BY source
                                        ORDER BY docs DESC, lang ASC) = 1) AS dominant
             FROM per
+        """,
+        # Duplicate exposure: the dedup_exact fingerprint replay + a
+        # fingerprint census join + per-source collapse.
+        "dup_rate_by_source_documents": """
+            WITH base AS (
+                SELECT coalesce(CAST(source AS VARCHAR), '<NULL>') AS source,
+                       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+                FROM documents
+            ), census AS (
+                SELECT fp, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY fp
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS docs,
+                   CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+                   round(CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+            FROM base JOIN census USING (fp)
+            GROUP BY source
+        """,
+        # Distinctive terms: (source, term) counts, source-df, one ln
+        # expression, QUALIFY top-5 per source.
+        "top_terms_per_source_documents": """
+            WITH t AS (
+                SELECT coalesce(CAST(source AS VARCHAR), '<NULL>') AS source,
+                       CASE WHEN trim(coalesce(text,'')) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(lower(coalesce(text,''))), '\\s+') END AS toks
+                FROM documents
+            ), tf AS (
+                SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM (SELECT source, unnest(toks) AS term FROM t)
+                GROUP BY source, term
+                HAVING COUNT(*) >= 2
+            ), sdf AS (
+                SELECT term, CAST(COUNT(*) AS BIGINT) AS sdf FROM tf GROUP BY term
+            ), ns AS (
+                SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n FROM tf
+            )
+            SELECT source, term, tf, sdf,
+                   round(CAST(tf AS DOUBLE)
+                         * ln(CAST(n AS DOUBLE) / CAST(sdf AS DOUBLE)), 6) AS score
+            FROM tf JOIN sdf USING (term) CROSS JOIN ns
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY score DESC, tf DESC, term ASC) <= 5
         """,
     }

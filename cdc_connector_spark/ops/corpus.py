@@ -872,3 +872,44 @@ def corpus_inventory(
         ).alias("share_of_source"),
         (F.row_number().over(w_rank) == 1).alias("dominant"),
     )
+
+
+def duplicate_rate_by_source(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source exact-duplicate exposure: for each source, how many of
+    its documents share a normalized fingerprint with ANY other document
+    in the corpus (cross-source duplicates count for BOTH sources — this
+    is the provenance view: "which feeds are sending me copies", the
+    first question after ``corpus_inventory``). Returns (source, docs,
+    dup_docs, dup_rate) with rate = one fixed IEEE division rounded 6.
+
+    Shape: one fingerprint census keyed by the md5 fingerprint, one
+    fingerprint-keyed join back, one source-keyed collapse. NULL sources
+    surface as '<NULL>' (the inventory rule)."""
+    from cdc_connector_spark.ops.textstats import fingerprint
+
+    base = df.select(
+        F.coalesce(F.col(source_col).cast("string"), F.lit("<NULL>")).alias("source"),
+        fingerprint(text_col).alias("__fp"),
+    )
+    census = base.groupBy("__fp").agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        base.join(census, "__fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.when(F.col("__c") >= 2, 1).otherwise(0)).alias("dup_docs"),
+        )
+        .select(
+            "source",
+            "docs",
+            "dup_docs",
+            F.round(
+                F.col("dup_docs").cast("double") / F.col("docs").cast("double"), 6
+            ).alias("dup_rate"),
+        )
+    )

@@ -563,3 +563,16 @@ def test_corpus_inventory_tie_breaks_lexicographic(spark):
     df = spark.createDataFrame(rows, "doc_id long, source string, lang string, n_chars long")
     out = {r["lang"]: r["dominant"] for r in corpus_inventory(df).collect()}
     assert out == {"de": True, "en": False}
+
+
+def test_duplicate_rate_by_source(spark):
+    from cdc_connector_spark.ops.corpus import duplicate_rate_by_source
+
+    rows = [
+        (1, "Same Text!", "a"), (2, "same text", "b"),  # cross-source dup pair
+        (3, "unique one", "a"), (4, "unique two", "b"), (5, "unique three", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in duplicate_rate_by_source(df).collect()}
+    assert out["a"]["dup_docs"] == 1 and out["a"]["dup_rate"] == 0.5
+    assert out["b"]["dup_docs"] == 1 and out["b"]["dup_rate"] == round(1 / 3, 6)

@@ -591,3 +591,21 @@ def test_normalize_text_lowercase_opt_in(spark):
     keep = df.select(normalize_text("text").alias("t")).collect()[0]["t"]
     low = df.select(normalize_text("text", lowercase=True).alias("t")).collect()[0]["t"]
     assert keep == "MiXeD Case" and low == "mixed case"
+
+
+def test_top_terms_per_source_distinctive(spark):
+    from cdc_connector_spark.ops.textstats import top_terms_per_source
+
+    rows = [
+        (1, "ship ship ship common common", "a"),
+        (2, "crane crane crane common common", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = top_terms_per_source(df, k=1, min_tf=2).collect()
+    top = {r["source"]: (r["term"], r["score"]) for r in out}
+    import math
+
+    assert top["a"][0] == "ship" and top["b"][0] == "crane"
+    assert top["a"][1] == round(3 * math.log(2), 6)
+    # 'common' appears in both sources -> score 0, never the top pick
+    assert all(r["term"] != "common" for r in out)
