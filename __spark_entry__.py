@@ -3068,6 +3068,37 @@ def top_terms_per_source_documents(spark: SparkSession, sf_dir: str) -> DataFram
     return top_terms_per_source(_t(spark, sf_dir, "documents"), k=5, min_tf=2)
 
 
+def lang_agreement_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops (NEW r8): label-QA cross-check — per LABELED language, how
+    often the n-gram language_id heuristic agrees (docs, agreements,
+    rate). The screen that catches mislabeled feeds before a lang filter
+    silently drops them (a low-agreement label is either a bad label
+    column or a heuristic blind spot — both need eyes). Exact integers +
+    one fixed IEEE division. Value-verified."""
+    from cdc_connector_spark.ops.textstats import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.coalesce(F.col("lang"), F.lit("<NULL>")).alias("lang"),
+            (language_id("text") == F.col("lang")).alias("__ok"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.when(F.col("__ok"), 1).otherwise(0)).alias("agreements"),
+        )
+        .select(
+            "lang",
+            "docs",
+            "agreements",
+            F.round(
+                F.col("agreements").cast("double") / F.col("docs").cast("double"), 6
+            ).alias("agreement_rate"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3351,6 +3382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_inventory_documents": corpus_inventory_documents,
         "dup_rate_by_source_documents": dup_rate_by_source_documents,
         "top_terms_per_source_documents": top_terms_per_source_documents,
+        "lang_agreement_documents": lang_agreement_documents,
     }
     assert len(_R8_WINDOW) == 50 and set(_R8_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -7181,5 +7213,46 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN sdf USING (term) CROSS JOIN ns
             QUALIFY ROW_NUMBER() OVER (PARTITION BY source
                                        ORDER BY score DESC, tf DESC, term ASC) <= 5
+        """,
+        # Agreement: the lang_id replay (same CTEs) + per-label collapse.
+        "lang_agreement_documents": """
+            WITH c AS (
+                SELECT doc_id, lang,
+                       CASE WHEN trim(lower(coalesce(text,''))) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(lower(coalesce(text,''))), '\\s+') END AS toks,
+                       coalesce(text, '') AS t
+                FROM documents
+            ), s AS (
+                SELECT doc_id, lang,
+                       len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','with'], x))) AS s_en,
+                       len(list_filter(toks, x -> list_contains(['el','la','los','las','de','que','es','en'], x))) AS s_es,
+                       len(list_filter(toks, x -> list_contains(['le','la','les','des','est','dans','que','une'], x))) AS s_fr,
+                       len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS s_de,
+                       (length(t) - length(replace(t, '的', '')))
+                     + (length(t) - length(replace(t, '是', '')))
+                     + (length(t) - length(replace(t, '了', '')))
+                     + (length(t) - length(replace(t, '在', '')))
+                     + (length(t) - length(replace(t, '和', '')))
+                     + (length(t) - length(replace(t, '有', '')))
+                     + (length(t) - length(replace(t, '我', '')))
+                     + (length(t) - length(replace(t, '不', ''))) AS s_zh
+                FROM c
+            ),
+            pred AS (
+                SELECT coalesce(lang, '<NULL>') AS lang,
+                       CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) <= 0 THEN 'und'
+                        WHEN s_en >= greatest(s_es, s_fr, s_de, s_zh) THEN 'en'
+                        WHEN s_es >= greatest(s_fr, s_de, s_zh) THEN 'es'
+                        WHEN s_fr >= greatest(s_de, s_zh) THEN 'fr'
+                        WHEN s_de >= s_zh THEN 'de'
+                        ELSE 'zh' END AS lang_pred
+            FROM s
+            )
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS docs,
+                   CAST(SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS agreements,
+                   round(CAST(SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS agreement_rate
+            FROM pred GROUP BY lang
         """,
     }
