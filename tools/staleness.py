@@ -37,6 +37,10 @@ def main() -> int:
         age = None if eff is None else current - eff
         rows.append((q, last.get(q), q in window, age))
     max_age = max((a for _, _, _, a in rows if a is not None), default=None)
+    # steady-state floor: with Q queries and a 50-slot window, a fair
+    # rotation checks each entry every ceil(Q/50) rounds -> max age
+    # ceil(Q/50) - 1 (2 at <=150 queries, 3 at 151-200, ...)
+    floor = (len(qs) + 49) // 50 - 1
     never = [q for q, lr, w, _ in rows if lr is None and not w]
     # A never-checked entry outside the window is a FAILURE only while the
     # window still has a displaceable slot — one whose occupant is neither
@@ -58,7 +62,7 @@ def main() -> int:
         for q in qs[:50]
         if q not in structural
         and last.get(q) is not None
-        and current - last[q] <= 2
+        and current - last[q] <= floor
     ]
     with open("STALENESS.md", "w") as f:
         f.write(
@@ -67,9 +71,10 @@ def main() -> int:
             f"`projected age` = rounds since the entry's last driver row,\n"
             f"counting an in-window entry as checked THIS round.\n\n"
             f"**Projected max age after round {current}: {max_age}**"
-            f" (surface/window ratio {len(qs)}/50 makes 2 the steady-state"
-            f" floor; the pre-commit tail tripwire value-verifies every"
-            f" out-of-window entry at sf0.001 in between).\n\n"
+            f" (surface/window ratio {len(qs)}/50 makes {floor} the"
+            f" steady-state floor; the pre-commit tail tripwire"
+            f" value-verifies every out-of-window entry at sf0.001"
+            f" in between).\n\n"
         )
         if never:
             f.write(
@@ -78,7 +83,7 @@ def main() -> int:
                 + (
                     "(window SATURATED — every slot is structural, "
                     "never-checked, or an occupant whose removal would "
-                    "push its driver-row age past 2; these entries are "
+                    "push its driver-row age past the floor; these entries are "
                     "tripwire-verified until they rotate)\n\n"
                     if not displaceable
                     else "\n"
