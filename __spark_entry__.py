@@ -3099,6 +3099,67 @@ def lang_agreement_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_distinct_customers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch (NEW r9): HyperLogLog distinct customers per order priority
+    (p=8, 256 registers of the portable md5 fold) next to the exact
+    count, so the sketch error is measurable per group (the CMS-entry
+    convention). The harmonic sum is kept EXACT as a BIGINT
+    (S = Σ 2^(53−M_j), absent registers contribute 2^53), so the raw
+    estimate is ONE fixed IEEE double expression over exact integers;
+    linear-counting correction fires in its standard range (single
+    rounded ln, the zipf_slope precedent). The register table is 256
+    rows per group FOREVER — the exact count shuffles every distinct
+    key; that trade is the whole 100 TB argument. Value-verified — the
+    oracle replays buckets, registers, and the estimator bit-for-bit."""
+    from cdc_connector_spark.ops.sketch import hll_distinct
+
+    out = hll_distinct(_t(spark, sf_dir, "orders"), "o_custkey", "o_orderpriority", p=8)
+    return out.select(
+        F.col("grp").alias("priority"),
+        "zeros",
+        "s_scaled",
+        "raw_est",
+        "est",
+        "exact_distinct",
+    )
+
+
+def kmv_distinct_customers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch (NEW r9): K-minimum-values distinct customers per order
+    priority (k=64 smallest portable-hash values). Below k distinct keys
+    the sketch IS the set (estimate exact by construction — exercised at
+    sf0.001 where priorities have ~135 distinct customers > 64, and in
+    tests on small groups); otherwise the unbiased (k−1)·2^60/h_k — one
+    fixed IEEE division over exact integers. KMV is union-mergeable,
+    which is what makes it the distributed distinct primitive: k BIGINTs
+    per group travel instead of every distinct key. Value-verified."""
+    from cdc_connector_spark.ops.sketch import kmv_distinct
+
+    out = kmv_distinct(_t(spark, sf_dir, "orders"), "o_custkey", "o_orderpriority", k=64)
+    return out.select(
+        F.col("grp").alias("priority"),
+        "n_sketch",
+        "kth_hash",
+        "est_distinct",
+        "exact_distinct",
+    )
+
+
+def kmv_jaccard_priorities_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch (NEW r9): pairwise customer-set Jaccard between order
+    priorities from KMV sketches (k=64): union sketch = k smallest of
+    S_a ∪ S_b, estimate = |{h ∈ U : h in both}| / |U| in exact integer
+    MICRO units (documented floor division), next to the exact
+    intersection/union twin. Comparing G groups costs G²·k sketch rows
+    instead of a full-corpus shuffle per pair — the set-overlap screen a
+    validation plane runs across table versions or CDC feeds.
+    Value-verified — the oracle replays sketches, union ranks, and the
+    floor division."""
+    from cdc_connector_spark.ops.sketch import kmv_jaccard
+
+    return kmv_jaccard(_t(spark, sf_dir, "orders"), "o_custkey", "o_orderpriority", k=64)
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3381,6 +3442,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_rate_by_source_documents": dup_rate_by_source_documents,
         "top_terms_per_source_documents": top_terms_per_source_documents,
         "lang_agreement_documents": lang_agreement_documents,
+        # --- NEW in round 9 (tail; 3-SF local verification + tripwire;
+        #     rotate into the window next round) ---
+        "hll_distinct_customers_orders": hll_distinct_customers_orders,
+        "kmv_distinct_customers_orders": kmv_distinct_customers_orders,
+        "kmv_jaccard_priorities_orders": kmv_jaccard_priorities_orders,
     }
     assert len(_R9_WINDOW) == 50 and set(_R9_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -7252,5 +7318,147 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS DOUBLE)
                          / CAST(COUNT(*) AS DOUBLE), 6) AS agreement_rate
             FROM pred GROUP BY lang
+        """,
+        # HLL: replays buckets (h % 256), registers (53 - bit_length of
+        # the upper 52 bits, max per bucket), the EXACT-integer scaled
+        # harmonic sum, the one-expression raw estimator, and the
+        # rounded-ln linear-counting branch.
+        "hll_distinct_customers_orders": """
+            WITH keyed AS (
+                SELECT o_orderpriority AS priority,
+                       list_reduce(
+                           list_transform(range(1, 16),
+                               j -> CAST(strpos('0123456789abcdef',
+                                         substring(md5(CAST(o_custkey AS VARCHAR)), j, 1))
+                                         - 1 AS BIGINT)),
+                           (a, x) -> a * 16 + x) AS h
+                FROM orders WHERE o_custkey IS NOT NULL
+            ), reg AS (
+                SELECT priority, h % 256 AS bucket, h // 256 AS w FROM keyed
+            ), rr AS (
+                SELECT priority, bucket,
+                       MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS mreg
+                FROM reg GROUP BY 1, 2
+            ), ag AS (
+                SELECT priority, COUNT(*) AS nb,
+                       CAST(SUM(CAST(2**(53 - mreg) AS BIGINT)) AS BIGINT) AS sp
+                FROM rr GROUP BY 1
+            ), ex AS (
+                SELECT o_orderpriority AS priority,
+                       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+                FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+            ), est0 AS (
+                SELECT priority,
+                       CAST(256 - nb AS BIGINT) AS zeros,
+                       CAST(sp + (256 - nb) * 9007199254740992 AS BIGINT) AS s_scaled,
+                       round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+                             / CAST(sp + (256 - nb) * 9007199254740992 AS DOUBLE), 6) AS raw_est
+                FROM ag
+            )
+            SELECT e.priority, e.zeros, e.s_scaled, e.raw_est,
+                   CASE WHEN e.raw_est <= 640.0 AND e.zeros > 0
+                        THEN round(256.0 * ln(256.0 / CAST(e.zeros AS DOUBLE)), 6)
+                        ELSE e.raw_est END AS est,
+                   ex.exact_distinct
+            FROM est0 e JOIN ex ON e.priority = ex.priority
+            ORDER BY e.priority
+        """,
+        # KMV distinct: replays the per-group k smallest distinct hashes
+        # (row_number over the hash order), the k-th order statistic,
+        # and the one-expression estimator.
+        "kmv_distinct_customers_orders": """
+            WITH keyed AS (
+                SELECT DISTINCT o_orderpriority AS priority,
+                       list_reduce(
+                           list_transform(range(1, 16),
+                               j -> CAST(strpos('0123456789abcdef',
+                                         substring(md5(CAST(o_custkey AS VARCHAR)), j, 1))
+                                         - 1 AS BIGINT)),
+                           (a, x) -> a * 16 + x) AS h
+                FROM orders WHERE o_custkey IS NOT NULL
+            ), rk AS (
+                SELECT priority, h,
+                       row_number() OVER (PARTITION BY priority ORDER BY h ASC) AS rk
+                FROM keyed
+            ), sk AS (
+                SELECT * FROM rk WHERE rk <= 64
+            ), ag AS (
+                SELECT priority,
+                       CAST(COUNT(*) AS BIGINT) AS n_sketch,
+                       MAX(CASE WHEN rk = 64 THEN h END) AS kth_hash
+                FROM sk GROUP BY 1
+            ), ex AS (
+                SELECT o_orderpriority AS priority,
+                       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+                FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+            )
+            SELECT ag.priority, ag.n_sketch, ag.kth_hash,
+                   CASE WHEN ag.n_sketch < 64 THEN CAST(ag.n_sketch AS DOUBLE)
+                        ELSE round(63.0 * 1152921504606846976.0
+                                   / CAST(ag.kth_hash AS DOUBLE), 6) END AS est_distinct,
+                   ex.exact_distinct
+            FROM ag JOIN ex ON ag.priority = ex.priority
+            ORDER BY ag.priority
+        """,
+        # KMV Jaccard: replays both sketches, the pair-tagged union rank,
+        # the both-sides membership count, the exact-integer floor
+        # division, and the exact intersection/union twin.
+        "kmv_jaccard_priorities_orders": """
+            WITH keyed AS (
+                SELECT DISTINCT o_orderpriority AS grp,
+                       list_reduce(
+                           list_transform(range(1, 16),
+                               j -> CAST(strpos('0123456789abcdef',
+                                         substring(md5(CAST(o_custkey AS VARCHAR)), j, 1))
+                                         - 1 AS BIGINT)),
+                           (a, x) -> a * 16 + x) AS h
+                FROM orders WHERE o_custkey IS NOT NULL
+            ), rk AS (
+                SELECT grp, h,
+                       row_number() OVER (PARTITION BY grp ORDER BY h ASC) AS rk
+                FROM keyed
+            ), sk AS (
+                SELECT grp, h FROM rk WHERE rk <= 64
+            ), gs AS (
+                SELECT DISTINCT grp FROM sk
+            ), pr AS (
+                SELECT a.grp AS grp_a, b.grp AS grp_b
+                FROM gs a, gs b WHERE a.grp < b.grp
+            ), tagged AS (
+                SELECT grp_a, grp_b, h, COUNT(*) AS occ FROM (
+                    SELECT pr.grp_a, pr.grp_b, sk.h
+                    FROM pr JOIN sk ON sk.grp = pr.grp_a
+                    UNION ALL
+                    SELECT pr.grp_a, pr.grp_b, sk.h
+                    FROM pr JOIN sk ON sk.grp = pr.grp_b
+                ) GROUP BY 1, 2, 3
+            ), u AS (
+                SELECT grp_a, grp_b, h, occ,
+                       row_number() OVER (PARTITION BY grp_a, grp_b ORDER BY h ASC) AS rk
+                FROM tagged
+            ), per AS (
+                SELECT grp_a, grp_b,
+                       CAST(COUNT(*) AS BIGINT) AS u_size,
+                       CAST(SUM(CASE WHEN occ = 2 THEN 1 ELSE 0 END) AS BIGINT) AS matched
+                FROM u WHERE rk <= 64 GROUP BY 1, 2
+            ), es AS (
+                SELECT DISTINCT o_orderpriority AS grp, o_custkey AS k
+                FROM orders WHERE o_custkey IS NOT NULL
+            ), inter AS (
+                SELECT a.grp AS grp_a, b.grp AS grp_b, CAST(COUNT(*) AS BIGINT) AS inter_exact
+                FROM es a JOIN es b ON a.k = b.k AND a.grp < b.grp
+                GROUP BY 1, 2
+            ), sizes AS (
+                SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM es GROUP BY 1
+            )
+            SELECT per.grp_a, per.grp_b, per.u_size, per.matched,
+                   CAST(per.matched * 1000000 // per.u_size AS BIGINT) AS est_jaccard_micro,
+                   coalesce(i.inter_exact, 0) AS inter_exact,
+                   sa.n + sb.n - coalesce(i.inter_exact, 0) AS union_exact
+            FROM per
+            LEFT JOIN inter i ON i.grp_a = per.grp_a AND i.grp_b = per.grp_b
+            JOIN sizes sa ON sa.grp = per.grp_a
+            JOIN sizes sb ON sb.grp = per.grp_b
+            ORDER BY per.grp_a, per.grp_b
         """,
     }

@@ -226,3 +226,250 @@ def cms_heavy_hitters(
         .orderBy(F.col("est").desc(), F.col("exact").desc(), F.col("key").asc())
         .limit(topn)
     )
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, group_col: str, p: int = 8
+) -> DataFrame:
+    """HyperLogLog register table over ``df[key_col]`` per ``group_col``
+    (NULL keys ignored): one row per (group, bucket) with the register
+    value M = max over the bucket's keys of rho(w) — the position of the
+    leftmost 1-bit in the key hash's upper 52 bits. At most ``2**p``
+    rows per group regardless of input size: the sketch build is one
+    map-side-combinable MAX aggregation, the same bounded-table scale
+    argument as the CMS.
+
+    Value-portability: bucket = h % 2**p and w = h // 2**p of the
+    portable 60-bit md5 fold; rho = 53 - bit_length(w) (53 for w = 0),
+    with bit_length as length(bin(w)) in both engines — every register
+    is an exact integer a SQL oracle replays digit-for-digit."""
+    m = 1 << p
+    keyed = df.filter(F.col(key_col).isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        portable_hash60(F.col(key_col)).alias("__h"),
+    )
+    reg = keyed.select(
+        "grp",
+        F.pmod(F.col("__h"), F.lit(m)).alias("bucket"),
+        F.floor(F.col("__h") / F.lit(m)).cast("long").alias("__w"),
+    )
+    rho = F.when(F.col("__w") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(F.col("__w")))
+    )
+    return (
+        reg.select("grp", "bucket", rho.alias("rho"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("mreg"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame, key_col: str, group_col: str, p: int = 8
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate per group, next to the exact
+    count so the sketch error is measurable row-by-row (the CMS-entry
+    convention; production drops the exact twin — that is the point of
+    the sketch: the register table is 2**p rows per group forever, while
+    the exact count shuffles every distinct key).
+
+    Estimator (Flajolet et al. 2007): raw = alpha_m * m^2 / sum(2^-M_j).
+    The harmonic sum is kept EXACT by scaling: S = sum(2^(53 - M_j)) is
+    a BIGINT (absent buckets contribute 2^53 each), so
+    raw = alpha_m * m^2 * 2^53 / S is ONE fixed IEEE double expression
+    over exact integers — correctly rounded, hence bit-identical in any
+    IEEE engine. Small-range (linear counting) correction when
+    raw <= 2.5m and zero registers remain: m * ln(m / zeros), rounded 6
+    (single libm call on identical double inputs; the zipf_slope
+    precedent). Returns (grp, zeros, s_scaled, raw_est, est,
+    exact_distinct).
+
+    alpha_m uses the standard constants for m >= 128; p < 7 is rejected
+    rather than silently mis-estimated."""
+    if p < 7:
+        raise ValueError("hll_distinct requires p >= 7 (alpha constant)")
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    p53 = float(1 << 53)
+    regs = hll_registers(df, key_col, group_col, p=p)
+    agg = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("__nb"),
+        F.sum(
+            F.expr("shiftleft(cast(1 as bigint), cast(53 - mreg as int))")
+        ).alias("__sp"),
+    )
+    exact = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(F.count_distinct(F.col(key_col)).alias("exact_distinct"))
+    )
+    zeros = (F.lit(m) - F.col("__nb")).cast("long")
+    s_scaled = (F.col("__sp") + zeros * F.lit(1 << 53)).cast("long")
+    raw = F.round(
+        F.lit(alpha) * F.lit(float(m) * float(m)) * F.lit(p53)
+        / F.col("s_scaled").cast("double"),
+        6,
+    )
+    est = F.when(
+        (F.col("raw_est") <= F.lit(2.5 * m)) & (F.col("zeros") > 0),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros").cast("double")), 6),
+    ).otherwise(F.col("raw_est"))
+    return (
+        agg.select("grp", zeros.alias("zeros"), s_scaled.alias("s_scaled"))
+        .withColumn("raw_est", raw)
+        .withColumn("est", est)
+        .join(F.broadcast(exact), "grp")
+        .orderBy("grp")
+    )
+
+
+def kmv_sketch(
+    df: DataFrame, key_col: str, group_col: str, k: int = 64
+) -> DataFrame:
+    """K-minimum-values sketch per group: the ``k`` smallest DISTINCT
+    portable-hash values of ``df[key_col]`` (NULL keys ignored), as rows
+    (grp, h, rk). The KMV sketch is a uniform size-k sample of the
+    group's distinct-key hash space — mergeable by union-then-truncate,
+    which is what makes it the distributed/streaming distinct-count and
+    set-overlap primitive: shipping k BIGINTs per group replaces
+    shuffling every distinct key.
+
+    The per-group top-k is a window row_number over the hash order —
+    per-group state is k rows, so groups partition-parallelize and the
+    sketch table is |groups| * k rows total."""
+    from pyspark.sql import Window
+
+    hashed = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            portable_hash60(F.col(key_col)).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("h").asc())
+    return (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def kmv_distinct(
+    df: DataFrame, key_col: str, group_col: str, k: int = 64
+) -> DataFrame:
+    """KMV distinct-count estimate per group next to the exact count.
+    With fewer than ``k`` distinct keys the sketch IS the distinct set
+    (estimate exact by construction); otherwise the classic unbiased
+    estimator (k-1) * H / h_k with H = 2^60 (the portable fold's range)
+    — ONE fixed IEEE double expression over exact integers. Returns
+    (grp, n_sketch, kth_hash, est_distinct, exact_distinct)."""
+    sk = kmv_sketch(df, key_col, group_col, k=k)
+    agg = sk.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.max(F.when(F.col("rk") == k, F.col("h"))).alias("kth_hash"),
+    )
+    exact = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(F.count_distinct(F.col(key_col)).alias("exact_distinct"))
+    )
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(k - 1)) * F.lit(float(1 << 60))
+            / F.col("kth_hash").cast("double"),
+            6,
+        )
+    )
+    return (
+        agg.withColumn("est_distinct", est)
+        .join(F.broadcast(exact), "grp")
+        .select("grp", "n_sketch", "kth_hash", "est_distinct", "exact_distinct")
+        .orderBy("grp")
+    )
+
+
+def kmv_jaccard(
+    df: DataFrame, key_col: str, group_col: str, k: int = 64
+) -> DataFrame:
+    """Pairwise set-similarity between groups from their KMV sketches:
+    for each group pair a < b, the union sketch U = k smallest hashes of
+    S_a ∪ S_b, matched = |{h in U : h in S_a AND h in S_b}|, and the
+    Jaccard estimate matched / |U| (Beyer et al. 2007) — emitted in
+    exact integer MICRO units (matched * 1000000 // |U|, documented
+    floor division) so the row hash-verifies. The exact Jaccard twin
+    (BIGINT intersection / union counts) is kept for error measurement;
+    production drops it — comparing G groups costs G^2 * k sketch rows
+    instead of a key-keyed shuffle of the full corpus per pair.
+
+    Returns (grp_a, grp_b, u_size, matched, est_jaccard_micro,
+    inter_exact, union_exact)."""
+    from pyspark.sql import Window
+
+    sk = kmv_sketch(df, key_col, group_col, k=k).select("grp", "h")
+    # Pair-tagged union rows: the pair dim is tiny (groups), so cross the
+    # group list, then union the two sketches per pair.
+    groups = sk.select("grp").distinct()
+    pairs = (
+        groups.alias("ga")
+        .crossJoin(groups.alias("gb"))
+        .filter(F.col("ga.grp") < F.col("gb.grp"))
+        .select(F.col("ga.grp").alias("grp_a"), F.col("gb.grp").alias("grp_b"))
+    )
+    tagged = (
+        pairs.join(sk, sk.grp == pairs.grp_a, "inner")
+        .select("grp_a", "grp_b", "h")
+        .unionByName(
+            pairs.join(sk, sk.grp == pairs.grp_b, "inner").select(
+                "grp_a", "grp_b", "h"
+            )
+        )
+        .groupBy("grp_a", "grp_b", "h")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+    )
+    w = Window.partitionBy("grp_a", "grp_b").orderBy(F.col("h").asc())
+    u = tagged.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    per = u.groupBy("grp_a", "grp_b").agg(
+        F.count(F.lit(1)).alias("u_size"),
+        F.sum((F.col("__occ") == 2).cast("long")).alias("matched"),
+    )
+    exact_sets = df.filter(F.col(key_col).isNotNull()).select(
+        F.col(group_col).alias("grp"), F.col(key_col).alias("key")
+    ).distinct()
+    ea = exact_sets.select(F.col("grp").alias("grp_a"), "key")
+    eb = exact_sets.select(F.col("grp").alias("grp_b"), "key")
+    inter = (
+        ea.join(eb, "key")
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count(F.lit(1)).alias("inter_exact"))
+    )
+    sizes = exact_sets.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    # disjoint pairs have NO row in `inter` — sizes must come from the
+    # pair itself so union_exact = |A| + |B| when the intersection is
+    # empty (left-joining a precomputed union would NULL it out)
+    return (
+        per.join(
+            F.broadcast(sizes.select(F.col("grp").alias("grp_a"), F.col("n").alias("__na"))),
+            "grp_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("grp").alias("grp_b"), F.col("n").alias("__nb"))),
+            "grp_b",
+        )
+        .join(inter, ["grp_a", "grp_b"], "left")
+        .select(
+            "grp_a",
+            "grp_b",
+            "u_size",
+            "matched",
+            F.floor(F.col("matched") * F.lit(1_000_000) / F.col("u_size"))
+            .cast("long")
+            .alias("est_jaccard_micro"),
+            F.coalesce(F.col("inter_exact"), F.lit(0)).alias("inter_exact"),
+            (F.col("__na") + F.col("__nb") - F.coalesce(F.col("inter_exact"), F.lit(0))).alias(
+                "union_exact"
+            ),
+        )
+        .orderBy("grp_a", "grp_b")
+    )

@@ -131,3 +131,82 @@ def test_cms_ignores_nulls(spark):
     df = spark.createDataFrame([(1,), (None,), (1,)], "k long")
     out = cms_heavy_hitters(df, "k", depth=2, width=8, topn=5).collect()
     assert len(out) == 1 and out[0]["exact"] == 2
+
+
+# ---------------------------------------------------------------- HLL / KMV
+
+
+def _keyed(spark, rows):
+    return spark.createDataFrame(rows, "grp string, k long")
+
+
+def test_hll_small_range_is_near_exact_and_bounded(spark):
+    # 3 groups with 10 / 300 / 1000 distinct keys; m=256 registers
+    rows = [("a", i) for i in range(10)]
+    rows += [("b", 1000 + i) for i in range(300)]
+    rows += [("c", 10_000 + i) for i in range(1000)]
+    rows += rows[:50]  # duplicates must not change a distinct sketch
+    from cdc_connector_spark.ops.sketch import hll_distinct, hll_registers
+
+    out = {r["grp"]: r for r in hll_distinct(_keyed(spark, rows), "k", "grp").collect()}
+    for g, exact in (("a", 10), ("b", 300), ("c", 1000)):
+        assert out[g]["exact_distinct"] == exact
+        # standard HLL error at m=256 is ~6.5%; allow 3 sigma
+        assert abs(out[g]["est"] - exact) / exact < 0.20, (g, out[g]["est"])
+    # the register table is bounded by m per group no matter the input
+    regs = hll_registers(_keyed(spark, rows), "k", "grp")
+    per = {r["grp"]: r["n"] for r in regs.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(v <= 256 for v in per.values())
+
+
+def test_hll_rejects_tiny_p(spark):
+    from cdc_connector_spark.ops.sketch import hll_distinct
+
+    with pytest.raises(ValueError):
+        hll_distinct(_keyed(spark, [("a", 1)]), "k", "grp", p=4)
+
+
+def test_kmv_below_k_is_exact_and_estimator_reasonable(spark):
+    from cdc_connector_spark.ops.sketch import kmv_distinct
+
+    rows = [("small", i) for i in range(20)] + [("big", 100 + i) for i in range(2000)]
+    out = {r["grp"]: r for r in kmv_distinct(_keyed(spark, rows), "k", "grp", k=64).collect()}
+    assert out["small"]["n_sketch"] == 20
+    assert out["small"]["est_distinct"] == 20.0  # sketch IS the set below k
+    assert out["small"]["kth_hash"] is None
+    # k=64 estimator: sigma ~ 1/sqrt(k-2) ~ 13%; allow 3 sigma
+    assert abs(out["big"]["est_distinct"] - 2000) / 2000 < 0.40
+
+
+def test_kmv_sketch_is_union_mergeable(spark):
+    """The KMV scale contract: sketch(A ∪ B) == truncate_k(sketch(A) ∪
+    sketch(B)) — merging sketches loses nothing vs sketching the merged
+    input. This is what lets executors sketch partitions independently."""
+    from cdc_connector_spark.ops.sketch import kmv_sketch
+
+    a = [("g", i) for i in range(500)]
+    b = [("g", 250 + i) for i in range(500)]  # overlapping
+    k = 32
+    sk_union = kmv_sketch(_keyed(spark, a + b), "k", "grp", k=k)
+    got_union = sorted(r["h"] for r in sk_union.collect())
+    sk_a = {r["h"] for r in kmv_sketch(_keyed(spark, a), "k", "grp", k=k).collect()}
+    sk_b = {r["h"] for r in kmv_sketch(_keyed(spark, b), "k", "grp", k=k).collect()}
+    merged = sorted(sk_a | sk_b)[:k]
+    assert got_union == merged
+
+
+def test_kmv_jaccard_extremes_and_floor_units(spark):
+    from cdc_connector_spark.ops.sketch import kmv_jaccard
+
+    rows = [("x", i) for i in range(100)]
+    rows += [("y", i) for i in range(100)]          # identical to x
+    rows += [("z", 10_000 + i) for i in range(100)]  # disjoint from both
+    out = {(r["grp_a"], r["grp_b"]): r for r in
+           kmv_jaccard(_keyed(spark, rows), "k", "grp", k=64).collect()}
+    assert out[("x", "y")]["est_jaccard_micro"] == 1_000_000
+    assert out[("x", "y")]["inter_exact"] == 100 and out[("x", "y")]["union_exact"] == 100
+    assert out[("x", "z")]["est_jaccard_micro"] == 0
+    assert out[("x", "z")]["inter_exact"] == 0 and out[("x", "z")]["union_exact"] == 200
+    # floor division in exact integer micro units
+    m, u = out[("y", "z")]["matched"], out[("y", "z")]["u_size"]
+    assert out[("y", "z")]["est_jaccard_micro"] == m * 1_000_000 // u
