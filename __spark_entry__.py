@@ -3160,6 +3160,57 @@ def kmv_jaccard_priorities_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     return kmv_jaccard(_t(spark, sf_dir, "orders"), "o_custkey", "o_orderpriority", k=64)
 
 
+def pettitt_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series (NEW r9): Pettitt's nonparametric change-point test on
+    each type's daily-count series — the single most likely abrupt level
+    shift and its location, from EXACT INTEGER doubled-mid-rank
+    arithmetic (U_t = Σ DR_i − t(N+1); verified identical to the brute
+    sign double-sum on randomized series in tests). Rank-based, so
+    robust to the outlier days that drag mean-based CUSUM. Earliest-day
+    argmax tie-break; before/after exact sums quantify the shift. All
+    windows per-type over calendar-bounded series. Value-verified."""
+    from cdc_connector_spark.ops.timeseries import pettitt_changepoint
+
+    return pettitt_changepoint(_t(spark, sf_dir, "events"))
+
+
+def seasonal_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series (NEW r9): seasonality-adjusted anomaly days — each
+    day's count z-scored against the type's OWN WEEKDAY distribution
+    (Mondays vs Mondays), the screen that doesn't flag every weekend of
+    a weekly-cyclic feed the way the global z (anomaly_zscore_events)
+    does. Exact integer sufficient statistics per (type, weekday) cell,
+    one fixed IEEE expression rounded 6; weekday = Spark weekday() ==
+    DuckDB isodow−1. Value-verified."""
+    from cdc_connector_spark.ops.timeseries import seasonal_anomalies
+
+    return seasonal_anomalies(_t(spark, sf_dir, "events"), z_threshold=1.5)
+
+
+def link_prediction_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph (NEW r9): common-neighbor link prediction over the part
+    co-purchase graph (same graph as triangle_count_parts) — top-50
+    non-adjacent pairs by resource-allocation index in exact integer
+    MICRO units (Σ floor(1e6/deg(z)) over shared neighbors; RA
+    down-weights hub centers). Wedge centers above degree 40 are cut
+    (deg² fan-out, the standard hub cap — binds at sf0.001 where the
+    densest node has degree 51, a no-op at the sparser larger SFs; the
+    oracle replays the cut). Value-verified."""
+    from cdc_connector_spark.ops.graph import link_prediction
+
+    li = _t(spark, sf_dir, "lineitem")
+    co = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    l, r = co.alias("l"), co.alias("r")
+    edges = (
+        l.join(r, on=[F.col("l.o") == F.col("r.o"), F.col("l.p") < F.col("r.p")])
+        .groupBy(F.col("l.p").alias("src"), F.col("r.p").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("src", "dst")
+    )
+    return link_prediction(edges, top=50, max_center_degree=40)
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3447,6 +3498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_customers_orders": hll_distinct_customers_orders,
         "kmv_distinct_customers_orders": kmv_distinct_customers_orders,
         "kmv_jaccard_priorities_orders": kmv_jaccard_priorities_orders,
+        "pettitt_changepoint_events": pettitt_changepoint_events,
+        "seasonal_anomaly_events": seasonal_anomaly_events,
+        "link_prediction_parts": link_prediction_parts,
     }
     assert len(_R9_WINDOW) == 50 and set(_R9_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -7460,5 +7514,106 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.grp = per.grp_a
             JOIN sizes sb ON sb.grp = per.grp_b
             ORDER BY per.grp_a, per.grp_b
+        """,
+        # Pettitt: doubled mid-ranks (2*rank + ties - 1) keep the
+        # Mann-Whitney statistic exact-integer; earliest-day argmax.
+        "pettitt_changepoint_events": """
+            WITH daily AS (
+                SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            ), scored AS (
+                SELECT event_type, day, n,
+                       2 * rank() OVER (PARTITION BY event_type ORDER BY n ASC)
+                         + COUNT(*) OVER (PARTITION BY event_type, n) - 1 AS dr,
+                       row_number() OVER (PARTITION BY event_type ORDER BY day ASC) AS idx,
+                       COUNT(*) OVER (PARTITION BY event_type) AS nd
+                FROM daily
+            ), uu AS (
+                SELECT event_type, day, idx, nd,
+                       SUM(dr) OVER (PARTITION BY event_type ORDER BY day ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - idx * (nd + 1) AS u
+                FROM scored
+            ), cand AS (
+                SELECT event_type, day, nd, u,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY abs(u) DESC, day ASC) AS pk
+                FROM uu WHERE idx < nd
+            ), b AS (
+                SELECT event_type, CAST(nd AS BIGINT) AS n_days, day AS change_day,
+                       CAST(abs(u) AS BIGINT) AS k_stat, CAST(u AS BIGINT) AS u_signed
+                FROM cand WHERE pk = 1
+            )
+            SELECT d.event_type, b.n_days, b.change_day, b.k_stat, b.u_signed,
+                   CAST(SUM(CASE WHEN d.day <= b.change_day THEN 1 ELSE 0 END) AS BIGINT) AS days_before,
+                   CAST(SUM(CASE WHEN d.day <= b.change_day THEN d.n ELSE 0 END) AS BIGINT) AS sum_before,
+                   CAST(SUM(CASE WHEN d.day > b.change_day THEN 1 ELSE 0 END) AS BIGINT) AS days_after,
+                   CAST(SUM(CASE WHEN d.day > b.change_day THEN d.n ELSE 0 END) AS BIGINT) AS sum_after
+            FROM daily d JOIN b ON d.event_type = b.event_type
+            GROUP BY 1, 2, 3, 4, 5
+            ORDER BY d.event_type
+        """,
+        # Seasonal z: per-(type, weekday) exact integer sums; the same
+        # one-expression variance/z idiom as anomaly_zscore_events;
+        # isodow-1 == Spark weekday (0 = Monday).
+        "seasonal_anomaly_events": """
+            WITH daily AS (
+                SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ), wd AS (
+                SELECT event_type, day,
+                       CAST(isodow(CAST(day AS DATE)) - 1 AS INT) AS weekday, n
+                FROM daily
+            ), st AS (
+                SELECT event_type, weekday, COUNT(*) AS d, SUM(n) AS s, SUM(n * n) AS ss
+                FROM wd GROUP BY 1, 2
+            ), z AS (
+                SELECT wd.event_type, wd.day, wd.weekday, wd.n,
+                       (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                            / CAST(d AS DOUBLE)) / CAST(d - 1 AS DOUBLE) AS var,
+                       round((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(d AS DOUBLE))
+                             / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                     / CAST(d AS DOUBLE)) / CAST(d - 1 AS DOUBLE)), 6) AS zz
+                FROM wd JOIN st ON wd.event_type = st.event_type AND wd.weekday = st.weekday
+                WHERE d > 1
+            )
+            SELECT event_type, day, weekday, CAST(n AS BIGINT) AS n, zz AS z
+            FROM z WHERE var > 0 AND abs(zz) >= 1.5
+        """,
+        # Link prediction: replays the co-purchase graph, the degree-40
+        # hub cut, wedge generation, the exact-integer micro RA sum, and
+        # the non-adjacency anti-join.
+        "link_prediction_parts": """
+            WITH co AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            ), e AS (
+                SELECT l.p AS a, r.p AS b FROM co l JOIN co r
+                ON l.o = r.o AND l.p < r.p
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ), sym AS (
+                SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e
+            ), deg AS (
+                SELECT b AS z, CAST(COUNT(*) AS BIGINT) AS dg FROM sym GROUP BY 1
+            ), cent AS (
+                SELECT z, CAST(1000000 // dg AS BIGINT) AS ra FROM deg WHERE dg <= 40
+            ), adj AS (
+                SELECT s.b AS z, s.a AS x, c.ra FROM sym s JOIN cent c ON c.z = s.b
+            ), w AS (
+                SELECT l.x AS node_a, r.x AS node_b, l.ra
+                FROM adj l JOIN adj r ON l.z = r.z AND l.x < r.x
+            ), sc AS (
+                SELECT node_a, node_b,
+                       CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+                       CAST(SUM(ra) AS BIGINT) AS ra_score_micro
+                FROM w GROUP BY 1, 2
+            )
+            SELECT sc.node_a, sc.node_b, sc.common_neighbors, sc.ra_score_micro
+            FROM sc LEFT JOIN e ON e.a = sc.node_a AND e.b = sc.node_b
+            WHERE e.a IS NULL
+            ORDER BY sc.ra_score_micro DESC, sc.common_neighbors DESC,
+                     sc.node_a ASC, sc.node_b ASC
+            LIMIT 50
         """,
     }

@@ -553,3 +553,70 @@ def degree_assortativity(
     return out.select(
         F.col("n").alias("n_edge_ends"), F.col("corr").alias("assortativity")
     )
+
+
+def link_prediction(
+    edges: DataFrame,
+    top: int = 50,
+    max_center_degree: int = 1000,
+) -> DataFrame:
+    """Common-neighbor link prediction over an undirected simple graph
+    (``edges`` as canonical ``src < dst`` pairs): for every NON-adjacent
+    pair (a, b) reachable in 2 hops, the number of shared neighbors and
+    the resource-allocation index Σ_{z ∈ N(a)∩N(b)} 1/deg(z) (Zhou,
+    Lü & Zhang 2009) — RA down-weights promiscuous hubs, which is what
+    separates "these two parts co-occur with the same niche accessory"
+    from "everything touches the bestseller". The recommendation /
+    missing-edge primitive over co-occurrence graphs.
+
+    Value-portable scoring: RA is emitted in exact integer MICRO units,
+    Σ floor(1e6 / deg(z)) — per-center integer division, order-free
+    BIGINT sum, no float accumulation (documented contract: the score
+    IS the micro-unit sum, not a float approximated by it).
+
+    Scale: wedge fan-out through a center z is deg(z)², so centers with
+    deg > ``max_center_degree`` are EXCLUDED from wedge generation (the
+    standard hub cut — their per-wedge RA contribution is ≤ 1e6/deg
+    micro-units, the first thing to sacrifice; at 100 TB set the cap to
+    a few hundred). The cut is part of the operator's semantics and
+    must be replayed by any oracle. Everything else is two keyed
+    shuffles (wedge self-join, pair collapse) plus the anti-join
+    against existing edges.
+
+    Returns top-``top`` rows (node_a, node_b, common_neighbors,
+    ra_score_micro) ordered by (ra desc, cn desc, node_a, node_b)."""
+    sym = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("z")).agg(F.count(F.lit(1)).alias("deg"))
+    centers = deg.filter(F.col("deg") <= max_center_degree).withColumn(
+        "ra_micro", F.floor(F.lit(1_000_000) / F.col("deg")).cast("long")
+    )
+    # adjacency rows grouped by center z: (z, x) with x a neighbor of z.
+    # The degree table is NODE-sized — never broadcast it by hand; the
+    # join keys both sides on z and AQE may still broadcast when small.
+    adj = sym.select(F.col("b").alias("z"), F.col("a").alias("x")).join(centers, "z")
+    l, r = adj.alias("l"), adj.alias("r")
+    wedges = l.join(
+        r,
+        on=[F.col("l.z") == F.col("r.z"), F.col("l.x") < F.col("r.x")],
+    ).select(
+        F.col("l.x").alias("node_a"),
+        F.col("r.x").alias("node_b"),
+        F.col("l.ra_micro").alias("ra_micro"),
+    )
+    scored = wedges.groupBy("node_a", "node_b").agg(
+        F.count(F.lit(1)).alias("common_neighbors"),
+        F.sum("ra_micro").alias("ra_score_micro"),
+    )
+    existing = edges.select(F.col("src").alias("node_a"), F.col("dst").alias("node_b"))
+    return (
+        scored.join(existing, ["node_a", "node_b"], "left_anti")
+        .orderBy(
+            F.col("ra_score_micro").desc(),
+            F.col("common_neighbors").desc(),
+            F.col("node_a").asc(),
+            F.col("node_b").asc(),
+        )
+        .limit(top)
+    )

@@ -1028,3 +1028,153 @@ def session_summary(
         .otherwise(F.lit(None).cast("long"))
         .alias("p50_session_s"),
     )
+
+
+def pettitt_changepoint(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Pettitt's nonparametric change-point test (Pettitt 1979) on each
+    type's daily-count series: the single most likely abrupt level shift,
+    located where the Mann-Whitney-style statistic
+    U_t = Σ_{i≤t} Σ_{j>t} sign(n_i − n_j) peaks in absolute value.
+    The drift screen behind "did this feed's volume step-change, and
+    when" — rank-based, so robust to outliers that drag a mean-based
+    CUSUM (see cusum_changepoints for the sequential alternative).
+
+    Value-portable because the statistic is EXACT INTEGER arithmetic:
+    with doubled mid-ranks DR_i = 2·rank + ties − 1 (integers even when
+    mid-ranks are .5), U_t = Σ_{i≤t} DR_i − t·(N+1) — verified
+    identical to the brute sign double-sum on randomized series in
+    tests. Argmax tie-break: earliest day. Returns one row per type
+    with ≥ 2 days: (event_type, n_days, change_day, k_stat, u_signed,
+    days_before, sum_before, days_after, sum_after) — before/after
+    exact integer sums let the consumer judge the shift size without
+    any float columns.
+
+    Shape: after the daily collapse every window is per-type over its
+    own ≤|days| rows — types parallelize, nothing global. At 100 TB the
+    daily collapse is the only corpus-sized shuffle; series stay
+    calendar-bounded (years × 365 rows per type)."""
+    from pyspark.sql import Window
+
+    daily = (
+        df.select(
+            F.col(type_col).alias("event_type"),
+            F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(F.col("n").asc())
+    w_ties = Window.partitionBy("event_type", "n")
+    w_day = Window.partitionBy("event_type").orderBy(F.col("day").asc())
+    w_type = Window.partitionBy("event_type")
+    w_cum = w_day.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored = daily.select(
+        "event_type",
+        "day",
+        "n",
+        (F.lit(2) * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_ties) - F.lit(1)).alias(
+            "__dr"
+        ),
+        F.row_number().over(w_day).alias("__idx"),
+        F.count(F.lit(1)).over(w_type).alias("__nd"),
+    )
+    u = scored.select(
+        "event_type",
+        "day",
+        "__idx",
+        "__nd",
+        (F.sum("__dr").over(w_cum) - F.col("__idx") * (F.col("__nd") + 1)).alias("__u"),
+    ).filter(F.col("__idx") < F.col("__nd"))
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("__u")).desc(), F.col("day").asc()
+    )
+    best = (
+        u.withColumn("__pk", F.row_number().over(w_pick))
+        .filter(F.col("__pk") == 1)
+        .select(
+            "event_type",
+            F.col("__nd").alias("n_days"),
+            F.col("day").alias("change_day"),
+            F.abs(F.col("__u")).alias("k_stat"),
+            F.col("__u").alias("u_signed"),
+            F.col("__idx").alias("__t0"),
+        )
+    )
+    split = daily.join(F.broadcast(best), "event_type").select(
+        "event_type",
+        "n_days",
+        "change_day",
+        "k_stat",
+        "u_signed",
+        (F.col("day") <= F.col("change_day")).alias("__pre"),
+        "n",
+    )
+    return (
+        split.groupBy("event_type", "n_days", "change_day", "k_stat", "u_signed")
+        .agg(
+            F.sum(F.col("__pre").cast("long")).alias("days_before"),
+            F.sum(F.when(F.col("__pre"), F.col("n")).otherwise(0)).alias("sum_before"),
+            F.sum((~F.col("__pre")).cast("long")).alias("days_after"),
+            F.sum(F.when(~F.col("__pre"), F.col("n")).otherwise(0)).alias("sum_after"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    z_threshold: float = 2.0,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Seasonality-adjusted volume anomalies: z-score each day's count
+    against the type's OWN WEEKDAY distribution (Mondays vs Mondays),
+    so a weekly-cyclic feed doesn't flag every weekend as an anomaly
+    the way the global-z screen (daily_anomalies) does — the pair is
+    the classic monitoring ladder: global z for acyclic feeds, seasonal
+    z once a weekly profile exists (weekday_profile measures whether it
+    does).
+
+    Same exact-integer portability contract as daily_anomalies: per
+    (type, weekday) the stats are exact integer sums (d, Σn, Σn²), each
+    statistic is ONE fixed IEEE double expression rounded 6, weekday is
+    Spark weekday() == DuckDB isodow−1 (0 = Monday). Cells with < 2
+    observed days or zero variance report no rows. Returns
+    (event_type, day, weekday, n, z) with |z| >= z_threshold.
+
+    Shape: daily collapse, then a (type × 7)-row profile broadcast back
+    — two tiny shuffles after the collapse, same as the global screen."""
+    daily = (
+        df.select(
+            F.col(type_col).alias("event_type"),
+            F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("weekday", F.weekday(F.to_date(F.col("day"))).cast("int"))
+    )
+    stats = daily.groupBy("event_type", "weekday").agg(
+        F.count(F.lit(1)).alias("__d"),
+        F.sum("n").alias("__s"),
+        F.sum(F.col("n") * F.col("n")).alias("__ss"),
+    )
+    var = (
+        F.col("__ss").cast("double")
+        - F.col("__s").cast("double") * F.col("__s").cast("double") / F.col("__d").cast("double")
+    ) / (F.col("__d") - 1).cast("double")
+    z = F.round(
+        (F.col("n").cast("double") - F.col("__s").cast("double") / F.col("__d").cast("double"))
+        / F.sqrt(var),
+        6,
+    )
+    return (
+        daily.join(F.broadcast(stats.filter(F.col("__d") > 1)), ["event_type", "weekday"])
+        .withColumn("__var", var)
+        .filter(F.col("__var") > 0)
+        .select("event_type", "day", "weekday", "n", z.alias("z"))
+        .filter(F.abs(F.col("z")) >= z_threshold)
+    )

@@ -282,3 +282,68 @@ def test_assortativity_regular_graph_empty(spark):
 
     e = _bfs_edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])  # 2-regular cycle
     assert degree_assortativity(e).count() == 0
+
+
+# ---------------------------------------------------------- link prediction
+
+
+def test_link_prediction_hand_computed(spark):
+    """Square a-b-c-d-a plus hub h attached to a and c: the non-adjacent
+    pairs are (a,c) — common neighbors b, d, h — and (b,d) — common
+    neighbors a, c. RA in micro units: deg(a)=deg(c)=3, deg(b)=deg(d)=2,
+    deg(h)=2."""
+    from cdc_connector_spark.ops.graph import link_prediction
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (1, 9), (3, 9)], "src long, dst long"
+    )
+    got = {(r["node_a"], r["node_b"]): r for r in link_prediction(edges).collect()}
+    # h also pairs with b and d through the degree-3 corners a and c
+    assert set(got) == {(1, 3), (2, 4), (2, 9), (4, 9)}
+    ac, bd = got[(1, 3)], got[(2, 4)]
+    assert ac["common_neighbors"] == 3
+    assert ac["ra_score_micro"] == 3 * (1_000_000 // 2)  # b, d, h all degree 2
+    assert bd["common_neighbors"] == 2
+    assert bd["ra_score_micro"] == 2 * (1_000_000 // 3)  # a, c degree 3
+    for p in ((2, 9), (4, 9)):
+        assert got[p]["common_neighbors"] == 2
+        assert got[p]["ra_score_micro"] == 2 * (1_000_000 // 3)
+
+
+def test_link_prediction_hub_cap_binds(spark):
+    """A star through hub z (degree 4) plus one low-degree wedge: capping
+    max_center_degree below 4 removes every hub-mediated pair but keeps
+    the wedge — the cut is semantics, not a silent truncation."""
+    from cdc_connector_spark.ops.graph import link_prediction
+
+    star = [(100, i) for i in (1, 2, 3, 4)]  # z=100 -> 4 leaves
+    wedge = [(1, 50), (2, 50)]  # center 50, degree 2
+    edges = spark.createDataFrame(star + wedge, "src long, dst long")
+    full = {(r["node_a"], r["node_b"]) for r in link_prediction(edges).collect()}
+    assert (1, 2) in full and (3, 4) in full
+    capped = {
+        (r["node_a"], r["node_b"]): r
+        for r in link_prediction(edges, max_center_degree=3).collect()
+    }
+    # hub-mediated pairs ((3,4), (1,3), ...) vanish; pairs through
+    # low-degree centers survive: (1,2) via center 50, (50,100) via
+    # centers 1 and 2
+    assert set(capped) == {(1, 2), (50, 100)}
+    assert capped[(1, 2)]["ra_score_micro"] == 1_000_000 // 2
+    assert capped[(50, 100)]["common_neighbors"] == 2
+    assert all((a, b) not in capped for a, b in ((3, 4), (1, 3), (2, 3)))
+
+
+def test_link_prediction_excludes_existing_edges_and_orders(spark):
+    from cdc_connector_spark.ops.graph import link_prediction
+
+    # triangle 1-2-3 plus pendant 4 on node 1: the only 2-hop non-edge
+    # pairs are (2,4) and (3,4) via center 1
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4)], "src long, dst long"
+    )
+    rows = link_prediction(edges).collect()
+    pairs = [(r["node_a"], r["node_b"]) for r in rows]
+    assert pairs == sorted(pairs)  # deterministic order at equal scores
+    assert set(pairs) == {(2, 4), (3, 4)}
+    assert all((a, b) not in {(1, 2), (1, 3), (2, 3), (1, 4)} for a, b in pairs)

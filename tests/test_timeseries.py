@@ -792,3 +792,108 @@ def test_session_summary_empty_input_reports_zeros(spark):
     r = session_summary(df).collect()[0]
     assert r["n_sessions"] == 0 and r["bounce_rate"] == 0.0
     assert r["p50_session_s"] is None
+
+
+# ------------------------------------------------------------------ pettitt
+
+
+def _brute_pettitt(x):
+    """Brute sign double-sum reference: (t, u) at the first argmax of
+    |U_t| with U_t = sum_{i<=t} sum_{j>t} sign(x_i - x_j)."""
+    n = len(x)
+    best = None
+    for t in range(1, n):
+        u = 0
+        for i in range(t):
+            for j in range(t, n):
+                u += (x[i] > x[j]) - (x[i] < x[j])
+        if best is None or abs(u) > abs(best[1]):
+            best = (t, u)
+    return best
+
+
+def _daily_events(spark, counts, etype="a", start=None):
+    """One event per unit: day d gets counts[d] rows."""
+    from datetime import datetime, timedelta
+
+    start = start or datetime(2024, 1, 1, 6)
+    rows, eid = [], 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, start + timedelta(days=d), 1, etype))
+            eid += 1
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+
+
+def test_pettitt_detects_planted_level_shift(spark):
+    from cdc_connector_spark.ops.timeseries import pettitt_changepoint
+
+    counts = [5, 6, 5, 4, 5, 6, 5, 20, 21, 19, 20, 22, 21, 20]  # shift after day 7
+    out = pettitt_changepoint(_daily_events(spark, counts)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["change_day"] == "2024-01-07"  # last low day (t = 7 prefix days)
+    assert r["n_days"] == 14
+    assert r["days_before"] == 7 and r["days_after"] == 7
+    assert r["sum_before"] == sum(counts[:7]) and r["sum_after"] == sum(counts[7:])
+    assert r["u_signed"] < 0  # prefix below suffix
+    assert r["k_stat"] == abs(r["u_signed"])
+
+
+def test_pettitt_matches_bruteforce_on_random_series(spark):
+    import random
+
+    from cdc_connector_spark.ops.timeseries import pettitt_changepoint
+
+    rng = random.Random(11)
+    for trial in range(6):
+        n = rng.randint(4, 16)
+        counts = [rng.randint(1, 6) for _ in range(n)]
+        t_ref, u_ref = _brute_pettitt(counts)
+        r = pettitt_changepoint(_daily_events(spark, counts)).collect()[0]
+        assert r["u_signed"] == u_ref, (counts, r)
+        assert r["days_before"] == t_ref, (counts, r, t_ref)
+
+
+def test_pettitt_handles_ties_and_multi_type(spark):
+    from cdc_connector_spark.ops.timeseries import pettitt_changepoint
+
+    a = _daily_events(spark, [3, 3, 3, 9, 9, 9], etype="a")
+    b = _daily_events(spark, [7, 7, 7, 7], etype="b")  # constant: U == 0
+    out = {r["event_type"]: r for r in pettitt_changepoint(a.unionByName(b)).collect()}
+    assert out["a"]["days_before"] == 3 and out["a"]["u_signed"] == -9  # 3*3*sign(3-9)
+    # constant series: every U_t is 0; earliest day wins the tie
+    assert out["b"]["k_stat"] == 0 and out["b"]["change_day"] == "2024-01-01"
+
+
+# ----------------------------------------------------------------- seasonal
+
+
+def test_seasonal_anomaly_ignores_weekly_cycle_global_flags_it(spark):
+    """A weekly-cyclic feed (weekend counts 3x weekdays) with one truly
+    anomalous Wednesday: the weekday-adjusted screen flags ONLY the
+    Wednesday, while the global z-screen flags weekend days too."""
+    from cdc_connector_spark.ops.timeseries import daily_anomalies, seasonal_anomalies
+
+    # 2024-01-01 is a Monday; 6 full weeks
+    counts = []
+    for w in range(6):
+        counts += [10, 10, 10, 10, 10, 30, 30]
+    # plant the anomaly: third Wednesday (index 2 + 14) spikes
+    counts[16] = 25
+    df = _daily_events(spark, counts)
+    # one outlier among d=6 samples caps |z| at (d-1)/sqrt(d) ~ 2.04
+    seasonal = seasonal_anomalies(df, z_threshold=1.6).collect()
+    assert [r["day"] for r in seasonal] == ["2024-01-17"]
+    assert seasonal[0]["weekday"] == 2  # Wednesday, 0 = Monday
+    global_days = {r["day"] for r in daily_anomalies(df, z_threshold=1.2).collect()}
+    assert any(d in global_days for d in ("2024-01-06", "2024-01-07"))  # weekend noise
+
+
+def test_seasonal_anomaly_skips_degenerate_cells(spark):
+    from cdc_connector_spark.ops.timeseries import seasonal_anomalies
+
+    # single week: every (type, weekday) cell has d == 1 -> no rows
+    assert seasonal_anomalies(_daily_events(spark, [1, 2, 3, 4, 5, 6, 7])).count() == 0
