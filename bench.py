@@ -362,10 +362,28 @@ def main() -> None:
     # the FULL report to a committed artifact so round-over-round per-query
     # comparison never depends on a 4 KB tail buffer (judge r5 next-round #6)
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
-    with open(full_path, "w") as f:
-        json.dump(report, f, indent=1, sort_keys=True)
-        f.write("\n")
-    print(f"# full report written to {full_path}", file=sys.stderr)
+    # guard the committed artifact: a smoke run at another SF (or an
+    # explicit SPARK_GRAFT_NO_BENCH_FULL=1) must never overwrite the
+    # committed sf0.1 record — the never-overwrite-with-noisier rule
+    skip = os.environ.get("SPARK_GRAFT_NO_BENCH_FULL") == "1"
+    if os.path.exists(full_path) and not skip:
+        try:
+            with open(full_path) as f:
+                prev_sf = json.load(f).get("sf")
+            skip = prev_sf is not None and prev_sf != sf
+        except (json.JSONDecodeError, OSError):
+            skip = False
+    if skip:
+        print(
+            f"# NOT overwriting {full_path} (existing record is a different"
+            " SF or SPARK_GRAFT_NO_BENCH_FULL=1)",
+            file=sys.stderr,
+        )
+    else:
+        with open(full_path, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"# full report written to {full_path}", file=sys.stderr)
 
 
 if __name__ == "__main__":

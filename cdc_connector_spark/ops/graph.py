@@ -620,3 +620,75 @@ def link_prediction(
         )
         .limit(top)
     )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight_col: str = "w",
+    max_hops: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "node",
+    directed: bool = False,
+) -> DataFrame:
+    """Weighted single/multi-source shortest paths, bounded at
+    ``max_hops`` edges: distance-limited Bellman-Ford relaxation
+    dist_k(v) = min(dist_{k-1}(v), min over in-edges (u,v) of
+    dist_{k-1}(u) + w) — the weighted upgrade of ``bfs_hops`` ("how
+    CLOSE is everything to X" instead of "how many hops"), the
+    proximity primitive behind supply-chain distance, influence cost,
+    and related-entity ranking over weighted co-occurrence graphs.
+
+    Weights must be NON-NEGATIVE BIGINTs (micro-unit costs — the
+    repo-wide integer-score contract): min-plus over exact integers is
+    exact, so every distance is an exact BIGINT and the whole table
+    value-verifies against an unrolled SQL replay (one min-groupby per
+    relaxation round — distances, not path enumerations, so the oracle
+    is linear in edges, never in paths).
+
+    Returns (node, dist) for every node within ``max_hops`` edges of a
+    source (sources at 0); unreachable-within-bound nodes absent.
+    A node's distance is the min over ALL ≤ max_hops-edge paths — the
+    bounded-horizon semantics (standard at scale: full convergence on
+    a 100 TB graph is an unbounded number of rounds; bounding the
+    horizon bounds the cost and IS the documented operator contract).
+
+    Shape per round: ONE dist⋈edges join keyed on the node id + one
+    map-side-combinable MIN aggregation; dist is eagerly
+    localCheckpointed (iterative-op discipline). Early-exits when a
+    round changes nothing."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b"), F.col(weight_col).alias("w")
+    )
+    if not directed:
+        e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")))
+    # parallel edges: keep the cheapest (min-plus ignores the rest anyway)
+    e = e.groupBy("a", "b").agg(F.min("w").alias("w")).localCheckpoint(eager=True)
+    dist = (
+        sources.select(F.col(id_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_hops):
+        relaxed = (
+            dist.join(e, dist["node"] == e["a"])
+            .select(F.col("b").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+            .unionByName(dist)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        # converged: same node set and no distance improved
+        converged = (
+            relaxed.join(dist.withColumnRenamed("dist", "__old"), "node", "left")
+            .filter(F.col("__old").isNull() | (F.col("dist") < F.col("__old")))
+            .isEmpty()
+        )
+        dist = relaxed
+        if converged:
+            break
+    return dist.orderBy("node")

@@ -251,7 +251,10 @@ def hll_registers(
     reg = keyed.select(
         "grp",
         F.pmod(F.col("__h"), F.lit(m)).alias("bucket"),
-        F.floor(F.col("__h") / F.lit(m)).cast("long").alias("__w"),
+        # exact integer division: m = 2**p, so a right shift — Spark `/`
+        # is double division and the 60-bit hash exceeds 2**53, where the
+        # rounded quotient can cross a bit-length boundary and corrupt rho
+        F.shiftright(F.col("__h"), p).alias("__w"),
     )
     rho = F.when(F.col("__w") == 0, F.lit(53)).otherwise(
         F.lit(53) - F.length(F.bin(F.col("__w")))
@@ -322,6 +325,60 @@ def hll_distinct(
     )
 
 
+def hll_merge(register_tables: list[DataFrame]) -> DataFrame:
+    """MAX-merge of HLL register tables (``grp``, ``bucket``, ``mreg``
+    rows from ``hll_registers``): registers of the union are the
+    per-(grp, bucket) MAX — HLL's defining mergeability (Flajolet et
+    al. 2007), which is what lets per-partition / per-day / per-feed
+    sketches roll up without touching raw keys. Exact, not
+    approximate-on-approximate: merge(regs(A), regs(B)) ==
+    regs(A ∪ B) register-for-register, because max is associative on
+    the per-key rho values. Each side ships ≤ 2^p rows per group."""
+    merged = register_tables[0].select("grp", "bucket", "mreg")
+    for t in register_tables[1:]:
+        merged = merged.unionByName(t.select("grp", "bucket", "mreg"))
+    return merged.groupBy("grp", "bucket").agg(F.max("mreg").alias("mreg"))
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+    """PRODUCTION-shaped distinct-count estimate from an HLL register
+    table: (grp, zeros, s_scaled, raw_est, est) — estimate ONLY, no
+    exact twin in the plan (the ``kmv_estimate`` counterpart). Same
+    exact-integer estimator as ``hll_distinct``: S = Σ 2^(53−M_j) as a
+    BIGINT with absent buckets contributing 2^53 each, raw = α·m²·2^53/S
+    as ONE IEEE expression, linear-counting correction in its standard
+    range. Input is the bounded register state, so no corpus-keyed
+    shuffle happens here."""
+    if p < 7:
+        raise ValueError("hll_estimate requires p >= 7 (alpha constant)")
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    p53 = float(1 << 53)
+    agg = registers.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("__nb"),
+        F.sum(
+            F.expr("shiftleft(cast(1 as bigint), cast(53 - mreg as int))")
+        ).alias("__sp"),
+    )
+    zeros = (F.lit(m) - F.col("__nb")).cast("long")
+    s_scaled = (F.col("__sp") + zeros * F.lit(1 << 53)).cast("long")
+    raw = F.round(
+        F.lit(alpha) * F.lit(float(m) * float(m)) * F.lit(p53)
+        / F.col("s_scaled").cast("double"),
+        6,
+    )
+    est = F.when(
+        (F.col("raw_est") <= F.lit(2.5 * m)) & (F.col("zeros") > 0),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros").cast("double")), 6),
+    ).otherwise(F.col("raw_est"))
+    return (
+        agg.select("grp", zeros.alias("zeros"), s_scaled.alias("s_scaled"))
+        .withColumn("raw_est", raw)
+        .withColumn("est", est)
+        .orderBy("grp")
+    )
+
+
 def kmv_sketch(
     df: DataFrame, key_col: str, group_col: str, k: int = 64
 ) -> DataFrame:
@@ -351,6 +408,54 @@ def kmv_sketch(
         hashed.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
+
+
+def kmv_merge(sketches: list[DataFrame], k: int = 64) -> DataFrame:
+    """Union-then-truncate merge of KMV sketch tables (``grp``, ``h``
+    rows, e.g. from ``kmv_sketch``): the k smallest distinct hashes of
+    the union per group. KMV's defining property (Beyer et al. 2007):
+    merge(sketch(A), sketch(B)) == sketch(A ∪ B) EXACTLY — the k
+    smallest hashes of the union are always among the two sketches'
+    2k hashes — so incremental maintenance is exact, not
+    approximate-on-approximate (the CMS-linearity argument, order
+    statistics instead of counters). Each merge ships k BIGINTs per
+    group per side; the merged state is |groups| × k rows forever."""
+    from pyspark.sql import Window
+
+    merged = sketches[0].select("grp", "h")
+    for s in sketches[1:]:
+        merged = merged.unionByName(s.select("grp", "h"))
+    w = Window.partitionBy("grp").orderBy(F.col("h").asc())
+    return (
+        merged.distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """PRODUCTION-shaped distinct-count estimate from a KMV sketch table
+    (``grp``, ``h``, ``rk`` rows): (grp, n_sketch, kth_hash,
+    est_distinct) — estimate ONLY, no exact twin anywhere in the plan.
+    The input is the bounded sketch state (|groups| × k rows), so this
+    runs with NO corpus-keyed shuffle at all — the shape the
+    error-measuring ``kmv_distinct`` entry documents production as
+    dropping to. Estimator as in ``kmv_distinct``: exact below k, else
+    (k-1) * 2^60 / h_k as ONE fixed IEEE double expression."""
+    agg = sketch.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.max(F.when(F.col("rk") == k, F.col("h"))).alias("kth_hash"),
+    )
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(k - 1)) * F.lit(float(1 << 60))
+            / F.col("kth_hash").cast("double"),
+            6,
+        )
+    )
+    return agg.withColumn("est_distinct", est).orderBy("grp")
 
 
 def kmv_distinct(

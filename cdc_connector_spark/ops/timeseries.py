@@ -1178,3 +1178,217 @@ def seasonal_anomalies(
         .select("event_type", "day", "weekday", "n", z.alias("z"))
         .filter(F.abs(F.col("z")) >= z_threshold)
     )
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Mann-Kendall monotone-trend test + Theil-Sen slope on each type's
+    daily-count series — the standard nonparametric pair next to
+    ``pettitt_changepoint`` (Pettitt locates ONE abrupt shift; MK asks
+    "is the whole series drifting", Theil-Sen "how fast"): the volume
+    health check a feed monitor runs per table/topic. Rank-based, so
+    robust to the outlier days that drag OLS (``trend_events``).
+
+    Value-portable by exact integer arithmetic:
+    - S = Σ_{i<j} sign(n_j − n_i), an exact BIGINT via the per-type
+      day-pair self-join (days are calendar-bounded, so the join is
+      |days|² per type — tiny forever, and SQL-replayable verbatim).
+    - var18 = N(N−1)(2N+5) − Σ_t t(t−1)(2t+5) over tie groups — the
+      EXACT integer 18·Var(S); the z statistic
+      (S∓1)/sqrt(var18/18) is ONE fixed IEEE expression over exact
+      integers, rounded 6 (the Pearson/OLS precedent).
+    - Theil-Sen slope = the lower-median pairwise slope
+      (n_j − n_i)/(j − i): each slope is one correctly-rounded IEEE
+      division (identical in both engines), ordered with the exact
+      integer tie-break (dy, dx) for a deterministic total order, and
+      picked by nearest-rank (no interpolation — the integer order
+      statistic discipline). Emitted rounded 6.
+
+    Returns one row per type with ≥ 2 days: (event_type, n_days,
+    s_stat, var18, z, theil_sen_slope). Shape: the daily collapse is
+    the only corpus-sized shuffle; everything after runs on
+    calendar-bounded per-type series."""
+    from pyspark.sql import Window
+
+    daily = (
+        df.select(
+            F.col(type_col).alias("event_type"),
+            F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # the daily collapse feeds FIVE consumers (pairs, tie census,
+        # day count, slopes, the median pick) — eager localCheckpoint
+        # materializes the tiny types×days frame ONCE instead of five
+        # corpus scans (the triangle_count/pagerank discipline; never
+        # .persist(), which leaks into unrelated plans)
+        .localCheckpoint(eager=True)
+    )
+    w_day = Window.partitionBy("event_type").orderBy(F.col("day").asc())
+    idx = daily.select(
+        "event_type", "n", F.row_number().over(w_day).alias("i")
+    )
+    l, r = idx.alias("l"), idx.alias("r")
+    pairs = l.join(
+        r,
+        on=[
+            F.col("l.event_type") == F.col("r.event_type"),
+            F.col("l.i") < F.col("r.i"),
+        ],
+    ).select(
+        F.col("l.event_type").alias("event_type"),
+        (F.col("r.n") - F.col("l.n")).alias("dy"),
+        (F.col("r.i") - F.col("l.i")).alias("dx"),
+    )
+    s_stat = pairs.groupBy("event_type").agg(
+        F.sum(F.signum(F.col("dy").cast("double")).cast("long")).alias("s_stat"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    # tie-corrected 18*Var(S), exact integers
+    nd = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    ties = (
+        daily.groupBy("event_type", "n")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_corr")
+        )
+    )
+    var18 = nd.join(ties, "event_type", "left").select(
+        "event_type",
+        "n_days",
+        (
+            F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+            - F.coalesce(F.col("tie_corr"), F.lit(0))
+        ).alias("var18"),
+    )
+    # Theil-Sen: nearest-rank lower median of pairwise slopes under the
+    # deterministic total order (slope double, dy, dx)
+    slopes = pairs.select(
+        "event_type",
+        (F.col("dy").cast("double") / F.col("dx").cast("double")).alias("slope"),
+        "dy",
+        "dx",
+    )
+    w_sl = Window.partitionBy("event_type").orderBy(
+        F.col("slope").asc(), F.col("dy").asc(), F.col("dx").asc()
+    )
+    med = (
+        slopes.withColumn("rk", F.row_number().over(w_sl))
+        .join(F.broadcast(s_stat.select("event_type", "n_pairs")), "event_type")
+        .filter(F.col("rk") == F.floor((F.col("n_pairs") + 1) / 2))
+        .select("event_type", F.round("slope", 6).alias("theil_sen_slope"))
+    )
+    # var18 == 0 only when every day has the same count (one tie group
+    # swallows the whole N(N-1)(2N+5) term) — S is 0 there; define z = 0
+    z = F.when(F.col("var18") == 0, F.lit(0.0)).otherwise(
+        (
+            F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double"))
+            .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double"))
+            .otherwise(F.lit(0.0))
+        )
+        / F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    )
+    return (
+        s_stat.join(var18, "event_type")
+        .join(med, "event_type")
+        .filter(F.col("n_days") >= 2)
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            "var18",
+            F.round(z, 6).alias("z"),
+            "theil_sen_slope",
+        )
+        .orderBy("event_type")
+    )
+
+
+def ks_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between two samples
+    of one numeric column: D = max_v |F_a(v) − F_b(v)| with the ECDFs
+    evaluated at every pooled distinct value — the distribution-shape
+    companion to the binned screens (``psi`` buckets coarsely,
+    chi-square needs categories; KS is binless and catches location AND
+    shape shifts). The drift gate a validation plane runs between
+    yesterday's and today's feed, or source vs sink.
+
+    Value-portable by exact rational arithmetic: at each pooled value
+    the gap is |cum_a·n_b − cum_b·n_a| (an exact BIGINT numerator over
+    the common denominator n_a·n_b), so the max and its argmax
+    (earliest value on ties) are exact; d = num/(n_a·n_b) is ONE IEEE
+    division rounded 6. Returns ONE row: (n_a, n_b, ks_at_value,
+    gap_numerator, d_stat).
+
+    Shape: counts collapse per side first (the only corpus-sized
+    shuffle, keyed on the value), then the cumulative window runs on
+    |pooled distinct values| rows. The prefix sum is a GLOBAL ordered
+    window — exact and fine up to millions of distinct values; on a
+    near-unique column at 100 TB, pre-quantize the value (round prices
+    to cents→dollars, truncate timestamps) before calling: KS on the
+    quantized grid bounds the true D within one grid cell's mass and
+    keeps the window bounded."""
+    from pyspark.sql import Window
+
+    ta = a.select(F.col(value_col).alias("v")).filter(F.col("v").isNotNull()).groupBy("v").agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    tb = b.select(F.col(value_col).alias("v")).filter(F.col("v").isNotNull()).groupBy("v").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    pooled = (
+        ta.join(tb, "v", "full")
+        .select(
+            "v",
+            F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+        )
+        # totals and the cumulative window both consume pooled — eager
+        # localCheckpoint materializes the |distinct values| frame once
+        # instead of re-deriving both corpus-side collapses twice
+        .localCheckpoint(eager=True)
+    )
+    w = Window.orderBy(F.col("v").asc()).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totals = pooled.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    cum = pooled.select(
+        "v",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    ).crossJoin(F.broadcast(totals))
+    gap = cum.select(
+        "v",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+        ).alias("num"),
+    )
+    w_pick = Window.orderBy(F.col("num").desc(), F.col("v").asc())
+    return (
+        gap.withColumn("__pk", F.row_number().over(w_pick))
+        .filter(F.col("__pk") == 1)
+        .select(
+            "n_a",
+            "n_b",
+            F.col("v").alias("ks_at_value"),
+            F.col("num").alias("gap_numerator"),
+            F.round(
+                F.col("num").cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("d_stat"),
+        )
+    )

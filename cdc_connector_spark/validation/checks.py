@@ -626,6 +626,87 @@ def chi_square_independence(
     )
 
 
+def association_strength(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Association STRENGTH between two categorical columns: Cramér's V
+    and mutual information (nats) on top of the chi-square machinery —
+    chi_square_independence answers "is the dependence statistically
+    real"; this answers "how strong is it" on scale-free [0,1] (V) and
+    information (MI) scales, which is what makes columns comparable in
+    a profiling report ("status is strongly coupled to priority, weakly
+    to clerk"). The column-relationship discovery pass a data catalog
+    runs over a new feed.
+
+    Value-portable by the chi-square entry's discipline: exact integer
+    cell/marginal counts; each cell's chi2 term is a fixed IEEE
+    expression (DECIMAL products before the division — BIGINT×BIGINT
+    overflows); the MI term's single libm ln is rounded to 12 digits
+    per cell (the zipf/entropy precedent) so last-ulp libm differences
+    can never accumulate across cells; both sums are ONE deterministic
+    left fold over cells sorted by (a, b) — never a float SUM
+    aggregate. V = sqrt(chi2 / (n·min(n_a−1, n_b−1))) — sqrt is IEEE
+    correctly-rounded, so engines agree bit-for-bit.
+
+    Returns ONE row: (n, n_a, n_b, dof, chi2, cramers_v, mi_nats).
+    Scale shape: identical to chi_square_independence — one map-side
+    aggregation to the |A|·|B| cell table, then window totals and the
+    bounded fold."""
+    from pyspark.sql import Window
+
+    a = F.coalesce(F.col(a_col).cast("string"), F.lit("<NULL>"))
+    b = F.coalesce(F.col(b_col).cast("string"), F.lit("<NULL>"))
+    cells = df.groupBy(a.alias("a"), b.alias("b")).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    tot = cells.withColumn("rt", F.sum("o").over(Window.partitionBy("a"))).withColumn(
+        "ct", F.sum("o").over(Window.partitionBy("b"))
+    ).withColumn("n", F.sum("o").over(Window.partitionBy()))
+    e = (F.col("rt").cast("decimal(38,0)") * F.col("ct").cast("decimal(38,0)")).cast(
+        "double"
+    ) / F.col("n").cast("double")
+    chi_term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    mi_term = F.round(
+        (F.col("o").cast("double") / F.col("n").cast("double"))
+        * F.log(
+            (F.col("o").cast("decimal(38,0)") * F.col("n").cast("decimal(38,0)")).cast("double")
+            / (F.col("rt").cast("decimal(38,0)") * F.col("ct").cast("decimal(38,0)")).cast("double")
+        ),
+        12,
+    )
+    packed = tot.select(
+        F.struct(
+            F.col("a"),
+            F.col("b"),
+            chi_term.alias("chi_term"),
+            mi_term.alias("mi_term"),
+            F.col("n").alias("n"),
+        ).alias("s")
+    )
+    agg = packed.groupBy().agg(
+        F.sort_array(F.collect_list("s")).alias("ss"),
+        F.count_distinct("s.a").alias("n_a"),
+        F.count_distinct("s.b").alias("n_b"),
+    )
+    chi2_raw = F.aggregate("ss", F.lit(0.0), lambda acc, s: acc + s["chi_term"])
+    mi_raw = F.aggregate("ss", F.lit(0.0), lambda acc, s: acc + s["mi_term"])
+    n_col = F.element_at("ss", 1)["n"]
+    min_dim = F.least(F.col("n_a") - 1, F.col("n_b") - 1)
+    return agg.select(
+        n_col.alias("n"),
+        F.col("n_a").cast("int").alias("n_a"),
+        F.col("n_b").cast("int").alias("n_b"),
+        ((F.col("n_a") - 1) * (F.col("n_b") - 1)).cast("int").alias("dof"),
+        F.round(chi2_raw, 6).alias("chi2"),
+        F.round(
+            F.sqrt(chi2_raw / (n_col.cast("double") * min_dim.cast("double"))), 6
+        ).alias("cramers_v"),
+        F.round(mi_raw, 6).alias("mi_nats"),
+    )
+
+
 def referential_integrity(
     edges: list[tuple[str, DataFrame, str, DataFrame, str]],
 ) -> DataFrame:

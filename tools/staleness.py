@@ -47,7 +47,7 @@ def main() -> int:
     # structural (sentinels; the sf0.01-pinned ivf recall twins, which the
     # sf0.001 tripwire would flag by construction) nor itself
     # never-checked, and whose removal would not push its own last driver
-    # row past age 2. When the window is saturated, the out-of-window
+    # row past the steady-state floor. When the window is saturated, the out-of-window
     # never-checked entries carry 3-SF local evidence + the pre-commit
     # tripwire until they rotate in next round — report, don't fail.
     structural = {
