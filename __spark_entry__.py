@@ -3317,6 +3317,152 @@ def shortest_paths_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shortest_paths(edges, sources, weight_col="w", max_hops=3)
 
 
+def daily_percentiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops report (NEW r10): per-(type, day) P50/P90/P99 bands of the
+    event value — the latency/size dashboard primitive. NEAREST-RANK
+    order statistics (exact integer rank (n·p+99) div 100, picked value
+    is an existing input — no float arithmetic, the interevent_stats
+    lesson), one (type, day)-keyed shuffle. Value-verified."""
+    from cdc_connector_spark.ops.timeseries import daily_percentiles
+
+    return daily_percentiles(_t(spark, sf_dir, "events"), percentiles=(50, 90, 99))
+
+
+def bitemporal_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal (NEW r10): "which state was valid at V=2024-01-20,
+    according to what the system had RECORDED by T=2024-01-25" — the
+    audit/backfill query one-axis SCD2 cannot answer. The second time
+    axis is a deterministic ingest lag (event_id % 7 minutes, replayed
+    by the oracle), both cutoffs compare as exact microsecond BIGINTs,
+    the per-key pick is a (valid DESC, event_id DESC) row_number.
+    Value-verified. (ops/scd.bitemporal_as_of; Snodgrass semantics.)"""
+    from cdc_connector_spark.ops.scd import bitemporal_as_of
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "recorded_ts",
+        F.col("ts") + F.make_interval(mins=(F.col("event_id") % 7).cast("int")),
+    )
+    V = 1705708800000000  # 2024-01-20 00:00:00 UTC in micros
+    T = 1706140800000000  # 2024-01-25 00:00:00 UTC in micros
+    return bitemporal_as_of(ev, V, T)
+
+
+def column_profile_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation (NEW r10): schema-wide column-profile diff between a
+    source table and a sink that silently lost rows (o_orderkey % 97
+    == 0 dropped — the replication-bug shape) — per column: exact
+    row/null/distinct counts and an ORDER-FREE content fingerprint
+    (Σ portable-hash mod 1e9+7, DECIMAL-accumulated, mod 2^60), doubles
+    hashed as ROUND(v·1e6) BIGINTs and timestamps as unix micros. The
+    per-COLUMN validation pass that catches what per-row checks miss
+    cheaply (validation/checks.column_profile_diff; reference
+    tests/validation.py table-compare semantics). Value-verified —
+    the oracle replays every fingerprint including the modular fold."""
+    from cdc_connector_spark.validation.checks import column_profile_diff
+
+    o = _t(spark, sf_dir, "orders")
+    snk = o.filter(F.col("o_orderkey") % 97 != 0)
+    return column_profile_diff(
+        o, snk, ["o_custkey", "o_totalprice", "o_orderstatus", "o_orderdate"]
+    )
+
+
+def fk_sample_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling (NEW r10): referentially-CONSISTENT 10% sample — hash-
+    sample CUSTOMER keys (the multiplicative-hash decision, scan-pushed)
+    and keep exactly the orders whose o_custkey survived; the audit
+    summary proves zero orphans at the target rate. The fixture/dev-
+    dataset generator shape (independent row samples break every join).
+    Value-verified — the oracle replays the hash filter and semi-join
+    (ops/corpus.consistent_fk_sample)."""
+    from cdc_connector_spark.ops.corpus import consistent_fk_sample
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return consistent_fk_sample(
+        cust, [("orders", orders, "o_custkey")], "c_custkey", pct=10
+    )
+
+
+def label_prop_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph (NEW r10): community detection by synchronous label
+    propagation over the part co-purchase graph — 3 deterministic
+    rounds (most-frequent neighbor label, ties to the smallest), finer
+    than connected components (a bridge edge no longer merges two
+    cliques). Deterministic-by-construction sync rounds make the
+    labeling SQL-replayable; bounded rounds are the documented
+    semantics AND the bounded cost at scale. Value-verified — the
+    oracle unrolls the 3 rounds (ops/graph.label_propagation; Raghavan
+    et al. 2007)."""
+    from cdc_connector_spark.ops.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    co = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    l, r = co.alias("l"), co.alias("r")
+    edges = (
+        l.join(r, on=[F.col("l.o") == F.col("r.o"), F.col("l.p") < F.col("r.p")])
+        .groupBy(F.col("l.p").alias("src"), F.col("r.p").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("src", "dst")
+    )
+    return label_propagation(edges, rounds=3)
+
+
+def mmr_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval (NEW r10): Maximal-Marginal-Relevance diversified top-5
+    for the vec_id-0 query — λ·sim(q,d) − (1−λ)·max sim(d, selected)
+    greedy picks over a top-50 cosine pool (ONE corpus scan; the pool
+    bound is the documented approximation knob), the RAG finisher that
+    stops a context window filling with five near-copies. Every
+    similarity rounds to 6 before comparison and every argmax
+    tie-breaks by id, so the oracle replays the greedy chain exactly —
+    5 unrolled stages. Value-verified (ops/ann.mmr_topk; Carbonell &
+    Goldstein 1998)."""
+    from cdc_connector_spark.ops.ann import mmr_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return mmr_topk(emb, q, k=5, lam=0.7, fetch=50)
+
+
+def twap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metrics (NEW r10): time-weighted average of the event value per
+    (type, day) under last-observation-carried-forward — Σ vᵢ·Δtᵢ over
+    observed duration, the correct average where plain AVG over-weights
+    sample bursts. Exact DECIMAL accumulation of v_micro·Δt_us
+    products, ONE IEEE division rounded 6; single-sample days excluded
+    (no time axis — documented). Value-verified
+    (ops/timeseries.twap)."""
+    from cdc_connector_spark.ops.timeseries import twap
+
+    return twap(_t(spark, sf_dir, "events"))
+
+
+def retry_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hygiene (NEW r10): client-retry echo report — events with the
+    same (user, type) within 5 s of their predecessor are at-least-once
+    ingestion echoes (double-taps, SDK retries); per type: total /
+    dropped / kept, exact BIGINTs via one lag() window (the naive
+    interval self-join is O(burst²); lag is linear). Value-verified
+    (ops/timeseries.retry_dedup)."""
+    from cdc_connector_spark.ops.timeseries import retry_dedup
+
+    return retry_dedup(_t(spark, sf_dir, "events"), within_seconds=5)
+
+
+def streaks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time series (NEW r10): longest strictly-increasing run of daily
+    counts per type (gaps-and-islands over the calendar-bounded daily
+    series; earliest start on ties) — "how many consecutive days did
+    volume grow and when" next to MK's "is it drifting overall". Exact
+    integers end to end. Value-verified
+    (ops/timeseries.count_streaks)."""
+    from cdc_connector_spark.ops.timeseries import count_streaks
+
+    return count_streaks(_t(spark, sf_dir, "events"))
+
+
 def kmv_jaccard_priorities_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch (NEW r9): pairwise customer-set Jaccard between order
     priorities from KMV sketches (k=64): union sketch = k smallest of
@@ -3681,6 +3827,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift_order_totals": ks_drift_order_totals,
         "association_orders": association_orders,
         "shortest_paths_parts": shortest_paths_parts,
+        "daily_percentiles_events": daily_percentiles_events,
+        "bitemporal_asof_events": bitemporal_asof_events,
+        "column_profile_diff_orders": column_profile_diff_orders,
+        "fk_sample_customers": fk_sample_customers,
+        "label_prop_parts": label_prop_parts,
+        "mmr_topk_embeddings": mmr_topk_embeddings,
+        "twap_events": twap_events,
+        "retry_dedup_events": retry_dedup_events,
+        "streaks_events": streaks_events,
     }
     assert len(_R10_WINDOW) == 50 and set(_R10_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -7919,6 +8074,315 @@ def oracle_sql() -> dict[str, str]:
                 ) GROUP BY 1
             )
             SELECT node, dist FROM d3 ORDER BY node
+        """,
+        # Nearest-rank percentile bands: exact integer rank, picked value
+        # is an existing input — no float arithmetic anywhere.
+        "daily_percentiles_events": """
+            WITH base AS (
+                SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                       value AS v
+                FROM events WHERE value IS NOT NULL
+            ), ranked AS (
+                SELECT event_type, day, v,
+                       row_number() OVER (PARTITION BY event_type, day ORDER BY v ASC) AS rk,
+                       CAST(COUNT(*) OVER (PARTITION BY event_type, day) AS BIGINT) AS n
+                FROM base
+            )
+            SELECT event_type, day, MAX(n) AS n,
+                   MAX(CASE WHEN rk = (n * 50 + 99) // 100 THEN v END) AS p50,
+                   MAX(CASE WHEN rk = (n * 90 + 99) // 100 THEN v END) AS p90,
+                   MAX(CASE WHEN rk = (n * 99 + 99) // 100 THEN v END) AS p99
+            FROM ranked GROUP BY event_type, day
+            ORDER BY event_type, day
+        """,
+        # Bitemporal as-of: both cutoffs as exact micros; the ingest-lag
+        # second axis replayed; (valid DESC, event_id DESC) pick.
+        "bitemporal_asof_events": """
+            WITH base AS (
+                SELECT user_id, event_type AS state, event_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS v,
+                       epoch_us(CAST(ts AS TIMESTAMP) +
+                                to_minutes(event_id % 7)) AS r
+                FROM events
+            ), cut AS (
+                SELECT *, row_number() OVER (PARTITION BY user_id
+                           ORDER BY v DESC, event_id DESC) AS pk
+                FROM base
+                WHERE r <= 1706140800000000 AND v <= 1705708800000000
+            )
+            SELECT user_id, state, v AS valid_from_us, r AS recorded_us
+            FROM cut WHERE pk = 1 ORDER BY user_id
+        """,
+        # Column-profile diff: per-column exact counts + the order-free
+        # modular fingerprint (portable md5 fold mod 1e9+7, HUGEINT sum,
+        # mod 2^60) — doubles as round(v*1e6) BIGINTs, timestamps as
+        # unix micros; sink = rows with o_orderkey % 97 <> 0.
+        "column_profile_diff_orders": """
+            WITH h AS (
+                SELECT o_orderkey,
+                       list_reduce(list_transform(range(1, 16),
+                           i -> CAST(strpos('0123456789abcdef',
+                                substring(md5(CAST(o_custkey AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+                           (a, x) -> a * 16 + x) % 1000000007 AS h_custkey,
+                       list_reduce(list_transform(range(1, 16),
+                           i -> CAST(strpos('0123456789abcdef',
+                                substring(md5(CAST(CAST(round(o_totalprice * 1000000) AS BIGINT) AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+                           (a, x) -> a * 16 + x) % 1000000007 AS h_totalprice,
+                       list_reduce(list_transform(range(1, 16),
+                           i -> CAST(strpos('0123456789abcdef',
+                                substring(md5(o_orderstatus), i, 1)) - 1 AS BIGINT)),
+                           (a, x) -> a * 16 + x) % 1000000007 AS h_status,
+                       list_reduce(list_transform(range(1, 16),
+                           i -> CAST(strpos('0123456789abcdef',
+                                substring(md5(CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+                           (a, x) -> a * 16 + x) % 1000000007 AS h_orderdate,
+                       o_custkey, o_totalprice, o_orderstatus, o_orderdate
+                FROM orders
+            ), prof AS (
+                SELECT side, column_name AS "column", rows_n, nulls_n, dist_n, fp
+                FROM (
+                    SELECT side,
+                           CAST(COUNT(*) AS BIGINT) AS rows_n,
+                           unnest(['o_custkey', 'o_orderdate', 'o_orderstatus', 'o_totalprice']) AS column_name,
+                           unnest([SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+                                   SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+                                   SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+                                   SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)]) AS nulls_n,
+                           unnest([COUNT(DISTINCT o_custkey),
+                                   COUNT(DISTINCT o_orderdate),
+                                   COUNT(DISTINCT o_orderstatus),
+                                   COUNT(DISTINCT o_totalprice)]) AS dist_n,
+                           unnest([CAST(SUM(CASE WHEN o_custkey IS NULL THEN 0 ELSE CAST(h_custkey AS HUGEINT) END) % 1152921504606846976 AS BIGINT),
+                                   CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 0 ELSE CAST(h_orderdate AS HUGEINT) END) % 1152921504606846976 AS BIGINT),
+                                   CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 0 ELSE CAST(h_status AS HUGEINT) END) % 1152921504606846976 AS BIGINT),
+                                   CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 0 ELSE CAST(h_totalprice AS HUGEINT) END) % 1152921504606846976 AS BIGINT)]) AS fp
+                    FROM (SELECT 'src' AS side, * FROM h
+                          UNION ALL
+                          SELECT 'snk' AS side, * FROM h WHERE o_orderkey % 97 <> 0)
+                    GROUP BY side
+                )
+            )
+            SELECT s."column",
+                   s.rows_n AS src_rows, k.rows_n AS snk_rows,
+                   CAST(s.nulls_n AS BIGINT) AS src_nulls, CAST(k.nulls_n AS BIGINT) AS snk_nulls,
+                   CAST(s.dist_n AS BIGINT) AS src_distinct, CAST(k.dist_n AS BIGINT) AS snk_distinct,
+                   s.fp AS src_fingerprint, k.fp AS snk_fingerprint,
+                   (s.rows_n = k.rows_n AND s.nulls_n = k.nulls_n
+                    AND s.dist_n = k.dist_n AND s.fp = k.fp) AS profile_match
+            FROM (SELECT * FROM prof WHERE side = 'src') s
+            JOIN (SELECT * FROM prof WHERE side = 'snk') k USING ("column")
+            ORDER BY s."column"
+        """,
+        # FK-consistent sample: the multiplicative-hash parent filter +
+        # the child semi-join, audited per table.
+        "fk_sample_customers": """
+            WITH kept AS (
+                SELECT c_custkey FROM customer
+                WHERE (((c_custkey % 2147483648) * 2654435761) % 4294967296) % 100 < 10
+            )
+            SELECT 'orders' AS "table",
+                   CAST(COUNT(*) AS BIGINT) AS rows_kept,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS distinct_keys
+            FROM orders WHERE o_custkey IN (SELECT c_custkey FROM kept)
+            UNION ALL
+            SELECT 'parent', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(DISTINCT c_custkey) AS BIGINT)
+            FROM kept
+            ORDER BY "table"
+        """,
+        # Label propagation: 3 unrolled synchronous rounds — neighbor
+        # label mode with (count DESC, label ASC) tie-break.
+        "label_prop_parts": """
+            WITH co AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            ), e AS (
+                SELECT l.p AS a, r.p AS b FROM co l JOIN co r
+                ON l.o = r.o AND l.p < r.p
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ), sym AS (
+                SELECT DISTINCT a, b FROM
+                (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e)
+            ), l0 AS (
+                SELECT DISTINCT a AS node, a AS label FROM sym
+            ), l1 AS (
+                SELECT node, label FROM (
+                    SELECT s.b AS node, l0.label,
+                           row_number() OVER (PARTITION BY s.b
+                               ORDER BY COUNT(*) DESC, l0.label ASC) AS pk
+                    FROM sym s JOIN l0 ON l0.node = s.a
+                    GROUP BY s.b, l0.label
+                ) WHERE pk = 1
+            ), l2 AS (
+                SELECT node, label FROM (
+                    SELECT s.b AS node, l1.label,
+                           row_number() OVER (PARTITION BY s.b
+                               ORDER BY COUNT(*) DESC, l1.label ASC) AS pk
+                    FROM sym s JOIN l1 ON l1.node = s.a
+                    GROUP BY s.b, l1.label
+                ) WHERE pk = 1
+            ), l3 AS (
+                SELECT node, label FROM (
+                    SELECT s.b AS node, l2.label,
+                           row_number() OVER (PARTITION BY s.b
+                               ORDER BY COUNT(*) DESC, l2.label ASC) AS pk
+                    FROM sym s JOIN l2 ON l2.node = s.a
+                    GROUP BY s.b, l2.label
+                ) WHERE pk = 1
+            )
+            SELECT node, label FROM l3 ORDER BY node
+        """,
+        # MMR: the top-50 pool then 5 unrolled greedy picks — every
+        # similarity rounded 6 before comparison, argmax ties by id.
+        "mmr_topk_embeddings": """
+            WITH q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+            ), base AS (
+                SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+                       round(list_inner_product(CAST(embedding AS DOUBLE[]), q.qv)
+                             / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                                * sqrt(list_inner_product(q.qv, q.qv))), 6) AS sim_q
+                FROM embeddings, q
+            ), pool AS (
+                SELECT * FROM base ORDER BY sim_q DESC, id ASC LIMIT 50
+            ), p1 AS (
+                SELECT 1 AS pick, id, v, sim_q, sim_q AS mmr_score
+                FROM pool ORDER BY sim_q DESC, id ASC LIMIT 1
+            ), p2 AS (
+                SELECT 2 AS pick, id, v, sim_q, score AS mmr_score FROM (
+                    SELECT po.id, po.v, po.sim_q,
+                           round(0.7 * po.sim_q - 0.3 * MAX(
+                               round(list_inner_product(po.v, s.v)
+                                     / (sqrt(list_inner_product(po.v, po.v))
+                                        * sqrt(list_inner_product(s.v, s.v))), 6)), 6) AS score
+                    FROM pool po, p1 s
+                    WHERE po.id NOT IN (SELECT id FROM p1)
+                    GROUP BY po.id, po.v, po.sim_q
+                ) ORDER BY score DESC, id ASC LIMIT 1
+            ), s2 AS (
+                SELECT id, v FROM p1 UNION ALL SELECT id, v FROM p2
+            ), p3 AS (
+                SELECT 3 AS pick, id, v, sim_q, score AS mmr_score FROM (
+                    SELECT po.id, po.v, po.sim_q,
+                           round(0.7 * po.sim_q - 0.3 * MAX(
+                               round(list_inner_product(po.v, s.v)
+                                     / (sqrt(list_inner_product(po.v, po.v))
+                                        * sqrt(list_inner_product(s.v, s.v))), 6)), 6) AS score
+                    FROM pool po, s2 s
+                    WHERE po.id NOT IN (SELECT id FROM s2)
+                    GROUP BY po.id, po.v, po.sim_q
+                ) ORDER BY score DESC, id ASC LIMIT 1
+            ), s3 AS (
+                SELECT id, v FROM s2 UNION ALL SELECT id, v FROM p3
+            ), p4 AS (
+                SELECT 4 AS pick, id, v, sim_q, score AS mmr_score FROM (
+                    SELECT po.id, po.v, po.sim_q,
+                           round(0.7 * po.sim_q - 0.3 * MAX(
+                               round(list_inner_product(po.v, s.v)
+                                     / (sqrt(list_inner_product(po.v, po.v))
+                                        * sqrt(list_inner_product(s.v, s.v))), 6)), 6) AS score
+                    FROM pool po, s3 s
+                    WHERE po.id NOT IN (SELECT id FROM s3)
+                    GROUP BY po.id, po.v, po.sim_q
+                ) ORDER BY score DESC, id ASC LIMIT 1
+            ), s4 AS (
+                SELECT id, v FROM s3 UNION ALL SELECT id, v FROM p4
+            ), p5 AS (
+                SELECT 5 AS pick, id, v, sim_q, score AS mmr_score FROM (
+                    SELECT po.id, po.v, po.sim_q,
+                           round(0.7 * po.sim_q - 0.3 * MAX(
+                               round(list_inner_product(po.v, s.v)
+                                     / (sqrt(list_inner_product(po.v, po.v))
+                                        * sqrt(list_inner_product(s.v, s.v))), 6)), 6) AS score
+                    FROM pool po, s4 s
+                    WHERE po.id NOT IN (SELECT id FROM s4)
+                    GROUP BY po.id, po.v, po.sim_q
+                ) ORDER BY score DESC, id ASC LIMIT 1
+            )
+            SELECT pick, id, sim_q AS cos_sim, mmr_score FROM p1
+            UNION ALL SELECT pick, id, sim_q, mmr_score FROM p2
+            UNION ALL SELECT pick, id, sim_q, mmr_score FROM p3
+            UNION ALL SELECT pick, id, sim_q, mmr_score FROM p4
+            UNION ALL SELECT pick, id, sim_q, mmr_score FROM p5
+            ORDER BY pick
+        """,
+        # TWAP: LOCF segments via lead(), HUGEINT v_micro*dt products,
+        # one IEEE division; single-sample days excluded.
+        "twap_events": """
+            WITH base AS (
+                SELECT event_type,
+                       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+                       CAST(round(value * 1000000) AS BIGINT) AS v_micro,
+                       event_id
+                FROM events WHERE value IS NOT NULL
+            ), seg AS (
+                SELECT event_type, day, v_micro,
+                       lead(t) OVER (PARTITION BY event_type, day
+                                     ORDER BY t ASC, event_id ASC) - t AS dt_us
+                FROM base
+            ), ag AS (
+                SELECT event_type, day,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(dt_us) AS BIGINT) AS duration_us,
+                       SUM(CAST(v_micro AS HUGEINT) * CAST(dt_us AS HUGEINT)) AS wsum
+                FROM seg GROUP BY 1, 2
+            )
+            SELECT event_type, day, n, duration_us,
+                   round(CAST(wsum AS DOUBLE)
+                         / (CAST(duration_us AS DOUBLE) * 1000000.0), 6) AS twap
+            FROM ag WHERE duration_us > 0
+            ORDER BY event_type, day
+        """,
+        # Retry echoes: lag() over (user, type) at micro precision; a
+        # chained burst keeps only its head.
+        "retry_dedup_events": """
+            WITH flagged AS (
+                SELECT event_type,
+                       (epoch_us(CAST(ts AS TIMESTAMP))
+                        - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                              PARTITION BY user_id, event_type
+                              ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC,
+                                       event_id ASC)) <= 5000000 AS echo
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS total,
+                   CAST(SUM(CASE WHEN coalesce(echo, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
+                   CAST(COUNT(*) - SUM(CASE WHEN coalesce(echo, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS kept
+            FROM flagged GROUP BY 1 ORDER BY 1
+        """,
+        # Streaks: gaps-and-islands on the daily series, longest run,
+        # earliest start on ties.
+        "streaks_events": """
+            WITH daily AS (
+                SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            ), flagged AS (
+                SELECT event_type, day,
+                       CASE WHEN n > lag(n) OVER (PARTITION BY event_type
+                                                  ORDER BY day ASC)
+                            THEN 0 ELSE 1 END AS brk
+                FROM daily
+            ), runs AS (
+                SELECT event_type, day,
+                       SUM(brk) OVER (PARTITION BY event_type ORDER BY day ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+                FROM flagged
+            ), spans AS (
+                SELECT event_type, grp,
+                       CAST(COUNT(*) AS BIGINT) AS streak_len,
+                       MIN(day) AS streak_start, MAX(day) AS streak_end,
+                       row_number() OVER (PARTITION BY event_type
+                           ORDER BY COUNT(*) DESC, MIN(day) ASC) AS pk
+                FROM runs GROUP BY event_type, grp
+            ), nd AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+                FROM daily GROUP BY 1
+            )
+            SELECT s.event_type, nd.n_days, s.streak_len, s.streak_start, s.streak_end
+            FROM spans s JOIN nd ON s.event_type = nd.event_type
+            WHERE s.pk = 1 ORDER BY s.event_type
         """,
         # KMV Jaccard: replays both sketches, the pair-tagged union rank,
         # the both-sides membership count, the exact-integer floor

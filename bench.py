@@ -227,7 +227,8 @@ def bench_live_plane(spark, sf_dir: str):
         # idempotent: re-applying the same batch merges to the same state
         upsert_to_postgres(changes, pg, "ord_bench", key_cols=["o_orderkey"])  # warm-up
         runs = []
-        for _ in range(3):
+        for _ in range(5):  # 5 runs (was 3): the r9->r10 variance question
+            # needed a tighter median; ~1.2s per run keeps this cheap
             t0 = time.time()
             upsert_to_postgres(changes, pg, "ord_bench", key_cols=["o_orderkey"])
             runs.append(time.time() - t0)

@@ -1045,3 +1045,101 @@ def hard_negatives(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    lam: float = 0.7,
+    fetch: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick the candidate maximizing
+    λ·sim(q, d) − (1−λ)·max_{s ∈ selected} sim(d, s) — the retrieval
+    finisher that stops the top-k being five near-copies of the same
+    document, which for RAG/context-window packing matters as much as
+    raw similarity.
+
+    Two stages, both distributed: (1) ONE corpus scan takes the top
+    ``fetch`` by plain cosine (TakeOrderedAndProject — the bounded
+    candidate pool; diversity can only demote, never promote past rank
+    ``fetch``, so the pool bound is the documented approximation knob);
+    (2) k unrolled greedy picks over the pool — per pick, one
+    pool⋈selected max-similarity aggregation and one top-1, all on
+    ≤ ``fetch`` rows (the pool is eagerly localCheckpointed; no
+    driver-side selection loop over corpus data).
+
+    Deterministic & engine-portable: every similarity is rounded to 6
+    BEFORE comparison (the established cross-engine cosine contract)
+    and every argmax tie-breaks by id ASC, so an unrolled SQL oracle
+    replays the greedy chain exactly. Returns (pick, id, cos_sim,
+    mmr_score) in pick order 1..k."""
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if k > fetch:
+        raise ValueError(f"k={k} must be <= fetch={fetch}")
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    pool = (
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.round(
+                cosine_similarity(F.col(vec_col).cast("array<double>"), q), 6
+            ).alias("sim_q"),
+        )
+        .orderBy(F.col("sim_q").desc(), F.col("id").asc())
+        .limit(fetch)
+        .localCheckpoint(eager=True)
+    )
+    picks = None
+    for step in range(1, k + 1):
+        if picks is None:
+            # first pick is the plain argmax of sim_q
+            best = (
+                pool.orderBy(F.col("sim_q").desc(), F.col("id").asc())
+                .limit(1)
+                .select(
+                    F.lit(1).alias("pick"),
+                    "id",
+                    F.col("sim_q").alias("cos_sim"),
+                    F.col("sim_q").alias("mmr_score"),
+                )
+            )
+        else:
+            sel = picks.select(F.col("id").alias("sid"))
+            sel_vecs = pool.join(sel, pool["id"] == sel["sid"]).select(
+                F.col("v").alias("sv")
+            )
+            remaining = pool.join(sel, pool["id"] == sel["sid"], "left_anti")
+            max_sel = (
+                remaining.crossJoin(F.broadcast(sel_vecs))
+                .select(
+                    "id",
+                    "sim_q",
+                    F.round(cosine_similarity(F.col("v"), F.col("sv")), 6).alias(
+                        "sim_s"
+                    ),
+                )
+                .groupBy("id", "sim_q")
+                .agg(F.max("sim_s").alias("max_sim_sel"))
+            )
+            best = (
+                max_sel.select(
+                    F.lit(step).alias("pick"),
+                    "id",
+                    F.col("sim_q").alias("cos_sim"),
+                    F.round(
+                        F.lit(lam) * F.col("sim_q")
+                        - F.lit(1.0 - lam) * F.col("max_sim_sel"),
+                        6,
+                    ).alias("mmr_score"),
+                )
+                .orderBy(F.col("mmr_score").desc(), F.col("id").asc())
+                .limit(1)
+            )
+        best = best.localCheckpoint(eager=True)
+        picks = best if picks is None else picks.unionByName(best).localCheckpoint(eager=True)
+    return picks.orderBy("pick")

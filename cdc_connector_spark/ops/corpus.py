@@ -913,3 +913,69 @@ def duplicate_rate_by_source(
             ).alias("dup_rate"),
         )
     )
+
+
+def consistent_fk_sample(
+    parent: DataFrame,
+    children: list[tuple[str, DataFrame, str]],
+    key_col: str,
+    pct: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Referentially-CONSISTENT sampling across a foreign-key chain:
+    hash-sample the PARENT keys (the ``hash_sample`` multiplicative
+    hash — deterministic, engine-portable, a pushed-down filter), then
+    keep exactly the child rows whose FK points at a sampled parent.
+    The fixture/dev-dataset generator every pipeline team ends up
+    writing: a row-wise sample of each table independently breaks every
+    join (1% of customers ⋈ 1% of orders ≈ 0.01% joinable); sampling
+    the ENTITY and closing over its children keeps referential
+    integrity at the target rate.
+
+    ``children`` is [(name, df, fk_col), ...]. Returns the audit
+    summary — one row per table: (table, rows_kept, distinct_keys) —
+    the sampled frames themselves come from ``consistent_fk_frames``
+    when the caller wants the data, not the report.
+
+    Shape: the parent filter is scan-pushed arithmetic; each child is
+    ONE semi-join against the sampled key set (broadcast when the
+    parent sample is small — the usual case at single-digit pct), never
+    a row-wise child sample. At 100 TB the semi-join is the unavoidable
+    cost of consistency; bucket both sides on the FK to make it
+    exchange-free."""
+    frames = consistent_fk_frames(parent, children, key_col, pct, salt)
+    parts = []
+    for name, df, fk in frames:
+        parts.append(
+            df.groupBy().agg(
+                F.lit(name).alias("table"),
+                F.count(F.lit(1)).alias("rows_kept"),
+                F.count_distinct(F.col(fk)).alias("distinct_keys"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("table", "rows_kept", "distinct_keys").orderBy("table")
+
+
+def consistent_fk_frames(
+    parent: DataFrame,
+    children: list[tuple[str, DataFrame, str]],
+    key_col: str,
+    pct: int,
+    salt: int = 0,
+) -> list[tuple[str, DataFrame, str]]:
+    """The sampled frames behind ``consistent_fk_sample``: [(name,
+    sampled_df, fk_col), ...] with the parent first. See there for
+    semantics."""
+    sampled = hash_sample(parent, pct, key_col=key_col, salt=salt)
+    keys = sampled.select(F.col(key_col).alias("__k")).distinct()
+    out = [("parent", sampled, key_col)]
+    for name, df, fk in children:
+        # no broadcast hint: AQE converts the semi-join to broadcast
+        # when the sampled key set is small (the usual case), and keeps
+        # a shuffle join when a high pct makes it large
+        kept = df.join(keys, df[fk] == keys["__k"], "left_semi")
+        out.append((name, kept, fk))
+    return out

@@ -692,3 +692,64 @@ def shortest_paths(
         if converged:
             break
     return dist.orderBy("node")
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan et
+    al. 2007) with deterministic tie-breaking: every node starts as its
+    own label; each round, every node adopts the most frequent label
+    among its neighbors, ties broken by SMALLEST label. Communities are
+    denser than connected components (``neardup_groups``/CC merges
+    anything touching; LPA splits a chain of weakly-bridged cliques) —
+    the cheap community pass over co-occurrence/interaction graphs.
+
+    DETERMINISTIC BY CONSTRUCTION, unlike textbook async LPA: synchronous
+    rounds + the (count DESC, label ASC) tie-break make every round a
+    pure function of the previous labeling, so a FIXED round count gives
+    an engine-portable answer an unrolled SQL oracle replays exactly.
+    Bounded rounds are the documented semantics (sync LPA may oscillate
+    on bipartite structures rather than converge — the fixed horizon is
+    the standard remedy AND the bounded-cost contract at scale).
+
+    Returns (node, label) for every node with at least one edge.
+
+    Shape per round: one labels⋈edges join keyed on node id + one
+    (node, label) count + one per-node top-1 window — all map-side-
+    combinable aggregations on node-sized frames; labels eagerly
+    localCheckpointed (the iterative-op discipline)."""
+    from pyspark.sql import Window
+
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("label").asc())
+    for _ in range(rounds):
+        neigh = sym.join(labels, sym["a"] == labels["node"]).select(
+            F.col("b").alias("node"), "label"
+        )
+        counts = neigh.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = (
+            counts.withColumn("__pk", F.row_number().over(w))
+            .filter(F.col("__pk") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.orderBy("node")

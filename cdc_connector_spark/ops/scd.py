@@ -70,3 +70,65 @@ def scd2_intervals(
         F.lead("__t").over(w2).alias("effective_to_us"),
         F.lead("__t").over(w2).isNull().alias("is_current"),
     )
+
+
+def bitemporal_as_of(
+    df: DataFrame,
+    valid_at_us: int,
+    known_at_us: int,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    valid_ts_col: str = "ts",
+    recorded_ts_col: str = "recorded_ts",
+    order_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Bitemporal point query over a change stream carrying BOTH time
+    axes: "what state was valid at time V, according to what the system
+    had RECORDED by time T" — the audit/backfill question one-axis SCD2
+    cannot answer (a late-arriving correction changes the answer for T
+    after its ingestion but not before; reproducing yesterday's report
+    needs yesterday's T). The standard bitemporal semantics (Snodgrass):
+    restrict to rows with recorded_ts <= T, then take the latest
+    valid_ts <= V per key.
+
+    Value-portable: both cutoffs compare as unix MICROSECOND BIGINTs
+    (the scd2_intervals discipline — never timestamp rendering), the
+    per-key pick is a row_number over (valid_us DESC, tiebreakers DESC)
+    so late-duplicate ties resolve deterministically.
+
+    Returns (key, state, valid_from_us, recorded_us) — one row per key
+    that HAD a state valid at V known by T; keys with no qualifying row
+    are absent (stated, not NULL-padded).
+
+    Shape: one filtered scan (both cutoffs push down to the parquet
+    scan) + one key-hash shuffle for the window. On a table partitioned
+    by recorded day — the natural CDC layout — the T cutoff prunes
+    partitions before the scan."""
+    from pyspark.sql import Window
+
+    valid_us = F.unix_micros(F.col(valid_ts_col).cast("timestamp"))
+    recorded_us = F.unix_micros(F.col(recorded_ts_col).cast("timestamp"))
+    extra = [c for c in order_cols if c not in (valid_ts_col, key_col, state_col)]
+    base = (
+        df.select(
+            F.col(key_col),
+            F.col(state_col).alias("state"),
+            valid_us.alias("__v"),
+            recorded_us.alias("__r"),
+            *[F.col(c) for c in extra],
+        )
+        .filter((F.col("__r") <= F.lit(known_at_us)) & (F.col("__v") <= F.lit(valid_at_us)))
+    )
+    order = [F.col("__v").desc()] + [F.col(c).desc() for c in extra]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        base.withColumn("__pk", F.row_number().over(w))
+        .filter(F.col("__pk") == 1)
+        .select(
+            F.col(key_col),
+            "state",
+            F.col("__v").alias("valid_from_us"),
+            F.col("__r").alias("recorded_us"),
+        )
+        .orderBy(key_col)
+    )

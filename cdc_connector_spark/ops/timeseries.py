@@ -1392,3 +1392,240 @@ def ks_drift(
             ).alias("d_stat"),
         )
     )
+
+
+def daily_percentiles(
+    df: DataFrame,
+    percentiles: tuple[int, ...] = (50, 90, 99),
+    value_col: str = "value",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-(type, day) percentile bands of a numeric column — the
+    P50/P90/P99 latency/size report every operations dashboard runs.
+    NEAREST-RANK percentiles (the exact order statistic at rank
+    ceil(p·n/100)), NOT linear interpolation: the picked value is an
+    EXISTING input value, so the result is engine-portable with no
+    float arithmetic at all (the interevent_stats lesson — interpolated
+    percentiles differ between engines in the last ulp at large
+    magnitudes and can never hash-match). NULL values drop first.
+
+    Returns (event_type, day, n, p<P> for each requested percentile),
+    one row per (type, day) with ≥ 1 value.
+
+    Shape: ONE shuffle keyed (type, day) for the per-cell rank window;
+    cells parallelize and each cell's window is its own day's rows.
+    At 100 TB this is the natural partitioning — no global sort, no
+    collect."""
+    from pyspark.sql import Window
+
+    if not percentiles or any(p < 1 or p > 100 for p in percentiles):
+        raise ValueError(f"percentiles must be in [1, 100], got {percentiles}")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(type_col).alias("event_type"),
+        F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day"),
+        F.col(value_col).alias("v"),
+    )
+    w = Window.partitionBy("event_type", "day").orderBy(F.col("v").asc())
+    wn = Window.partitionBy("event_type", "day")
+    ranked = base.select(
+        "event_type",
+        "day",
+        "v",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    # exact integer rank: ceil(n*p/100) == (n*p + 99) div 100 — never a
+    # double ceil (the repo integer-division discipline)
+    picks = [
+        F.max(
+            F.when(
+                F.col("rk") == F.expr(f"CAST((n * {p} + 99) div 100 AS BIGINT)"),
+                F.col("v"),
+            )
+        ).alias(f"p{p}")
+        for p in percentiles
+    ]
+    return (
+        ranked.groupBy("event_type", "day")
+        .agg(F.max("n").alias("n"), *picks)
+        .orderBy("event_type", "day")
+    )
+
+
+def twap(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Time-Weighted Average (TWAP) of an irregularly-sampled value per
+    (type, day) under last-observation-carried-forward: Σ vᵢ·(tᵢ₊₁−tᵢ)
+    / (t_last − t_first) — the correct average for sensor readings,
+    prices, or gauge metrics where a plain AVG over-weights bursts of
+    samples (ten readings in one busy second must not outvote one
+    reading that held for an hour).
+
+    Value-portable by exact DECIMAL arithmetic: values integerize to
+    ROUND(v·1e6) BIGINT micro-units, each segment's v_micro·Δt_us
+    product accumulates in DECIMAL(38,0) (BIGINT×BIGINT overflows),
+    and the final TWAP is ONE IEEE division rounded 6. Days with a
+    single sample have zero observed duration and are EXCLUDED
+    (documented — there is no time axis to weight over; the plain AVG
+    answers those). Include a tiebreaker in ``order_cols``: duplicate
+    timestamps would make segment attribution nondeterministic.
+
+    Returns (event_type, day, n, duration_us, twap).
+
+    Shape: one (type, day)-keyed shuffle for the lead() window, then a
+    map-side-combinable DECIMAL sum — per-cell work, no global sort."""
+    from pyspark.sql import Window
+
+    extra = [c for c in order_cols if c not in (ts_col, type_col, value_col)]
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(type_col).alias("event_type"),
+        F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+        F.round(F.col(value_col) * 1_000_000).cast("long").alias("v_micro"),
+        *[F.col(c) for c in extra],
+    )
+    w = Window.partitionBy("event_type", "day").orderBy(
+        F.col("t").asc(), *[F.col(c).asc() for c in extra]
+    )
+    seg = base.select(
+        "event_type",
+        "day",
+        "v_micro",
+        (F.lead("t").over(w) - F.col("t")).alias("dt_us"),
+    )
+    agg = seg.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dt_us").alias("duration_us"),
+        F.sum(
+            F.col("v_micro").cast("decimal(38,0)") * F.col("dt_us").cast("decimal(38,0)")
+        ).alias("__wsum"),
+    )
+    return (
+        agg.filter(F.col("duration_us") > 0)
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.col("duration_us").cast("long").alias("duration_us"),
+            F.round(
+                F.col("__wsum").cast("double")
+                / (F.col("duration_us").cast("double") * F.lit(1_000_000.0)),
+                6,
+            ).alias("twap"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def retry_dedup(
+    df: DataFrame,
+    within_seconds: int = 5,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    order_cols: tuple[str, ...] = ("event_id",),
+    report_col: str = "event_type",
+) -> DataFrame:
+    """Client-retry deduplication report: an event is a RETRY ECHO if
+    the same key tuple fired within ``within_seconds`` before it —
+    the at-least-once ingestion artifact every event pipeline carries
+    (button double-taps, SDK retries, proxy replays). Returns the
+    per-type report (event_type, total, dropped, kept) — exact BIGINT
+    counts; pair with a filter on the same predicate to materialize
+    the deduplicated stream.
+
+    The gap compares exact microsecond BIGINTs via lag() over the key
+    window; chained retries collapse to the first event of each burst
+    — every event within the window of its PREDECESSOR drops, so a
+    burst a·a·a keeps only the head (lag sees the previous RAW event,
+    the standard throttle semantics, replayed verbatim by the oracle).
+
+    Shape: one key-hash shuffle for the lag window, then one per-type
+    collapse — no self-join (the naive interval self-join is O(burst²)
+    per key; lag is linear)."""
+    from pyspark.sql import Window
+
+    extra = [c for c in order_cols if c not in (ts_col, *key_cols)]
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+        t.asc(), *[F.col(c).asc() for c in extra]
+    )
+    flagged = df.select(
+        *[F.col(c) for c in key_cols],
+        (t - F.lag(t).over(w) <= F.lit(within_seconds * 1_000_000)).alias("__echo"),
+    )
+    if report_col not in key_cols:
+        raise ValueError(f"report_col {report_col!r} must be one of key_cols {key_cols}")
+    return (
+        flagged.groupBy(report_col)
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.coalesce(F.col("__echo"), F.lit(False)).cast("long")).alias("dropped"),
+        )
+        .select(
+            report_col,
+            "total",
+            "dropped",
+            (F.col("total") - F.col("dropped")).alias("kept"),
+        )
+        .orderBy(report_col)
+    )
+
+
+def count_streaks(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Longest strictly-increasing run of DAILY COUNTS per type — "how
+    many consecutive days did volume grow", the growth-streak /
+    monotone-burst report next to the trend tests (MK says "drifting
+    overall"; this finds the sharpest sustained climb and when it
+    started). Gaps-and-islands on the daily series: flag n > lag(n),
+    group runs by the running count of non-increases, take the longest
+    (earliest start on ties).
+
+    Everything is exact integers over the calendar-bounded daily
+    series; returns (event_type, n_days, streak_len, streak_start,
+    streak_end) where streak_len counts the DAYS in the run including
+    its anchor (a lone day is a streak of 1)."""
+    from pyspark.sql import Window
+
+    daily = (
+        df.select(
+            F.col(type_col).alias("event_type"),
+            F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("day").asc())
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runs = daily.select(
+        "event_type",
+        "day",
+        F.sum(
+            F.when(F.col("n") > F.lag("n").over(w), 0).otherwise(1)
+        ).over(wc).alias("__grp"),
+    )
+    spans = runs.groupBy("event_type", "__grp").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("day").alias("streak_start"),
+        F.max("day").alias("streak_end"),
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.col("streak_len").desc(), F.col("streak_start").asc()
+    )
+    nd = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        spans.withColumn("__pk", F.row_number().over(w_pick))
+        .filter(F.col("__pk") == 1)
+        .join(F.broadcast(nd), "event_type")
+        .select("event_type", "n_days", "streak_len", "streak_start", "streak_end")
+        .orderBy("event_type")
+    )

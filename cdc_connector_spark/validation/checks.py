@@ -800,3 +800,90 @@ def label_balance(df: DataFrame, label_col: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("norm_entropy"),
     )
+
+
+def column_profile_diff(
+    src: DataFrame,
+    snk: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Schema-wide column-statistics diff between a source and a sink
+    table — the per-COLUMN validation pass that catches what per-ROW
+    checks miss cheaply: a replication pipeline that silently NULLs a
+    column, drops a value range, or duplicates rows shifts a column's
+    (rows, nulls, distincts, content fingerprint) profile long before
+    anyone samples rows. The columnar complement to
+    ``key_equality_compare`` (which needs the full key join; this is
+    one aggregation pass per side). Reference anchor: the validation
+    plane's table-compare checks (tests/validation.py semantics).
+
+    Per column and side: exact BIGINT row/null/distinct counts plus an
+    ORDER-FREE content fingerprint — Σ (portable_hash60(value) mod
+    1e9+7) accumulated in DECIMAL(38,0) (exact at any row count) and
+    reduced mod 2^60 at the end, so two tables with equal multisets of
+    values fingerprint equal on any engine, with no sort anywhere.
+    DOUBLE columns hash as ROUND(v·1e6) BIGINTs and TIMESTAMP columns
+    as unix-microsecond BIGINTs (float/timestamp→string rendering never
+    matches across engines); everything else hashes its string form.
+
+    Returns one row per column: (column, src_rows, snk_rows, src_nulls,
+    snk_nulls, src_distinct, snk_distinct, src_fingerprint,
+    snk_fingerprint, profile_match).
+
+    Shape: ONE full-scan aggregation per side (count_distinct per
+    column shuffles that column's values — the exact-count trade;
+    swap in hll_distinct for the sketch version at 100 TB), then a
+    |cols|-row join. No row-level join ever happens."""
+    from pyspark.sql.types import DoubleType, FloatType, TimestampNTZType, TimestampType
+
+    from cdc_connector_spark.ops.sketch import portable_hash60
+
+    def profile(df: DataFrame, prefix: str) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias(f"{prefix}_rows")]
+        fields = {f.name: f.dataType for f in df.schema.fields}
+        for c in cols:
+            if isinstance(fields[c], (DoubleType, FloatType)):
+                keyed = F.round(F.col(c) * 1_000_000).cast("long")
+            elif isinstance(fields[c], (TimestampType, TimestampNTZType)):
+                # timestamp STRING rendering differs across engines —
+                # hash the exact integer micros instead
+                keyed = F.unix_micros(F.col(c).cast("timestamp"))
+            else:
+                keyed = F.col(c)
+            h = F.pmod(portable_hash60(keyed), F.lit(1_000_000_007))
+            aggs += [
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+                F.count_distinct(F.col(c)).alias(f"__dist_{c}"),
+                F.pmod(
+                    F.sum(F.when(F.col(c).isNotNull(), h).otherwise(0).cast("decimal(38,0)")),
+                    F.lit(1 << 60).cast("decimal(38,0)"),
+                ).cast("long").alias(f"__fp_{c}"),
+            ]
+        wide = df.groupBy().agg(*aggs)
+        stacked = ", ".join(
+            f"'{c}', __nulls_{c}, __dist_{c}, __fp_{c}" for c in cols
+        )
+        return wide.selectExpr(
+            f"{prefix}_rows",
+            f"stack({len(cols)}, {stacked}) AS "
+            f"(column, {prefix}_nulls, {prefix}_distinct, {prefix}_fingerprint)",
+        )
+    out = profile(src, "src").join(profile(snk, "snk"), "column")
+    match = (
+        (F.col("src_rows") == F.col("snk_rows"))
+        & (F.col("src_nulls") == F.col("snk_nulls"))
+        & (F.col("src_distinct") == F.col("snk_distinct"))
+        & (F.col("src_fingerprint") == F.col("snk_fingerprint"))
+    )
+    return out.select(
+        "column",
+        "src_rows",
+        "snk_rows",
+        "src_nulls",
+        "snk_nulls",
+        "src_distinct",
+        "snk_distinct",
+        "src_fingerprint",
+        "snk_fingerprint",
+        match.alias("profile_match"),
+    ).orderBy("column")
