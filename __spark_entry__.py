@@ -3463,6 +3463,89 @@ def streaks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_streaks(_t(spark, sf_dir, "events"))
 
 
+def fk_sample_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling (NEW r10): TWO-LEVEL referentially-consistent sample —
+    10% of customers, their orders, and those orders' lineitems, by
+    composing consistent_fk_frames per level (the sampled orders become
+    the parents of the lineitem hop). The full fixture-generator shape:
+    every FK edge in the sampled dataset resolves, at every depth.
+    Value-verified (counts + distinct keys per table; the oracle
+    replays the hash filter and both semi-join hops)."""
+    from cdc_connector_spark.ops.corpus import consistent_fk_frames
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    lvl1 = consistent_fk_frames(cust, [("orders", orders, "o_custkey")], "c_custkey", pct=10)
+    kept_orders = lvl1[1][1]
+    lvl2 = consistent_fk_frames(
+        kept_orders, [("lineitem", li, "l_orderkey")], "o_orderkey", pct=100
+    )
+    frames = [
+        ("1_customer", lvl1[0][1], "c_custkey"),
+        ("2_orders", kept_orders, "o_custkey"),
+        ("3_lineitem", lvl2[1][1], "l_orderkey"),
+    ]
+    parts = [
+        df.groupBy().agg(
+            F.lit(name).alias("table"),
+            F.count(F.lit(1)).alias("rows_kept"),
+            F.count_distinct(F.col(fk)).alias("distinct_keys"),
+        )
+        for name, df, fk in frames
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("table", "rows_kept", "distinct_keys").orderBy("table")
+
+
+def funnel_durations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel (NEW r10): time-to-convert between view→click→purchase —
+    per transition, converted-user count + nearest-rank P50/P90
+    durations in exact microsecond BIGINTs under the funnel's
+    earliest-completion chaining. The "how fast", completing the
+    funnel family's "how many". Value-verified
+    (ops/timeseries.funnel_durations)."""
+    from cdc_connector_spark.ops.timeseries import funnel_durations
+
+    return funnel_durations(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"], percentiles=(50, 90)
+    )
+
+
+def watermark_sizing_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming design (NEW r10): watermark sizing report — per type
+    and candidate bound W ∈ {1, 3, 5} minutes, how many events arrive
+    later than W after their event time (ingest axis = the
+    deterministic event_id % 7-minute lag, the bitemporal entry's
+    second clock) and the share — the measured input to
+    withWatermark() instead of a guess. Exact micro comparisons; one
+    scan for the whole candidate grid. Value-verified
+    (ops/timeseries.watermark_sizing)."""
+    from cdc_connector_spark.ops.timeseries import watermark_sizing
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ingest_ts",
+        F.col("ts") + F.make_interval(mins=(F.col("event_id") % 7).cast("int")),
+    )
+    return watermark_sizing(ev, candidate_minutes=(1, 3, 5))
+
+
+def equidepth_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout planning (NEW r10): equi-DEPTH histogram of order totals,
+    8 buckets — boundaries are exact nearest-rank order statistics and
+    double as repartitionByRange split points / range-scan partition
+    bounds (how the snapshot planner's splittable-key assumption gets
+    VERIFIED on a skewed column). A duplicate-heavy value cannot
+    straddle buckets — skew surfaces in the depths instead of hiding in
+    interpolation. Value-verified
+    (ops/timeseries.equidepth_histogram)."""
+    from cdc_connector_spark.ops.timeseries import equidepth_histogram
+
+    return equidepth_histogram(_t(spark, sf_dir, "orders"), "o_totalprice", buckets=8)
+
+
 def kmv_jaccard_priorities_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch (NEW r9): pairwise customer-set Jaccard between order
     priorities from KMV sketches (k=64): union sketch = k smallest of
@@ -3836,6 +3919,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap_events": twap_events,
         "retry_dedup_events": retry_dedup_events,
         "streaks_events": streaks_events,
+        "funnel_durations_events": funnel_durations_events,
+        "watermark_sizing_events": watermark_sizing_events,
+        "equidepth_histogram_orders": equidepth_histogram_orders,
+        "fk_sample_chain": fk_sample_chain,
     }
     assert len(_R10_WINDOW) == 50 and set(_R10_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -8383,6 +8470,112 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.event_type, nd.n_days, s.streak_len, s.streak_start, s.streak_end
             FROM spans s JOIN nd ON s.event_type = nd.event_type
             WHERE s.pk = 1 ORDER BY s.event_type
+        """,
+        # Two-level FK chain: hash filter + both semi-join hops.
+        "fk_sample_chain": """
+            WITH kept_c AS (
+                SELECT c_custkey FROM customer
+                WHERE (((c_custkey % 2147483648) * 2654435761) % 4294967296) % 100 < 10
+            ), kept_o AS (
+                SELECT o_orderkey, o_custkey FROM orders
+                WHERE o_custkey IN (SELECT c_custkey FROM kept_c)
+            )
+            SELECT '1_customer' AS "table",
+                   CAST(COUNT(*) AS BIGINT) AS rows_kept,
+                   CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS distinct_keys
+            FROM kept_c
+            UNION ALL
+            SELECT '2_orders', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+            FROM kept_o
+            UNION ALL
+            SELECT '3_lineitem', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+            FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM kept_o)
+            ORDER BY "table"
+        """,
+        # Funnel durations: the earliest-completion chain in micros +
+        # nearest-rank percentile picks per transition.
+        "funnel_durations_events": """
+            WITH s1 AS (
+                SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t
+                FROM events WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+                SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s1.t
+                GROUP BY e.user_id
+            ), s3 AS (
+                SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s2.t
+                GROUP BY e.user_id
+            ), d2 AS (
+                SELECT s2.t - s1.t AS dur_us FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+            ), d3 AS (
+                SELECT s3.t - s2.t AS dur_us FROM s2 JOIN s3 ON s2.user_id = s3.user_id
+            ), r2 AS (
+                SELECT dur_us, row_number() OVER (ORDER BY dur_us ASC) AS rk,
+                       COUNT(*) OVER () AS n FROM d2
+            ), r3 AS (
+                SELECT dur_us, row_number() OVER (ORDER BY dur_us ASC) AS rk,
+                       COUNT(*) OVER () AS n FROM d3
+            )
+            SELECT 2 AS step, 'view' AS from_type, 'click' AS to_type,
+                   CAST(coalesce(MAX(n), 0) AS BIGINT) AS users,
+                   MAX(CASE WHEN rk = (n * 50 + 99) // 100 THEN dur_us END) AS p50_us,
+                   MAX(CASE WHEN rk = (n * 90 + 99) // 100 THEN dur_us END) AS p90_us
+            FROM r2
+            UNION ALL
+            SELECT 3, 'click', 'purchase',
+                   CAST(coalesce(MAX(n), 0) AS BIGINT),
+                   MAX(CASE WHEN rk = (n * 50 + 99) // 100 THEN dur_us END),
+                   MAX(CASE WHEN rk = (n * 90 + 99) // 100 THEN dur_us END)
+            FROM r3
+            ORDER BY step
+        """,
+        # Watermark sizing: lateness once, candidate grid after collapse.
+        "watermark_sizing_events": """
+            WITH lateness AS (
+                SELECT event_type,
+                       epoch_us(CAST(ts AS TIMESTAMP) + to_minutes(event_id % 7))
+                         - epoch_us(CAST(ts AS TIMESTAMP)) AS late_us
+                FROM events
+            ), per_type AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS BIGINT) AS total,
+                       CAST(SUM(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS l1,
+                       CAST(SUM(CASE WHEN late_us > 180000000 THEN 1 ELSE 0 END) AS BIGINT) AS l3,
+                       CAST(SUM(CASE WHEN late_us > 300000000 THEN 1 ELSE 0 END) AS BIGINT) AS l5
+                FROM lateness GROUP BY 1
+            )
+            SELECT event_type, watermark_minutes, total, late,
+                   round(CAST(late AS DOUBLE) / CAST(total AS DOUBLE), 6) AS late_share
+            FROM (
+                SELECT event_type, 1 AS watermark_minutes, total, l1 AS late FROM per_type
+                UNION ALL
+                SELECT event_type, 3, total, l3 FROM per_type
+                UNION ALL
+                SELECT event_type, 5, total, l5 FROM per_type
+            )
+            ORDER BY event_type, watermark_minutes
+        """,
+        # Equi-depth histogram: first-rank bucket assignment over the
+        # distinct-value count table; whole values never straddle.
+        "equidepth_histogram_orders": """
+            WITH vals AS (
+                SELECT o_totalprice AS v, CAST(COUNT(*) AS BIGINT) AS c
+                FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+            ), ranked AS (
+                SELECT v, c,
+                       coalesce(SUM(c) OVER (ORDER BY v ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS rk,
+                       SUM(c) OVER () AS n
+                FROM vals
+            )
+            SELECT CAST(((rk - 1) * 8) // n AS INT) AS bucket,
+                   MIN(v) AS lo, MAX(v) AS hi, CAST(SUM(c) AS BIGINT) AS depth
+            FROM ranked GROUP BY 1 ORDER BY 1
         """,
         # KMV Jaccard: replays both sketches, the pair-tagged union rank,
         # the both-sides membership count, the exact-integer floor

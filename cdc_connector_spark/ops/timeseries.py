@@ -1629,3 +1629,196 @@ def count_streaks(
         .select("event_type", "n_days", "streak_len", "streak_start", "streak_end")
         .orderBy("event_type")
     )
+
+
+def funnel_durations(
+    df: DataFrame,
+    steps: list[str],
+    percentiles: tuple[int, ...] = (50, 90),
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert between funnel steps: for every user who
+    completed step k under the earliest-completion chaining rule (the
+    ``funnel`` operator's semantics — t_k = first step-k event strictly
+    after t_{k−1}), the transition duration t_k − t_{k−1}; reported per
+    transition as user counts + NEAREST-RANK percentile durations in
+    exact microsecond BIGINTs. The "users convert, but HOW FAST"
+    report — the input to retargeting windows and funnel SLAs that the
+    count-only funnel can't give.
+
+    Exact integers end to end: chained MIN timestamps in micros, order
+    statistics (rank (n·p+99) div 100) over the per-transition duration
+    multiset — no float arithmetic anywhere.
+
+    Returns one row per transition: (step transition 2-based,
+    from_type, to_type, users, p<P>_us for each requested percentile).
+
+    Shape: one filtered MIN aggregation per step chained by user-keyed
+    joins (AQE collapses the shrinking right sides to broadcasts),
+    then a per-transition rank window over converted users only."""
+    from pyspark.sql import Window
+
+    if len(steps) < 2:
+        raise ValueError("funnel_durations needs at least 2 steps")
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    reached = None
+    step_times = []  # list of DataFrames (user, __t_k)
+    for step in steps:
+        ev = df.filter(F.col(type_col) == F.lit(step)).select(
+            F.col(user_col).alias("user"), t.alias("__t")
+        )
+        if reached is None:
+            cur = ev.groupBy("user").agg(F.min("__t").alias("__reached"))
+        else:
+            cur = (
+                ev.join(reached, "user")
+                .filter(F.col("__t") > F.col("__reached"))
+                .groupBy("user")
+                .agg(F.min("__t").alias("__reached"))
+            )
+        reached = cur
+        step_times.append(cur)
+    out = None
+    for k in range(1, len(steps)):
+        prev = step_times[k - 1].select("user", F.col("__reached").alias("__t_prev"))
+        curr = step_times[k].select("user", F.col("__reached").alias("__t_curr"))
+        durs = prev.join(curr, "user").select(
+            (F.col("__t_curr") - F.col("__t_prev")).alias("dur_us")
+        )
+        w = Window.orderBy(F.col("dur_us").asc())
+        ranked = durs.select(
+            "dur_us",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        picks = [
+            F.max(
+                F.when(
+                    F.col("rk") == F.expr(f"CAST((n * {p} + 99) div 100 AS BIGINT)"),
+                    F.col("dur_us"),
+                )
+            ).alias(f"p{p}_us")
+            for p in percentiles
+        ]
+        row = ranked.groupBy().agg(F.max("n").alias("users"), *picks).select(
+            F.lit(k + 1).alias("step"),
+            F.lit(steps[k - 1]).alias("from_type"),
+            F.lit(steps[k]).alias("to_type"),
+            F.coalesce(F.col("users"), F.lit(0)).alias("users"),
+            *[F.col(f"p{p}_us") for p in percentiles],
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("step")
+
+
+def watermark_sizing(
+    df: DataFrame,
+    candidate_minutes: tuple[int, ...] = (1, 3, 5, 10),
+    ts_col: str = "ts",
+    ingest_ts_col: str = "ingest_ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Watermark sizing report: for each candidate watermark bound W,
+    how many events would be LATE (ingest_ts − event_ts > W) and what
+    share — the empirical input to Structured Streaming's
+    ``withWatermark`` choice, turning "pick 10 minutes, probably fine"
+    into "3 minutes loses 0.4%, 10 minutes loses 0.01%" measured on the
+    feed's own lateness distribution. Pairs with the streaming plane:
+    the chosen bound is exactly what its windowed aggregations pass to
+    withWatermark.
+
+    Exact integers: lateness compares microsecond BIGINTs; counts are
+    BIGINTs; the share is ONE IEEE division rounded 6. Returns one row
+    per (event_type, candidate W): (event_type, watermark_minutes,
+    total, late, late_share).
+
+    Shape: one scan computes lateness once; the candidate grid explodes
+    |candidates| rows per type AFTER the per-type collapse — corpus
+    work is a single aggregation regardless of grid size."""
+    lateness = (
+        F.unix_micros(F.col(ingest_ts_col).cast("timestamp"))
+        - F.unix_micros(F.col(ts_col).cast("timestamp"))
+    )
+    per_type = df.select(
+        F.col(type_col).alias("event_type"), lateness.alias("__late_us")
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("total"),
+        *[
+            F.sum(
+                (F.col("__late_us") > F.lit(m * 60_000_000)).cast("long")
+            ).alias(f"__late_{m}")
+            for m in candidate_minutes
+        ],
+    )
+    rows = []
+    for m in candidate_minutes:
+        rows.append(
+            per_type.select(
+                "event_type",
+                F.lit(m).alias("watermark_minutes"),
+                "total",
+                F.col(f"__late_{m}").alias("late"),
+                F.round(
+                    F.col(f"__late_{m}").cast("double") / F.col("total").cast("double"),
+                    6,
+                ).alias("late_share"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("event_type", "watermark_minutes")
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Equi-DEPTH histogram: ``buckets`` ranges holding (near-)equal row
+    counts, boundaries at the nearest-rank b/n quantiles — the
+    complement of the equi-WIDTH histogram (fixed value ranges, wildly
+    unequal counts on skewed data). These boundaries ARE
+    ``repartitionByRange`` split points / range-scan partition bounds:
+    this is how the snapshot planner's assumption of a splittable key
+    gets VERIFIED and how a skewed column gets honest partition sizing
+    at 100 TB.
+
+    Exact by construction: each row's bucket is its rank's position in
+    the integer grid (bucket = (rk−1)·B div n), boundaries are exact
+    order statistics (existing input values), counts are exact BIGINTs
+    — depths differ by at most 1 when values are distinct; heavy
+    duplicate values make depths unequal HONESTLY (a value cannot
+    straddle buckets; the skew surfaces in the counts instead of being
+    hidden by interpolation).
+
+    Returns (bucket 0-based, lo, hi, depth). One global rank window
+    over the distinct-value count table — same bounded-window shape as
+    the KS op (pre-quantize a near-unique column at extreme scale)."""
+    from pyspark.sql import Window
+
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    vals = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.col("v").asc())
+    # rank of the FIRST row of each distinct value in the sorted
+    # multiset: 1 + running count of preceding rows
+    ranked = vals.select(
+        "v",
+        "c",
+        (F.coalesce(F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)) + 1).alias("rk"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    bucket = F.expr(f"CAST(((rk - 1) * {buckets}) div n AS INT)")
+    return (
+        ranked.select(bucket.alias("bucket"), "v", "c")
+        .groupBy("bucket")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"), F.sum("c").alias("depth"))
+        .orderBy("bucket")
+    )
