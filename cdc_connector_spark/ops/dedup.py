@@ -539,6 +539,40 @@ def simhash_arrow(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return df.select(F.col(id_col).alias("id"), votes(hashes).alias("sig"))
 
 
+def simhash_portable_arrow(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``simhash_portable`` computed the fast way: the md5-derived 60-bit
+    token hash stays JVM-side (one codegen expression in the scan stage),
+    the bit-votes vectorize in numpy over Arrow batches — BIT-IDENTICAL
+    to the pure-expression ``simhash_portable`` (asserted in tests; the
+    hashes occupy bits 0..59, so the 64-bit vote kernel leaves bits
+    60..63 at zero exactly like the 60-bit fold) while skipping its
+    interpreted per-token × per-bit zip_with chain (~2× measured on the
+    full-corpus near-dup entry). Use THIS for the value-verified
+    production path; ``simhash_portable`` remains the SQL-shaped
+    reference the oracle mirrors. Returns (id, sig)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def votes(hs: pd.Series) -> pd.Series:
+        bits = np.arange(64, dtype=np.uint64)
+        out = np.zeros(len(hs), dtype=np.int64)
+        for j, h in enumerate(hs):
+            a = np.asarray(h, dtype=np.uint64)
+            if a.size == 0:
+                continue
+            v = (((a[:, None] >> bits) & np.uint64(1)).astype(np.int32) * 2 - 1).sum(axis=0)
+            out[j] = np.int64(np.uint64(((v > 0).astype(np.uint64) << bits).sum(dtype=np.uint64)))
+        return pd.Series(out)
+
+    hashes = F.transform(
+        tokenize(text_col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+    return df.select(F.col(id_col).alias("id"), votes(hashes).alias("sig"))
+
+
 def hamming64(a, b):
     """Hamming distance between two 64-bit signatures: popcount(a XOR b)."""
     return F.bit_count(a.bitwiseXOR(b))

@@ -1603,6 +1603,8 @@ def count_streaks(
         )
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).alias("n"))
+        # two consumers (runs + the day census) — one corpus scan
+        .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("event_type").orderBy(F.col("day").asc())
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1751,7 +1753,9 @@ def watermark_sizing(
             ).alias(f"__late_{m}")
             for m in candidate_minutes
         ],
-    )
+    # the per-candidate union below consumes this |types|-row frame once
+    # per candidate — materialize it so the corpus really is scanned ONCE
+    ).localCheckpoint(eager=True)
     rows = []
     for m in candidate_minutes:
         rows.append(

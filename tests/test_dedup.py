@@ -591,3 +591,33 @@ def test_prefix_jaccard_rejects_bad_threshold(spark):
         prefix_jaccard_pairs(_pj_docs(spark, ["a"]), threshold_num=0, threshold_den=10)
     with _pytest.raises(ValueError):
         prefix_jaccard_pairs(_pj_docs(spark, ["a"]), threshold_num=11, threshold_den=10)
+
+
+def test_simhash_portable_arrow_bit_identical(spark):
+    """The Arrow vote kernel over JVM md5 hashes must produce EXACTLY the
+    pure-expression portable signature (the value-verified entry runs the
+    Arrow path; the oracle mirrors the expression path — bit-identity is
+    what makes them interchangeable). Covers empty/NULL text and the
+    60-bit ceiling."""
+    from cdc_connector_spark.ops.dedup import simhash_portable, simhash_portable_arrow
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "shuffle partitions and broadcast joins at scale"),
+            (4, "a"),
+            (5, ""),
+            (6, None),
+        ],
+        "doc_id int, text string",
+    )
+    expr = {
+        (r["id"], r["sig"])
+        for r in df.select(
+            F.col("doc_id").alias("id"), simhash_portable("text").alias("sig")
+        ).collect()
+    }
+    arrow = {(r["id"], r["sig"]) for r in simhash_portable_arrow(df).collect()}
+    assert arrow == expr
+    assert all(0 <= s < (1 << 60) for _, s in arrow)
