@@ -230,3 +230,47 @@ def test_winnow_single_shuffle_no_python(q):
     facts = q("winnow_fingerprints_documents")
     assert facts["exchanges"] <= 1, facts
     assert not facts["has_python_udf"]
+
+
+def test_daily_percentiles_pruned_single_cell_shuffle(q):
+    """Nearest-rank bands: one (type, day)-keyed shuffle for the cell
+    windows (+ the final order), value NULL-filter pushed, 3-col scan."""
+    facts = q("daily_percentiles_events")
+    assert facts["exchanges"] <= 2, facts
+    [scan] = facts["scans"]
+    assert "IsNotNull" in scan["pushed"], scan
+    assert scan["read_cols"] <= 3
+    assert not facts["has_python_udf"]
+
+
+def test_equidepth_histogram_single_value_collapse(q):
+    """Equi-depth: the per-value collapse is the only corpus-keyed
+    shuffle; the rank window runs on the distinct-value table."""
+    facts = q("equidepth_histogram_orders")
+    assert facts["exchanges"] <= 3, facts
+    [scan] = facts["scans"]
+    assert scan["read_cols"] <= 1  # o_totalprice only — 9-col table
+
+
+def test_watermark_sizing_scans_corpus_once(q):
+    """The candidate grid must replay the |types|-row collapse, never the
+    corpus: exactly ONE parquet scan (the localCheckpoint materialization
+    absorbs the per-candidate union)."""
+    facts = q("watermark_sizing_events")
+    assert len(facts["scans"]) <= 1, facts["scans"]
+
+
+def test_retry_dedup_single_key_window(q):
+    """Echo detection is one key-hash window + the per-type collapse —
+    never an interval self-join (zero joins in the plan)."""
+    facts = q("retry_dedup_events")
+    assert not facts["joins"], facts
+    assert facts["exchanges"] <= 3, facts
+
+
+def test_mmr_pool_stage_has_no_corpus_rescans(q):
+    """MMR stage 2 runs on the 50-row checkpointed pool: the final plan
+    contains NO parquet scans (pool + picks are materialized RDDs) and
+    no full sort (greedy picks are top-1 TakeOrdered)."""
+    facts = q("mmr_topk_embeddings")
+    assert not facts["scans"], facts["scans"]
