@@ -3506,6 +3506,45 @@ def fk_sample_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("table", "rows_kept", "distinct_keys").orderBy("table")
 
 
+def profile_stream_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous data-quality profile, PRODUCTION SHAPE (NEW r10): the
+    per-column (rows, nulls, fingerprint, distinct-estimate) state
+    maintained INCREMENTALLY over three disjoint order batches — linear
+    stats add (counts; modular fingerprint sum mod 2^60), distincts
+    MAX-merge as HLL registers (exact distinct counts don't merge;
+    that's why the monitor carries the sketch). The merge chain is the
+    StreamingColumnProfile applier's exact code path
+    (streaming/profile.py; stream == one-shot pinned in pytest), and
+    because every merge is exact the oracle replays the ONE-SHOT state
+    — a hash-match proves the incremental maintenance end to end.
+    Value-verified."""
+    from cdc_connector_spark.ops.sketch import hll_estimate, hll_merge
+    from cdc_connector_spark.validation.checks import column_profile_state
+
+    cols = ["o_custkey", "o_totalprice", "o_orderstatus"]
+    orders = _t(spark, sf_dir, "orders")
+    parts = [
+        column_profile_state(orders.filter(F.col("o_orderkey") % 3 == i), cols, p=8)
+        for i in range(3)
+    ]
+    counts = (
+        parts[0][0]
+        .unionByName(parts[1][0])
+        .unionByName(parts[2][0])
+        .groupBy("column")
+        .agg(
+            F.sum("rows").alias("rows"),
+            F.sum("nulls").alias("nulls"),
+            F.pmod(F.sum("fp"), F.lit(1 << 60)).cast("long").alias("fp"),
+        )
+    )
+    regs = hll_merge([hll_merge([parts[0][1], parts[1][1]]), parts[2][1]])
+    est = hll_estimate(regs, p=8).select(
+        F.col("grp").alias("column"), F.col("est").alias("distinct_est")
+    )
+    return counts.join(est, "column").orderBy("column")
+
+
 def funnel_durations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel (NEW r10): time-to-convert between view→click→purchase —
     per transition, converted-user count + nearest-rank P50/P90
@@ -3663,8 +3702,33 @@ _R10_WINDOW = [
     "pettitt_changepoint_events",
     "seasonal_anomaly_events",
     "link_prediction_parts",
-    # oldest driver rows: the full r6-checked cohort (39 entries, age 4
-    # after r10 if skipped — past the steady-state floor of 3)
+    # never driver-checked: round-10 additions (20 entries — tools/
+    # staleness.py ruled they displace age-refresh occupants: at 201
+    # queries the steady-state floor is 4, so r6-cohort rows can wait
+    # one more round while never-checked entries cannot)
+    "kmv_stream_merge_orders",
+    "hll_stream_merge_orders",
+    "mann_kendall_events",
+    "ks_drift_order_totals",
+    "association_orders",
+    "shortest_paths_parts",
+    "daily_percentiles_events",
+    "bitemporal_asof_events",
+    "column_profile_diff_orders",
+    "fk_sample_customers",
+    "label_prop_parts",
+    "mmr_topk_embeddings",
+    "twap_events",
+    "retry_dedup_events",
+    "streaks_events",
+    "funnel_durations_events",
+    "watermark_sizing_events",
+    "equidepth_histogram_orders",
+    "fk_sample_chain",
+    "profile_stream_merge_orders",
+    # oldest driver rows: 19 of the 39-entry r6 cohort (the other 20
+    # ride the tripwire at age 4 — exactly the 201-query floor — and
+    # rotate in r11)
     "top3_orders_per_segment",
     "word_counts_documents",
     "pivot_status_by_priority",
@@ -3684,26 +3748,6 @@ _R10_WINDOW = [
     "set_ops_active_customers",
     "rollup_order_revenue",
     "percentile_order_price",
-    "q12_priority_shipmode",
-    "q19_disjunctive_revenue",
-    "q22_idle_customers",
-    "incremental_dedup_lookup",
-    "split_corpus_documents",
-    "hash_sample_documents",
-    "ann_topk_batch",
-    "neardup_groups_documents",
-    "tfidf_terms_documents",
-    "bm25_search_documents",
-    "pq_ann_topk",
-    "ann_cosine_topk",
-    "dedup_exact_documents",
-    "decontam_overlap_documents",
-    "pii_redact_documents",
-    "quota_sample_documents",
-    "pack_sequences_documents",
-    "gopher_quality_documents",
-    "text_stats_documents",
-    "json_extract_events",
 ]
 
 
@@ -3929,6 +3973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watermark_sizing_events": watermark_sizing_events,
         "equidepth_histogram_orders": equidepth_histogram_orders,
         "fk_sample_chain": fk_sample_chain,
+        "profile_stream_merge_orders": profile_stream_merge_orders,
     }
     assert len(_R10_WINDOW) == 50 and set(_R10_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -8476,6 +8521,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.event_type, nd.n_days, s.streak_len, s.streak_start, s.streak_end
             FROM spans s JOIN nd ON s.event_type = nd.event_type
             WHERE s.pk = 1 ORDER BY s.event_type
+        """,
+        # Streaming profile merge: linear stats + register MAX-merge are
+        # exact, so the oracle replays the ONE-SHOT per-column state —
+        # counts, nulls, the mod-2^60 fingerprint sum, and the full HLL
+        # register/estimator chain per column.
+        "profile_stream_merge_orders": """
+            WITH keyed AS (
+                SELECT 'o_custkey' AS col,
+                       CAST(o_custkey AS VARCHAR) AS kstr,
+                       o_custkey IS NULL AS isn
+                FROM orders
+                UNION ALL
+                SELECT 'o_totalprice',
+                       CAST(CAST(round(o_totalprice * 1000000) AS BIGINT) AS VARCHAR),
+                       o_totalprice IS NULL
+                FROM orders
+                UNION ALL
+                SELECT 'o_orderstatus', o_orderstatus, o_orderstatus IS NULL
+                FROM orders
+            ), h AS (
+                SELECT col, isn,
+                       CASE WHEN isn THEN NULL ELSE
+                           list_reduce(list_transform(range(1, 16),
+                               i -> CAST(strpos('0123456789abcdef',
+                                    substring(md5(kstr), i, 1)) - 1 AS BIGINT)),
+                               (a, x) -> a * 16 + x)
+                       END AS h60
+                FROM keyed
+            ), counts AS (
+                SELECT col AS "column",
+                       CAST(COUNT(*) AS BIGINT) AS rows,
+                       CAST(SUM(CASE WHEN isn THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+                       CAST(SUM(CASE WHEN isn THEN CAST(0 AS HUGEINT)
+                                     ELSE CAST(h60 % 1000000007 AS HUGEINT) END)
+                            % 1152921504606846976 AS BIGINT) AS fp
+                FROM h GROUP BY 1
+            ), reg AS (
+                SELECT col, h60 % 256 AS bucket, h60 // 256 AS w FROM h WHERE NOT isn
+            ), rr AS (
+                SELECT col, bucket,
+                       MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS mreg
+                FROM reg GROUP BY 1, 2
+            ), ag AS (
+                SELECT col, COUNT(*) AS nb,
+                       CAST(SUM(CAST(2**(53 - mreg) AS BIGINT)) AS BIGINT) AS sp
+                FROM rr GROUP BY 1
+            ), est0 AS (
+                SELECT col,
+                       CAST(256 - nb AS BIGINT) AS zeros,
+                       round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+                             / CAST(sp + (256 - nb) * 9007199254740992 AS DOUBLE), 6) AS raw_est
+                FROM ag
+            ), est AS (
+                SELECT col,
+                       CASE WHEN raw_est <= 640.0 AND zeros > 0
+                            THEN round(256.0 * ln(256.0 / CAST(zeros AS DOUBLE)), 6)
+                            ELSE raw_est END AS distinct_est
+                FROM est0
+            )
+            SELECT c."column", c.rows, c.nulls, c.fp, e.distinct_est
+            FROM counts c JOIN est e ON c."column" = e.col
+            ORDER BY c."column"
         """,
         # Two-level FK chain: hash filter + both semi-join hops.
         "fk_sample_chain": """

@@ -887,3 +887,68 @@ def column_profile_diff(
         "snk_fingerprint",
         match.alias("profile_match"),
     ).orderBy("column")
+
+
+def column_profile_state(
+    df: DataFrame,
+    cols: list[str],
+    p: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """The MERGEABLE state behind a continuous column-profile monitor —
+    the incremental decomposition of ``column_profile_diff``'s
+    per-column statistics into two bounded tables:
+
+    - counts: one row per column — (column, rows, nulls, fp) with fp
+      the ORDER-FREE modular fingerprint sum (Σ portable_hash60 mod
+      1e9+7, reduced mod 2^60). Row/null counts and the modular sum are
+      LINEAR: state(A ∪ B) = state(A) + state(B) cell-by-cell (mod
+      2^60 for fp), the CMS-linearity argument applied to profiling.
+    - registers: HLL register rows (grp=column, bucket, mreg) for the
+      per-column DISTINCT estimate — exact distinct counts are NOT
+      mergeable (|A ∪ B| ≠ |A| + |B|), which is precisely why the
+      streaming monitor carries the MAX-mergeable sketch instead
+      (2^p rows per column forever).
+
+    Column typing matches column_profile_diff: doubles hash/sketch as
+    ROUND(v·1e6) BIGINTs, timestamps as unix micros, everything else
+    by string form — so a batch-side diff and the streaming monitor
+    agree on every fingerprint."""
+    from pyspark.sql.types import DoubleType, FloatType, TimestampNTZType, TimestampType
+
+    from cdc_connector_spark.ops.sketch import hll_registers, portable_hash60
+
+    fields = {f.name: f.dataType for f in df.schema.fields}
+
+    def keyed(c):
+        if isinstance(fields[c], (DoubleType, FloatType)):
+            return F.round(F.col(c) * 1_000_000).cast("long")
+        if isinstance(fields[c], (TimestampType, TimestampNTZType)):
+            return F.unix_micros(F.col(c).cast("timestamp"))
+        return F.col(c)
+
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    for c in cols:
+        h = F.pmod(portable_hash60(keyed(c)), F.lit(1_000_000_007))
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            F.pmod(
+                F.sum(F.when(F.col(c).isNotNull(), h).otherwise(0).cast("decimal(38,0)")),
+                F.lit(1 << 60).cast("decimal(38,0)"),
+            ).cast("long").alias(f"__fp_{c}"),
+        ]
+    wide = df.groupBy().agg(*aggs)
+    stacked = ", ".join(f"'{c}', __nulls_{c}, __fp_{c}" for c in cols)
+    counts = wide.selectExpr(
+        "rows",
+        f"stack({len(cols)}, {stacked}) AS (column, nulls, fp)",
+    ).select("column", "rows", "nulls", "fp")
+    tall = None
+    for c in cols:
+        # string-cast the keyed value explicitly: the union must not let
+        # Spark coerce mixed per-column types (BIGINT keys next to raw
+        # strings), and portable_hash60 stringifies its input anyway so
+        # the hash is unchanged
+        part = df.select(F.lit(c).alias("__col"), keyed(c).cast("string").alias("__key"))
+        tall = part if tall is None else tall.unionByName(part)
+    registers = hll_registers(tall, "__key", "__col", p=p)
+    return counts, registers
