@@ -3665,89 +3665,84 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks only the FIRST 50 dict entries of
-# queries(). Round-10 window: 3 sentinels; the two sf0.01-PINNED ivf
-# recall twins (must stay in-window: their oracles pin sf0.01 constants
-# — the driver's SF — and the sf0.001 tripwire would flag them by
-# construction; enforced by the assertion in queries()); the 6
-# never-driver-checked round-9 entries (the r9 verdict's #1 ask); and
-# the full 39-entry r6-age cohort (their driver rows would pass the
-# steady-state age floor of 3 if skipped this round).
-# Saturated: 3 + 2 + 6 + 39 = 50.
-# HONEST AGE ARITHMETIC: at 182 queries / 50 slots the steady-state
-# max-age floor is ceil(182/50) - 1 = 3 rounds. The r7/r8/r9-checked
-# cohorts ride the tail at ages 1-3; every out-of-window entry is
-# value-verified at sf0.001 by the pre-commit tail tripwire on every
-# commit, the continuous regression gate between driver rows. The
-# PERMANENTLY-rows-only ivf production pair (see their docstrings)
-# tails at age 1 with pytest + recall-twin coverage. See STALENESS.md.
-# Expected CORRECTNESS_r10: 50/50 value-verified, zero rows-only
-# in-window (simhash_neardup gained a full oracle this round).
-_R10_WINDOW = [
+# queries(). Round-11 window — THE ROTATION-DEBT PAYMENT (r10 verdict
+# "Next round" #1): 3 sentinels; the two sf0.01-PINNED ivf recall twins
+# (must stay in-window: their oracles pin sf0.01 constants — the
+# driver's SF — and the sf0.001 tripwire would flag them by
+# construction; enforced by the assertion in queries()); ALL 20 r6-last-
+# checked entries left at age 4 after r10 (the floor — skipping them
+# again would breach it); and 25 of the 41-entry r7-checked cohort,
+# prioritizing the 15 §2-core validation queries (rowcounts …
+# normalize_values/q13 — the reference's actual semantics,
+# tests/validation.py) which have had no driver row since r7.
+# Saturated: 3 sentinels + 2 ivf twins + 20 r6 + 25 r7 = 50.
+# HONEST AGE ARITHMETIC: at 201 queries / 50 slots the steady-state
+# max-age floor is ceil(201/50) - 1 = 4 rounds. The 16 r7 entries that
+# did not fit sit at exactly age 4 (the floor) and rotate in r12; the
+# r8/r9/r10 cohorts ride the tail at ages 1-3; every out-of-window
+# entry is value-verified at sf0.001 by the pre-commit tail tripwire on
+# every commit. The PERMANENTLY-rows-only ivf production pair (see
+# their docstrings) tails with pytest + recall-twin coverage. See
+# STALENESS.md. Expected CORRECTNESS_r11: 50/50 value-verified, zero
+# rows-only in-window.
+_R11_WINDOW = [
     # sentinels
     "q1_pricing_summary",
     "changelog_latest_per_key",
     "minhash_neardup",
-    # sf0.01-pinned recall twins: window-resident by construction (their
-    # oracles pin constants at the driver's SF; the sf0.001 tripwire
-    # would flag them in the tail). Their PERMANENTLY-rows-only
-    # production entries (ivf_ann_topk/_batch — see docstrings) tail
-    # this round at driver-row age 1; simhash_neardup gained a full
-    # oracle in r10 and is a normal tail entry now.
+    # sf0.01-pinned recall twins: window-resident by construction
     "ivf_recall_topk",
     "ivf_batch_recall_topk",
-    # never driver-checked: round-9 additions (the r9 verdict's #1 ask)
-    "hll_distinct_customers_orders",
-    "kmv_distinct_customers_orders",
-    "kmv_jaccard_priorities_orders",
-    "pettitt_changepoint_events",
-    "seasonal_anomaly_events",
-    "link_prediction_parts",
-    # never driver-checked: round-10 additions (20 entries — tools/
-    # staleness.py ruled they displace age-refresh occupants: at 201
-    # queries the steady-state floor is 4, so r6-cohort rows can wait
-    # one more round while never-checked entries cannot)
-    "kmv_stream_merge_orders",
-    "hll_stream_merge_orders",
-    "mann_kendall_events",
-    "ks_drift_order_totals",
-    "association_orders",
-    "shortest_paths_parts",
-    "daily_percentiles_events",
-    "bitemporal_asof_events",
-    "column_profile_diff_orders",
-    "fk_sample_customers",
-    "label_prop_parts",
-    "mmr_topk_embeddings",
-    "twap_events",
-    "retry_dedup_events",
-    "streaks_events",
-    "funnel_durations_events",
-    "watermark_sizing_events",
-    "equidepth_histogram_orders",
-    "fk_sample_chain",
-    "profile_stream_merge_orders",
-    # oldest driver rows: 19 of the 39-entry r6 cohort (the other 20
-    # ride the tripwire at age 4 — exactly the 201-query floor — and
-    # rotate in r11)
-    "top3_orders_per_segment",
-    "word_counts_documents",
-    "pivot_status_by_priority",
-    "q17_small_quantity_revenue",
-    "string_funcs_parts",
-    "date_arith_orders",
-    "incremental_rollup_events",
-    "ngram_jaccard_pairs_subset",
-    "multimodal_decode_documents",
-    "asof_purchase_last_click",
-    "cosine_pairs_bruteforce",
-    "quality_score_documents",
-    "embedding_neardup",
-    "embedding_neardup_subset",
-    "lsh_ann_topk",
-    "lang_id_documents",
-    "set_ops_active_customers",
-    "rollup_order_revenue",
-    "percentile_order_price",
+    # r6-cohort (last driver row r6, age 4 after r10 — ALL 20)
+    "q12_priority_shipmode",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    "incremental_dedup_lookup",
+    "split_corpus_documents",
+    "hash_sample_documents",
+    "ann_topk_batch",
+    "neardup_groups_documents",
+    "tfidf_terms_documents",
+    "bm25_search_documents",
+    "pq_ann_topk",
+    "ann_cosine_topk",
+    "dedup_exact_documents",
+    "decontam_overlap_documents",
+    "pii_redact_documents",
+    "quota_sample_documents",
+    "pack_sequences_documents",
+    "gopher_quality_documents",
+    "text_stats_documents",
+    "json_extract_events",
+    # r7-cohort: the 15 §2-core validation/TPC-H queries first (the
+    # reference's own semantics — no driver row since r7)
+    "rowcounts",
+    "distinct_pk_lineitem",
+    "dup_groups_topk",
+    "anti_join_orphans",
+    "key_equality_compare",
+    "null_pk_count",
+    "pk_range_stats",
+    "freshness_lag",
+    "point_lookup",
+    "topk_orders",
+    "segment_revenue",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "normalize_values",
+    "q13_customer_distribution",
+    # r7-cohort: 10 more (queries() order); the remaining 16 r7 entries
+    # sit at age 4 = the floor and rotate in r12
+    "sq_ann_topk",
+    "span_dedup_documents",
+    "temperature_sample_documents",
+    "vocab_documents",
+    "kmeans_clusters_embeddings",
+    "semdedup_pairs_embeddings",
+    "interval_join_events",
+    "unigram_nll_documents",
+    "encode_documents",
+    "corpus_mix_documents",
 ]
 
 
@@ -3975,12 +3970,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_sample_chain": fk_sample_chain,
         "profile_stream_merge_orders": profile_stream_merge_orders,
     }
-    assert len(_R10_WINDOW) == 50 and set(_R10_WINDOW) <= set(base)
+    assert len(_R11_WINDOW) == 50 and set(_R11_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
     # SF); in the tail the sf0.001 tripwire would flag them by
     # construction — keep them window-resident structurally
-    assert {"ivf_recall_topk", "ivf_batch_recall_topk"} <= set(_R10_WINDOW)
-    out = {n: base[n] for n in _R10_WINDOW}
+    assert {"ivf_recall_topk", "ivf_batch_recall_topk"} <= set(_R11_WINDOW)
+    out = {n: base[n] for n in _R11_WINDOW}
     out.update({n: f for n, f in base.items() if n not in out})
     return out
 
@@ -6968,16 +6963,22 @@ def oracle_sql() -> dict[str, str]:
                           - CAST(CAST(rt AS HUGEINT) * CAST(ct AS HUGEINT) AS DOUBLE)
                             / CAST(n AS DOUBLE))
                        / (CAST(CAST(rt AS HUGEINT) * CAST(ct AS HUGEINT) AS DOUBLE)
-                          / CAST(n AS DOUBLE)) AS term
+                          / CAST(n AS DOUBLE)) AS term,
+                       CAST(rt AS HUGEINT) * CAST(ct AS HUGEINT) AS rtct
                 FROM tot
             )
             SELECT any_value(n) AS n,
                    CAST(COUNT(DISTINCT a) AS INT) AS n_a,
                    CAST(COUNT(DISTINCT b) AS INT) AS n_b,
                    CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS INT) AS dof,
+                   -- observed-cell fold + exact unobserved-cell mass
+                   -- (n^2 - sum rt*ct)/n: empty grid cells each carry e
                    round(list_reduce(
                        list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY a, b)),
-                       (acc, x) -> acc + x), 6) AS chi2
+                       (acc, x) -> acc + x)
+                     + CAST(CAST(any_value(n) AS HUGEINT) * CAST(any_value(n) AS HUGEINT)
+                            - SUM(rtct) AS DOUBLE) / CAST(any_value(n) AS DOUBLE),
+                     6) AS chi2
             FROM terms
         """,
         # FK sweep: one LEFT JOIN against the distinct parent keys per edge.
@@ -8150,15 +8151,21 @@ def oracle_sql() -> dict[str, str]:
                        round((CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
                              * ln(CAST(CAST(o AS HUGEINT) * CAST(n AS HUGEINT) AS DOUBLE)
                                   / CAST(CAST(rt AS HUGEINT) * CAST(ct AS HUGEINT) AS DOUBLE)),
-                             12) AS mi_term
+                             12) AS mi_term,
+                       CAST(rt AS HUGEINT) * CAST(ct AS HUGEINT) AS rtct
                 FROM tot
             ), folded AS (
                 SELECT any_value(n) AS n,
                        CAST(COUNT(DISTINCT a) AS INT) AS n_a,
                        CAST(COUNT(DISTINCT b) AS INT) AS n_b,
+                       -- observed fold + exact unobserved-cell mass
+                       -- (n^2 - sum rt*ct)/n (empty cells each carry e);
+                       -- MI is unchanged: lim o->0 of the term is 0
                        list_reduce(
                            list_prepend(CAST(0 AS DOUBLE), list(chi_term ORDER BY a, b)),
-                           (acc, x) -> acc + x) AS chi2_raw,
+                           (acc, x) -> acc + x)
+                         + CAST(CAST(any_value(n) AS HUGEINT) * CAST(any_value(n) AS HUGEINT)
+                                - SUM(rtct) AS DOUBLE) / CAST(any_value(n) AS DOUBLE) AS chi2_raw,
                        list_reduce(
                            list_prepend(CAST(0 AS DOUBLE), list(mi_term ORDER BY a, b)),
                            (acc, x) -> acc + x) AS mi_raw
@@ -8243,8 +8250,10 @@ def oracle_sql() -> dict[str, str]:
                                 to_minutes(event_id % 7)) AS r
                 FROM events
             ), cut AS (
+                -- latest-RECORDED wins among equal valid times
+                -- (Snodgrass late-correction semantics; r10 ADVICE)
                 SELECT *, row_number() OVER (PARTITION BY user_id
-                           ORDER BY v DESC, event_id DESC) AS pk
+                           ORDER BY v DESC, r DESC, event_id DESC) AS pk
                 FROM base
                 WHERE r <= 1706140800000000 AND v <= 1705708800000000
             )

@@ -93,8 +93,12 @@ def bitemporal_as_of(
 
     Value-portable: both cutoffs compare as unix MICROSECOND BIGINTs
     (the scd2_intervals discipline — never timestamp rendering), the
-    per-key pick is a row_number over (valid_us DESC, tiebreakers DESC)
-    so late-duplicate ties resolve deterministically.
+    per-key pick is a row_number over (valid_us DESC, recorded_us DESC,
+    tiebreakers DESC): among rows with EQUAL valid time the
+    latest-RECORDED version wins — the canonical bitemporal case of a
+    late-arriving correction carrying the same valid timestamp
+    (Snodgrass; r10 ADVICE) — with order_cols only breaking exact
+    (valid, recorded) ties deterministically.
 
     Returns (key, state, valid_from_us, recorded_us) — one row per key
     that HAD a state valid at V known by T; keys with no qualifying row
@@ -119,7 +123,9 @@ def bitemporal_as_of(
         )
         .filter((F.col("__r") <= F.lit(known_at_us)) & (F.col("__v") <= F.lit(valid_at_us)))
     )
-    order = [F.col("__v").desc()] + [F.col(c).desc() for c in extra]
+    order = [F.col("__v").desc(), F.col("__r").desc()] + [
+        F.col(c).desc() for c in extra
+    ]
     w = Window.partitionBy(key_col).orderBy(*order)
     return (
         base.withColumn("__pk", F.row_number().over(w))

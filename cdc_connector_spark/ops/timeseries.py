@@ -1315,6 +1315,7 @@ def ks_drift(
     a: DataFrame,
     b: DataFrame,
     value_col: str,
+    quantize_to: float | None = None,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov drift statistic between two samples
     of one numeric column: D = max_v |F_a(v) − F_b(v)| with the ECDFs
@@ -1335,18 +1336,27 @@ def ks_drift(
     shuffle, keyed on the value), then the cumulative window runs on
     |pooled distinct values| rows. The prefix sum is a GLOBAL ordered
     window — exact and fine up to millions of distinct values; on a
-    near-unique column at 100 TB, pre-quantize the value (round prices
-    to cents→dollars, truncate timestamps) before calling: KS on the
-    quantized grid bounds the true D within one grid cell's mass and
-    keeps the window bounded."""
+    near-unique column at 100 TB, pass ``quantize_to`` (grid width: a
+    dollar for cent prices, an hour for timestamps-as-seconds): values
+    snap to floor(v/q)·q BEFORE the distinct collapse, so the window
+    runs on ≤ range/q rows however many raw values exist. The
+    quantized ECDF at a grid point equals the true ECDF at that cell's
+    upper boundary, hence D_q ≤ D_true ≤ D_q + max cell mass
+    (mass_a/n_a + mass_b/n_b over any one cell) — the error bound is
+    the grid's resolution, pinned in tests."""
     from pyspark.sql import Window
 
-    ta = a.select(F.col(value_col).alias("v")).filter(F.col("v").isNotNull()).groupBy("v").agg(
-        F.count(F.lit(1)).alias("ca")
-    )
-    tb = b.select(F.col(value_col).alias("v")).filter(F.col("v").isNotNull()).groupBy("v").agg(
-        F.count(F.lit(1)).alias("cb")
-    )
+    if quantize_to is not None and not quantize_to > 0:
+        raise ValueError(f"quantize_to must be > 0, got {quantize_to}")
+
+    def keyed(df: DataFrame):
+        v = F.col(value_col)
+        if quantize_to is not None:
+            v = F.floor(v / F.lit(float(quantize_to))) * F.lit(float(quantize_to))
+        return df.select(v.alias("v")).filter(F.col("v").isNotNull())
+
+    ta = keyed(a).groupBy("v").agg(F.count(F.lit(1)).alias("ca"))
+    tb = keyed(b).groupBy("v").agg(F.count(F.lit(1)).alias("cb"))
     pooled = (
         ta.join(tb, "v", "full")
         .select(
@@ -1780,6 +1790,7 @@ def equidepth_histogram(
     df: DataFrame,
     value_col: str,
     buckets: int = 10,
+    quantize_to: float | None = None,
 ) -> DataFrame:
     """Equi-DEPTH histogram: ``buckets`` ranges holding (near-)equal row
     counts, boundaries at the nearest-rank b/n quantiles — the
@@ -1800,14 +1811,25 @@ def equidepth_histogram(
 
     Returns (bucket 0-based, lo, hi, depth). One global rank window
     over the distinct-value count table — same bounded-window shape as
-    the KS op (pre-quantize a near-unique column at extreme scale)."""
+    the KS op; on a near-unique column at extreme scale pass
+    ``quantize_to``: values snap to floor(v/q)·q before the distinct
+    collapse, the window runs on ≤ range/q rows, boundaries land on
+    grid points (each true boundary is within one grid cell of the
+    reported one — split points for repartitionByRange only need to be
+    approximately balanced, so grid-resolution error is the right
+    trade), and depths stay exact row counts."""
     from pyspark.sql import Window
 
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
+    if quantize_to is not None and not quantize_to > 0:
+        raise ValueError(f"quantize_to must be > 0, got {quantize_to}")
+    v = F.col(value_col)
+    if quantize_to is not None:
+        v = F.floor(v / F.lit(float(quantize_to))) * F.lit(float(quantize_to))
     vals = (
         df.filter(F.col(value_col).isNotNull())
-        .groupBy(F.col(value_col).alias("v"))
+        .groupBy(v.alias("v"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
     w = Window.orderBy(F.col("v").asc())

@@ -584,6 +584,13 @@ def chi_square_independence(
     accumulation cannot hash-match; the classifier-fold lesson). NULL
     category values participate as their own level via a sentinel.
 
+    Structural zeros: cells of the full a×b grid with o = 0 contribute
+    (0 − e)²/e = e to Pearson chi², and Σ_all e = n, so the unobserved
+    mass is n − Σ_observed e = (n² − Σ_observed rt·ct)/n — computed
+    EXACTLY in DECIMAL (a dense grid yields exactly 0.0, not a float
+    residue) and added after the fold. Without it chi2 is understated
+    on any input whose contingency table has empty cells.
+
     Scale shape: one map-side-combined aggregation to the (a, b) cell
     table — cardinality |A|·|B|, independent of row count — then window
     totals and the fold on that tiny frame. The fold's collect_list is
@@ -602,25 +609,33 @@ def chi_square_independence(
         "double"
     ) / F.col("n").cast("double")
     term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    rtct = F.col("rt").cast("decimal(38,0)") * F.col("ct").cast("decimal(38,0)")
     packed = tot.select(
         F.struct(
             F.col("a"), F.col("b"), term.alias("term"), F.col("n").alias("n")
-        ).alias("s")
+        ).alias("s"),
+        rtct.alias("rtct"),
     )
     agg = packed.groupBy().agg(
         F.sort_array(F.collect_list("s")).alias("ss"),
         F.count_distinct("s.a").alias("n_a"),
         F.count_distinct("s.b").alias("n_b"),
+        F.sum("rtct").alias("srtct"),
+    )
+    n_col = F.element_at("ss", 1)["n"]
+    n_dec = n_col.cast("decimal(38,0)")
+    # exact unobserved-cell mass: (n^2 - sum_observed rt*ct) / n
+    missing = (n_dec * n_dec - F.col("srtct")).cast("double") / n_col.cast(
+        "double"
     )
     return agg.select(
-        F.element_at("ss", 1)["n"].alias("n"),
+        n_col.alias("n"),
         F.col("n_a").cast("int").alias("n_a"),
         F.col("n_b").cast("int").alias("n_b"),
         ((F.col("n_a") - 1) * (F.col("n_b") - 1)).cast("int").alias("dof"),
         F.round(
-            F.aggregate(
-                "ss", F.lit(0.0), lambda acc, s: acc + s["term"]
-            ),
+            F.aggregate("ss", F.lit(0.0), lambda acc, s: acc + s["term"])
+            + missing,
             6,
         ).alias("chi2"),
     )
@@ -650,6 +665,13 @@ def association_strength(
     aggregate. V = sqrt(chi2 / (n·min(n_a−1, n_b−1))) — sqrt is IEEE
     correctly-rounded, so engines agree bit-for-bit.
 
+    Structural zeros: unobserved (a, b) cells contribute (0 − e)²/e = e
+    to chi² (Σ_all e = n ⇒ missing mass = (n² − Σ_observed rt·ct)/n,
+    exact in DECIMAL, exactly 0.0 on a dense grid) — added after the
+    fold, and V uses the corrected chi². MI is unchanged: the o→0 limit
+    of (o/n)·ln(o·n/(rt·ct)) is 0, so empty cells carry no information
+    mass by definition.
+
     Returns ONE row: (n, n_a, n_b, dof, chi2, cramers_v, mi_nats).
     Scale shape: identical to chi_square_independence — one map-side
     aggregation to the |A|·|B| cell table, then window totals and the
@@ -676,6 +698,7 @@ def association_strength(
         ),
         12,
     )
+    rtct = F.col("rt").cast("decimal(38,0)") * F.col("ct").cast("decimal(38,0)")
     packed = tot.select(
         F.struct(
             F.col("a"),
@@ -683,16 +706,26 @@ def association_strength(
             chi_term.alias("chi_term"),
             mi_term.alias("mi_term"),
             F.col("n").alias("n"),
-        ).alias("s")
+        ).alias("s"),
+        rtct.alias("rtct"),
     )
     agg = packed.groupBy().agg(
         F.sort_array(F.collect_list("s")).alias("ss"),
         F.count_distinct("s.a").alias("n_a"),
         F.count_distinct("s.b").alias("n_b"),
+        F.sum("rtct").alias("srtct"),
     )
-    chi2_raw = F.aggregate("ss", F.lit(0.0), lambda acc, s: acc + s["chi_term"])
-    mi_raw = F.aggregate("ss", F.lit(0.0), lambda acc, s: acc + s["mi_term"])
     n_col = F.element_at("ss", 1)["n"]
+    n_dec = n_col.cast("decimal(38,0)")
+    # exact unobserved-cell mass: (n^2 - sum_observed rt*ct) / n
+    missing = (n_dec * n_dec - F.col("srtct")).cast("double") / n_col.cast(
+        "double"
+    )
+    chi2_raw = (
+        F.aggregate("ss", F.lit(0.0), lambda acc, s: acc + s["chi_term"])
+        + missing
+    )
+    mi_raw = F.aggregate("ss", F.lit(0.0), lambda acc, s: acc + s["mi_term"])
     min_dim = F.least(F.col("n_a") - 1, F.col("n_b") - 1)
     return agg.select(
         n_col.alias("n"),
@@ -806,6 +839,8 @@ def column_profile_diff(
     src: DataFrame,
     snk: DataFrame,
     cols: list[str],
+    distinct_mode: str = "exact",
+    hll_p: int = 12,
 ) -> DataFrame:
     """Schema-wide column-statistics diff between a source and a sink
     table — the per-COLUMN validation pass that catches what per-ROW
@@ -830,10 +865,65 @@ def column_profile_diff(
     snk_nulls, src_distinct, snk_distinct, src_fingerprint,
     snk_fingerprint, profile_match).
 
-    Shape: ONE full-scan aggregation per side (count_distinct per
-    column shuffles that column's values — the exact-count trade;
-    swap in hll_distinct for the sketch version at 100 TB), then a
-    |cols|-row join. No row-level join ever happens."""
+    ``distinct_mode``: ``"exact"`` (default) uses count_distinct —
+    exact BIGINTs, but each column's distinct VALUES shuffle, the one
+    measured super-linear term at 10× (SCALING §4n). ``"hll"`` swaps
+    the distinct columns for the HyperLogLog estimate (rounded DOUBLE)
+    over ≤2^hll_p registers per column — shuffle traffic becomes
+    |partitions|·|cols|·2^p register rows regardless of data size (the
+    100 TB path), composed from the SAME ``column_profile_state`` +
+    ``hll_estimate`` machinery the streaming monitor runs, so batch and
+    stream agree estimate-for-estimate. Equal multisets hash to equal
+    registers, so profile_match keeps its meaning; the fingerprint
+    column remains the exact content check either way.
+
+    Shape: ONE full-scan aggregation per side for rows/nulls/
+    fingerprints; exact mode adds the per-column distinct-value
+    shuffles, hll mode adds one map-side-combined MAX aggregation to
+    the bounded register table; then a |cols|-row join. No row-level
+    join ever happens."""
+    if distinct_mode not in ("exact", "hll"):
+        raise ValueError(f"distinct_mode must be 'exact' or 'hll', got {distinct_mode!r}")
+    if distinct_mode == "hll":
+        from cdc_connector_spark.ops.sketch import hll_estimate
+
+        def profile_hll(df: DataFrame, prefix: str) -> DataFrame:
+            counts, regs = column_profile_state(df, cols, p=hll_p)
+            est = hll_estimate(regs, p=hll_p).select(
+                F.col("grp").alias("column"),
+                F.col("est").alias(f"{prefix}_distinct"),
+            )
+            return counts.select(
+                "column",
+                F.col("rows").alias(f"{prefix}_rows"),
+                F.col("nulls").alias(f"{prefix}_nulls"),
+                F.col("fp").alias(f"{prefix}_fingerprint"),
+            ).join(est, "column", "left").withColumn(
+                # an all-NULL column has no registers: estimate 0.0,
+                # matching exact mode's count_distinct = 0
+                f"{prefix}_distinct",
+                F.coalesce(F.col(f"{prefix}_distinct"), F.lit(0.0)),
+            )
+
+        out = profile_hll(src, "src").join(profile_hll(snk, "snk"), "column")
+        match = (
+            (F.col("src_rows") == F.col("snk_rows"))
+            & (F.col("src_nulls") == F.col("snk_nulls"))
+            & (F.col("src_distinct") == F.col("snk_distinct"))
+            & (F.col("src_fingerprint") == F.col("snk_fingerprint"))
+        )
+        return out.select(
+            "column",
+            "src_rows",
+            "snk_rows",
+            "src_nulls",
+            "snk_nulls",
+            "src_distinct",
+            "snk_distinct",
+            "src_fingerprint",
+            "snk_fingerprint",
+            match.alias("profile_match"),
+        ).orderBy("column")
     from pyspark.sql.types import DoubleType, FloatType, TimestampNTZType, TimestampType
 
     from cdc_connector_spark.ops.sketch import portable_hash60

@@ -88,3 +88,34 @@ def test_equidepth_histogram_balanced_and_skewed(spark):
     srows = equidepth_histogram(skew, "x", buckets=4).collect()
     assert sum(r["depth"] for r in srows) == 100
     assert max(r["depth"] for r in srows) >= 90  # skew surfaced, not hidden
+
+
+def test_equidepth_quantize_bounds_window_and_balances(spark):
+    """quantize_to (r10 verdict #4): near-unique values snap to the grid
+    before the distinct collapse — boundaries land on grid points,
+    depths stay exact row counts summing to n, and each bucket's depth
+    is within one grid cell's mass of the ideal n/buckets."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.uniform(0, 1000) for _ in range(2000)]  # all distinct
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    q = 10.0
+    rows = equidepth_histogram(df, "x", buckets=4, quantize_to=q).collect()
+    assert sum(r["depth"] for r in rows) == 2000
+    # every boundary is a grid point
+    for r in rows:
+        assert r["lo"] == math.floor(r["lo"] / q) * q
+        assert r["hi"] == math.floor(r["hi"] / q) * q
+    # depth balance within one grid cell's mass of ideal
+    cell_counts = {}
+    for v in vals:
+        cell_counts[math.floor(v / q)] = cell_counts.get(math.floor(v / q), 0) + 1
+    max_cell = max(cell_counts.values())
+    for r in rows:
+        assert abs(r["depth"] - 500) <= max_cell
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        equidepth_histogram(df, "x", buckets=4, quantize_to=-1.0)

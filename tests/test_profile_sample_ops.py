@@ -96,6 +96,40 @@ def test_bitemporal_late_correction_changes_only_later_T(spark):
     assert early == {1: "B"}
 
 
+def test_bitemporal_latest_recorded_wins_equal_valid_ts(spark):
+    """The canonical bitemporal case (r10 ADVICE): a late-arriving
+    correction carries the SAME valid time but a LOWER event_id (e.g. a
+    replayed upstream id) — the latest-RECORDED version must win; with
+    only order_cols (event_id DESC) breaking the tie, the stale original
+    would."""
+    rows = [
+        (9, 1, "STALE", "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+        (2, 1, "FIXED", "2024-01-01 00:00:00", "2024-01-05 01:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, vs string, rs string"
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("vs").cast("timestamp").alias("ts"),
+        F.col("rs").cast("timestamp").alias("recorded_ts"),
+    )
+    V = _ts("2024-01-03 00:00:00")
+    # T sees both versions: latest recorded_ts wins despite event_id 2 < 9
+    got = {
+        r["user_id"]: r["state"]
+        for r in bitemporal_as_of(df, V, _ts("2024-01-06 00:00:00")).collect()
+    }
+    assert got == {1: "FIXED"}
+    # T before the correction: the stale original is (correctly) the answer
+    before = {
+        r["user_id"]: r["state"]
+        for r in bitemporal_as_of(df, V, _ts("2024-01-02 00:00:00")).collect()
+    }
+    assert before == {1: "STALE"}
+
+
 # ------------------------------------------------------------ profile diff
 
 def test_column_profile_diff_detects_each_drift_kind(spark):
@@ -117,6 +151,54 @@ def test_column_profile_diff_detects_each_drift_kind(spark):
     shuffled = src.orderBy(F.col("x").desc()).repartition(7)
     re = {r["column"]: r for r in column_profile_diff(src, shuffled, ["k", "x", "s"]).collect()}
     assert all(r["profile_match"] for r in re.values())
+
+
+def test_column_profile_diff_hll_mode_parity(spark):
+    """distinct_mode='hll' (r10 verdict #3): the executable sketch swap.
+    Same drift detection as exact mode (rows/nulls/fingerprints are the
+    same exact stats), distinct columns become the deterministic HLL
+    estimate — pinned equal to hll_distinct's est on the same column,
+    accurate on the fixture, and equal-multiset inputs still match."""
+    import pytest as _pytest
+
+    from cdc_connector_spark.ops.sketch import hll_distinct
+
+    src = spark.createDataFrame(
+        [(i, float(i) / 4, f"s{i % 5}") for i in range(40)], "k long, x double, s string"
+    )
+    snk = src.filter(F.col("k") < 38).withColumn(
+        "x", F.when(F.col("k") == 0, None).otherwise(F.col("x"))
+    )
+    out = {
+        r["column"]: r
+        for r in column_profile_diff(src, snk, ["k", "x", "s"], distinct_mode="hll").collect()
+    }
+    # exact-stat drift detection identical to exact mode
+    assert not out["k"]["profile_match"] and out["k"]["snk_rows"] == 38
+    assert out["x"]["snk_nulls"] == 1 and not out["x"]["profile_match"]
+    # estimate == hll_distinct's est on the same (typed) column
+    [hd] = hll_distinct(
+        src.select(F.col("s").alias("v"), F.lit("s").alias("g")), "v", "g", p=12
+    ).collect()
+    assert out["s"]["src_distinct"] == hd["est"]
+    # sketch accuracy at fixture scale: 5 distinct, ~exact at p=12
+    assert out["s"]["src_distinct"] == _pytest.approx(5.0, rel=0.05)
+    assert out["k"]["src_distinct"] == _pytest.approx(40.0, rel=0.05)
+    # equal multisets -> equal registers -> full match
+    same = {
+        r["column"]: r
+        for r in column_profile_diff(src, src, ["k", "x", "s"], distinct_mode="hll").collect()
+    }
+    assert all(r["profile_match"] for r in same.values())
+    # all-NULL column estimates 0.0 (the exact-mode convention)
+    nulled = src.withColumn("x", F.lit(None).cast("double"))
+    z = {
+        r["column"]: r
+        for r in column_profile_diff(nulled, nulled, ["x"], distinct_mode="hll").collect()
+    }
+    assert z["x"]["src_distinct"] == 0.0 and z["x"]["profile_match"]
+    with _pytest.raises(ValueError):
+        column_profile_diff(src, snk, ["k"], distinct_mode="bogus")
 
 
 # ---------------------------------------------------------------- fk sample

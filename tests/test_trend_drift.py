@@ -125,6 +125,42 @@ def test_ks_identical_samples_zero(spark):
     assert row["gap_numerator"] == 0 and row["d_stat"] == 0.0
 
 
+def test_ks_drift_quantize_error_bound(spark):
+    """quantize_to (r10 verdict #4): on a NEAR-UNIQUE column the window
+    input collapses to <= range/q grid cells, and the pinned error bound
+    holds: the quantized ECDF at a grid point equals the true ECDF at
+    that cell's upper boundary, so D_q <= D_true <= D_q + max cell mass
+    (mass_a/n_a + mass_b/n_b)."""
+    rng = random.Random(11)
+    xs = [rng.uniform(0, 100) for _ in range(400)]  # near-unique doubles
+    ys = [rng.uniform(15, 115) for _ in range(300)]
+    a = spark.createDataFrame([(v,) for v in xs], "val double")
+    b = spark.createDataFrame([(v,) for v in ys], "val double")
+    exact = ks_drift(a, b, "val").collect()[0]
+    q = 5.0
+    quant = ks_drift(a, b, "val", quantize_to=q).collect()[0]
+    d_true = exact["gap_numerator"] / (exact["n_a"] * exact["n_b"])
+    d_q = quant["gap_numerator"] / (quant["n_a"] * quant["n_b"])
+    # brute max cell mass over the grid
+    import math as _m
+
+    cells = {}
+    for v in xs:
+        cells.setdefault(_m.floor(v / q), [0, 0])[0] += 1
+    for v in ys:
+        cells.setdefault(_m.floor(v / q), [0, 0])[1] += 1
+    max_mass = max(ca / len(xs) + cb / len(ys) for ca, cb in cells.values())
+    assert d_q <= d_true + 1e-12
+    assert d_true <= d_q + max_mass + 1e-12
+    # the quantized statistic is the brute KS over the snapped values
+    num, at = _ks_brute(
+        [_m.floor(v / q) * q for v in xs], [_m.floor(v / q) * q for v in ys]
+    )
+    assert (quant["gap_numerator"], quant["ks_at_value"]) == (num, at)
+    with pytest.raises(ValueError):
+        ks_drift(a, b, "val", quantize_to=0)
+
+
 # ------------------------------------------------------------- association
 
 def test_association_matches_chi_square_and_brute_mi(spark):
@@ -159,6 +195,43 @@ def test_association_independent_columns_near_zero(spark):
     df = spark.createDataFrame(rows, "a string, b string")
     out = association_strength(df, "a", "b").collect()[0]
     assert out["chi2"] == 0.0 and out["cramers_v"] == 0.0 and out["mi_nats"] == 0.0
+
+
+def test_association_structural_zeros_full_grid_chi2(spark):
+    """Empty contingency cells each contribute e = rt*ct/n to Pearson
+    chi2 — the fold over OBSERVED cells alone understates it (r10
+    ADVICE). Pin against the brute full-grid computation on a table
+    with two structural zeros: (A,y) and (B,x) never co-occur."""
+    rows = [("A", "x")] * 30 + [("B", "y")] * 10 + [("C", "x")] * 5 + [("C", "y")] * 15
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = association_strength(df, "a", "b").collect()[0]
+    chi = chi_square_independence(df, "a", "b").collect()[0]
+    from collections import Counter
+
+    c = Counter(rows)
+    n = len(rows)
+    ra = Counter(a for a, _ in rows)
+    cb = Counter(b for _, b in rows)
+    want = sum(
+        (c.get((a, b), 0) - ra[a] * cb[b] / n) ** 2 / (ra[a] * cb[b] / n)
+        for a in ra
+        for b in cb
+    )
+    observed_only = sum(
+        (o - ra[a] * cb[b] / n) ** 2 / (ra[a] * cb[b] / n)
+        for (a, b), o in c.items()
+    )
+    assert want > observed_only  # the fixture really has missing mass
+    assert out["chi2"] == pytest.approx(round(want, 6), abs=1e-6)
+    assert chi["chi2"] == pytest.approx(round(want, 6), abs=1e-6)
+    assert out["cramers_v"] == pytest.approx(
+        round(math.sqrt(want / (n * 1)), 6), abs=1e-5
+    )
+    # MI unchanged by empty cells: lim o->0 of (o/n)ln(o n/(rt ct)) = 0
+    mi = sum(
+        (o / n) * math.log(o * n / (ra[a] * cb[b])) for (a, b), o in c.items()
+    )
+    assert out["mi_nats"] == pytest.approx(round(mi, 6), abs=1e-6)
 
 
 # ---------------------------------------------------------- shortest paths

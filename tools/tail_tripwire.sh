@@ -24,10 +24,12 @@ sys.path.insert(0, ".")
 import __spark_entry__ as m
 n = len(m.queries())
 stale = open("STALENESS.md").read()
-ms = re.search(r"(\d+) queries", stale)
+# anchored to the header count line (r10 ADVICE: an unanchored search
+# would match any earlier "N queries" prose and spoof the guard)
+ms = re.search(r"^(\d+) queries; the driver checks", stale, re.M)
 if not ms or int(ms.group(1)) != n:
-    print(f"FAIL: STALENESS.md covers {ms.group(1) if ms else '?'} queries, "
-          f"surface has {n} — run `make docs`")
+    print(f"FAIL: STALENESS.md header covers {ms.group(1) if ms else '?'} "
+          f"queries, surface has {n} — run `make docs`")
     sys.exit(1)
 plans = open("PLANS.md").read()
 missing = [q for q in m.queries() if f"| {q} |" not in plans]
@@ -35,6 +37,18 @@ if missing:
     print(f"FAIL: PLANS.md missing {len(missing)} entries ({missing[:5]}...) "
           f"— run `make docs`")
     sys.exit(1)
-print(f"evidence-doc guard OK: {n} queries in STALENESS.md and PLANS.md")
+# COVERAGE.md rows-only cross-check (r10 verdict #6): a "q:NAME
+# (rows-only)" tag on an entry that HAS a value oracle is stale doc —
+# exactly how the simhash annotation lingered a round after the entry
+# gained full value verification.
+cov = open("COVERAGE.md").read()
+oracles = set(m.oracle_sql())
+stale_tags = [q for q in re.findall(r"q:(\w+) \(rows-only\)", cov) if q in oracles]
+if stale_tags:
+    print(f"FAIL: COVERAGE.md tags {stale_tags} rows-only but they have "
+          f"value oracles — update the annotation")
+    sys.exit(1)
+print(f"evidence-doc guard OK: {n} queries in STALENESS.md and PLANS.md; "
+      f"COVERAGE.md rows-only tags consistent")
 EOF
 exec python tools/check_oracle.py --json TAILCHECK.json --tail "$SF_DIR"
