@@ -3279,6 +3279,59 @@ def ks_drift_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ks_quantized_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift (NEW r11): the 100 TB shape of the KS screen —
+    ``quantize_to=100`` snaps o_totalprice to a $100 grid BEFORE the
+    distinct collapse, so the global cumulative window runs on
+    ≤ range/100 rows however many raw prices exist (the r10-measured
+    2.7×-at-10× distinct-value axis neutralized; the exact twin is
+    ks_drift_order_totals). Grid snap floor(v/q)·q is IEEE
+    div/floor/mul — correctly rounded, both engines agree bit-for-bit —
+    and the statistic keeps the exact-BIGINT gap arithmetic on the
+    snapped values, with D_q ≤ D_true ≤ D_q + max cell mass pinned in
+    tests. Value-verified."""
+    from cdc_connector_spark.ops.timeseries import ks_drift
+
+    o = _t(spark, sf_dir, "orders")
+    out = ks_drift(
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        o.filter(F.col("o_orderkey") % 2 == 1),
+        "o_totalprice",
+        quantize_to=100.0,
+    )
+    return out.select(
+        "n_a",
+        "n_b",
+        F.col("ks_at_value").cast("double").alias("ks_at_value"),
+        "gap_numerator",
+        "d_stat",
+    )
+
+
+def profile_diff_hll_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation-plane (NEW r11): the PRODUCTION-shaped column-profile
+    diff — ``distinct_mode="hll"`` swaps the per-column exact
+    count_distinct (the one measured super-linear validation term,
+    SCALING §4n 4.9× at 10×) for the HyperLogLog estimate over ≤2^8
+    registers per column, composed from the same column_profile_state +
+    hll_estimate machinery the streaming monitor runs. Source = orders,
+    sink = orders minus o_orderkey % 97 == 0 (the
+    column_profile_diff_orders fixture); rows/nulls/fingerprints stay
+    the exact stats, distincts become the deterministic estimate — the
+    oracle replays registers and estimator digit-for-digit (the
+    profile_stream_merge_orders SQL applied per side). Value-verified."""
+    from cdc_connector_spark.validation.checks import column_profile_diff
+
+    o = _t(spark, sf_dir, "orders")
+    return column_profile_diff(
+        o,
+        o.filter(F.col("o_orderkey") % 97 != 0),
+        ["o_custkey", "o_totalprice", "o_orderstatus"],
+        distinct_mode="hll",
+        hll_p=8,
+    )
+
+
 def association_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profiling (NEW r10): association STRENGTH between order status and
     priority — Cramér's V (scale-free [0,1]) and mutual information
@@ -3675,9 +3728,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # prioritizing the 15 §2-core validation queries (rowcounts …
 # normalize_values/q13 — the reference's actual semantics,
 # tests/validation.py) which have had no driver row since r7.
-# Saturated: 3 sentinels + 2 ivf twins + 20 r6 + 25 r7 = 50.
-# HONEST AGE ARITHMETIC: at 201 queries / 50 slots the steady-state
-# max-age floor is ceil(201/50) - 1 = 4 rounds. The 16 r7 entries that
+# Saturated: 3 sentinels + 2 ivf twins + 20 r6 + 23 r7 + the 2 r11
+# additions (never-checked entries displace age-refreshes, per
+# tools/staleness.py) = 50.
+# HONEST AGE ARITHMETIC: at 203 queries / 50 slots the steady-state
+# max-age floor is ceil(203/50) - 1 = 4 rounds. The 18 r7 entries that
 # did not fit sit at exactly age 4 (the floor) and rotate in r12; the
 # r8/r9/r10 cohorts ride the tail at ages 1-3; every out-of-window
 # entry is value-verified at sf0.001 by the pre-commit tail tripwire on
@@ -3731,7 +3786,7 @@ _R11_WINDOW = [
     "q5_nation_revenue",
     "normalize_values",
     "q13_customer_distribution",
-    # r7-cohort: 10 more (queries() order); the remaining 16 r7 entries
+    # r7-cohort: 8 more (queries() order); the remaining 18 r7 entries
     # sit at age 4 = the floor and rotate in r12
     "sq_ann_topk",
     "span_dedup_documents",
@@ -3741,8 +3796,10 @@ _R11_WINDOW = [
     "semdedup_pairs_embeddings",
     "interval_join_events",
     "unigram_nll_documents",
-    "encode_documents",
-    "corpus_mix_documents",
+    # round-11 additions (never driver-checked -> window-resident):
+    # the executable scale knobs, value-verified at driver level
+    "ks_quantized_order_totals",
+    "profile_diff_hll_orders",
 ]
 
 
@@ -3953,6 +4010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_stream_merge_orders": hll_stream_merge_orders,
         "mann_kendall_events": mann_kendall_events,
         "ks_drift_order_totals": ks_drift_order_totals,
+        "ks_quantized_order_totals": ks_quantized_order_totals,
+        "profile_diff_hll_orders": profile_diff_hll_orders,
         "association_orders": association_orders,
         "shortest_paths_parts": shortest_paths_parts,
         "daily_percentiles_events": daily_percentiles_events,
@@ -8122,6 +8181,121 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_a, n_b, ks_at_value, num AS gap_numerator,
                    round(CAST(num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE), 6) AS d_stat
             FROM gap WHERE pk = 1
+        """,
+        # Quantized KS: identical exact-BIGINT gap arithmetic on values
+        # snapped to the $100 grid (floor(v/q)*q — IEEE div/floor/mul,
+        # bit-identical across engines).
+        "ks_quantized_order_totals": """
+            WITH a AS (
+                SELECT floor(o_totalprice / 100.0) * 100.0 AS v,
+                       CAST(COUNT(*) AS BIGINT) AS ca
+                FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL
+                GROUP BY 1
+            ), b AS (
+                SELECT floor(o_totalprice / 100.0) * 100.0 AS v,
+                       CAST(COUNT(*) AS BIGINT) AS cb
+                FROM orders WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL
+                GROUP BY 1
+            ), pooled AS (
+                SELECT coalesce(a.v, b.v) AS v,
+                       coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+                FROM a FULL OUTER JOIN b ON a.v = b.v
+            ), cum AS (
+                SELECT v,
+                       SUM(ca) OVER (ORDER BY v ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+                       SUM(cb) OVER (ORDER BY v ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+                       SUM(ca) OVER () AS n_a,
+                       SUM(cb) OVER () AS n_b
+                FROM pooled
+            ), gap AS (
+                SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                       CAST(v AS DOUBLE) AS ks_at_value,
+                       CAST(abs(cum_a * n_b - cum_b * n_a) AS BIGINT) AS num,
+                       row_number() OVER (ORDER BY abs(cum_a * n_b - cum_b * n_a) DESC,
+                                          v ASC) AS pk
+                FROM cum
+            )
+            SELECT n_a, n_b, ks_at_value, num AS gap_numerator,
+                   round(CAST(num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE), 6) AS d_stat
+            FROM gap WHERE pk = 1
+        """,
+        # HLL-mode profile diff: the profile_stream_merge_orders SQL
+        # applied PER SIDE (side 0 = source, side 1 = sink subset) —
+        # exact rows/nulls/mod-2^60 fingerprints, register MAX tables,
+        # and the exact-integer HLL estimator at p=8.
+        "profile_diff_hll_orders": """
+            WITH base AS (
+                SELECT o_custkey, o_totalprice, o_orderstatus,
+                       (o_orderkey % 97 <> 0) AS in_snk
+                FROM orders
+            ), keyed AS (
+                SELECT 'o_custkey' AS col, CAST(o_custkey AS VARCHAR) AS kstr,
+                       o_custkey IS NULL AS isn, in_snk FROM base
+                UNION ALL
+                SELECT 'o_totalprice',
+                       CAST(CAST(round(o_totalprice * 1000000) AS BIGINT) AS VARCHAR),
+                       o_totalprice IS NULL, in_snk FROM base
+                UNION ALL
+                SELECT 'o_orderstatus', o_orderstatus,
+                       o_orderstatus IS NULL, in_snk FROM base
+            ), h AS (
+                SELECT col, isn, in_snk,
+                       CASE WHEN isn THEN NULL ELSE
+                           list_reduce(list_transform(range(1, 16),
+                               i -> CAST(strpos('0123456789abcdef',
+                                    substring(md5(kstr), i, 1)) - 1 AS BIGINT)),
+                               (a, x) -> a * 16 + x)
+                       END AS h60
+                FROM keyed
+            ), sided AS (
+                SELECT h.col, h.isn, h.h60, s.side
+                FROM h, (SELECT 0 AS side UNION ALL SELECT 1) s
+                WHERE s.side = 0 OR h.in_snk
+            ), counts AS (
+                SELECT col, side,
+                       CAST(COUNT(*) AS BIGINT) AS rows_n,
+                       CAST(SUM(CASE WHEN isn THEN 1 ELSE 0 END) AS BIGINT) AS nulls_n,
+                       CAST(SUM(CASE WHEN isn THEN CAST(0 AS HUGEINT)
+                                     ELSE CAST(h60 % 1000000007 AS HUGEINT) END)
+                            % 1152921504606846976 AS BIGINT) AS fp
+                FROM sided GROUP BY 1, 2
+            ), rr AS (
+                SELECT col, side, h60 % 256 AS bucket,
+                       MAX(CASE WHEN h60 // 256 = 0 THEN 53
+                                ELSE 53 - length(bin(h60 // 256)) END) AS mreg
+                FROM sided WHERE NOT isn GROUP BY 1, 2, 3
+            ), ag AS (
+                SELECT col, side, COUNT(*) AS nb,
+                       CAST(SUM(CAST(2**(53 - mreg) AS BIGINT)) AS BIGINT) AS sp
+                FROM rr GROUP BY 1, 2
+            ), est0 AS (
+                SELECT col, side, CAST(256 - nb AS BIGINT) AS zeros,
+                       round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+                             / CAST(sp + (256 - nb) * 9007199254740992 AS DOUBLE), 6) AS raw_est
+                FROM ag
+            ), est AS (
+                SELECT col, side,
+                       CASE WHEN raw_est <= 640.0 AND zeros > 0
+                            THEN round(256.0 * ln(256.0 / CAST(zeros AS DOUBLE)), 6)
+                            ELSE raw_est END AS dist_est
+                FROM est0
+            ), merged AS (
+                SELECT c0.col AS "column",
+                       c0.rows_n AS src_rows, c1.rows_n AS snk_rows,
+                       c0.nulls_n AS src_nulls, c1.nulls_n AS snk_nulls,
+                       e0.dist_est AS src_distinct, e1.dist_est AS snk_distinct,
+                       c0.fp AS src_fingerprint, c1.fp AS snk_fingerprint
+                FROM counts c0
+                JOIN counts c1 ON c0.col = c1.col AND c0.side = 0 AND c1.side = 1
+                JOIN est e0 ON e0.col = c0.col AND e0.side = 0
+                JOIN est e1 ON e1.col = c0.col AND e1.side = 1
+            )
+            SELECT *, (src_rows = snk_rows AND src_nulls = snk_nulls
+                       AND src_distinct = snk_distinct
+                       AND src_fingerprint = snk_fingerprint) AS profile_match
+            FROM merged ORDER BY "column"
         """,
         # Association strength: the chi_square_orders fold plus Cramér's
         # V (IEEE sqrt over the unrounded fold) and the per-cell

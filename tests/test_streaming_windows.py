@@ -200,3 +200,119 @@ def test_trending_topk_streaming_matches_batch(spark, tmp_path):
     # deterministic tie-break: hour 0 click(2) ties view(2) -> click first
     h0 = [v for (w, _), v in sorted(top_stream.items()) if "00:00:00" in w]
     assert h0 == ["click", "view"]
+
+
+def test_watermark_sizing_bound_drives_real_stream_drops(spark, tmp_path):
+    """Close the watermark loop (r10 verdict #5): watermark_sizing's
+    recommended bound goes into a REAL withWatermark stream and the
+    measured late-drop count (numRowsDroppedByWatermark) equals the
+    report row's prediction.
+
+    The equivalence holds when lateness values sit outside the stream's
+    ambiguity band (W, W + batch spacing + window]: the report predicts
+    from per-event lateness, while Spark drops on window_end <= global
+    watermark (= max event ts of PRIOR batches - W), so an event whose
+    lateness lands inside the band is report-late but may still be
+    accepted by the batch it arrives in. The fixture's latenesses are
+    5 min and 60 min around W = 10 min with 30-min batch spacing and
+    1-min windows — far from both edges.
+
+    Files arrive while the query RUNS (default trigger +
+    processAllAvailable): under trigger(availableNow) Spark 4.1 latches
+    the late-event filter watermark at query start and drops NOTHING
+    within the run — measured here, so the sizing report can only be
+    validated against a live-arrival stream, which is also the shape
+    the report models."""
+    import os
+
+    from cdc_connector_spark.ops.timeseries import watermark_sizing
+
+    src = str(tmp_path / "wm_events")
+    os.makedirs(src)
+    schema = "ts timestamp, ingest_ts timestamp, event_type string, value double"
+    batches = [
+        # (event_ts, ingest_ts): one on-time "clock" event per batch
+        # advances the watermark exactly like a live feed's head
+        [("2024-01-01 01:00:00", "2024-01-01 01:00:00")],
+        [
+            ("2024-01-01 01:30:00", "2024-01-01 01:30:00"),
+            ("2024-01-01 01:25:00", "2024-01-01 01:30:00"),  # 5m late: keep
+            ("2024-01-01 00:30:00", "2024-01-01 01:30:00"),  # 60m late: drop
+        ],
+        [
+            ("2024-01-01 02:00:00", "2024-01-01 02:00:00"),
+            ("2024-01-01 01:55:00", "2024-01-01 02:00:00"),  # 5m late: keep
+            ("2024-01-01 01:00:00", "2024-01-01 02:00:00"),  # 60m late: drop
+        ],
+    ]
+
+    def write(i, rows):
+        spark.createDataFrame(
+            [(a, b, "click", 1.0) for a, b in rows],
+            "ts_s string, in_s string, event_type string, value double",
+        ).select(
+            F.to_timestamp("ts_s").alias("ts"),
+            F.to_timestamp("in_s").alias("ingest_ts"),
+            "event_type",
+            "value",
+        ).repartition(1).write.mode("overwrite").parquet(os.path.join(src, f"f{i}"))
+
+    for i, rows in enumerate(batches):
+        write(i, rows)
+
+    # 1) the sizing report on the whole feed
+    batch_df = spark.read.schema(schema).option("recursiveFileLookup", "true").parquet(src)
+    report = {
+        r["watermark_minutes"]: r
+        for r in watermark_sizing(batch_df, candidate_minutes=(1, 10, 120)).collect()
+    }
+    assert report[1]["late"] == 4 and report[120]["late"] == 0
+    # recommended bound: smallest W losing <= 30% of events
+    rec = min(m for m, r in report.items() if r["late_share"] <= 0.3)
+    assert rec == 10
+    predicted_late = report[rec]["late"]
+    assert predicted_late == 2
+
+    # 2) the REAL stream at that bound: files arrive between triggers
+    import shutil
+
+    live = str(tmp_path / "wm_live")
+    os.makedirs(live)
+    shutil.copytree(os.path.join(src, "f0"), os.path.join(live, "f0"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(live)
+    )
+    out = windowed_event_stats(
+        stream, window="1 minute", key_col=None, watermark=f"{rec} minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wm_loop")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i in (1, 2):
+            shutil.copytree(os.path.join(src, f"f{i}"), os.path.join(live, f"f{i}"))
+            q.processAllAvailable()
+        dropped = sum(
+            s.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for s in p.get("stateOperators", [])
+        )
+        rows = spark.sql("select * from wm_loop").collect()
+    finally:
+        q.stop()
+    # update mode re-emits a window on every change: latest count = max
+    per_window = {}
+    for r in rows:
+        per_window[r["window_start"]] = max(
+            per_window.get(r["window_start"], 0), r["n_events"]
+        )
+    kept = sum(per_window.values())
+    assert dropped == predicted_late  # report row == measured drops
+    assert kept == sum(len(b) for b in batches) - predicted_late == 5
