@@ -53,3 +53,35 @@ def test_fuzzy_pairs_hot_token_cap_and_guards(spark):
         fuzzy_pairs(df, max_dist=-1)
     with pytest.raises(ValueError, match="block"):
         fuzzy_pairs(df, block="soundex")
+
+
+def test_fuzzy_dropped_keys_and_coverage_audit(spark):
+    """The cap audit (r11, from the SCALING 4o finding): dropped keys
+    surface largest-first, and orphaned records — every key dropped —
+    are exactly the ones fuzzy_pairs is structurally blind to."""
+    from cdc_connector_spark.ops.fuzzy import (
+        fuzzy_blocking_coverage,
+        fuzzy_dropped_keys,
+    )
+
+    # "inc" appears in all 10 names; "corp" in 3; unique tokens elsewhere
+    rows = [(i, f"unique{i} inc") for i in range(7)] + [
+        (7, "alpha corp inc"),
+        (8, "beta corp inc"),
+        (9, "gamma corp inc"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    dropped = fuzzy_dropped_keys(df, max_token_freq=5).collect()
+    assert [(r["key"], r["n_records"]) for r in dropped] == [("inc", 10)]
+    # cap 2 drops "inc" AND "corp": rows 7-9 keep their unique first
+    # token; nothing is orphaned yet
+    [cov] = fuzzy_blocking_coverage(df, max_token_freq=2).collect()
+    assert (cov["records"], cov["orphaned_records"]) == (10, 0)
+    # a name made ONLY of hot tokens is orphaned and the audit says so
+    df2 = df.union(spark.createDataFrame([(10, "inc")], "id bigint, name string"))
+    [cov2] = fuzzy_blocking_coverage(df2, max_token_freq=5).collect()
+    assert cov2["orphaned_records"] == 1
+    assert cov2["orphaned_share"] == round(1 / 11, 6)
+    # the orphan really is invisible to the matcher at the same cap
+    pairs = fuzzy_pairs(df2, max_dist=1, max_token_freq=5).collect()
+    assert all(10 not in (p["id_a"], p["id_b"]) for p in pairs)

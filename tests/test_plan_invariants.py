@@ -274,3 +274,26 @@ def test_mmr_pool_stage_has_no_corpus_rescans(q):
     no full sort (greedy picks are top-1 TakeOrdered)."""
     facts = q("mmr_topk_embeddings")
     assert not facts["scans"], facts["scans"]
+
+
+def test_ks_quantized_same_bounded_shape_as_exact(q):
+    """Grid snapping happens in the projection BEFORE the per-value
+    collapse: the quantized KS keeps the exact twin's plan shape —
+    pruned scans (key + value only) and the bounded cumulative window
+    on the (smaller) distinct-grid table."""
+    facts = q("ks_quantized_order_totals")
+    for scan in facts["scans"]:
+        assert scan["read_cols"] <= 2, scan  # o_orderkey + o_totalprice of 9
+    assert "CartesianProduct" not in facts["joins"]
+
+
+def test_profile_hll_scans_pruned_no_cartesian(q):
+    """HLL-mode profile diff: every orders scan reads only the key +
+    profiled columns (4 of 9), and the register build joins stay keyed
+    (no cartesian) — the shuffle bound lives in the register table's
+    ≤ 2^p rows per column."""
+    facts = q("profile_diff_hll_orders")
+    assert facts["scans"], "expected parquet scans"
+    for scan in facts["scans"]:
+        assert scan["read_cols"] <= 4, scan
+    assert "CartesianProduct" not in facts["joins"]
