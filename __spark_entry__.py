@@ -1068,25 +1068,22 @@ def golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_connector_spark.ops.mdm import golden_records
 
     cust = _t(spark, sf_dir, "customer")
-    pairs = fuzzy_pairs(
-        cust, text_col="c_name", id_col="c_custkey", max_dist=1, block="qgram"
-    )
-    a = cust.select(
-        F.col("c_custkey").alias("id_a"),
-        F.col("c_nationkey").alias("__na"),
-        F.col("c_mktsegment").alias("__sa"),
-    )
-    b = cust.select(
-        F.col("c_custkey").alias("id_b"),
-        F.col("c_nationkey").alias("__nb"),
-        F.col("c_mktsegment").alias("__sb"),
-    )
-    gated = (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
-        .filter((F.col("__na") == F.col("__nb")) & (F.col("__sa") == F.col("__sb")))
-        .select("id_a", "id_b")
-    )
+    # the exact-attribute gate rides INSIDE the blocking join
+    # (extra_block_cols, r11): candidates only form within equal
+    # (nation, segment), so the two post-hoc gate joins disappear and
+    # the candidate fan-out shrinks by the attribute cardinality. The
+    # result is IDENTICAL to gating after the verify (the gram cap
+    # stays global, so kept grams are unchanged and new-candidates =
+    # old-candidates ∩ gate) — the oracle still replays the post-hoc
+    # form and hash-matches.
+    gated = fuzzy_pairs(
+        cust,
+        text_col="c_name",
+        id_col="c_custkey",
+        max_dist=1,
+        block="qgram",
+        extra_block_cols=("c_nationkey", "c_mktsegment"),
+    ).select("id_a", "id_b")
     return golden_records(
         cust.select("c_custkey", "c_name", "c_acctbal"),
         gated,

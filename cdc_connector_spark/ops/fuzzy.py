@@ -29,15 +29,26 @@ from pyspark.sql import functions as F
 
 
 def _blocking_index(
-    df: DataFrame, text_col: str, id_col: str, block: str, qgram: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block: str,
+    qgram: int,
+    extra_block_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(__id, __s, __k) inverted index — the shared key derivation of
-    ``fuzzy_pairs`` and ``fuzzy_dropped_keys`` (one definition so the
-    audit can never drift from what the matcher actually blocks on)."""
+    """(__id, __s, __k [, __x_*]) inverted index — the shared key
+    derivation of ``fuzzy_pairs`` and ``fuzzy_dropped_keys`` (one
+    definition so the audit can never drift from what the matcher
+    actually blocks on). ``extra_block_cols`` are carried as __x_<col>
+    columns for deterministic-attribute gating in the candidate join."""
     if block not in ("token", "qgram"):
         raise ValueError(f"block must be token/qgram, got {block!r}")
     norm = F.regexp_replace(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " ")
-    base = df.select(F.col(id_col).alias("__id"), norm.alias("__s")).filter(F.col("__s") != "")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        norm.alias("__s"),
+        *[F.col(c).alias(f"__x_{c}") for c in extra_block_cols],
+    ).filter(F.col("__s") != "")
     if block == "token":
         keys = F.split(F.col("__s"), " ")
     else:
@@ -46,7 +57,12 @@ def _blocking_index(
         keys = F.transform(
             F.sequence(F.lit(1), m), lambda i: F.substring(F.col("__s"), i, qgram)
         )
-    return base.select("__id", "__s", F.explode(F.array_distinct(keys)).alias("__k"))
+    return base.select(
+        "__id",
+        "__s",
+        *[f"__x_{c}" for c in extra_block_cols],
+        F.explode(F.array_distinct(keys)).alias("__k"),
+    )
 
 
 def fuzzy_dropped_keys(
@@ -119,6 +135,7 @@ def fuzzy_pairs(
     max_token_freq: int = 1000,
     block: str = "token",
     qgram: int = 3,
+    extra_block_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id_a < id_b, dist) pairs with Levenshtein(normalized names) ≤
     ``max_dist``. Normalization = lower + trim + whitespace collapse
@@ -127,10 +144,22 @@ def fuzzy_pairs(
     ``block="token"`` blocks on whole words (recall caveat in the module
     header); ``block="qgram"`` blocks on character ``qgram``-grams —
     complete for any pair with a shared unedited q-gram run, i.e. all
-    pairs when max_dist·q < len (pigeonhole), at higher candidate cost."""
+    pairs when max_dist·q < len (pigeonhole), at higher candidate cost.
+
+    ``extra_block_cols`` ANDs deterministic attributes into the
+    candidate join key (the Fellegi–Sunter deterministic+probabilistic
+    compose): candidates only form between records with EQUAL values in
+    every listed column (NULLs match nothing, the SQL gate convention),
+    so a downstream exact-attribute gate moves INTO the blocking join
+    and the candidate fan-out shrinks by the attribute cardinality.
+    The frequency cap stays GLOBAL per key on purpose: a per-(key,
+    attrs) cap would revive stop-grams whose per-block frequency dips
+    under it (Σ f² per block explodes at scale) — measured in the r11
+    rehearsal. Output equals
+    ``fuzzy_pairs(...)`` ∩ attribute-equality exactly."""
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
-    inv = _blocking_index(df, text_col, id_col, block, qgram)
+    inv = _blocking_index(df, text_col, id_col, block, qgram, extra_block_cols)
     ok = (
         inv.groupBy("__k")
         .agg(F.count(F.lit(1)).alias("__f"))
@@ -138,10 +167,11 @@ def fuzzy_pairs(
         .select("__k")
     )
     inv = inv.join(F.broadcast(ok), "__k")
-    l = inv.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"), "__k")
-    r = inv.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"), "__k")
+    xcols = [f"__x_{c}" for c in extra_block_cols]
+    l = inv.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"), "__k", *xcols)
+    r = inv.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"), "__k", *xcols)
     cand = (
-        l.join(r, "__k")
+        l.join(r, ["__k", *xcols])
         .filter(
             (F.col("id_a") < F.col("id_b"))
             # length gap is a Levenshtein lower bound — prune pre-verify

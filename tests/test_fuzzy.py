@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from cdc_connector_spark.ops.fuzzy import fuzzy_pairs
 
 
@@ -85,3 +87,47 @@ def test_fuzzy_dropped_keys_and_coverage_audit(spark):
     # the orphan really is invisible to the matcher at the same cap
     pairs = fuzzy_pairs(df2, max_dist=1, max_token_freq=5).collect()
     assert all(10 not in (p["id_a"], p["id_b"]) for p in pairs)
+
+
+def test_fuzzy_extra_block_cols_equals_posthoc_gate(spark):
+    """extra_block_cols (r11): gating during blocking must return
+    EXACTLY plain fuzzy_pairs ∩ attribute-equality — the identity that
+    lets golden_record move its gate into the join without changing
+    results (the gram cap stays global, so kept grams are unchanged)."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(120):
+        base = f"name{rng.randint(0, 30):03d}"
+        # random single-char edits create true near pairs across groups
+        s = list(base)
+        if rng.random() < 0.5:
+            s[rng.randrange(len(s))] = rng.choice("abcxyz")
+        rows.append((i, "".join(s), rng.randint(0, 2), rng.choice(["A", "B"])))
+    df = spark.createDataFrame(rows, "id bigint, name string, nat int, seg string")
+    plain = fuzzy_pairs(df, max_dist=1, block="qgram", max_token_freq=50)
+    attrs = {r["id"]: (r["nat"], r["seg"]) for r in df.collect()}
+    want = sorted(
+        (p["id_a"], p["id_b"], p["dist"])
+        for p in plain.collect()
+        if attrs[p["id_a"]] == attrs[p["id_b"]]
+    )
+    gated = fuzzy_pairs(
+        df,
+        max_dist=1,
+        block="qgram",
+        max_token_freq=50,
+        extra_block_cols=("nat", "seg"),
+    )
+    got = sorted((p["id_a"], p["id_b"], p["dist"]) for p in gated.collect())
+    assert got == want and len(want) > 0
+    # NULL attributes match nothing (the SQL gate convention)
+    df_null = df.withColumn(
+        "nat", F.when(F.col("id") < 60, None).otherwise(F.col("nat"))
+    )
+    gated_null = fuzzy_pairs(
+        df_null, max_dist=1, block="qgram", max_token_freq=50,
+        extra_block_cols=("nat", "seg"),
+    ).collect()
+    assert all(p["id_a"] >= 60 and p["id_b"] >= 60 for p in gated_null)
