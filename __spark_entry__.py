@@ -3390,7 +3390,9 @@ def bitemporal_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit/backfill query one-axis SCD2 cannot answer. The second time
     axis is a deterministic ingest lag (event_id % 7 minutes, replayed
     by the oracle), both cutoffs compare as exact microsecond BIGINTs,
-    the per-key pick is a (valid DESC, event_id DESC) row_number.
+    the per-key pick is a (valid DESC, recorded DESC, event_id DESC)
+    row_number — the latest-RECORDED version wins equal-valid ties
+    (Snodgrass; r10 ADVICE).
     Value-verified. (ops/scd.bitemporal_as_of; Snodgrass semantics.)"""
     from cdc_connector_spark.ops.scd import bitemporal_as_of
 
@@ -3721,7 +3723,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver's SF — and the sf0.001 tripwire would flag them by
 # construction; enforced by the assertion in queries()); ALL 20 r6-last-
 # checked entries left at age 4 after r10 (the floor — skipping them
-# again would breach it); and 25 of the 41-entry r7-checked cohort,
+# again would breach it); and 23 of the 41-entry r7-checked cohort,
 # prioritizing the 15 §2-core validation queries (rowcounts …
 # normalize_values/q13 — the reference's actual semantics,
 # tests/validation.py) which have had no driver row since r7.
@@ -7032,8 +7034,8 @@ def oracle_sql() -> dict[str, str]:
                    round(list_reduce(
                        list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY a, b)),
                        (acc, x) -> acc + x)
-                     + CAST(CAST(any_value(n) AS HUGEINT) * CAST(any_value(n) AS HUGEINT)
-                            - SUM(rtct) AS DOUBLE) / CAST(any_value(n) AS DOUBLE),
+                     + coalesce(CAST(CAST(any_value(n) AS HUGEINT) * CAST(any_value(n) AS HUGEINT)
+                            - SUM(rtct) AS DOUBLE) / CAST(any_value(n) AS DOUBLE), 0.0),
                      6) AS chi2
             FROM terms
         """,
@@ -8335,8 +8337,8 @@ def oracle_sql() -> dict[str, str]:
                        list_reduce(
                            list_prepend(CAST(0 AS DOUBLE), list(chi_term ORDER BY a, b)),
                            (acc, x) -> acc + x)
-                         + CAST(CAST(any_value(n) AS HUGEINT) * CAST(any_value(n) AS HUGEINT)
-                                - SUM(rtct) AS DOUBLE) / CAST(any_value(n) AS DOUBLE) AS chi2_raw,
+                         + coalesce(CAST(CAST(any_value(n) AS HUGEINT) * CAST(any_value(n) AS HUGEINT)
+                                - SUM(rtct) AS DOUBLE) / CAST(any_value(n) AS DOUBLE), 0.0) AS chi2_raw,
                        list_reduce(
                            list_prepend(CAST(0 AS DOUBLE), list(mi_term ORDER BY a, b)),
                            (acc, x) -> acc + x) AS mi_raw
@@ -8412,7 +8414,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_type, day
         """,
         # Bitemporal as-of: both cutoffs as exact micros; the ingest-lag
-        # second axis replayed; (valid DESC, event_id DESC) pick.
+        # second axis replayed; (valid DESC, recorded DESC, event_id
+        # DESC) pick — latest-recorded wins equal-valid ties.
         "bitemporal_asof_events": """
             WITH base AS (
                 SELECT user_id, event_type AS state, event_id,

@@ -102,10 +102,13 @@ def fuzzy_blocking_coverage(
     """ONE row: (records, blocked_records, orphaned_records,
     orphaned_share) at the given cap — ``orphaned_records`` have NO
     surviving blocking key, so ``fuzzy_pairs`` is structurally blind to
-    them however close a match exists. The go/no-go summary on top of
-    ``fuzzy_dropped_keys``: an orphaned_share above ~0 on a corpus with
-    expected duplicates means the cap over-binds (raise it or shrink
-    qgram)."""
+    them however close a match exists. ``records`` counts EVERY input
+    row: a NULL/whitespace-only name has no keys at all (fuzzy_pairs
+    drops it the same way) and counts as orphaned — excluding those
+    would report "full coverage" on exactly the corpus the audit exists
+    to flag. The go/no-go summary on top of ``fuzzy_dropped_keys``: an
+    orphaned_share above ~0 on a corpus with expected duplicates means
+    the cap over-binds (raise it or shrink qgram)."""
     inv = _blocking_index(df, text_col, id_col, block, qgram)
     freq = inv.groupBy("__k").agg(F.count(F.lit(1)).alias("__f"))
     # no broadcast hint: the key-frequency table is |distinct keys| and
@@ -115,12 +118,17 @@ def fuzzy_blocking_coverage(
         .groupBy("__id")
         .agg(F.sum((F.col("__f") <= max_token_freq).cast("long")).alias("__kept"))
     )
-    return per_rec.agg(
+    # LEFT join from the full record set: rows the blocking index never
+    # saw (NULL/empty names) surface with __kept NULL -> orphaned
+    everyone = df.select(F.col(id_col).alias("__id"))
+    joined = everyone.join(per_rec, "__id", "left")
+    orphan = F.coalesce(F.col("__kept"), F.lit(0)) == 0
+    return joined.agg(
         F.count(F.lit(1)).alias("records"),
-        F.sum((F.col("__kept") > 0).cast("long")).alias("blocked_records"),
-        F.sum((F.col("__kept") == 0).cast("long")).alias("orphaned_records"),
+        F.sum((~orphan).cast("long")).alias("blocked_records"),
+        F.sum(orphan.cast("long")).alias("orphaned_records"),
         F.round(
-            F.sum((F.col("__kept") == 0).cast("long")).cast("double")
+            F.sum(orphan.cast("long")).cast("double")
             / F.count(F.lit(1)).cast("double"),
             6,
         ).alias("orphaned_share"),

@@ -624,9 +624,12 @@ def chi_square_independence(
     )
     n_col = F.element_at("ss", 1)["n"]
     n_dec = n_col.cast("decimal(38,0)")
-    # exact unobserved-cell mass: (n^2 - sum_observed rt*ct) / n
-    missing = (n_dec * n_dec - F.col("srtct")).cast("double") / n_col.cast(
-        "double"
+    # exact unobserved-cell mass: (n^2 - sum_observed rt*ct) / n;
+    # coalesce keeps the empty-input contract chi2 = 0.0 (SUM over zero
+    # rows is NULL, and 0.0 + NULL would null the whole statistic)
+    missing = F.coalesce(
+        (n_dec * n_dec - F.col("srtct")).cast("double") / n_col.cast("double"),
+        F.lit(0.0),
     )
     return agg.select(
         n_col.alias("n"),
@@ -717,9 +720,11 @@ def association_strength(
     )
     n_col = F.element_at("ss", 1)["n"]
     n_dec = n_col.cast("decimal(38,0)")
-    # exact unobserved-cell mass: (n^2 - sum_observed rt*ct) / n
-    missing = (n_dec * n_dec - F.col("srtct")).cast("double") / n_col.cast(
-        "double"
+    # exact unobserved-cell mass: (n^2 - sum_observed rt*ct) / n;
+    # coalesce keeps the empty-input contract chi2 = 0.0
+    missing = F.coalesce(
+        (n_dec * n_dec - F.col("srtct")).cast("double") / n_col.cast("double"),
+        F.lit(0.0),
     )
     chi2_raw = (
         F.aggregate("ss", F.lit(0.0), lambda acc, s: acc + s["chi_term"])
@@ -879,9 +884,10 @@ def column_profile_diff(
 
     Shape: ONE full-scan aggregation per side for rows/nulls/
     fingerprints; exact mode adds the per-column distinct-value
-    shuffles, hll mode adds one map-side-combined MAX aggregation to
-    the bounded register table; then a |cols|-row join. No row-level
-    join ever happens."""
+    shuffles on the same scan, hll mode adds a SECOND scan (the
+    exploded (col, key) frame — still one scan for ALL columns) whose
+    map-side-combined MAX lands in the bounded register table; then a
+    |cols|-row join. No row-level join ever happens."""
     if distinct_mode not in ("exact", "hll"):
         raise ValueError(f"distinct_mode must be 'exact' or 'hll', got {distinct_mode!r}")
     if distinct_mode == "hll":
@@ -1032,13 +1038,26 @@ def column_profile_state(
         "rows",
         f"stack({len(cols)}, {stacked}) AS (column, nulls, fp)",
     ).select("column", "rows", "nulls", "fp")
-    tall = None
-    for c in cols:
-        # string-cast the keyed value explicitly: the union must not let
-        # Spark coerce mixed per-column types (BIGINT keys next to raw
-        # strings), and portable_hash60 stringifies its input anyway so
-        # the hash is unchanged
-        part = df.select(F.lit(c).alias("__col"), keyed(c).cast("string").alias("__key"))
-        tall = part if tall is None else tall.unionByName(part)
+    # ONE scan for all columns: explode an array of (col, key) structs
+    # per row — the per-column unionByName form re-scanned the source
+    # once per column (Spark does not dedup identical scans across
+    # union legs), which multiplied I/O by |cols| at exactly the scale
+    # the sketch exists for (r11 review finding). The string cast is
+    # explicit so mixed per-column types (BIGINT keys next to raw
+    # strings) can never coerce; portable_hash60 stringifies its input
+    # anyway so every register value is unchanged.
+    tall = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("__col"),
+                        keyed(c).cast("string").alias("__key"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("__kv")
+    ).select(F.col("__kv.__col").alias("__col"), F.col("__kv.__key").alias("__key"))
     registers = hll_registers(tall, "__key", "__col", p=p)
     return counts, registers

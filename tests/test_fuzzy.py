@@ -131,3 +131,18 @@ def test_fuzzy_extra_block_cols_equals_posthoc_gate(spark):
         extra_block_cols=("nat", "seg"),
     ).collect()
     assert all(p["id_a"] >= 60 and p["id_b"] >= 60 for p in gated_null)
+
+
+def test_blocking_coverage_counts_null_and_empty_names_as_orphans(spark):
+    """NULL/whitespace-only names have no blocking keys at all and
+    fuzzy_pairs can never match them — the coverage audit must count
+    them as orphaned, not silently exclude them (r11 review)."""
+    from cdc_connector_spark.ops.fuzzy import fuzzy_blocking_coverage
+
+    rows = [(1, "acme inc"), (2, "acme co"), (3, None), (4, "   "), (5, "")]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    [cov] = fuzzy_blocking_coverage(df, max_token_freq=100).collect()
+    assert cov["records"] == 5
+    assert cov["orphaned_records"] == 3  # NULL, whitespace, empty
+    assert cov["blocked_records"] == 2
+    assert cov["orphaned_share"] == 0.6

@@ -296,4 +296,8 @@ def test_profile_hll_scans_pruned_no_cartesian(q):
     assert facts["scans"], "expected parquet scans"
     for scan in facts["scans"]:
         assert scan["read_cols"] <= 4, scan
+    # exactly two scans per side: the counts aggregation + the exploded
+    # (col, key) register frame — the per-column unionByName form that
+    # multiplied scans by |cols| is pinned out (r11 review fix)
+    assert len(facts["scans"]) <= 4, facts["scans"]
     assert "CartesianProduct" not in facts["joins"]

@@ -311,3 +311,14 @@ def test_hll_merge_equals_union_registers(spark):
     est = {r["grp"]: r["est"] for r in hll_estimate(hll_merge([ra, rb]), p=8).collect()}
     # 400 distinct keys in g; HLL p=8 keeps relative error well within 20%
     assert 300 <= est["g"] <= 500 and est["h"] == pytest.approx(1.0, abs=0.1)
+
+
+def test_chi_square_and_association_empty_input_zero_not_null(spark):
+    """Empty input keeps the chi2 = 0.0 contract (r11 review): the
+    structural-zeros missing-mass term is a SUM over zero rows (NULL)
+    and must not null the statistic."""
+    df = spark.createDataFrame([], "a string, b string")
+    [r] = chi_square_independence(df, "a", "b").collect()
+    assert r["chi2"] == 0.0
+    [o] = association_strength(df, "a", "b").collect()
+    assert o["chi2"] == 0.0
