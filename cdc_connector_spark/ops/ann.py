@@ -268,21 +268,10 @@ def ivf_train_centroids(
     ``limit()`` would take the first files in layout order, which on data
     clustered by anything vector-correlated trains every centroid on one
     region and collapses recall."""
-    n_total = embeddings.count()
-    if n_total <= sample_size:
-        frac_rows = embeddings.select(vec_col).collect()
-    else:
-        frac = min(1.0, (sample_size * 1.3) / n_total)
-        frac_rows = (
-            embeddings.select(vec_col).sample(withReplacement=False, fraction=frac, seed=seed)
-            .limit(sample_size)
-            .collect()
-        )
-    M = np.vstack([np.asarray(r[0], dtype=np.float64) for r in frac_rows])
-    # collect() order follows partition splits, which vary with session
-    # parallelism — lexsort the sample so training is layout-independent
-    # (same centroids on any cluster size for the same logical sample)
-    M = M[np.lexsort(M.T)]
+    # the shared bounded/lexsorted sampling contract — ONE definition
+    # (r11 review: an inline copy here could drift from the helper the
+    # PQ/SQ trainers use and silently break layout-independence)
+    M = _bounded_sample_matrix(embeddings, vec_col, sample_size, seed)
     M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     C = M[rng.choice(len(M), size=min(n_centroids, len(M)), replace=False)]
@@ -439,9 +428,19 @@ def ivf_recluster(
     seed: int = 7,
 ) -> dict:
     """Full re-cluster of a drifted IVF layout: retrain centroids on the
-    CURRENT table (bounded sample), rewrite the layout into a temp dir, then
-    atomically swap it in. The expensive O(table) rewrite runs off to the
-    side; readers keep probing the old layout until the swap."""
+    CURRENT table (bounded sample), rewrite the layout into a temp dir,
+    then swap it in. The expensive O(table) rewrite runs off to the
+    side; readers keep probing the old layout until the swap.
+
+    Swap semantics (stated, not over-promised — r11 review): POSIX
+    cannot rename a directory over a non-empty directory, so the swap
+    is two renames (path→.old, .tmp→path) with a window where ``path``
+    is briefly absent; a reader landing inside it should retry. A crash
+    inside the window is RECOVERABLE, not destructive: the rewrite is
+    complete on disk at ``.recluster.old``/``.tmp``, and this function
+    restores the old layout before re-raising so ``path`` is never left
+    dangling. Single-writer discipline (one recluster at a time) is the
+    caller's job, same as ivf_write."""
     import json
     import os
     import shutil
@@ -456,7 +455,12 @@ def ivf_recluster(
     old = path.rstrip("/") + ".recluster.old"
     shutil.rmtree(old, ignore_errors=True)
     os.replace(path, old)
-    os.replace(tmp, path)
+    try:
+        os.replace(tmp, path)
+    except BaseException:
+        # restore the previous layout so path never dangles
+        os.replace(old, path)
+        raise
     shutil.rmtree(old, ignore_errors=True)
     with open(os.path.join(path, "_CELLS")) as f:
         counts = {int(a): b for a, b in json.load(f).items()}
@@ -714,6 +718,8 @@ def sq_encode(
 
     @pandas_udf("array<tinyint>")
     def encode(vs: pd.Series) -> pd.Series:
+        if not len(vs):  # empty Arrow batch: vstack would raise
+            return pd.Series([], dtype=object)
         V = np.vstack([np.asarray(v, dtype=np.float64) for v in vs])
         q = np.rint((V - lo) / scale * 255.0) - 128.0
         return pd.Series(list(np.clip(q, -128, 127).astype(np.int8)))
@@ -746,6 +752,8 @@ def sq_topk(
 
     @pandas_udf("double")
     def sq_score(cs: pd.Series) -> pd.Series:
+        if not len(cs):  # empty Arrow batch: vstack would raise
+            return pd.Series([], dtype="float64")
         C = np.vstack([np.asarray(c, dtype=np.float64) for c in cs])
         V = lo + (C + 128.0) * scale
         vnorm = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
@@ -833,6 +841,8 @@ def pq_encode(
 
     @pandas_udf("array<smallint>")
     def encode(vs: pd.Series) -> pd.Series:
+        if not len(vs):  # empty Arrow batch: vstack would raise
+            return pd.Series([], dtype=object)
         V = np.vstack([np.asarray(v, dtype=np.float64) for v in vs])
         out = np.empty((len(V), m), dtype=np.int16)
         for s in range(m):
@@ -875,6 +885,8 @@ def pq_topk(
 
     @pandas_udf("double")
     def adc_score(cs: pd.Series) -> pd.Series:
+        if not len(cs):  # empty Arrow batch: vstack would raise
+            return pd.Series([], dtype="float64")
         C = np.vstack([np.asarray(c, dtype=np.int64) for c in cs])  # (n, m)
         rows = np.arange(m)
         dots = lut_dot[rows[None, :], C].sum(axis=1)

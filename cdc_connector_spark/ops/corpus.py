@@ -112,7 +112,14 @@ def knuth_hash(key_col: str, salt: int = 0, mult: int = KNUTH_MULT) -> F.Column:
     Pareto quality filter, the intra-shard order) must use a different
     prime, or composing it after a hash-ranked sampler correlates the
     draw with survival and the distribution collapses."""
-    reduced = F.pmod(F.col(key_col) + F.lit(salt), F.lit(2147483648))
+    # pmod the KEY before adding the salt: key + salt first would
+    # ANSI-overflow at keys near Long.MAX (r11 review). Modular identity
+    # pmod(key + s, m) == pmod(pmod(key, m) + s, m) keeps every hash
+    # value bit-identical to the historical form.
+    reduced = F.pmod(
+        F.pmod(F.col(key_col), F.lit(2147483648)) + F.lit(salt),
+        F.lit(2147483648),
+    )
     return F.pmod(reduced * F.lit(mult), F.lit(4294967296))
 
 
@@ -222,7 +229,11 @@ def pack_sequences_firstfit(
         pdf["bin_id"] = pd.Series(assigned, dtype="int64")
         return pdf
 
-    schema = f"{id_col} long, {shard_col} string, n_tokens int, bin_id long"
+    # derive the shard field's type from the input: hardcoding string
+    # broke on the INT shard this module's own shard_plan produces
+    # (r11 review; the embedding_neardup_pairs schema-derivation pattern)
+    shard_type = with_tokens.schema[shard_col].dataType.simpleString()
+    schema = f"{id_col} long, {shard_col} {shard_type}, n_tokens int, bin_id long"
     return with_tokens.groupBy(shard_col).applyInPandas(pack, schema=schema)
 
 
@@ -315,7 +326,11 @@ def remove_duplicated_spans(
         .select(F.col(id_col).alias("__id"), F.posexplode("__g").alias("pos", "gh"))
     )
 
-    occ_key = F.col("__id") * 100000 + F.col("pos")
+    # first-occurrence arbitration via a struct MIN — the packed
+    # id*100000 + pos key collided for docs with >= 100k tokens and
+    # overflowed for huge ids (r11 review); struct ordering is
+    # lexicographic (id, pos), the exact total order the packing meant
+    occ_key = F.struct(F.col("__id").alias("i"), F.col("pos").alias("p"))
     stats = grams.groupBy("gh").agg(
         F.count(F.lit(1)).alias("__c"), F.min(occ_key).alias("__first")
     )
@@ -365,6 +380,11 @@ def temperature_sample(
     """
     if temperature < 1.0:
         raise ValueError(f"temperature must be >= 1 (got {temperature})")
+    # NULL-source rows previously counted into n_min (distorting every
+    # source's keep rate) and then vanished in the equi-join (NULL never
+    # equals NULL) — drop them up front with stated semantics: a doc
+    # with no source has no mixture weight (r11 review)
+    df = df.filter(F.col(source_col).isNotNull())
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
     n_min = counts.agg(F.min("__n").alias("__n_min"))
     rates = counts.crossJoin(F.broadcast(n_min)).select(
@@ -438,7 +458,10 @@ def weighted_sample(
     u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
     skey = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
     return (
-        df.filter(F.col(weight_col) > 0)
+        # Spark sorts NaN above every double, so a NaN weight would pass
+        # `> 0` AND its NaN sample_key would sort FIRST, hijacking the
+        # sample (r11 review) — exclude NaN explicitly alongside <= 0
+        df.filter((F.col(weight_col) > 0) & ~F.isnan(F.col(weight_col).cast("double")))
         .withColumn("sample_key", F.round(skey, 12))
         .orderBy(F.col("sample_key").desc(), F.col(key_col).asc())
         .limit(n)

@@ -240,9 +240,13 @@ def hll_registers(
     argument as the CMS.
 
     Value-portability: bucket = h % 2**p and w = h // 2**p of the
-    portable 60-bit md5 fold; rho = 53 - bit_length(w) (53 for w = 0),
-    with bit_length as length(bin(w)) in both engines — every register
-    is an exact integer a SQL oracle replays digit-for-digit."""
+    portable 60-bit md5 fold; w has 60-p bits, so
+    rho = (61-p) - bit_length(w) (61-p for w = 0 — at the default p=8
+    that is the familiar 53), with bit_length as length(bin(w)) in both
+    engines — every register is an exact integer a SQL oracle replays
+    digit-for-digit. The width constant MUST track p: a fixed 53 is
+    only correct at p=8 and biases the estimate by ~2^(p-8) elsewhere
+    (r11 review finding, regression-pinned at p=12)."""
     m = 1 << p
     keyed = df.filter(F.col(key_col).isNotNull()).select(
         F.col(group_col).alias("grp"),
@@ -256,8 +260,9 @@ def hll_registers(
         # rounded quotient can cross a bit-length boundary and corrupt rho
         F.shiftright(F.col("__h"), p).alias("__w"),
     )
-    rho = F.when(F.col("__w") == 0, F.lit(53)).otherwise(
-        F.lit(53) - F.length(F.bin(F.col("__w")))
+    width = 61 - p
+    rho = F.when(F.col("__w") == 0, F.lit(width)).otherwise(
+        F.lit(width) - F.length(F.bin(F.col("__w")))
     )
     return (
         reg.select("grp", "bucket", rho.alias("rho"))
@@ -276,53 +281,32 @@ def hll_distinct(
     the exact count shuffles every distinct key).
 
     Estimator (Flajolet et al. 2007): raw = alpha_m * m^2 / sum(2^-M_j).
-    The harmonic sum is kept EXACT by scaling: S = sum(2^(53 - M_j)) is
-    a BIGINT (absent buckets contribute 2^53 each), so
-    raw = alpha_m * m^2 * 2^53 / S is ONE fixed IEEE double expression
+    The harmonic sum is kept EXACT by scaling: S = sum(2^(C - M_j)) with
+    C = 61 - p (the register width, so C >= max M always) is a BIGINT
+    (absent buckets contribute 2^C each), so
+    raw = alpha_m * m^2 * 2^C / S is ONE fixed IEEE double expression
     over exact integers — correctly rounded, hence bit-identical in any
-    IEEE engine. Small-range (linear counting) correction when
-    raw <= 2.5m and zero registers remain: m * ln(m / zeros), rounded 6
-    (single libm call on identical double inputs; the zipf_slope
-    precedent). Returns (grp, zeros, s_scaled, raw_est, est,
-    exact_distinct).
+    IEEE engine (at the default p=8, C = 53, the historical constant).
+    Small-range (linear counting) correction when raw <= 2.5m and zero
+    registers remain: m * ln(m / zeros), rounded 6 (single libm call on
+    identical double inputs; the zipf_slope precedent). Returns (grp,
+    zeros, s_scaled, raw_est, est, exact_distinct).
+
+    Composed as ``hll_estimate(hll_registers(...))`` joined to the
+    exact twin — ONE estimator definition, so batch and
+    production/streaming paths can never diverge estimate-for-estimate.
 
     alpha_m uses the standard constants for m >= 128; p < 7 is rejected
     rather than silently mis-estimated."""
     if p < 7:
         raise ValueError("hll_distinct requires p >= 7 (alpha constant)")
-    m = 1 << p
-    alpha = 0.7213 / (1.0 + 1.079 / m)
-    p53 = float(1 << 53)
     regs = hll_registers(df, key_col, group_col, p=p)
-    agg = regs.groupBy("grp").agg(
-        F.count(F.lit(1)).alias("__nb"),
-        F.sum(
-            F.expr("shiftleft(cast(1 as bigint), cast(53 - mreg as int))")
-        ).alias("__sp"),
-    )
     exact = (
         df.filter(F.col(key_col).isNotNull())
         .groupBy(F.col(group_col).alias("grp"))
         .agg(F.count_distinct(F.col(key_col)).alias("exact_distinct"))
     )
-    zeros = (F.lit(m) - F.col("__nb")).cast("long")
-    s_scaled = (F.col("__sp") + zeros * F.lit(1 << 53)).cast("long")
-    raw = F.round(
-        F.lit(alpha) * F.lit(float(m) * float(m)) * F.lit(p53)
-        / F.col("s_scaled").cast("double"),
-        6,
-    )
-    est = F.when(
-        (F.col("raw_est") <= F.lit(2.5 * m)) & (F.col("zeros") > 0),
-        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros").cast("double")), 6),
-    ).otherwise(F.col("raw_est"))
-    return (
-        agg.select("grp", zeros.alias("zeros"), s_scaled.alias("s_scaled"))
-        .withColumn("raw_est", raw)
-        .withColumn("est", est)
-        .join(F.broadcast(exact), "grp")
-        .orderBy("grp")
-    )
+    return hll_estimate(regs, p=p).join(F.broadcast(exact), "grp").orderBy("grp")
 
 
 def hll_merge(register_tables: list[DataFrame]) -> DataFrame:
@@ -343,27 +327,30 @@ def hll_merge(register_tables: list[DataFrame]) -> DataFrame:
 def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
     """PRODUCTION-shaped distinct-count estimate from an HLL register
     table: (grp, zeros, s_scaled, raw_est, est) — estimate ONLY, no
-    exact twin in the plan (the ``kmv_estimate`` counterpart). Same
-    exact-integer estimator as ``hll_distinct``: S = Σ 2^(53−M_j) as a
-    BIGINT with absent buckets contributing 2^53 each, raw = α·m²·2^53/S
-    as ONE IEEE expression, linear-counting correction in its standard
-    range. Input is the bounded register state, so no corpus-keyed
-    shuffle happens here."""
+    exact twin in the plan (the ``kmv_estimate`` counterpart). The ONE
+    estimator definition in this module (``hll_distinct`` composes it):
+    S = Σ 2^(C−M_j) with C = 61−p (register width ⇒ C ≥ max M at any
+    p; = the historical 53 at the default p=8) as a BIGINT with absent
+    buckets contributing 2^C each, raw = α·m²·2^C/S as ONE IEEE
+    expression, linear-counting correction in its standard range. Input
+    is the bounded register state, so no corpus-keyed shuffle happens
+    here."""
     if p < 7:
         raise ValueError("hll_estimate requires p >= 7 (alpha constant)")
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    p53 = float(1 << 53)
+    width = 61 - p
+    scale = float(1 << width)
     agg = registers.groupBy("grp").agg(
         F.count(F.lit(1)).alias("__nb"),
         F.sum(
-            F.expr("shiftleft(cast(1 as bigint), cast(53 - mreg as int))")
+            F.expr(f"shiftleft(cast(1 as bigint), cast({width} - mreg as int))")
         ).alias("__sp"),
     )
     zeros = (F.lit(m) - F.col("__nb")).cast("long")
-    s_scaled = (F.col("__sp") + zeros * F.lit(1 << 53)).cast("long")
+    s_scaled = (F.col("__sp") + zeros * F.lit(1 << width)).cast("long")
     raw = F.round(
-        F.lit(alpha) * F.lit(float(m) * float(m)) * F.lit(p53)
+        F.lit(alpha) * F.lit(float(m) * float(m)) * F.lit(scale)
         / F.col("s_scaled").cast("double"),
         6,
     )
@@ -465,29 +452,17 @@ def kmv_distinct(
     With fewer than ``k`` distinct keys the sketch IS the distinct set
     (estimate exact by construction); otherwise the classic unbiased
     estimator (k-1) * H / h_k with H = 2^60 (the portable fold's range)
-    — ONE fixed IEEE double expression over exact integers. Returns
+    — ONE fixed IEEE double expression over exact integers. Composed as
+    ``kmv_estimate(kmv_sketch(...))`` joined to the exact twin — one
+    estimator definition shared with the production path. Returns
     (grp, n_sketch, kth_hash, est_distinct, exact_distinct)."""
-    sk = kmv_sketch(df, key_col, group_col, k=k)
-    agg = sk.groupBy("grp").agg(
-        F.count(F.lit(1)).alias("n_sketch"),
-        F.max(F.when(F.col("rk") == k, F.col("h"))).alias("kth_hash"),
-    )
     exact = (
         df.filter(F.col(key_col).isNotNull())
         .groupBy(F.col(group_col).alias("grp"))
         .agg(F.count_distinct(F.col(key_col)).alias("exact_distinct"))
     )
-    est = F.when(
-        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
-    ).otherwise(
-        F.round(
-            F.lit(float(k - 1)) * F.lit(float(1 << 60))
-            / F.col("kth_hash").cast("double"),
-            6,
-        )
-    )
     return (
-        agg.withColumn("est_distinct", est)
+        kmv_estimate(kmv_sketch(df, key_col, group_col, k=k), k=k)
         .join(F.broadcast(exact), "grp")
         .select("grp", "n_sketch", "kth_hash", "est_distinct", "exact_distinct")
         .orderBy("grp")

@@ -576,3 +576,86 @@ def test_duplicate_rate_by_source(spark):
     out = {r["source"]: r for r in duplicate_rate_by_source(df).collect()}
     assert out["a"]["dup_docs"] == 1 and out["a"]["dup_rate"] == 0.5
     assert out["b"]["dup_docs"] == 1 and out["b"]["dup_rate"] == round(1 / 3, 6)
+
+
+# ------------------------------------------------ r11 review regressions
+
+def test_weighted_sample_nan_weight_excluded(spark):
+    """NaN sorts above every double in Spark, so a NaN weight passed the
+    `> 0` filter AND its NaN sample_key hijacked the top-n (r11 review).
+    NaN rows must be excluded like non-positive weights."""
+    from cdc_connector_spark.ops.corpus import weighted_sample
+
+    rows = [(1, 5.0), (2, 1.0), (3, float("nan")), (4, 3.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {r["doc_id"] for r in weighted_sample(df, n=3, weight_col="w").collect()}
+    assert got == {1, 2, 4}  # the NaN row never wins a slot
+
+
+def test_temperature_sample_null_source_dropped_not_distorting(spark):
+    """NULL-source rows previously counted into n_min (dragging every
+    source's keep rate down) then vanished in the equi-join (r11
+    review). They are dropped with stated semantics and must not
+    influence the rates: with T large the smallest REAL source keeps
+    ~everything."""
+    from cdc_connector_spark.ops.corpus import temperature_sample
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(100)]
+    rows += [(2000 + i, None) for i in range(5)]  # must not become n_min
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_sample(df, temperature=100.0, source_col="source")
+    by_src = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert None not in by_src and by_src["small"] >= 95
+    # rate for big at T=100 with n_min=100 (not 5): (100/400)^0.99 ~ 0.254
+    assert 0.15 <= by_src["big"] / 400 <= 0.35
+
+
+def test_remove_duplicated_spans_big_doc_id_and_100k_tokens(spark):
+    """The packed id*100000 + pos occurrence key collided for >=100k-token
+    documents and overflowed for huge ids (r11 review) — the struct key
+    must keep first-occurrence arbitration exact. A 100k+-token doc with
+    a huge id keeps its first copy of the duplicated span."""
+    from cdc_connector_spark.ops.corpus import remove_duplicated_spans
+
+    span = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(100_050))
+    big_id = 9_300_000_000_000_000  # would overflow id*100000 in int64
+    rows = [
+        (big_id, span + " " + filler + " " + span),  # dup at pos ~100056
+        (7, "unrelated text entirely different tokens"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["clean_text"] for r in remove_duplicated_spans(df, k=6, min_count=2).collect()}
+    assert out[big_id].startswith(span)          # first occurrence kept
+    assert out[big_id].count("alpha beta gamma") == 1  # later copy removed
+    assert out[7] == "unrelated text entirely different tokens"
+
+
+def test_pack_sequences_firstfit_int_shard_col(spark):
+    """The applyInPandas schema hardcoded the shard column as string,
+    crashing on the INT shard this module's own shard_plan emits (r11
+    review) — the type is now derived from the input."""
+    from cdc_connector_spark.ops.corpus import pack_sequences_firstfit, shard_plan
+
+    df = spark.createDataFrame(
+        [(i, "tok " * (5 + i % 7)) for i in range(40)], "doc_id long, text string"
+    )
+    planned = shard_plan(df, 4).select("doc_id", "text", "shard")
+    out = pack_sequences_firstfit(planned, budget=30, shard_col="shard")
+    assert out.schema["shard"].dataType.simpleString() in ("int", "bigint")
+    rows = out.collect()
+    assert len(rows) == 40 and all(r["bin_id"] >= 0 for r in rows)
+
+
+def test_knuth_hash_ansi_safe_at_long_max(spark):
+    """key + salt before the first pmod ANSI-overflowed at keys near
+    Long.MAX (r11 review); the key is now reduced first, and the
+    modular identity keeps every in-range hash value unchanged."""
+    from cdc_connector_spark.ops.corpus import hash_sample, split_corpus
+
+    df = spark.createDataFrame(
+        [(9223372036854775807,), (9223372036854775806,), (12345,)], "doc_id long"
+    )
+    # both ops default to a positive salt path somewhere — just execute
+    assert split_corpus(df).count() == 3
+    hash_sample(df, 50).count()  # must not raise under ANSI

@@ -166,6 +166,26 @@ def test_hll_rejects_tiny_p(spark):
         hll_distinct(_keyed(spark, [("a", 1)]), "k", "grp", p=4)
 
 
+def test_hll_accuracy_holds_at_nondefault_p(spark):
+    """rho's width constant must track p (r11 review): a fixed 53 is
+    only right at p=8 and inflated estimates ~2^(p-8) at larger p —
+    16x at the p=12 default of column_profile_diff's hll mode. Pin the
+    raw-estimator regime (past linear counting) at p=12 AND p=7."""
+    from cdc_connector_spark.ops.sketch import hll_distinct
+
+    # p=12: linear counting ends at 2.5*4096 = 10240 -> use 60k keys
+    rows = [("a", i) for i in range(60_000)]
+    [r] = hll_distinct(_keyed(spark, rows), "k", "grp", p=12).collect()
+    assert r["raw_est"] > 10_240  # genuinely in the raw-estimator regime
+    # standard error at m=4096 is ~1.6%; allow generous 3-sigma-ish 10%
+    assert abs(r["est"] - 60_000) / 60_000 < 0.10, r["est"]
+    # p=7: width 54 > 53 — the old constant under-flowed the register
+    rows7 = [("a", i) for i in range(5_000)]
+    [r7] = hll_distinct(_keyed(spark, rows7), "k", "grp", p=7).collect()
+    assert r7["raw_est"] > 2.5 * 128
+    assert abs(r7["est"] - 5_000) / 5_000 < 0.35, r7["est"]  # ~9.2% sigma at m=128
+
+
 def test_kmv_below_k_is_exact_and_estimator_reasonable(spark):
     from cdc_connector_spark.ops.sketch import kmv_distinct
 
