@@ -880,6 +880,36 @@ class TxLogMergeSink:
             except FileNotFoundError:
                 pass
 
+    def _bootstrap_commit(self, df: DataFrame) -> bool:
+        """SINGLE-attempt version-0 base commit for a fresh table. Returns
+        False on a lost race (staged files discarded) so the caller falls
+        through to its normal OCC loop against the winner's table.
+
+        Bootstrap must NOT route through ``overwrite``: overwrite's
+        conflict retry removes ALL live files, so two concurrent
+        first-writers would have the loser's retry silently discard the
+        winner's committed batch (r11 review; pinned by
+        test_concurrent_bootstrap_append_keeps_both_batches)."""
+        adds = self._write_files(df, n_shuffle=self._default_shuffle())
+        actions = [
+            {
+                "metaData": {
+                    "key_cols": self.key_cols,
+                    "num_buckets": self.num_buckets,
+                    "columns": list(df.columns),
+                }
+            },
+            *adds,
+            {"commitInfo": {"operation": "OVERWRITE", "ts": time.time()}},
+        ]
+        try:
+            self._try_commit(0, actions)
+        except CommitConflict:
+            self._discard(adds)
+            return False
+        self._maybe_checkpoint(0)
+        return True
+
     def append(self, df: DataFrame) -> None:
         """Insert-only fast path: bucket and add the batch's files WITHOUT
         reading or rewriting existing data — O(batch) total, zero read
@@ -888,8 +918,7 @@ class TxLogMergeSink:
         are NOT merged (use ``apply`` for merge semantics). This is what
         fragments buckets over time — ``compact`` is its maintenance twin
         (the merge-on-read half of the copy-on-write/append trade)."""
-        if self._snapshot().version < 0:
-            self.overwrite(df)
+        if self._snapshot().version < 0 and self._bootstrap_commit(df):
             return
         adds: list[dict] | None = None
         staged_mapping: dict[str, str] | None = None
@@ -953,10 +982,13 @@ class TxLogMergeSink:
         layers. Commit-race handling is append's: delta files are this
         writer's own, so a lost race re-publishes with zero recompute."""
         if self._snapshot().version < 0:
-            # bootstrap: first batch becomes the base (no deltas to merge)
+            # bootstrap: first batch becomes the base (no deltas to merge);
+            # SINGLE-attempt commit — a lost race falls through to the
+            # normal delta path against the winner's table (never
+            # overwrite's remove-all retry; see _bootstrap_commit)
             bootstrapped = apply_changes(None, changes, self.key_cols)
-            self.overwrite(bootstrapped)
-            return
+            if self._bootstrap_commit(bootstrapped):
+                return
         adds: list[dict] | None = None
         staged_mapping: dict[str, str] | None = None
         last_mapping: dict[str, str] | None = None
@@ -1259,6 +1291,25 @@ class TxLogMergeSink:
                 self._try_commit(snap.version + 1, actions)
             except CommitConflict:
                 continue
+            # a vacuum running concurrently from a pre-restore snapshot may
+            # have unlinked a target file between our pre-check and the
+            # commit — verify AFTER publishing and fail LOUDLY with the
+            # recovery path rather than leaving a silently unreadable head
+            # (r11 review; vacuum's fresh-head re-check makes this window
+            # an instant, but an instant is not never)
+            gone = [
+                p
+                for p in target_all
+                if not os.path.exists(os.path.join(self.path, p))
+            ]
+            if gone:
+                raise RuntimeError(
+                    f"restore to version {version} committed as "
+                    f"v{snap.version + 1} but a concurrent vacuum deleted "
+                    f"{len(gone)} of its files (first: {gone[0]!r}); run "
+                    f"restore({snap.version}) to return to the previous "
+                    f"head, whose files are intact"
+                )
             self._maybe_checkpoint(snap.version + 1)
             return
         raise RuntimeError(f"restore lost {self.max_commit_retries} commit races")
@@ -1271,14 +1322,26 @@ class TxLogMergeSink:
         missing files. Returns files deleted."""
         snap = self._snapshot()
         horizon = snap.version - retain_versions
+        candidates = [
+            rel for rel, removed_at in snap.removed.items() if removed_at <= horizon
+        ]
+        # re-snapshot RIGHT before unlinking: a concurrent restore() can
+        # re-add a removed-beyond-horizon file with one metadata commit,
+        # and deleting it would leave the new head referencing a
+        # physically missing file (r11 review). The refresh shrinks the
+        # window to the unlink loop itself; restore's post-commit
+        # existence check closes the remainder loudly.
+        head = self._snapshot()
+        live_now = set(head.files) | set(head.deltas)
         deleted = 0
-        for rel, removed_at in list(snap.removed.items()):
-            if removed_at <= horizon:
-                try:
-                    os.unlink(os.path.join(self.path, rel))
-                    deleted += 1
-                except FileNotFoundError:
-                    pass
+        for rel in candidates:
+            if rel in live_now:
+                continue  # resurrected by a restore since `snap`
+            try:
+                os.unlink(os.path.join(self.path, rel))
+                deleted += 1
+            except FileNotFoundError:
+                pass
         # empty commit dirs are cosmetic; sweep cheaply
         for d in os.listdir(self.data_dir):
             full = os.path.join(self.data_dir, d)

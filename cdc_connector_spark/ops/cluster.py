@@ -565,6 +565,13 @@ def semdedup_index_lookup(
     in the same cluster with cosine ≥ threshold — O(batch + probed
     clusters), never O(corpus).
 
+    Self-pairs (batch_id == corpus_id) are EXCLUDED, mirroring
+    minhash_index_lookup: a batch doc already present in the index under
+    the same id is a REPLAY of itself, not a duplicate — without the
+    filter a crash-window replay would match itself at cos 1.0 and the
+    streaming dedup would drop the whole batch (r11 review; the
+    crash-replay data-loss test pins this).
+
     Shape: the batch assigns against the PINNED centroids (one kernel
     pass, no shuffle), its distinct cluster ids (≤ k, driver-bounded)
     prune the corpus read to matching partitions, and each probed
@@ -641,4 +648,8 @@ def semdedup_index_lookup(
             }
         )
 
-    return both.groupBy("cluster_id").applyInPandas(cluster_probe, out_schema)
+    return (
+        both.groupBy("cluster_id")
+        .applyInPandas(cluster_probe, out_schema)
+        .filter(F.col("batch_id") != F.col("corpus_id"))
+    )

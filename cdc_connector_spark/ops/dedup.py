@@ -368,6 +368,7 @@ def minhash_verified_pairs(
     bands: int = 32,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    max_bucket: int = 500,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + EXACT Jaccard verification.
 
@@ -389,7 +390,12 @@ def minhash_verified_pairs(
         F.col("id").alias("__id"),
         F.explode(F.array(*_band_bucket_exprs(bands, rows_per_band))).alias("bb"),
     ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    cand = _bucket_pairs(banded, ["band", "bucket"], "__id").dropDuplicates(["id_a", "id_b"])
+    # max_bucket must be a REAL parameter (r11 review): StreamingCorpusDedup
+    # configures its cap and the in-batch step silently used the hardwired
+    # 500 — buckets between the two caps lost their in-batch pairs
+    cand = _bucket_pairs(
+        banded, ["band", "bucket"], "__id", max_bucket=max_bucket
+    ).dropDuplicates(["id_a", "id_b"])
 
     # exact verify stays JVM-side: candidates are tiny next to the corpus,
     # and a Python verify stage costs a worker spin-up + Arrow round trip

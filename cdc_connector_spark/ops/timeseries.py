@@ -486,6 +486,7 @@ def linear_attribution(
     user_col: str = "user_id",
     id_col: str = "event_id",
     value_col: str = "value",
+    type_col: str = "event_type",
 ) -> DataFrame:
     """Linear multi-touch attribution: every ``value_event`` (purchase)
     splits its value EQUALLY across the user's ``touch_event`` rows
@@ -516,14 +517,14 @@ def linear_attribution(
         F.col(user_col).alias("__u"),
         F.col(id_col),
         ts_us.alias("__t"),
-        F.col("event_type"),
+        F.col(type_col).alias("__type"),
         F.col(value_col),
     )
-    touches = ev.filter(F.col("event_type") == touch_event).select(
+    touches = ev.filter(F.col("__type") == touch_event).select(
         "__u", F.col(id_col).alias("touch_id"), F.col("__t").alias("__ct")
     )
     buys = ev.filter(
-        (F.col("event_type") == value_event) & F.col(value_col).isNotNull()
+        (F.col("__type") == value_event) & F.col(value_col).isNotNull()
     ).select(
         "__u",
         F.col(id_col).alias("__pid"),
@@ -1330,7 +1331,9 @@ def ks_drift(
     the common denominator n_a·n_b), so the max and its argmax
     (earliest value on ties) are exact; d = num/(n_a·n_b) is ONE IEEE
     division rounded 6. Returns ONE row: (n_a, n_b, ks_at_value,
-    gap_numerator, d_stat).
+    gap_numerator, d_stat) — ZERO rows when both inputs are empty or
+    all-NULL (no pooled values exist to evaluate the ECDFs at; guard
+    before indexing the result).
 
     Shape: counts collapse per side first (the only corpus-sized
     shuffle, keyed on the value), then the cumulative window runs on

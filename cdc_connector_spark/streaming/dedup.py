@@ -139,6 +139,16 @@ class StreamingCorpusDedup:
         extra_persisted = []
         try:
             n_in = batch.count()
+            if n_in == 0:
+                # idle trigger: commit the marker and skip the MinHash
+                # machinery — once an index exists, the corpus probe
+                # aggregates the ENTIRE stored bands table even for zero
+                # input rows (r11 review; the semantic twin already
+                # short-circuits)
+                os.makedirs(os.path.dirname(self._marker(batch_id)), exist_ok=True)
+                with open(self._marker(batch_id), "w") as fh:
+                    fh.write("")
+                return
 
             # 1. exact in-batch: min id per fingerprint
             w = Window.partitionBy(fingerprint(tc)).orderBy(F.col(ic).asc())
@@ -157,6 +167,7 @@ class StreamingCorpusDedup:
                 num_hashes=self.num_hashes, bands=self.bands,
                 shingle_n=self.shingle_n,
                 jaccard_threshold=self.jaccard_threshold,
+                max_bucket=self.max_bucket,
             )
             drop_in_batch = pairs.select(
                 F.greatest("id_a", "id_b").alias(ic)

@@ -621,3 +621,22 @@ def test_simhash_portable_arrow_bit_identical(spark):
     arrow = {(r["id"], r["sig"]) for r in simhash_portable_arrow(df).collect()}
     assert arrow == expr
     assert all(0 <= s < (1 << 60) for _, s in arrow)
+
+
+def test_minhash_verified_pairs_max_bucket_is_honored(spark):
+    """max_bucket must be a real parameter (r11 review): the streaming
+    corpus dedup configures its cap and the in-batch step silently used
+    the hardwired 500. A 3-doc degenerate band bucket yields pairs at
+    the default but none at max_bucket=2."""
+    from cdc_connector_spark.ops.dedup import minhash_verified_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(3)],
+        "doc_id bigint, text string",
+    )
+    full = minhash_verified_pairs(docs, jaccard_threshold=0.9).collect()
+    assert len(full) == 3  # all identical: C(3,2) pairs
+    capped = minhash_verified_pairs(
+        docs, jaccard_threshold=0.9, max_bucket=2
+    ).collect()
+    assert capped == []  # every bucket holds all 3 docs > cap

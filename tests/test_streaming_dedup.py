@@ -153,3 +153,20 @@ def test_exact_dedup_stream_watermarked(spark, tmp_path):
     q.awaitTermination(300)
     rows = sorted(r["doc_id"] for r in spark.sql("select * from exact_dedup_out").collect())
     assert rows == [1, 3]
+
+
+def test_corpus_dedup_idle_trigger_is_cheap_and_committed(spark, tmp_path):
+    """An empty micro-batch must marker-commit WITHOUT running the
+    MinHash/index machinery (r11 review: once an index exists the corpus
+    probe aggregates the whole stored bands table even for 0 rows)."""
+    from cdc_connector_spark.streaming.dedup import StreamingCorpusDedup
+
+    ded = StreamingCorpusDedup(
+        index_path=str(tmp_path / "idx"), out_dir=str(tmp_path / "out")
+    )
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    ded.process_batch(empty, 0)
+    assert ded.committed_batch_ids() == [0]
+    import os as _os
+
+    assert not _os.path.exists(_os.path.join(str(tmp_path / "out"), "batch=0"))

@@ -108,3 +108,35 @@ def test_streaming_semdedup_empty_batch_commits_cleanly(spark, sem_run):
     ded.process_batch(empty, 7)
     assert 7 in ded.committed_batch_ids()
     assert sorted(r["vec_id"] for r in ded.accepted(spark).collect()) == [1, 2, 11, 13]
+
+
+def test_crash_window_replay_does_not_self_match(spark, sem_run, tmp_path):
+    """THE crash window (r11 review): index appended, marker NOT written,
+    batch replays. Without self-pair exclusion in semdedup_index_lookup
+    the replayed batch matches ITSELF in the index at cos 1.0, every
+    survivor is dropped, and the overwrite replaces good output with an
+    empty dir — silent data loss. The replay must converge to the same
+    survivors instead."""
+    ded = sem_run
+    # simulate the crash: delete batch 1's marker (its index rows and
+    # output dir are already on disk — exactly the torn state)
+    os.remove(ded._marker(1))
+    batch1 = spark.read.parquet(os.path.join(str(tmp_path / "src"), "f1"))
+    ded.process_batch(batch1, 1)  # re-applies for real this time
+    kept = sorted(r["vec_id"] for r in ded.accepted(spark).collect())
+    assert kept == [1, 2, 11, 13]  # batch-1 survivors NOT self-suppressed
+
+
+def test_semdedup_index_lookup_excludes_self_pairs(spark, sem_run, tmp_path):
+    """Unit form of the crash-window property: probing the index with a
+    batch whose ids are ALREADY in it returns no (id, id) self rows, but
+    still reports true cross-id duplicates."""
+    from cdc_connector_spark.ops.cluster import semdedup_index_lookup
+
+    probe = _df(spark, [(11, VC), (99, VC * 0.999)])  # 11 is in the index
+    hits = semdedup_index_lookup(
+        probe, str(tmp_path / "index"), threshold=0.98
+    ).collect()
+    assert all(r["batch_id"] != r["corpus_id"] for r in hits)
+    # 99 still matches corpus 11; 11's only suppressor would be itself
+    assert {(r["batch_id"], r["corpus_id"]) for r in hits} == {(99, 11)}

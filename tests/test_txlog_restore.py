@@ -144,3 +144,48 @@ def test_restore_rolls_back_widened_types(spark, tmp_path):
     # the rolled-back map survives the checkpoint + fresh-object replay
     reopened = TxLogMergeSink(spark, path, ["id"], num_buckets=4)
     assert dict(reopened.read().dtypes)["qty"] == "int"
+
+
+def test_vacuum_skips_files_resurrected_by_restore(spark, tmp_path):
+    """TOCTOU guard (r11 review): a restore re-adds files that a vacuum —
+    working from a snapshot taken before the restore — still considers
+    removed-beyond-horizon. vacuum must re-check liveness against the
+    fresh head and skip them, or the restored head references physically
+    deleted files. Sequenced deterministically here: restore first, then
+    a vacuum whose candidate set (removed_at <= horizon) includes the
+    resurrected files."""
+    path = str(tmp_path / "t")
+    sink = TxLogMergeSink(spark, path, ["id"], num_buckets=4, checkpoint_interval=100)
+    df_a = spark.createDataFrame([(1, "a"), (2, "a")], ROW_SCHEMA)
+    df_b = spark.createDataFrame([(1, "b"), (2, "b")], ROW_SCHEMA)
+    sink.overwrite(df_a)          # v0: A files live
+    sink.overwrite(df_b)          # v1: A removed at v1, B live
+    sink.restore(0)               # v2: A re-added, B removed at v2
+    # horizon = 2 - 0 = 2 >= both removal versions -> both are candidates;
+    # only B may actually be deleted (A is live again in the head)
+    deleted = sink.vacuum(retain_versions=0)
+    assert deleted > 0            # B's files really went
+    rows = {r["id"]: r["val"] for r in sink.read().collect()}
+    assert rows == {1: "a", 2: "a"}  # the restored head still reads
+
+
+def test_concurrent_bootstrap_append_keeps_both_batches(spark, tmp_path):
+    """Bootstrap race (r11 review): two first-writers race to create the
+    table. The loser previously routed through overwrite(), whose
+    conflict retry removes ALL live files — silently discarding the
+    winner's committed batch. The single-attempt bootstrap commit must
+    lose cleanly and fall through to a plain append."""
+    path = str(tmp_path / "t")
+    df_a = spark.createDataFrame([(1, "a"), (2, "a")], ROW_SCHEMA)
+    df_b = spark.createDataFrame([(3, "b"), (4, "b")], ROW_SCHEMA)
+    winner = TxLogMergeSink(spark, path, ["id"], num_buckets=4)
+    loser = TxLogMergeSink(spark, path, ["id"], num_buckets=4)
+    # both constructed against the EMPTY table; winner bootstraps first
+    winner.append(df_a)
+    # the loser's bootstrap attempt (what its append would try first)
+    # must lose the v0 race without removing anything...
+    assert loser._bootstrap_commit(df_b) is False
+    # ...and its append must land as a normal v1 append
+    loser.append(df_b)
+    rows = {r["id"]: r["val"] for r in TxLogMergeSink(spark, path).read().collect()}
+    assert rows == {1: "a", 2: "a", 3: "b", 4: "b"}  # NO lost batch
