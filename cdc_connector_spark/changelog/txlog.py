@@ -1329,19 +1329,41 @@ class TxLogMergeSink:
         # re-add a removed-beyond-horizon file with one metadata commit,
         # and deleting it would leave the new head referencing a
         # physically missing file (r11 review). The refresh shrinks the
-        # window to the unlink loop itself; restore's post-commit
-        # existence check closes the remainder loudly.
+        # window to the unlink loop itself; the POST-loop re-check below
+        # plus restore's post-commit existence check together detect the
+        # remainder in every interleaving (r12, ADVICE): whichever of
+        # (restore's commit) and (our final re-snapshot) happens second
+        # sees the conflict and raises.
         head = self._snapshot()
         live_now = set(head.files) | set(head.deltas)
         deleted = 0
+        unlinked: list[str] = []
         for rel in candidates:
             if rel in live_now:
                 continue  # resurrected by a restore since `snap`
             try:
                 os.unlink(os.path.join(self.path, rel))
                 deleted += 1
+                unlinked.append(rel)
             except FileNotFoundError:
                 pass
+        if unlinked:
+            # final re-check: a restore may have committed AFTER our
+            # pre-unlink snapshot but BEFORE an unlink, resurrecting a
+            # file we then deleted. If it committed after this check
+            # instead, restore's own post-commit existence check fires.
+            # Either way the torn head is reported loudly, never silent.
+            final = self._snapshot()
+            final_live = set(final.files) | set(final.deltas)
+            clobbered = [rel for rel in unlinked if rel in final_live]
+            if clobbered:
+                raise RuntimeError(
+                    f"vacuum raced a concurrent restore: head v{final.version} "
+                    f"references {len(clobbered)} file(s) this vacuum already "
+                    f"deleted (first: {clobbered[0]!r}); run "
+                    f"restore({final.version - 1}) to return to the "
+                    f"pre-restore head, whose files are intact"
+                )
         # empty commit dirs are cosmetic; sweep cheaply
         for d in os.listdir(self.data_dir):
             full = os.path.join(self.data_dir, d)

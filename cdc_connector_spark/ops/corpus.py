@@ -290,8 +290,10 @@ def remove_duplicated_spans(
     Scale shape: gram occurrences are (id, pos, hash) longs — the chained
     ``xxhash64`` combine from ``hashed_shingles``, positions kept — so the
     global frequency pass is ONE shuffle of longs; first-occurrence
-    arbitration rides the same aggregate as ``min(id·100000 + pos)``
-    (positions < 100000 — the packing contract), removed-span starts group
+    arbitration rides the same aggregate as a lexicographic
+    ``min(struct(id, pos))`` — no position/id packing, so documents of any
+    length are safe (r11 fixed a packed-key overflow for 100k+-token
+    docs), removed-span starts group
     back per doc (second shuffle), and the cut itself is a higher-order
     ``filter`` over the token array, no explode of surviving text. Never
     all-pairs, no driver materialization. Hash collisions can only MERGE

@@ -189,3 +189,43 @@ def test_concurrent_bootstrap_append_keeps_both_batches(spark, tmp_path):
     loser.append(df_b)
     rows = {r["id"]: r["val"] for r in TxLogMergeSink(spark, path).read().collect()}
     assert rows == {1: "a", 2: "a", 3: "b", 4: "b"}  # NO lost batch
+
+
+def test_vacuum_detects_restore_committed_mid_unlink(spark, tmp_path, monkeypatch):
+    """TOCTOU remainder (r12, ADVICE): a restore that commits AFTER
+    vacuum's pre-unlink re-snapshot but BEFORE the unlink loop finishes
+    passes its own post-commit existence check (the files are still on
+    disk at that instant), then vacuum deletes them — the new head would
+    silently reference missing files. vacuum's post-loop re-snapshot must
+    catch exactly this interleaving and raise with the recovery path."""
+    import cdc_connector_spark.changelog.txlog as txlog_mod
+
+    path = str(tmp_path / "t")
+    sink = TxLogMergeSink(spark, path, ["id"], num_buckets=4, checkpoint_interval=100)
+    df_a = spark.createDataFrame([(1, "a"), (2, "a")], ROW_SCHEMA)
+    df_b = spark.createDataFrame([(1, "b"), (2, "b")], ROW_SCHEMA)
+    sink.overwrite(df_a)  # v0: A files live
+    sink.overwrite(df_b)  # v1: A removed at v1, B live
+
+    restorer = TxLogMergeSink(spark, path, ["id"], num_buckets=4)
+    real_unlink = os.unlink
+    fired = {"done": False}
+
+    def racing_unlink(p, *a, **kw):
+        # first data-file unlink: a concurrent restore(0) commits first
+        # (its post-commit check passes — the file still exists), THEN
+        # the unlink lands, tearing the restored head.
+        if not fired["done"] and p.endswith(".parquet"):
+            fired["done"] = True
+            restorer.restore(0)  # v2: resurrects the A files
+        return real_unlink(p, *a, **kw)
+
+    monkeypatch.setattr(txlog_mod.os, "unlink", racing_unlink)
+    with pytest.raises(RuntimeError, match="raced a concurrent restore"):
+        sink.vacuum(retain_versions=0)
+    assert fired["done"]
+    monkeypatch.undo()
+    # recovery path from the error message: back to the pre-restore head
+    sink.restore(2 - 1)
+    rows = {r["id"]: r["val"] for r in TxLogMergeSink(spark, path).read().collect()}
+    assert rows == {1: "b", 2: "b"}  # v1's files are intact and readable
