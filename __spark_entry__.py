@@ -1411,6 +1411,76 @@ def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
 
 
+def fuzzy_gated_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution with a deterministic attribute gate (NEW r12,
+    verdict ask): same blocked fuzzy match as ``fuzzy_match_customers``
+    but candidates only form between customers in the SAME nation —
+    ``extra_block_cols`` ANDs c_nationkey into the blocking join key, so
+    the gate narrows the candidate self-join by the attribute
+    cardinality instead of filtering verified pairs after the fact (the
+    golden_record gated-blocking shape, measured 8.2× at 10× in SCALING
+    §4o). Output provably equals fuzzy_match_customers ∩
+    nation-equality (pytest identity pin incl. NULL-matches-nothing);
+    the oracle replays blocking + gate + cap + verify end-to-end.
+    Value-verified."""
+    from cdc_connector_spark.ops.fuzzy import fuzzy_pairs
+
+    return fuzzy_pairs(
+        _t(spark, sf_dir, "customer"),
+        text_col="c_name",
+        id_col="c_custkey",
+        max_dist=1,
+        block="qgram",
+        extra_block_cols=("c_nationkey",),
+    ).select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+
+
+def fuzzy_prefix_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-PRESERVING fuzzy blocking (NEW r12, verdict ask): Ed-Join
+    prefix filtering — each record keeps only its q·max_dist + 1 = 4
+    globally-RAREST 3-grams (doc-frequency ASC, gram ASC order), and any
+    pair within the edit budget provably still shares a kept gram (the
+    prefix-intersection theorem; ops/fuzzy.py::_prefix_select). Unlike
+    the frequency cap, nothing is dropped, so this mode returns the
+    EXACT Levenshtein ≤ 1 pair set on any corpus — including the
+    uniform-key shape where cap mode's recall collapses to zero
+    (SCALING §4o/§4p). The oracle replays selection (row_number over
+    the same total order), candidate join, |len| prefilter, and verify.
+    Value-verified; output ⊇ fuzzy_match_customers pytest-pinned."""
+    from cdc_connector_spark.ops.fuzzy import fuzzy_pairs
+
+    return fuzzy_pairs(
+        _t(spark, sf_dir, "customer"),
+        text_col="c_name",
+        id_col="c_custkey",
+        max_dist=1,
+        block="qgram",
+        selection="prefix",
+    ).select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+
+
+def fuzzy_delete_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-neighborhood fuzzy blocking (NEW r12): SymSpell-style
+    keys — every ≤1-deletion variant of the normalized name — give a
+    LOSSLESS Levenshtein ≤ 1 match whose posting lists are bounded by
+    the one-edit family size (≤ ~len·|Σ| strings), NOT the corpus: the
+    mode that stays ~linear at 10× on uniform key-like names where both
+    the frequency cap (recall → 0) and prefix filtering (candidates →
+    quadratic) degrade (SCALING §4p). Pure built-ins (transform/
+    substring/explode — no UDF). Oracle replays the neighborhood
+    derivation + join + |len| prefilter + verify. Output must equal the
+    prefix entry's exactly (both lossless at d=1). Value-verified."""
+    from cdc_connector_spark.ops.fuzzy import fuzzy_pairs
+
+    return fuzzy_pairs(
+        _t(spark, sf_dir, "customer"),
+        text_col="c_name",
+        id_col="c_custkey",
+        max_dist=1,
+        block="delete",
+    ).select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+
+
 def budget_mixture_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-ops (NEW r7): token-budget mixture selection (the Pile/Dolma
     data-recipe step) — per-source integer token targets (6-decimal weight
@@ -4079,6 +4149,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_stream_merge_orders": profile_stream_merge_orders,
         # --- NEW in round 12 (window-resident: never driver-checked) ---
         "lateness_profile_events": lateness_profile_events,
+        # --- NEW in round 12, second batch (ride the tail tripwire:
+        # the saturated window re-checks fuzzy_match/golden_record —
+        # the shared blocking path — in their place; these two are
+        # value-verified at sf0.001 on every commit and at 3 SFs at
+        # creation, and rotate into the r13 window) ---
+        "fuzzy_gated_customers": fuzzy_gated_customers,
+        "fuzzy_prefix_customers": fuzzy_prefix_customers,
+        "fuzzy_delete_customers": fuzzy_delete_customers,
     }
     assert len(_R12_WINDOW) == 50 and set(_R12_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -5521,6 +5599,104 @@ def oracle_sql() -> dict[str, str]:
             ), cand AS (
                 SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
                 FROM iv a JOIN iv b ON a.g = b.g AND a.id < b.id
+                WHERE abs(len(a.s) - len(b.s)) <= 1
+            )
+            SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
+            FROM cand
+            WHERE levenshtein(sa, sb) <= 1
+        """,
+        # Gated fuzzy matching (r12): the same blocked algorithm with
+        # c_nationkey ANDed into the candidate join key — the gate runs
+        # INSIDE blocking (candidates only between same-nation records);
+        # the gram-frequency cap stays GLOBAL (computed before the
+        # gate), exactly like the Spark side.
+        "fuzzy_gated_customers": """
+            WITH b AS (
+                SELECT c_custkey AS id, c_nationkey AS nat,
+                       regexp_replace(trim(lower(coalesce(c_name,''))), '\\s+', ' ', 'g') AS s
+                FROM customer
+            ), nb AS (
+                SELECT id, nat, s FROM b WHERE s <> ''
+            ), inv AS (
+                SELECT DISTINCT id, nat, s, g FROM (
+                    SELECT id, nat, s,
+                           unnest(list_transform(range(1, greatest(len(s) - 2, 1) + 1),
+                                  i -> substring(s, CAST(i AS INT), 3))) AS g
+                    FROM nb
+                )
+            ), ok AS (
+                SELECT g FROM inv GROUP BY g HAVING COUNT(*) <= 1000
+            ), iv AS (
+                SELECT inv.id, inv.nat, inv.s, inv.g FROM inv JOIN ok ON inv.g = ok.g
+            ), cand AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+                FROM iv a JOIN iv b
+                  ON a.g = b.g AND a.nat = b.nat AND a.id < b.id
+                WHERE abs(len(a.s) - len(b.s)) <= 1
+            )
+            SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
+            FROM cand
+            WHERE levenshtein(sa, sb) <= 1
+        """,
+        # Prefix-filtered fuzzy matching (r12): Ed-Join selection
+        # replayed — per-record row_number over the global
+        # (doc-frequency ASC, gram ASC) order, keep rn <= q*d+1 = 4,
+        # then the same candidate join + |len| prefilter + verify. No
+        # frequency cap anywhere (the recall guarantee).
+        "fuzzy_prefix_customers": """
+            WITH b AS (
+                SELECT c_custkey AS id,
+                       regexp_replace(trim(lower(coalesce(c_name,''))), '\\s+', ' ', 'g') AS s
+                FROM customer
+            ), nb AS (
+                SELECT id, s FROM b WHERE s <> ''
+            ), inv AS (
+                SELECT DISTINCT id, s, g FROM (
+                    SELECT id, s,
+                           unnest(list_transform(range(1, greatest(len(s) - 2, 1) + 1),
+                                  i -> substring(s, CAST(i AS INT), 3))) AS g
+                    FROM nb
+                )
+            ), fr AS (
+                SELECT g, COUNT(*) AS f FROM inv GROUP BY g
+            ), sel AS (
+                SELECT id, s, g FROM (
+                    SELECT inv.id, inv.s, inv.g,
+                           row_number() OVER (PARTITION BY inv.id
+                                              ORDER BY fr.f ASC, inv.g ASC) AS rn
+                    FROM inv JOIN fr ON inv.g = fr.g
+                ) WHERE rn <= 4
+            ), cand AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+                FROM sel a JOIN sel b ON a.g = b.g AND a.id < b.id
+                WHERE abs(len(a.s) - len(b.s)) <= 1
+            )
+            SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
+            FROM cand
+            WHERE levenshtein(sa, sb) <= 1
+        """,
+        # Deletion-neighborhood fuzzy matching (r12): SymSpell keys
+        # replayed — the string itself plus every 1-deletion variant,
+        # distinct, then the same candidate join + prefilter + verify.
+        "fuzzy_delete_customers": """
+            WITH b AS (
+                SELECT c_custkey AS id,
+                       regexp_replace(trim(lower(coalesce(c_name,''))), '\\s+', ' ', 'g') AS s
+                FROM customer
+            ), nb AS (
+                SELECT id, s FROM b WHERE s <> ''
+            ), inv AS (
+                SELECT DISTINCT id, s, k FROM (
+                    SELECT id, s,
+                           unnest(list_distinct(list_prepend(s,
+                               list_transform(range(1, len(s) + 1),
+                                   i -> substring(s, 1, CAST(i AS INT) - 1)
+                                        || substring(s, CAST(i AS INT) + 1, len(s)))))) AS k
+                    FROM nb
+                )
+            ), cand AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+                FROM inv a JOIN inv b ON a.k = b.k AND a.id < b.id
                 WHERE abs(len(a.s) - len(b.s)) <= 1
             )
             SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS BIGINT) AS dist

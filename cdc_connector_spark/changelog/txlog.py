@@ -726,47 +726,68 @@ class TxLogMergeSink:
 
     def overwrite(self, df: DataFrame) -> None:
         """Full snapshot load (S10 analogue): add the new file set, remove
-        every live file, in one atomic commit."""
-        for _ in range(self.max_commit_retries):
-            snap = self._snapshot()
-            version = snap.version + 1
-            meta = {
-                "key_cols": self.key_cols,
-                "num_buckets": self.num_buckets,
-                "columns": list(df.columns),
-            }
-            mapping = snap.mapping
-            if mapping is not None:
-                # logical ids are stable across an overwrite; columns absent
-                # from the new frame are dropped -> tombstone their physicals
-                mapping, _ = self._extend_mapping(
-                    mapping, snap.tombstones, list(df.columns)
-                )
-                tombstones = list(snap.tombstones)
-                tombstones += [p for l, p in mapping.items() if l not in df.columns]
-                mapping = {l: p for l, p in mapping.items() if l in df.columns}
-                meta["column_mapping"] = mapping
-                meta["physical_tombstones"] = tombstones
-            adds = self._write_files(
-                self._to_physical(df, mapping), n_shuffle=self._default_shuffle()
-            )
-            actions = [
-                {"metaData": meta},
-                *adds,
-                *(
-                    {"remove": {"path": p, "bucket": b}}
-                    for p, b in sorted({**snap.files, **snap.deltas}.items())
-                ),
-                {"commitInfo": {"operation": "OVERWRITE", "ts": time.time()}},
-            ]
-            try:
-                self._try_commit(version, actions)
-            except CommitConflict:
+        every live file, in one atomic commit.
+
+        Conflict retry is STAGE-ONCE (r12, the r11 review's deferred
+        lead): the staged data files depend on the snapshot only through
+        the column MAPPING (physical column names), so on a lost commit
+        race the retry re-reads the log and re-derives only the ACTIONS
+        (fresh removes, fresh version) and re-commits the SAME staged
+        files — rewriting the O(table) data because a metadata race was
+        lost would double a full snapshot load at 100 TB. If the
+        conflicting commit changed the mapping (a concurrent DDL), the
+        staged physical schema is stale: discard and re-stage — the one
+        case that genuinely needs it."""
+        adds: list[dict] | None = None
+        staged_mapping: dict | None = None
+        try:
+            for _ in range(self.max_commit_retries):
+                snap = self._snapshot()
+                version = snap.version + 1
+                meta = {
+                    "key_cols": self.key_cols,
+                    "num_buckets": self.num_buckets,
+                    "columns": list(df.columns),
+                }
+                mapping = snap.mapping
+                if mapping is not None:
+                    # logical ids are stable across an overwrite; columns absent
+                    # from the new frame are dropped -> tombstone their physicals
+                    mapping, _ = self._extend_mapping(
+                        mapping, snap.tombstones, list(df.columns)
+                    )
+                    tombstones = list(snap.tombstones)
+                    tombstones += [p for l, p in mapping.items() if l not in df.columns]
+                    mapping = {l: p for l, p in mapping.items() if l in df.columns}
+                    meta["column_mapping"] = mapping
+                    meta["physical_tombstones"] = tombstones
+                if adds is None or staged_mapping != mapping:
+                    if adds is not None:
+                        self._discard(adds)
+                    adds = self._write_files(
+                        self._to_physical(df, mapping), n_shuffle=self._default_shuffle()
+                    )
+                    staged_mapping = mapping
+                actions = [
+                    {"metaData": meta},
+                    *adds,
+                    *(
+                        {"remove": {"path": p, "bucket": b}}
+                        for p, b in sorted({**snap.files, **snap.deltas}.items())
+                    ),
+                    {"commitInfo": {"operation": "OVERWRITE", "ts": time.time()}},
+                ]
+                try:
+                    self._try_commit(version, actions)
+                except CommitConflict:
+                    continue
+                adds = None  # committed: nothing left to clean up
+                self._maybe_checkpoint(version)
+                return
+            raise RuntimeError(f"overwrite lost {self.max_commit_retries} commit races")
+        finally:
+            if adds is not None:
                 self._discard(adds)
-                continue
-            self._maybe_checkpoint(version)
-            return
-        raise RuntimeError(f"overwrite lost {self.max_commit_retries} commit races")
 
     def apply(self, changes: DataFrame) -> None:
         """MERGE one micro-batch (ST2) under optimistic concurrency.

@@ -426,6 +426,7 @@ def ivf_recluster(
     n_centroids: int | None = None,
     sample_size: int = 4096,
     seed: int = 7,
+    centroids=None,
 ) -> dict:
     """Full re-cluster of a drifted IVF layout: retrain centroids on the
     CURRENT table (bounded sample), rewrite the layout into a temp dir,
@@ -448,7 +449,12 @@ def ivf_recluster(
     with open(os.path.join(path, "_CENTROIDS")) as f:
         k = n_centroids or len(json.load(f))
     current = spark.read.parquet(path).drop("centroid_id")
-    C = ivf_train_centroids(current, vec_col, n_centroids=k, sample_size=sample_size, seed=seed)
+    if centroids is not None:
+        # caller already trained (ivf_refresh drew and scored the
+        # candidate set) — don't repeat the sample + Lloyd pass
+        C = np.asarray(centroids, dtype=np.float64)
+    else:
+        C = ivf_train_centroids(current, vec_col, n_centroids=k, sample_size=sample_size, seed=seed)
     tmp = path.rstrip("/") + ".recluster.tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     ivf_write(current, tmp, C, vec_col=vec_col, mode="overwrite")
@@ -465,6 +471,81 @@ def ivf_recluster(
     with open(os.path.join(path, "_CELLS")) as f:
         counts = {int(a): b for a, b in json.load(f).items()}
     return {"cells": len(counts), "imbalance": ivf_cell_imbalance(counts)}
+
+
+def ivf_refresh(
+    spark,
+    path: str,
+    vec_col: str = "embedding",
+    deadband: float = 0.02,
+    imbalance_threshold: float = 3.0,
+    sample_size: int = 4096,
+    seed: int = 7,
+) -> dict:
+    """Drift-triggered IVF maintenance with a DEADBAND: re-cluster the
+    layout only when the stored centroids measurably no longer fit the
+    current table — the closed loop on top of ``ivf_append``'s
+    recommendation flag (a drifting corpus silently degrades pruned-
+    probe recall; an unconditional scheduled recluster wastes an
+    O(table) rewrite when nothing moved).
+
+    Decision inputs, both cheap relative to the rewrite they gate:
+    - **fit churn**: quantization fit = mean over the bounded seeded
+      sample (``_bounded_sample_matrix`` — the same contract the
+      trainers use) of max-cosine(vector, centroid). A CANDIDATE
+      centroid set is retrained on the current table
+      (``ivf_train_centroids``, one bounded sample + in-memory Lloyd
+      pass) and ``churn = fit_candidate − fit_current``. Undrifted
+      layout ⇒ retraining reproduces ≈ the same fit ⇒ churn ≈ 0 stays
+      inside the deadband and NO rewrite happens; after drift the old
+      centroids underfit the new mass and churn crosses it. Scoring
+      uses the sample matrix, never the table.
+    - **imbalance** (max cell / mean cell, parquet-footer counts via
+      ``_CELLS``): the same dial ``ivf_append`` exposes — a funnel of
+      new vectors into few cells triggers even if overall fit moved
+      less than the deadband.
+
+    Triggered ⇒ ``ivf_recluster`` runs with the ALREADY-trained
+    candidate centroids (no second training pass) and the usual swap
+    semantics. Returns fit_current/fit_candidate/churn/imbalance,
+    ``reclustered``, and post-recluster cells/imbalance when it ran.
+
+    At 100 TB: the decision costs one bounded sample collect + one
+    footer-metadata count; the O(table) rewrite runs only when the
+    measured churn or imbalance says the recall budget is actually at
+    risk."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_CENTROIDS")) as f:
+        C_old = np.asarray(json.load(f), dtype=np.float64)
+    with open(os.path.join(path, "_CELLS")) as f:
+        counts = {int(a): b for a, b in json.load(f).items()}
+    imb = ivf_cell_imbalance(counts)
+    current = spark.read.parquet(path).drop("centroid_id")
+    C_new = ivf_train_centroids(
+        current, vec_col, n_centroids=len(C_old), sample_size=sample_size, seed=seed
+    )
+    M = _bounded_sample_matrix(current, vec_col, sample_size, seed)
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    fit_current = float((M @ C_old.T).max(axis=1).mean())
+    fit_candidate = float((M @ C_new.T).max(axis=1).mean())
+    churn = fit_candidate - fit_current
+    out = {
+        "fit_current": fit_current,
+        "fit_candidate": fit_candidate,
+        "churn": churn,
+        "imbalance": imb,
+        "reclustered": churn > deadband or imb > imbalance_threshold,
+    }
+    if out["reclustered"]:
+        r = ivf_recluster(
+            spark, path, vec_col=vec_col, n_centroids=len(C_old),
+            sample_size=sample_size, seed=seed, centroids=C_new,
+        )
+        out["cells"] = r["cells"]
+        out["imbalance_after"] = r["imbalance"]
+    return out
 
 
 def ivf_read_topk(

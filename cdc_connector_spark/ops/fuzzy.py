@@ -19,13 +19,43 @@ Spark-first shape, same discipline as the shingle family:
 - the verify is the built-in JVM ``levenshtein`` — codegen, no UDF.
 
 At 100 TB: cost is O(Σ posting-list²) bounded by the frequency cap +
-O(candidates · len²) verify; both knobs are explicit.
+O(candidates · len²) verify; both knobs are explicit. On corpora where
+EVERY key is hot (uniform synthetic names — the r11 10× rehearsal,
+SCALING §4o), the cap trades recall to zero when it binds; the
+recall-PRESERVING alternative is ``selection="prefix"`` (Ed-Join
+prefix filtering, Xiao/Wang/Lin VLDB'08): keep only each record's
+q·max_dist + 1 globally-RAREST keys — any pair within the edit budget
+must still share a kept key (an edit destroys at most q distinct
+q-grams / 2 tokens, so the two prefix sets provably intersect), while
+candidate volume tracks the rare-key posting lists instead of Σ f².
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _delete_neighborhood(s, max_dist: int):
+    """Column expression: array of every string obtainable from ``s``
+    by deleting up to ``max_dist`` characters (the SymSpell key set) —
+    includes ``s`` itself (0 deletions). Pure built-ins: one
+    ``transform`` per deletion level, flattened."""
+    def deletes(col):
+        n = F.length(col)
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            # drop the i-th char: prefix [1, i) ++ suffix (i, n]
+            lambda i: F.concat(
+                F.substring(col, F.lit(1), i - 1), F.substring(col, i + 1, n)
+            ),
+        )
+
+    levels = [F.array(s)]
+    for _ in range(max_dist):
+        prev = levels[-1]
+        levels.append(F.flatten(F.transform(prev, lambda v: deletes(v))))
+    return F.array_distinct(F.concat(*levels))
 
 
 def _blocking_index(
@@ -35,14 +65,20 @@ def _blocking_index(
     block: str,
     qgram: int,
     extra_block_cols: tuple[str, ...] = (),
+    max_dist: int = 0,
 ) -> DataFrame:
     """(__id, __s, __k [, __x_*]) inverted index — the shared key
     derivation of ``fuzzy_pairs`` and ``fuzzy_dropped_keys`` (one
     definition so the audit can never drift from what the matcher
     actually blocks on). ``extra_block_cols`` are carried as __x_<col>
-    columns for deterministic-attribute gating in the candidate join."""
-    if block not in ("token", "qgram"):
-        raise ValueError(f"block must be token/qgram, got {block!r}")
+    columns for deterministic-attribute gating in the candidate join.
+    ``block="delete"`` keys on the ≤``max_dist``-deletion neighborhood
+    (SymSpell): two strings within Levenshtein ``max_dist`` ALWAYS share
+    a key (delete each side's edit-touched characters from the common
+    alignment — ≤ max_dist deletions per side reach a common string),
+    so the index is complete with NO cap and no selection step."""
+    if block not in ("token", "qgram", "delete"):
+        raise ValueError(f"block must be token/qgram/delete, got {block!r}")
     norm = F.regexp_replace(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " ")
     base = df.select(
         F.col(id_col).alias("__id"),
@@ -50,18 +86,22 @@ def _blocking_index(
         *[F.col(c).alias(f"__x_{c}") for c in extra_block_cols],
     ).filter(F.col("__s") != "")
     if block == "token":
-        keys = F.split(F.col("__s"), " ")
-    else:
+        keys = F.array_distinct(F.split(F.col("__s"), " "))
+    elif block == "qgram":
         n = F.length("__s")
         m = F.greatest(n - (qgram - 1), F.lit(1))
-        keys = F.transform(
-            F.sequence(F.lit(1), m), lambda i: F.substring(F.col("__s"), i, qgram)
+        keys = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), m), lambda i: F.substring(F.col("__s"), i, qgram)
+            )
         )
+    else:
+        keys = _delete_neighborhood(F.col("__s"), max_dist)
     return base.select(
         "__id",
         "__s",
         *[f"__x_{c}" for c in extra_block_cols],
-        F.explode(F.array_distinct(keys)).alias("__k"),
+        F.explode(keys).alias("__k"),
     )
 
 
@@ -135,6 +175,70 @@ def fuzzy_blocking_coverage(
     )
 
 
+def fuzzy_prefix_hotspots(
+    df: DataFrame,
+    text_col: str = "name",
+    id_col: str = "id",
+    max_dist: int = 2,
+    block: str = "token",
+    qgram: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """The COST audit for ``selection="prefix"``: (key, n_records) of
+    the largest post-selection posting lists, largest first. Prefix
+    selection never loses recall, so its failure axis is candidate
+    VOLUME, not blindness — a kept key with an n-record posting list
+    contributes ~n²/2 candidate pairs. Big rows here mean many records
+    whose q·max_dist+1 RAREST keys coincide (near-identical records —
+    where true matches are dense — or a corpus whose key-frequency
+    histogram is flat); that cost is inherent to the match density, but
+    this audit prices it before the join runs."""
+    inv = _blocking_index(df, text_col, id_col, block, qgram)
+    kept = _prefix_select(inv, block, qgram, max_dist, ())
+    return (
+        kept.groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .orderBy(F.col("n_records").desc(), F.col("__k").asc())
+        .select(F.col("__k").alias("key"), "n_records")
+        .limit(top_k)
+    )
+
+
+def _prefix_select(
+    inv: DataFrame,
+    block: str,
+    qgram: int,
+    max_dist: int,
+    extra_block_cols: tuple[str, ...],
+) -> DataFrame:
+    """Ed-Join prefix selection over the inverted index: keep each
+    record's ``plen`` rarest keys under the global total order
+    (doc-frequency ASC, key ASC — ties broken identically everywhere,
+    the condition for the prefix-intersection theorem).
+
+    Completeness (why plen is what it is): one edit destroys at most
+    ``qgram`` distinct q-grams (only grams overlapping the edit window
+    can lose their last occurrence) or at most 2 tokens (a space
+    deletion merges two), so ed ≤ d ⇒ |keys(a) ∖ keys(b)| ≤ u·d with
+    u = qgram or 2, i.e. overlap ≥ |keys(a)| − u·d; by the prefix
+    filtering principle the (u·d + 1)-prefixes of both sides under any
+    shared total order must then intersect. Frequencies are computed on
+    the FULL index (before any attribute gate) — any consistent global
+    order preserves the theorem, and sharing one keeps the audit and
+    the matcher aligned."""
+    plen = (qgram if block == "qgram" else 2) * max_dist + 1
+    freq = inv.groupBy("__k").agg(F.count(F.lit(1)).alias("__f"))
+    # no broadcast hint: |distinct keys| is corpus-scale; co-partition
+    # on __k, then one record-keyed window picks the prefix
+    w = Window.partitionBy("__id").orderBy(F.col("__f").asc(), F.col("__k").asc())
+    return (
+        inv.join(freq, "__k")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= plen)
+        .select("__id", "__s", *[f"__x_{c}" for c in extra_block_cols], "__k")
+    )
+
+
 def fuzzy_pairs(
     df: DataFrame,
     text_col: str = "name",
@@ -144,6 +248,7 @@ def fuzzy_pairs(
     block: str = "token",
     qgram: int = 3,
     extra_block_cols: tuple[str, ...] = (),
+    selection: str = "cap",
 ) -> DataFrame:
     """(id_a < id_b, dist) pairs with Levenshtein(normalized names) ≤
     ``max_dist``. Normalization = lower + trim + whitespace collapse
@@ -164,17 +269,62 @@ def fuzzy_pairs(
     attrs) cap would revive stop-grams whose per-block frequency dips
     under it (Σ f² per block explodes at scale) — measured in the r11
     rehearsal. Output equals
-    ``fuzzy_pairs(...)`` ∩ attribute-equality exactly."""
+    ``fuzzy_pairs(...)`` ∩ attribute-equality exactly.
+
+    ``selection`` picks the candidate-pruning strategy:
+    - ``"cap"`` (default): drop keys with doc-frequency >
+      ``max_token_freq`` — cheap, but records whose EVERY key is hot
+      become invisible (audit with ``fuzzy_blocking_coverage``).
+    - ``"prefix"``: Ed-Join prefix filtering — keep each record's
+      (q·max_dist + 1) globally-rarest keys; ZERO recall loss by the
+      prefix-intersection theorem (see ``_prefix_select``), output ⊇
+      the cap-mode output at any cap. ``max_token_freq`` is IGNORED
+      (a drop would void the guarantee); audit candidate cost with
+      ``fuzzy_prefix_hotspots``. The right mode for SKEWED-frequency
+      corpora where the cap over-binds (SCALING §4o/§4p) — but on
+      UNIFORM keys its rare-gram posting lists still grow ∝ corpus,
+      so candidates grow ~quadratically (measured, §4p).
+
+    ``block="delete"`` is the lossless mode that also stays ~LINEAR on
+    uniform keys (SymSpell deletion-neighborhood blocking, max_dist ≤ 2
+    only — key count per record is C(len, d)): keys are every
+    ≤max_dist-deletion variant of the normalized string, so postings
+    are bounded by the alphabet-sized family of strings one edit apart
+    — independent of corpus size unless true duplicates are dense
+    (where the candidates ARE the matches). No cap and no selection
+    apply (both would void completeness; ``selection="prefix"`` is
+    rejected, ``max_token_freq`` ignored). Built for short key-like
+    strings (names, codes); prefer qgram+prefix for long text."""
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
-    inv = _blocking_index(df, text_col, id_col, block, qgram, extra_block_cols)
-    ok = (
-        inv.groupBy("__k")
-        .agg(F.count(F.lit(1)).alias("__f"))
-        .filter(F.col("__f") <= max_token_freq)
-        .select("__k")
+    if selection not in ("cap", "prefix"):
+        raise ValueError(f"selection must be cap/prefix, got {selection!r}")
+    if block == "delete":
+        if max_dist > 2:
+            raise ValueError(
+                "block='delete' supports max_dist <= 2 (key count per "
+                f"record is C(len, d)); got {max_dist}"
+            )
+        if selection == "prefix":
+            raise ValueError(
+                "block='delete' is already complete without selection; "
+                "selection='prefix' does not compose with it"
+            )
+    inv = _blocking_index(
+        df, text_col, id_col, block, qgram, extra_block_cols, max_dist=max_dist
     )
-    inv = inv.join(F.broadcast(ok), "__k")
+    if block == "delete":
+        pass  # complete, self-bounding index: no cap, no selection
+    elif selection == "prefix":
+        inv = _prefix_select(inv, block, qgram, max_dist, extra_block_cols)
+    else:
+        ok = (
+            inv.groupBy("__k")
+            .agg(F.count(F.lit(1)).alias("__f"))
+            .filter(F.col("__f") <= max_token_freq)
+            .select("__k")
+        )
+        inv = inv.join(F.broadcast(ok), "__k")
     xcols = [f"__x_{c}" for c in extra_block_cols]
     l = inv.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"), "__k", *xcols)
     r = inv.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"), "__k", *xcols)

@@ -584,9 +584,23 @@ def link_prediction(
     against existing edges.
 
     Returns top-``top`` rows (node_a, node_b, common_neighbors,
-    ra_score_micro) ordered by (ra desc, cn desc, node_a, node_b)."""
-    sym = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
-        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    ra_score_micro) ordered by (ra desc, cn desc, node_a, node_b).
+
+    Input is canonicalized defensively (self-loops dropped, direction
+    ignored, parallel edges collapsed) — r12 review: the previous
+    docstring-only precondition meant a caller passing raw
+    both-orientation or duplicated edges got silently DOUBLED degrees
+    and wedge counts; on already-canonical input the distinct is
+    value-invisible."""
+    canon = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .distinct()
+    )
+    sym = canon.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
+        canon.select(F.col("dst").alias("a"), F.col("src").alias("b"))
     )
     deg = sym.groupBy(F.col("a").alias("z")).agg(F.count(F.lit(1)).alias("deg"))
     centers = deg.filter(F.col("deg") <= max_center_degree).withColumn(
@@ -609,7 +623,7 @@ def link_prediction(
         F.count(F.lit(1)).alias("common_neighbors"),
         F.sum("ra_micro").alias("ra_score_micro"),
     )
-    existing = edges.select(F.col("src").alias("node_a"), F.col("dst").alias("node_b"))
+    existing = canon.select(F.col("src").alias("node_a"), F.col("dst").alias("node_b"))
     return (
         scored.join(existing, ["node_a", "node_b"], "left_anti")
         .orderBy(

@@ -306,16 +306,20 @@ def tfidf(
     stated plainly so the SQL twin can re-derive it verbatim.
 
     Shape: term frequencies (one shuffle), document frequencies as an agg
-    over them (second shuffle on term), then a broadcast join of the (term,
-    df) side and a broadcast of the single-row N — the corpus never rides a
-    shuffle twice and nothing collects to the driver. ``min_tf`` prunes the
-    long tail before the join (at 100 TB the tf=1 tail dominates rows but
-    carries ~no ranking signal)."""
+    over them (second shuffle on term), then an equi-join of the (term,
+    df) side — NO broadcast hint (r12 review): the df table is
+    VOCABULARY-sized, and a web corpus's vocabulary is itself
+    corpus-scale (the tf=1 tail); a forced broadcast that fits at
+    fixture scale OOMs the driver at 100 TB, while the plain join
+    co-partitions on term and AQE still broadcasts when it measures
+    small. The single-row N rides a broadcast. ``min_tf`` prunes the
+    long tail before the join (at 100 TB the tf=1 tail dominates rows
+    but carries ~no ranking signal)."""
     tf = term_frequencies(df, text_col, id_col).filter(F.col("tf") >= min_tf)
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = df.agg(F.countDistinct(F.col(id_col)).alias("__n"))
     return (
-        tf.join(F.broadcast(docfreq), "term")
+        tf.join(docfreq, "term")
         .crossJoin(F.broadcast(n))
         .select(
             F.col(id_col),
@@ -912,8 +916,12 @@ def pmi_bigrams(
 
     Shape: one postings lineage — tokens explode once for unigram counts
     and once (shifted-slice zip_with) for bigram counts; the (term,count)
-    sides broadcast onto the bigram table (vocabulary-sized, never
-    corpus-sized). Ties on PMI break by bigram text ascending."""
+    sides equi-join onto the bigram table with NO broadcast hint (r12
+    review: the unigram table is VOCABULARY-sized — corpus-scale on web
+    text — and a forced broadcast that fits at fixture scale OOMs the
+    driver at 100 TB; the plain join co-partitions on the term and AQE
+    still broadcasts when it measures small). Ties on PMI break by
+    bigram text ascending."""
     toks = tokenize(F.lower(F.col(text_col)))
     uni = (
         df.select(F.explode(toks).alias("w"))
@@ -935,8 +943,8 @@ def pmi_bigrams(
     return (
         bi.withColumn("__x", parts[0])
         .withColumn("__y", parts[1])
-        .join(F.broadcast(uni.withColumnRenamed("w", "__x").withColumnRenamed("c", "c_x")), "__x")
-        .join(F.broadcast(uni.withColumnRenamed("w", "__y").withColumnRenamed("c", "c_y")), "__y")
+        .join(uni.withColumnRenamed("w", "__x").withColumnRenamed("c", "c_x"), "__x")
+        .join(uni.withColumnRenamed("w", "__y").withColumnRenamed("c", "c_y"), "__y")
         .crossJoin(F.broadcast(n_uni))
         .crossJoin(F.broadcast(n_bi))
         .select(
@@ -1168,9 +1176,15 @@ def top_terms_per_source(
     Deterministic total order (score desc, tf desc, term asc); exact
     integer counts, ONE ln expression rounded 6. The rank window runs
     over the collapsed (source, term) table — bounded by
-    |sources|·|vocabulary|, never the corpus."""
+    |sources|·|vocabulary|, never the corpus. The source-df comes from
+    a WINDOW count over that same table (r12 review: the previous
+    join-against-own-aggregate re-derived the corpus explode — exchange
+    reuse doesn't fire across differentially-pruned subtrees, the
+    unigram_nll lesson)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window as W
+
     toks = df.select(
         F.coalesce(F.col(source_col).cast("string"), F.lit("<NULL>")).alias("source"),
         F.explode(tokenize(F.lower(F.col(text_col)))).alias("term"),
@@ -1180,11 +1194,11 @@ def top_terms_per_source(
         .agg(F.count(F.lit(1)).alias("tf"))
         .filter(F.col("tf") >= min_tf)
     )
-    sdf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("sdf"))
+    # one row per (source, term) -> per-term row count IS the source-df
+    tf = tf.withColumn("sdf", F.count(F.lit(1)).over(W.partitionBy("term")))
     n_src = tf.select("source").distinct().agg(F.count(F.lit(1)).alias("__ns"))
     scored = (
-        tf.join(sdf, "term")
-        .join(F.broadcast(n_src))
+        tf.join(F.broadcast(n_src))
         .select(
             "source",
             "term",

@@ -34,6 +34,41 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _daily_counts(
+    df: DataFrame,
+    ts_col: str,
+    type_col: str,
+    day: str = "iso",
+    checkpoint: bool = False,
+) -> DataFrame:
+    """The (type, day) collapse every daily-series operator in this
+    module starts from — ONE definition (r12 review: the block was
+    copy-pasted nine times, and the copies had silently diverged on the
+    eager-checkpoint discipline). Returns (event_type, day, n) with
+    ``day`` an ISO string (``day="iso"``) or a unix day number
+    (``day="unix"``).
+
+    ``checkpoint=True`` eagerly localCheckpoints the collapsed frame —
+    REQUIRED whenever the caller references it more than once: the
+    collapse is the only corpus-sized scan in these operators, and each
+    lazy reference re-derives it (a 2-consumer op reads a 100 TB events
+    table twice; the materialized frame is types×days rows). Single-
+    consumer callers pass False and stay fully lazy (the
+    triangle_count/pagerank discipline; never .persist(), which leaks
+    into unrelated plans)."""
+    d = (
+        F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd")
+        if day == "iso"
+        else F.unix_date(F.to_date(F.col(ts_col)))
+    )
+    out = (
+        df.select(F.col(type_col).alias("event_type"), d.alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return out.localCheckpoint(eager=True) if checkpoint else out
+
+
 def subsequence_search(
     df: DataFrame,
     query: list[float],
@@ -144,8 +179,6 @@ def funnel(
     # conversion vs step 1: exact-integer ratio (engine-portable). Zero
     # guard: an empty funnel (no step-1 events at all) reports 0.0, not
     # NULL/DIVIDE_BY_ZERO (Spark 4 sessions default to ANSI mode)
-    from pyspark.sql import Window
-
     w = Window.orderBy(F.col("step").asc()).rowsBetween(Window.unboundedPreceding, 0)
     first_users = F.first("users").over(w)
     return out.select(
@@ -192,8 +225,6 @@ def funnel_windowed(
     ``funnel`` (kept separate: the unbounded form needs no windows).
 
     Returns (step, event_type, users, conversion_pct) like ``funnel``."""
-    from pyspark.sql import Window
-
     if not steps:
         raise ValueError("steps must be non-empty")
     if within is not None and within <= 0:
@@ -296,8 +327,6 @@ def cohort_retention(
             (F.year("__b") - F.year("__cohort")) * 12
             + (F.month("__b") - F.month("__cohort"))
         ).cast("long")
-    from pyspark.sql import Window
-
     out = (
         joined.select(F.col("__cohort").alias("cohort"), offset.alias("offset"), user_col)
         .groupBy("cohort", "offset")
@@ -334,15 +363,8 @@ def rolling_daily_counts(
     window over day numbers. Exact integers end to end."""
     if window_days < 1:
         raise ValueError(f"window_days must be >= 1, got {window_days}")
-    from pyspark.sql import Window
-
-    daily = (
-        df.select(
-            F.col(type_col).alias("event_type"),
-            F.unix_date(F.to_date(F.col(ts_col))).alias("__d"),
-        )
-        .groupBy("event_type", "__d")
-        .agg(F.count(F.lit(1)).alias("n"))
+    daily = _daily_counts(df, ts_col, type_col, day="unix").withColumnRenamed(
+        "day", "__d"
     )
     w = (
         Window.partitionBy("event_type")
@@ -378,15 +400,8 @@ def daily_anomalies(
 
     Shape: the same collapsed (type, day) table feeds one per-type
     aggregate (types-sized) broadcast back onto it — two tiny shuffles
-    after the daily collapse."""
-    daily = (
-        df.select(
-            F.col(type_col).alias("event_type"),
-            F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day"),
-        )
-        .groupBy("event_type", "day")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    after the daily collapse, which is checkpointed (two consumers)."""
+    daily = _daily_counts(df, ts_col, type_col, checkpoint=True)
     stats = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("__d"),
         F.sum("n").alias("__s"),
@@ -436,16 +451,7 @@ def cusum_changepoints(
     one per-type ordered window — same cost family as the other daily
     ops. Days absent from the data contribute nothing (densify upstream
     if zero-days must push the downward CUSUM)."""
-    from pyspark.sql import Window
-
-    daily = (
-        df.select(
-            F.col(type_col).alias("event_type"),
-            F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day"),
-        )
-        .groupBy("event_type", "day")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    daily = _daily_counts(df, ts_col, type_col, checkpoint=True)
     stats = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("__d"), F.sum("n").alias("__s")
     )
@@ -505,8 +511,6 @@ def linear_attribution(
     Purchases with NULL value or with zero in-window touches credit
     nothing (report unattributed conversions upstream via an anti-join
     when needed)."""
-    from pyspark.sql import Window
-
     from cdc_connector_spark.ops.rangejoin import band_join
 
     if window <= 0:
@@ -576,13 +580,8 @@ def trend_by_key(
     aggregate per type — nothing after the collapse exceeds types×days.
     Returns (event_type, days, slope, intercept), slope in
     events/day."""
-    daily = (
-        df.select(
-            F.col(type_col).alias("event_type"),
-            F.unix_date(F.to_date(F.col(ts_col))).alias("__x"),
-        )
-        .groupBy("event_type", "__x")
-        .agg(F.count(F.lit(1)).alias("__y"))
+    daily = _daily_counts(df, ts_col, type_col, day="unix").select(
+        "event_type", F.col("day").alias("__x"), F.col("n").alias("__y")
     )
     stats = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("__k"),
@@ -635,8 +634,6 @@ def transition_matrix(
     Shape: ONE user-keyed window (lead) over (user, type, order) — the
     sessionize cost family — then a cells-sized aggregation; nothing
     downstream exceeds |types|². Returns (cur_type, next_type, n, p)."""
-    from pyspark.sql import Window
-
     w = Window.partitionBy(user_col).orderBy(*[F.col(c) for c in order_cols])
     pairs = (
         df.select(
@@ -687,16 +684,7 @@ def ewma_daily(
     all work types×days-sized. Returns (event_type, day, n, ewma)."""
     if not 2 <= window <= 30:
         raise ValueError(f"window must be in [2, 30] (2^(w-1) must stay exact), got {window}")
-    from pyspark.sql import Window
-
-    daily = (
-        df.select(
-            F.col(type_col).alias("event_type"),
-            F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day"),
-        )
-        .groupBy("event_type", "day")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    daily = _daily_counts(df, ts_col, type_col)
     w = Window.partitionBy("event_type").orderBy("day")
     num = F.col("n") * F.lit(2 ** (window - 2))
     for j in range(1, window - 1):
@@ -749,6 +737,9 @@ def rolling_distinct_actives(
             F.unix_date(F.to_date(F.col(ts_col))).alias("__d"),
         )
         .distinct()
+        # the emission explode AND the real-days census both consume
+        # the distinct collapse — one corpus scan, not two
+        .localCheckpoint(eager=True)
     )
     emit = ud.select(
         "event_type",
@@ -791,17 +782,11 @@ def robust_anomalies(
     (over half the days identical) report no rows — by construction the
     detector needs spread.
 
-    Shape: the (type, day) collapse, a types-sized median aggregate, a
+    Shape: the (type, day) collapse (checkpointed — the median AND the
+    deviation pass both consume it), a types-sized median aggregate, a
     second types-sized MAD aggregate over the deviations, one broadcast
     back. All post-collapse work is types×days-sized."""
-    daily = (
-        df.select(
-            F.col(type_col).alias("event_type"),
-            F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day"),
-        )
-        .groupBy("event_type", "day")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    daily = _daily_counts(df, ts_col, type_col, checkpoint=True)
     med = daily.groupBy("event_type").agg(F.median("n").alias("__med"))
     dev = daily.join(F.broadcast(med), "event_type").withColumn(
         "__dev", F.abs(F.col("n").cast("double") - F.col("__med"))
@@ -845,8 +830,12 @@ def autocorrelation(
 
     if max_lag < 1:
         raise ValueError(f"max_lag must be >= 1, got {max_lag}")
-    daily = df.groupBy(F.to_date(F.col(ts_col)).alias("day")).agg(
-        F.count(F.lit(1)).alias("n_day")
+    daily = (
+        df.groupBy(F.to_date(F.col(ts_col)).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_day"))
+        # both join sides consume the collapse — materialize the
+        # days-sized frame once instead of scanning the corpus twice
+        .localCheckpoint(eager=True)
     )
     lagged = daily.select(
         "day",
@@ -876,6 +865,9 @@ def weekday_profile(df: DataFrame, ts_col: str = "ts") -> DataFrame:
         df.select(F.to_date(F.col(ts_col).cast("timestamp")).alias("__day"))
         .groupBy("__day")
         .agg(F.count(F.lit(1)).alias("__n"))
+        # the global total AND the per-weekday rollup both consume the
+        # collapse — one materialized days-sized frame, one corpus scan
+        .localCheckpoint(eager=True)
     )
     tot = daily.agg(
         F.sum("__n").alias("__total_all"), F.count(F.lit(1)).alias("__days_all")
@@ -1056,18 +1048,10 @@ def pettitt_changepoint(
 
     Shape: after the daily collapse every window is per-type over its
     own ≤|days| rows — types parallelize, nothing global. At 100 TB the
-    daily collapse is the only corpus-sized shuffle; series stay
-    calendar-bounded (years × 365 rows per type)."""
-    from pyspark.sql import Window
-
-    daily = (
-        df.select(
-            F.col(type_col).alias("event_type"),
-            F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day"),
-        )
-        .groupBy("event_type", "day")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    daily collapse is the only corpus-sized shuffle (checkpointed —
+    the scored chain AND the before/after split both consume it);
+    series stay calendar-bounded (years × 365 rows per type)."""
+    daily = _daily_counts(df, ts_col, type_col, checkpoint=True)
     w_rank = Window.partitionBy("event_type").orderBy(F.col("n").asc())
     w_ties = Window.partitionBy("event_type", "n")
     w_day = Window.partitionBy("event_type").orderBy(F.col("day").asc())
@@ -1147,16 +1131,11 @@ def seasonal_anomalies(
     observed days or zero variance report no rows. Returns
     (event_type, day, weekday, n, z) with |z| >= z_threshold.
 
-    Shape: daily collapse, then a (type × 7)-row profile broadcast back
-    — two tiny shuffles after the collapse, same as the global screen."""
-    daily = (
-        df.select(
-            F.col(type_col).alias("event_type"),
-            F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day"),
-        )
-        .groupBy("event_type", "day")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("weekday", F.weekday(F.to_date(F.col("day"))).cast("int"))
+    Shape: daily collapse (checkpointed — the profile aggregate AND the
+    score join both consume it), then a (type × 7)-row profile
+    broadcast back — two tiny shuffles, same as the global screen."""
+    daily = _daily_counts(df, ts_col, type_col, checkpoint=True).withColumn(
+        "weekday", F.weekday(F.to_date(F.col("day"))).cast("int")
     )
     stats = daily.groupBy("event_type", "weekday").agg(
         F.count(F.lit(1)).alias("__d"),
@@ -1212,22 +1191,10 @@ def mann_kendall_trend(
     s_stat, var18, z, theil_sen_slope). Shape: the daily collapse is
     the only corpus-sized shuffle; everything after runs on
     calendar-bounded per-type series."""
-    from pyspark.sql import Window
-
-    daily = (
-        df.select(
-            F.col(type_col).alias("event_type"),
-            F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day"),
-        )
-        .groupBy("event_type", "day")
-        .agg(F.count(F.lit(1)).alias("n"))
-        # the daily collapse feeds FIVE consumers (pairs, tie census,
-        # day count, slopes, the median pick) — eager localCheckpoint
-        # materializes the tiny types×days frame ONCE instead of five
-        # corpus scans (the triangle_count/pagerank discipline; never
-        # .persist(), which leaks into unrelated plans)
-        .localCheckpoint(eager=True)
-    )
+    # the daily collapse feeds FIVE consumers (pairs, tie census, day
+    # count, slopes, the median pick) — checkpoint materializes the
+    # tiny types×days frame ONCE instead of five corpus scans
+    daily = _daily_counts(df, ts_col, type_col, checkpoint=True)
     w_day = Window.partitionBy("event_type").orderBy(F.col("day").asc())
     idx = daily.select(
         "event_type", "n", F.row_number().over(w_day).alias("i")
@@ -1347,8 +1314,6 @@ def ks_drift(
     upper boundary, hence D_q ≤ D_true ≤ D_q + max cell mass
     (mass_a/n_a + mass_b/n_b over any one cell) — the error bound is
     the grid's resolution, pinned in tests."""
-    from pyspark.sql import Window
-
     if quantize_to is not None and not quantize_to > 0:
         raise ValueError(f"quantize_to must be > 0, got {quantize_to}")
 
@@ -1430,8 +1395,6 @@ def daily_percentiles(
     cells parallelize and each cell's window is its own day's rows.
     At 100 TB this is the natural partitioning — no global sort, no
     collect."""
-    from pyspark.sql import Window
-
     if not percentiles or any(p < 1 or p > 100 for p in percentiles):
         raise ValueError(f"percentiles must be in [1, 100], got {percentiles}")
     base = df.filter(F.col(value_col).isNotNull()).select(
@@ -1493,8 +1456,6 @@ def twap(
 
     Shape: one (type, day)-keyed shuffle for the lead() window, then a
     map-side-combinable DECIMAL sum — per-cell work, no global sort."""
-    from pyspark.sql import Window
-
     extra = [c for c in order_cols if c not in (ts_col, type_col, value_col)]
     base = df.filter(F.col(value_col).isNotNull()).select(
         F.col(type_col).alias("event_type"),
@@ -1561,8 +1522,6 @@ def retry_dedup(
     Shape: one key-hash shuffle for the lag window, then one per-type
     collapse — no self-join (the naive interval self-join is O(burst²)
     per key; lag is linear)."""
-    from pyspark.sql import Window
-
     extra = [c for c in order_cols if c not in (ts_col, *key_cols)]
     t = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
@@ -1607,8 +1566,6 @@ def count_streaks(
     series; returns (event_type, n_days, streak_len, streak_start,
     streak_end) where streak_len counts the DAYS in the run including
     its anchor (a lone day is a streak of 1)."""
-    from pyspark.sql import Window
-
     daily = (
         df.select(
             F.col(type_col).alias("event_type"),
@@ -1673,8 +1630,6 @@ def funnel_durations(
     Shape: one filtered MIN aggregation per step chained by user-keyed
     joins (AQE collapses the shrinking right sides to broadcasts),
     then a per-transition rank window over converted users only."""
-    from pyspark.sql import Window
-
     if len(steps) < 2:
         raise ValueError("funnel_durations needs at least 2 steps")
     t = F.unix_micros(F.col(ts_col).cast("timestamp"))
@@ -1821,8 +1776,6 @@ def equidepth_histogram(
     reported one — split points for repartitionByRange only need to be
     approximately balanced, so grid-resolution error is the right
     trade), and depths stay exact row counts."""
-    from pyspark.sql import Window
-
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
     if quantize_to is not None and not quantize_to > 0:

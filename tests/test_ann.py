@@ -246,6 +246,91 @@ def test_ivf_drift_detection_and_recluster(spark, tmp_path):
     assert 200000 in got
 
 
+def test_ivf_refresh_deadband_recall_drop_and_recovery(spark, tmp_path):
+    """ivf_refresh (r12, the r1 lead closed): a drifted corpus whose new
+    mass straddles an old Voronoi boundary SPLITS true neighbors across
+    two cells — pruned-probe recall drops even though imbalance barely
+    moves. The refresh's fit-churn metric crosses the deadband, the
+    recluster gives the new region its own centroid, and recall
+    RECOVERS at the same n_probe. On the undrifted layout the same call
+    is a no-op — retraining reproduces ≈ the same fit (not bit-equal:
+    the partitioned write reorders rows, so the seeded sample differs
+    slightly from the original training draw — exactly the noise the
+    deadband exists to absorb) and rewrites nothing."""
+    import os
+
+    import numpy as np
+
+    from cdc_connector_spark.ops.ann import (
+        brute_force_topk,
+        ivf_read_topk,
+        ivf_refresh,
+        ivf_train_centroids,
+        ivf_write,
+    )
+
+    dim = 16
+    rng = np.random.default_rng(5)
+
+    def cluster(center, n, id0, label):
+        pts = center + 0.05 * rng.standard_normal((n, dim))
+        pts = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+        return [(id0 + i, [float(v) for v in pts[i]], label) for i in range(n)]
+
+    axes = np.eye(dim)
+    old_rows = (
+        cluster(axes[0], 250, 0, 0)
+        + cluster(axes[1], 250, 1000, 1)
+        + cluster(axes[2], 250, 2000, 2)
+    )
+    schema = "vec_id bigint, embedding array<float>, label int"
+    old = spark.createDataFrame(old_rows, schema)
+    C = ivf_train_centroids(old, n_centroids=4, sample_size=400, seed=7)
+    path = str(tmp_path / "ivf")
+    ivf_write(old, path, C)
+
+    def mtimes():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("centroid_id="):
+                for f in os.listdir(os.path.join(path, d)):
+                    out[f"{d}/{f}"] = os.path.getmtime(os.path.join(path, d, f))
+        return out
+
+    # undrifted: churn is exactly 0, nothing is rewritten
+    before = mtimes()
+    r0 = ivf_refresh(spark, path, sample_size=400, seed=7)
+    assert abs(r0["churn"]) < 0.02 and not r0["reclustered"]
+    assert mtimes() == before
+
+    # drift: 600 vectors midway between axes 0 and 1 (the boundary)
+    mid = (axes[0] + axes[1]) / np.linalg.norm(axes[0] + axes[1])
+    drifted = spark.createDataFrame(cluster(mid, 600, 500000, 9), schema)
+    from cdc_connector_spark.ops.ann import ivf_append
+
+    ivf_append(spark, path, drifted, imbalance_threshold=999.0)
+
+    q = [float(v) for v in mid]
+    current = spark.read.parquet(path).drop("centroid_id")
+    exact = {r["vec_id"] for r in brute_force_topk(current, q, k=10).collect()}
+    probed = {r["vec_id"] for r in ivf_read_topk(spark, path, q, k=10, n_probe=1).collect()}
+    recall_drifted = len(exact & probed) / 10
+    assert recall_drifted < 0.8, f"drift did not split neighbors: {recall_drifted}"
+
+    # the refresh measures the drift and reclusters past the deadband
+    r1 = ivf_refresh(
+        spark, path, deadband=0.02, imbalance_threshold=999.0,
+        sample_size=400, seed=7,
+    )
+    assert r1["churn"] > 0.02 and r1["reclustered"]
+    probed2 = {r["vec_id"] for r in ivf_read_topk(spark, path, q, k=10, n_probe=1).collect()}
+    recall_after = len(exact & probed2) / 10
+    assert recall_after >= 0.9, f"recluster did not recover recall: {recall_after}"
+    assert recall_after > recall_drifted
+    # content preserved across the swap
+    assert spark.read.parquet(path).count() == 1350
+
+
 def test_pq_encode_compresses_and_is_deterministic(emb):
     from cdc_connector_spark.ops.ann import pq_encode, pq_train
 

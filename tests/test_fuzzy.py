@@ -133,6 +133,241 @@ def test_fuzzy_extra_block_cols_equals_posthoc_gate(spark):
     assert all(p["id_a"] >= 60 and p["id_b"] >= 60 for p in gated_null)
 
 
+def _brute_pairs(rows, max_dist):
+    """Exact all-pairs reference: normalized-name Levenshtein."""
+    import re
+
+    def norm(s):
+        return re.sub(r"\s+", " ", (s or "").strip().lower())
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    out = {}
+    norms = [(i, norm(s)) for i, s in rows if norm(s or "") != ""]
+    for x in range(len(norms)):
+        for y in range(x + 1, len(norms)):
+            (ia, sa), (ib, sb) = norms[x], norms[y]
+            lo, hi = (ia, ib) if ia < ib else (ib, ia)
+            d = lev(sa, sb)
+            if d <= max_dist:
+                out[(lo, hi)] = d
+    return out
+
+
+def test_prefix_selection_lossless_where_cap_over_binds(spark):
+    """The r12 recall-preserving mode (Ed-Join prefix filtering) on the
+    exact corpus shape that killed cap mode in SCALING §4o: uniform
+    synthetic keys where EVERY shared gram is hot. A low cap drops all
+    discriminative grams (0 pairs); prefix mode keeps each record's
+    q·d+1 rarest grams and must equal brute force exactly."""
+    import random
+
+    rng = random.Random(7)
+    # names over a 2-letter alphabet: only 8 possible 3-grams, every one
+    # of them hot (doc freq >> cap) -> cap mode drops ALL blocking keys
+    rows = [(i, "".join(rng.choice("ab") for _ in range(10))) for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    capped = fuzzy_pairs(df, max_dist=1, block="qgram", max_token_freq=10).collect()
+    assert capped == []
+    want = _brute_pairs(rows, 1)
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_pairs(df, max_dist=1, block="qgram", selection="prefix").collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_prefix_selection_superset_of_cap_and_brute_parity(spark):
+    """Randomized parity: prefix mode equals brute force (lossless) and
+    is a superset of cap mode at ANY cap, for both block shapes and
+    several edit budgets."""
+    import random
+
+    rng = random.Random(12)
+    rows = []
+    for i in range(150):
+        base = f"vendor {rng.randint(0, 40):03d} inc"
+        s = list(base)
+        for _ in range(rng.randrange(3)):
+            s[rng.randrange(len(s))] = rng.choice("abcdefxyz ")
+        rows.append((i, "".join(s)))
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    for block, d in (("qgram", 1), ("qgram", 2), ("token", 2)):
+        got = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in fuzzy_pairs(
+                df, max_dist=d, block=block, selection="prefix"
+            ).collect()
+        }
+        if block == "qgram":
+            assert got == _brute_pairs(rows, d)
+        for cap in (5, 30, 10**6):
+            capped = {
+                (r["id_a"], r["id_b"]): r["dist"]
+                for r in fuzzy_pairs(
+                    df, max_dist=d, block=block, max_token_freq=cap
+                ).collect()
+            }
+            assert set(capped) <= set(got)
+            assert all(got[k] == v for k, v in capped.items())
+
+
+def test_prefix_selection_with_attribute_gate_and_guards(spark):
+    """Gated prefix blocking keeps the identity (= plain prefix ∩
+    attribute equality), frequencies stay global (shared order), and
+    the hotspots audit prices the posting lists."""
+    from cdc_connector_spark.ops.fuzzy import fuzzy_prefix_hotspots
+
+    rows = [(i, f"acct#{i % 20:05d}", i % 2) for i in range(80)]
+    df = spark.createDataFrame(rows, "id bigint, name string, grp int")
+    plain = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_pairs(
+            df, max_dist=1, block="qgram", selection="prefix"
+        ).collect()
+    }
+    grp = {r["id"]: r["grp"] for r in df.collect()}
+    want = {k: v for k, v in plain.items() if grp[k[0]] == grp[k[1]]}
+    gated = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_pairs(
+            df, max_dist=1, block="qgram", selection="prefix",
+            extra_block_cols=("grp",),
+        ).collect()
+    }
+    assert gated == want and len(want) > 0
+    hot = fuzzy_prefix_hotspots(df, max_dist=1, block="qgram", top_k=5).collect()
+    assert len(hot) == 5
+    assert hot[0]["n_records"] >= hot[-1]["n_records"]
+    # every posting list is bounded by the corpus (sanity) and positive
+    assert all(1 <= r["n_records"] <= 80 for r in hot)
+    with pytest.raises(ValueError, match="selection"):
+        fuzzy_pairs(df, selection="topk")
+
+
+def test_delete_blocking_lossless_and_linear_shape(spark):
+    """block="delete" (SymSpell deletion neighborhoods): exact equality
+    with brute force at d=1 AND d=2 on a corpus with random edits
+    including spaces; and on the uniform-key shape its posting lists
+    stay alphabet-bounded (the property that keeps it ~linear where
+    prefix mode's candidates grow quadratically — SCALING §4p)."""
+    import random
+
+    rng = random.Random(21)
+    rows = []
+    for i in range(140):
+        base = f"client {rng.randint(0, 35):04d} ltd"
+        s = list(base)
+        for _ in range(rng.randrange(3)):
+            op = rng.randrange(3)
+            p = rng.randrange(len(s))
+            if op == 0:
+                s[p] = rng.choice("abcx y")
+            elif op == 1 and len(s) > 4:
+                del s[p]
+            else:
+                s.insert(p, rng.choice("qz "))
+        rows.append((i, "".join(s)))
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    for d in (1, 2):
+        got = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in fuzzy_pairs(df, max_dist=d, block="delete").collect()
+        }
+        assert got == _brute_pairs(rows, d), f"d={d}"
+    # uniform keys: every posting list is a one-edit family, not corpus
+    from cdc_connector_spark.ops.fuzzy import _blocking_index
+
+    uni = spark.createDataFrame(
+        [(i, f"customer#{i:09d}") for i in range(500)], "id bigint, name string"
+    )
+    inv = _blocking_index(uni, "name", "id", "delete", 3, max_dist=1)
+    top = (
+        inv.groupBy("__k").count().orderBy(F.col("count").desc()).limit(1).collect()
+    )
+    # bound = the one-edit family that maps onto the key (≤ ~len·|Σ|
+    # strings and only those PRESENT in the corpus) — independent of
+    # corpus size, unlike qgram postings which grow ∝ N on these names
+    assert top[0]["count"] <= 40
+
+
+def test_delete_blocking_guards_and_gate(spark):
+    """delete-mode guards (d ≤ 2, no prefix composition) and the
+    attribute gate identity carries over."""
+    df = spark.createDataFrame(
+        [(1, "abc", 0), (2, "abd", 0), (3, "abe", 1)],
+        "id bigint, name string, grp int",
+    )
+    with pytest.raises(ValueError, match="max_dist <= 2"):
+        fuzzy_pairs(df, max_dist=3, block="delete")
+    with pytest.raises(ValueError, match="does not compose"):
+        fuzzy_pairs(df, max_dist=1, block="delete", selection="prefix")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_pairs(
+            df, max_dist=1, block="delete", extra_block_cols=("grp",)
+        ).collect()
+    }
+    assert got == {(1, 2)}  # (1,3)/(2,3) gated out by grp
+
+
+def test_prefix_selection_max_dist_zero_and_short_strings(spark):
+    """d=0 keeps ONE gram per record (the globally rarest under the
+    (freq, key) order — identical strings keep the same one, so exact
+    duplicates still pair); strings shorter than the gram width key on
+    their full text and still match."""
+    rows = [(1, "zz"), (2, "zz"), (3, "same name"), (4, "same name"), (5, "other")]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_pairs(df, max_dist=0, block="qgram", selection="prefix").collect()
+    }
+    assert got == {(1, 2): 0, (3, 4): 0}
+
+
+def test_r12_driver_entries_identity_and_superset(spark):
+    """The two r12 driver entries' documented identities on the real
+    fixture: fuzzy_gated_customers == fuzzy_match_customers ∩
+    nation-equality, and fuzzy_prefix_customers ⊇ fuzzy_match_customers
+    (prefix selection never loses a pair the cap kept)."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    plain = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in e.fuzzy_match_customers(spark, sf).collect()
+    }
+    nat = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in spark.read.parquet(f"{sf}/customer.parquet").collect()
+    }
+    want_gated = {k: v for k, v in plain.items() if nat[k[0]] == nat[k[1]]}
+    gated = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in e.fuzzy_gated_customers(spark, sf).collect()
+    }
+    assert gated == want_gated and len(want_gated) > 0
+    prefix = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in e.fuzzy_prefix_customers(spark, sf).collect()
+    }
+    assert set(plain) <= set(prefix)
+    assert all(prefix[k] == v for k, v in plain.items())
+    # both lossless modes must return the IDENTICAL exact pair set
+    delete = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in e.fuzzy_delete_customers(spark, sf).collect()
+    }
+    assert delete == prefix
+
+
 def test_blocking_coverage_counts_null_and_empty_names_as_orphans(spark):
     """NULL/whitespace-only names have no blocking keys at all and
     fuzzy_pairs can never match them — the coverage audit must count

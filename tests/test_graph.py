@@ -334,6 +334,24 @@ def test_link_prediction_hub_cap_binds(spark):
     assert all((a, b) not in capped for a, b in ((3, 4), (1, 3), (2, 3)))
 
 
+def test_link_prediction_canonicalizes_raw_input(spark):
+    """r12 review fix: raw edge lists (both orientations, duplicates,
+    self-loops) must score identically to the canonical form — the old
+    docstring-only precondition silently DOUBLED degrees and wedge
+    counts on such input."""
+    from cdc_connector_spark.ops.graph import link_prediction
+
+    canonical = [(1, 2), (2, 3), (3, 4), (1, 4), (1, 9), (3, 9)]
+    raw = canonical + [(b, a) for a, b in canonical] + [(1, 2), (9, 9)]
+    want = sorted(
+        map(str, link_prediction(spark.createDataFrame(canonical, "src long, dst long")).collect())
+    )
+    got = sorted(
+        map(str, link_prediction(spark.createDataFrame(raw, "src long, dst long")).collect())
+    )
+    assert got == want and len(want) > 0
+
+
 def test_link_prediction_excludes_existing_edges_and_orders(spark):
     from cdc_connector_spark.ops.graph import link_prediction
 

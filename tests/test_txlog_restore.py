@@ -191,6 +191,46 @@ def test_concurrent_bootstrap_append_keeps_both_batches(spark, tmp_path):
     assert rows == {1: "a", 2: "a", 3: "b", 4: "b"}  # NO lost batch
 
 
+def test_overwrite_conflict_retry_reuses_staged_files(spark, tmp_path, monkeypatch):
+    """Stage-once overwrite retry (r12, the r11 review's deferred lead):
+    losing a commit race must re-derive only the ACTIONS against the
+    fresh snapshot and re-publish the SAME staged data files — the old
+    retry rewrote the O(table) snapshot because a metadata race was
+    lost. Pinned: exactly ONE _write_files call across the race, the
+    loser's content wins (overwrite semantics), and the winner's files
+    are removed at the loser's version."""
+    path = str(tmp_path / "t")
+    base = TxLogMergeSink(spark, path, ["id"], num_buckets=4)
+    base.overwrite(spark.createDataFrame([(1, "base")], ROW_SCHEMA))
+
+    winner = TxLogMergeSink(spark, path, ["id"], num_buckets=4)
+    loser = TxLogMergeSink(spark, path, ["id"], num_buckets=4)
+    calls = {"writes": 0}
+    orig_write = loser._write_files
+
+    def counting_write(*a, **k):
+        calls["writes"] += 1
+        return orig_write(*a, **k)
+
+    monkeypatch.setattr(loser, "_write_files", counting_write)
+    orig_try = loser._try_commit
+    state = {"raced": False}
+
+    def racing_try(version, actions):
+        if not state["raced"]:
+            state["raced"] = True
+            # the winner commits between the loser's snapshot and publish
+            winner.overwrite(spark.createDataFrame([(2, "winner")], ROW_SCHEMA))
+        return orig_try(version, actions)
+
+    monkeypatch.setattr(loser, "_try_commit", racing_try)
+    loser.overwrite(spark.createDataFrame([(3, "loser")], ROW_SCHEMA))
+
+    assert calls["writes"] == 1  # staged ONCE; the retry reused the files
+    rows = {r["id"]: r["val"] for r in TxLogMergeSink(spark, path).read().collect()}
+    assert rows == {3: "loser"}  # last overwrite wins, winner's files removed
+
+
 def test_vacuum_detects_restore_committed_mid_unlink(spark, tmp_path, monkeypatch):
     """TOCTOU remainder (r12, ADVICE): a restore that commits AFTER
     vacuum's pre-unlink re-snapshot but BEFORE the unlink loop finishes
