@@ -1465,8 +1465,8 @@ def fuzzy_delete_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     LOSSLESS Levenshtein ≤ 1 match whose posting lists are bounded by
     the one-edit family size (≤ ~len·|Σ| strings), NOT the corpus: the
     mode that stays ~linear at 10× on uniform key-like names where both
-    the frequency cap (recall → 0) and prefix filtering (candidates →
-    quadratic) degrade (SCALING §4p). Pure built-ins (transform/
+    the frequency cap (recall → 0) and prefix filtering (hot-posting
+    straggler, 4× the wall at 10×) degrade (SCALING §4p). Pure built-ins (transform/
     substring/explode — no UDF). Oracle replays the neighborhood
     derivation + join + |len| prefilter + verify. Output must equal the
     prefix entry's exactly (both lossless at d=1). Value-verified."""
@@ -3844,14 +3844,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # without a post-r7 driver row; after this round every entry on the
 # surface has a <=4-round-old driver row with the floor ACHIEVED);
 # the 2 r11 additions' first re-check (verdict ask); the 1 never-checked
-# r12 addition (lateness_profile_events); fuzzy_match_customers +
+# 4 r12 additions (lateness_profile_events + the three fuzzy-blocking
+# entries of the second batch — never-checked entries are
+# window-resident by the staleness.py contract); fuzzy_match_customers +
 # golden_record_customers (their shared blocking path changes THIS round
-# — ops/fuzzy.py discriminative-gram blocking + the gated entry); and 22
+# — ops/fuzzy.py discriminative-gram blocking + the gated entry); and 19
 # of the 45-entry r8-checked cohort, prioritizing the 15 TPC-H/semi-join
 # queries (the §2 query library's own semantics) then the oldest
-# corpus/graph entries. Saturated: 3 + 2 + 18 + 2 + 1 + 2 + 22 = 50.
-# HONEST AGE ARITHMETIC: at 204 queries / 50 slots the steady-state
-# max-age floor is ceil(204/50) - 1 = 4 rounds. The 21 r8 entries that
+# corpus/graph entries. Saturated: 3 + 2 + 18 + 2 + 4 + 2 + 19 = 50.
+# HONEST AGE ARITHMETIC: at 207 queries / 50 slots the steady-state
+# max-age floor is ceil(207/50) - 1 = 4 rounds. The 24 r8 entries that
 # did not fit sit at exactly age 4 (the floor) and rotate in r13; the
 # r9/r10/r11 cohorts ride the tail at ages 1-3; every out-of-window
 # entry is value-verified at sf0.001 by the pre-commit tail tripwire on
@@ -3911,14 +3913,17 @@ _R12_WINDOW = [
     "q18_large_volume_customers",
     "q20_potential_promotion",
     "q21_suppliers_who_kept_waiting",
-    # ...then 7 more r8 corpus/graph/stateful entries
+    # ...then 4 more r8 corpus/graph entries
     "pagerank_trade_graph",
     "winnow_fingerprints_documents",
     "winnow_pairs_documents",
     "containment_pairs_documents",
-    "scd2_user_states",
-    "ivm_join_orders_customer",
-    "cusum_drift_events",
+    # round-12 second batch (never driver-checked -> window-resident;
+    # displaces 3 age-3 r8 refreshes — scd2/ivm_join/cusum_drift sit at
+    # the age-4 floor under tripwire coverage and rotate in r13)
+    "fuzzy_gated_customers",
+    "fuzzy_prefix_customers",
+    "fuzzy_delete_customers",
 ]
 
 

@@ -107,9 +107,14 @@ def asof_join(
 
     if tolerance_seconds is not None:
         if "timestamp" in right.schema[on].dataType.simpleString():
-            dist = F.abs(
-                F.unix_timestamp(F.col(on)).cast("double")
-                - F.unix_timestamp(F.col("__f.__asof_on")).cast("double")
+            # microsecond distance (r12 review): unix_timestamp truncates
+            # to whole seconds, so a 0.9s gap measured 0 or 1 depending on
+            # the boundary — sub-second tolerances misclassified
+            dist = (
+                F.abs(
+                    F.unix_micros(F.col(on)) - F.unix_micros(F.col("__f.__asof_on"))
+                ).cast("double")
+                / F.lit(1_000_000.0)
             )
         else:
             dist = F.abs(F.col(on).cast("double") - F.col("__f.__asof_on").cast("double"))

@@ -719,8 +719,12 @@ def ngram_jaccard_pairs(
     )
     sizes = sh.select("__id", F.size("__sh").alias("__n"))
     inv = sh.select("__id", F.explode("__sh").alias("shingle"))
-    freq_ok = inv.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq).select("shingle")
-    inv = inv.join(F.broadcast(freq_ok), "shingle")
+    # drop the HOT shingles via anti-join — the hot set is bounded by
+    # postings/cap; the old form broadcast the KEPT set, which is the
+    # whole shingle vocabulary (corpus-scale at 100 TB — r12 review). No
+    # forced hint either way: AQE broadcasts when the side measures small
+    freq_hot = inv.groupBy("shingle").count().filter(F.col("count") > max_shingle_freq).select("shingle")
+    inv = inv.join(freq_hot, "shingle", "left_anti")
     l, r = inv.alias("l"), inv.alias("r")
     shared = (
         l.join(r, on=[F.col("l.shingle") == F.col("r.shingle"), F.col("l.__id") < F.col("r.__id")])
@@ -767,8 +771,10 @@ def ngram_overlap_pairs(
     )
     sizes = sh.select("__id", F.size("__sh").alias("__n"))
     inv = sh.select("__id", F.explode("__sh").alias("shingle"))
-    freq_ok = inv.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq).select("shingle")
-    inv = inv.join(F.broadcast(freq_ok), "shingle")
+    # anti-join the bounded HOT set, never broadcast the kept vocabulary
+    # (the ngram_jaccard_pairs r12 fix)
+    freq_hot = inv.groupBy("shingle").count().filter(F.col("count") > max_shingle_freq).select("shingle")
+    inv = inv.join(freq_hot, "shingle", "left_anti")
     l, r = inv.alias("l"), inv.alias("r")
     shared = (
         l.join(r, on=[F.col("l.shingle") == F.col("r.shingle"), F.col("l.__id") < F.col("r.__id")])
@@ -897,9 +903,12 @@ def minhash_index_lookup(
     # cap pathological buckets the same way the batch path does (audited
     # recall dial, not a silent drop — oversized_buckets() works here too)
     sizes = stored.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bsz"))
+    # anti-join the few OVERSIZED buckets — the old form broadcast the OK
+    # set, which is nearly every bucket of the corpus index (r12 review)
     stored_ok = stored.join(
-        F.broadcast(sizes.filter(F.col("__bsz") <= max_bucket).select("band", "bucket")),
+        sizes.filter(F.col("__bsz") > max_bucket).select("band", "bucket"),
         ["band", "bucket"],
+        "left_anti",
     )
     cand = (
         probe.join(stored_ok, ["band", "bucket"])

@@ -49,8 +49,12 @@ def ab_test_report(
     exposure, or pooled rate 0 or 1), stated rather than NULL so the
     readout row always materializes.
 
-    Shape: events collapse to one row per user (min exposure ts, any
-    post-exposure conversion flag) in ONE user-keyed aggregation, then a
+    Shape: events collapse to one row per user in ONE user-keyed
+    aggregation — min exposure ts and max conversion ts together, since
+    "∃ conversion strictly after the first exposure" ⟺ "max conversion
+    ts > first exposure ts" (r12 review: the previous exposure-collapse
+    + conversion-join formulation scanned the event table twice and
+    re-grouped; this is one corpus scan, identical output). Then a
     2-row variant aggregate and a single-row pivot — nothing after the
     collapse exceeds |users|."""
     v = variant_col if variant_col is not None else hash_variant(F.col(user_col))
@@ -62,19 +66,14 @@ def ab_test_report(
     )
     per_user = ev.groupBy("__u", "__v").agg(
         F.min(F.when(F.col("__t") == exposure_type, F.col("__ts"))).alias("__first_exp"),
+        F.max(F.when(F.col("__t") == conversion_type, F.col("__ts"))).alias("__last_conv"),
     )
-    conv = ev.filter(F.col("__t") == conversion_type).select(
-        "__u", F.col("__ts").alias("__cts")
-    )
-    flagged = (
-        per_user.filter(F.col("__first_exp").isNotNull())
-        .join(conv, "__u", "left")
-        .groupBy("__u", "__v")
-        .agg(
-            F.max(
-                F.when(F.col("__cts") > F.col("__first_exp"), 1).otherwise(0)
-            ).alias("__c")
-        )
+    flagged = per_user.filter(F.col("__first_exp").isNotNull()).select(
+        "__u",
+        "__v",
+        F.when(F.col("__last_conv") > F.col("__first_exp"), 1)
+        .otherwise(0)
+        .alias("__c"),
     )
     agg = flagged.groupBy("__v").agg(
         F.count(F.lit(1)).alias("__n"), F.sum("__c").alias("__k")

@@ -282,8 +282,9 @@ def fuzzy_pairs(
       (a drop would void the guarantee); audit candidate cost with
       ``fuzzy_prefix_hotspots``. The right mode for SKEWED-frequency
       corpora where the cap over-binds (SCALING §4o/§4p) — but on
-      UNIFORM keys its rare-gram posting lists still grow ∝ corpus,
-      so candidates grow ~quadratically (measured, §4p).
+      UNIFORM keys its rare-gram posting lists grow ∝ corpus and the
+      candidate join becomes hot-posting straggler-bound (measured 4×
+      the delete mode's wall at 10×, §4p).
 
     ``block="delete"`` is the lossless mode that also stays ~LINEAR on
     uniform keys (SymSpell deletion-neighborhood blocking, max_dist ≤ 2
@@ -318,13 +319,18 @@ def fuzzy_pairs(
     elif selection == "prefix":
         inv = _prefix_select(inv, block, qgram, max_dist, extra_block_cols)
     else:
-        ok = (
+        # anti-join the bounded HOT set (freq > cap, ≤ postings/cap keys —
+        # the same set fuzzy_dropped_keys audits); the old form broadcast
+        # the KEPT set, which is the whole blocking vocabulary —
+        # corpus-scale at 100 TB (r12 review). No forced hint: AQE
+        # broadcasts whichever side actually measures small
+        hot = (
             inv.groupBy("__k")
             .agg(F.count(F.lit(1)).alias("__f"))
-            .filter(F.col("__f") <= max_token_freq)
+            .filter(F.col("__f") > max_token_freq)
             .select("__k")
         )
-        inv = inv.join(F.broadcast(ok), "__k")
+        inv = inv.join(hot, "__k", "left_anti")
     xcols = [f"__x_{c}" for c in extra_block_cols]
     l = inv.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"), "__k", *xcols)
     r = inv.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"), "__k", *xcols)

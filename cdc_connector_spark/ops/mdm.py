@@ -55,6 +55,10 @@ def golden_records(
             F.coalesce(comp["comp"], df[id_col]).alias("cluster_id"),
             *[df[c] for c in [id_col] + fields],
         )
+        # every field's count pass plus the size aggregate consumes this
+        # frame — lazily it re-scans the dimension table |fields|+1 times
+        # (r12 review); materialize the member projection once
+        .localCheckpoint(eager=True)
     )
     out = members.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members")

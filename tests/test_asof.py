@@ -67,6 +67,27 @@ def test_tolerance(quotes_trades):
     ]
 
 
+def test_tolerance_subsecond_on_timestamps(spark):
+    """r12 fix: timestamp tolerance must measure MICROSECOND distance —
+    the old unix_timestamp form truncated to whole seconds, so a 0.9s
+    gap measured 0 and a boundary-crossing 0.3s gap measured 1."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10.900"), (2, "2024-01-01 00:01:00.100")],
+        "k int, ts string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10.000", 1.0), (2, "2024-01-01 00:00:59.900", 2.0)],
+        "k int, ts string, px double",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "px")
+    out = asof_join(left, right, on="ts", by="k", tolerance_seconds=0.5)
+    got = {r["k"]: r["px"] for r in out.collect()}
+    # k=1: gap 0.9s > 0.5 -> nulled (old code: 0s "within")
+    # k=2: gap 0.2s <= 0.5 -> kept (old code: 1s "outside")
+    assert got == {1: None, 2: 2.0}
+
+
 def test_equal_ts_right_rows_seq_tiebreak(spark):
     left = spark.createDataFrame([(1, 10.0)], "k int, ts double")
     right = spark.createDataFrame(

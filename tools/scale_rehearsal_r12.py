@@ -9,9 +9,11 @@ this script measures both against cap mode on the same corpus axis
 (10 key-shifted copies, copy-distinct name suffix: duplicate density
 constant, corpus 10x):
 
-- selection="prefix" (Ed-Join): lossless everywhere, but rare-gram
-  posting lists still grow with the corpus on UNIFORM keys, so its
-  candidate volume there is ~quadratic — measured honestly below.
+- selection="prefix" (Ed-Join): lossless everywhere, but on UNIFORM
+  keys its rare-gram posting lists grow with the corpus and the
+  candidate join becomes straggler-bound (hot postings explode inside
+  the join where AQE's input-size stats can't see them) — measured
+  honestly below + the 10x follow-up in SCALING 4p.
 - block="delete" (SymSpell deletion neighborhoods): lossless AND
   posting lists bounded by the one-edit family (corpus-independent on
   key-like names) — the mode that must show <= ~5x wall at 10x (the
@@ -102,8 +104,9 @@ def main() -> None:
     cap10 = timed("cap (freq<=1000) 10x const-density", lambda: run(c10))
     del10 = timed("delete-neighborhood 10x const-density", lambda: run_delete(c10))
     assert del10 >= cap10 and del10 == 10 * del1, (cap10, del10, del1)
-    # prefix's super-linear exponent, measured at 3x (a 10x run is the
-    # quadratic extrapolation of this — hours; stated, not hidden)
+    # prefix's growth curve, measured at 3x here; the 10x point
+    # (274.7s, straggler-bound — SCALING 4p) runs as a dedicated
+    # idle-box follow-up because it monopolizes one core for minutes
     c3 = replicate(3, letters=True)
     pre3 = timed("prefix (Ed-Join) 3x const-density", lambda: run(c3, selection="prefix"))
     del3 = timed("delete-neighborhood 3x const-density", lambda: run_delete(c3))
