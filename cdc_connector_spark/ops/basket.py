@@ -54,8 +54,11 @@ def _kept_memberships(
     df: DataFrame, basket_col: str, item_col: str, max_basket_size: int
 ) -> DataFrame:
     bi, sizes = _basket_sizes(df, basket_col, item_col)
-    ok = sizes.filter(F.col("__sz") <= max_basket_size).select("__b")
-    return bi.join(ok, "__b")
+    # anti-join the few OVERSIZED baskets (the r12 kept-set inversion:
+    # the kept set is nearly every basket — joining it shuffles the
+    # whole census; the hot set is tiny and AQE broadcasts it)
+    hot = sizes.filter(F.col("__sz") > max_basket_size).select("__b")
+    return bi.join(hot, "__b", "left_anti")
 
 
 def oversized_baskets(

@@ -253,10 +253,12 @@ def test_ivf_refresh_deadband_recall_drop_and_recovery(spark, tmp_path):
     moves. The refresh's fit-churn metric crosses the deadband, the
     recluster gives the new region its own centroid, and recall
     RECOVERS at the same n_probe. On the undrifted layout the same call
-    is a no-op — retraining reproduces ≈ the same fit (not bit-equal:
-    the partitioned write reorders rows, so the seeded sample differs
-    slightly from the original training draw — exactly the noise the
-    deadband exists to absorb) and rewrites nothing."""
+    is a no-op — the whole-corpus lexsorted sample (see the comment at
+    the training call) makes the refit reproduce the stored centroids
+    exactly, churn 0.0 — and rewrites nothing. (With a sub-corpus
+    sample the deadband absorbs layout-order sampling noise instead —
+    that noise is real: it flaked this test until the sample covered
+    the corpus.)"""
     import os
 
     import numpy as np
@@ -285,7 +287,13 @@ def test_ivf_refresh_deadband_recall_drop_and_recovery(spark, tmp_path):
     )
     schema = "vec_id bigint, embedding array<float>, label int"
     old = spark.createDataFrame(old_rows, schema)
-    C = ivf_train_centroids(old, n_centroids=4, sample_size=400, seed=7)
+    # sample_size > corpus: _bounded_sample_matrix collects ALL rows and
+    # lexsorts, so training is LAYOUT-INDEPENDENT — with a sub-corpus
+    # sample the Bernoulli draw follows parquet file-listing order (tmp
+    # dir inode order!) and the refit lands in different local optima
+    # per run (this test flaked exactly that way before the fix). k=3 on
+    # 3 tight clusters pins one centroid per cluster deterministically.
+    C = ivf_train_centroids(old, n_centroids=3, sample_size=2000, seed=7)
     path = str(tmp_path / "ivf")
     ivf_write(old, path, C)
 
@@ -299,8 +307,10 @@ def test_ivf_refresh_deadband_recall_drop_and_recovery(spark, tmp_path):
 
     # undrifted: churn is exactly 0, nothing is rewritten
     before = mtimes()
-    r0 = ivf_refresh(spark, path, sample_size=400, seed=7)
-    assert abs(r0["churn"]) < 0.02 and not r0["reclustered"]
+    r0 = ivf_refresh(spark, path, sample_size=2000, seed=7)
+    # whole-corpus lexsorted sample -> the refit reproduces the stored
+    # centroids bit-for-bit on an undrifted table: churn is exactly 0
+    assert r0["churn"] == 0.0 and not r0["reclustered"]
     assert mtimes() == before
 
     # drift: 600 vectors midway between axes 0 and 1 (the boundary)
@@ -320,7 +330,7 @@ def test_ivf_refresh_deadband_recall_drop_and_recovery(spark, tmp_path):
     # the refresh measures the drift and reclusters past the deadband
     r1 = ivf_refresh(
         spark, path, deadband=0.02, imbalance_threshold=999.0,
-        sample_size=400, seed=7,
+        sample_size=2000, seed=7,
     )
     assert r1["churn"] > 0.02 and r1["reclustered"]
     probed2 = {r["vec_id"] for r in ivf_read_topk(spark, path, q, k=10, n_probe=1).collect()}
