@@ -287,6 +287,24 @@ def test_ks_quantized_same_bounded_shape_as_exact(q):
     assert "CartesianProduct" not in facts["joins"]
 
 
+def test_hot_key_caps_are_anti_joins(spark, sf_dir):
+    """r12 kept-set inversion pin: frequency-cap pruning in the blocked
+    fuzzy/shingle paths must be a LeftAnti against the bounded HOT set.
+    The pre-r12 form — an inner join against the KEPT set with a forced
+    broadcast — re-broadcasts the whole blocking/shingle vocabulary,
+    which is corpus-scale at 100 TB; this guard fails if that shape
+    ever comes back."""
+    import __spark_entry__ as entry_mod
+
+    spark.catalog.clearCache()
+    for name in ("fuzzy_match_customers", "ngram_jaccard_pairs_subset"):
+        df = entry_mod.queries()[name](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "LeftAnti" in plan, f"{name}: cap pruning is not an anti-join"
+
+
 def test_profile_hll_scans_pruned_no_cartesian(q):
     """HLL-mode profile diff: every orders scan reads only the key +
     profiled columns (4 of 9), and the register build joins stay keyed
