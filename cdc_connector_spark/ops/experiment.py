@@ -42,7 +42,14 @@ def ab_test_report(
     event strictly AFTER their first exposure (pre-exposure purchases
     don't credit the experiment — the guardrail that separates a real
     readout from a correlation query). ``variant_col`` defaults to the
-    stable 2-way hash split of ``user_col``.
+    stable 2-way hash split of ``user_col`` and MUST be functionally
+    dependent on it (every event of a user carries the same variant —
+    true for any hash split or a properly-logged assignment column).
+    If an event-level ``variant_col`` violates that (NULL or differing
+    on conversion events), the (user, variant) collapse treats each
+    (user, variant) pair as a separate unit, so a conversion logged
+    under a different variant than the exposure is NOT counted toward
+    it — validate assignment integrity upstream (r12 ADVICE).
 
     Returns (users_a, conv_a, cvr_a, users_b, conv_b, cvr_b, z) — rates
     and z rounded 6; z is 0.0 when degenerate (a variant with no

@@ -276,9 +276,15 @@ def fuzzy_pairs(
       ``max_token_freq`` — cheap, but records whose EVERY key is hot
       become invisible (audit with ``fuzzy_blocking_coverage``).
     - ``"prefix"``: Ed-Join prefix filtering — keep each record's
-      (q·max_dist + 1) globally-rarest keys; ZERO recall loss by the
-      prefix-intersection theorem (see ``_prefix_select``), output ⊇
-      the cap-mode output at any cap. ``max_token_freq`` is IGNORED
+      (q·max_dist + 1) globally-rarest keys; ZERO recall loss RELATIVE
+      TO the underlying blocking by the prefix-intersection theorem
+      (see ``_prefix_select``), output ⊇ the cap-mode output at any
+      cap. The blocking itself is complete only for strings long
+      enough to guarantee a shared unedited key — for ``qgram`` that is
+      len(normalized) ≥ q·(max_dist+1) (shorter pairs can differ by
+      one edit yet share no q-gram: 'abcd'/'abxd' at q=3); below that
+      length use ``block="delete"``, which is lossless at any length.
+      ``max_token_freq`` is IGNORED
       (a drop would void the guarantee); audit candidate cost with
       ``fuzzy_prefix_hotspots``. The right mode for SKEWED-frequency
       corpora where the cap over-binds (SCALING §4o/§4p) — but on

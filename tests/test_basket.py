@@ -71,3 +71,33 @@ def test_association_rules_guards(spark):
         association_rules(df, min_pair_count=0)
     with pytest.raises(ValueError, match="max_basket_size"):
         association_rules(df, max_basket_size=1)
+
+
+def test_association_rules_null_basket_ids_are_dropped(spark):
+    """NULL basket ids never enter the census or pair statistics — the
+    r12 kept-set→anti-join inversion would otherwise KEEP them (NULL
+    never matches the hot set), shifting support/lift denominators
+    (r12 ADVICE pin). Statistics must equal the NULL-free corpus."""
+    rows = BASKETS + [(None, "x"), (None, "y"), (None, "q")]
+    df = spark.createDataFrame(rows, "basket_id bigint, item string")
+    got = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(df, min_pair_count=1).collect()
+    }
+    base = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(_m(spark, BASKETS), min_pair_count=1).collect()
+    }
+    assert set(got) == set(base)  # no q-pairs from the NULL pseudo-basket
+    for k in base:
+        assert (got[k]["pair_n"], got[k]["support"], got[k]["lift"]) == (
+            base[k]["pair_n"], base[k]["support"], base[k]["lift"],
+        )
+    # ...even when the NULL pseudo-basket is oversized (the exact leak path)
+    many = rows + [(None, f"i{j}") for j in range(2000)]
+    df2 = spark.createDataFrame(many, "basket_id bigint, item string")
+    got2 = {
+        (r["antecedent"], r["consequent"]): r["support"]
+        for r in association_rules(df2, min_pair_count=1).collect()
+    }
+    assert got2[("x", "y")] == 0.75

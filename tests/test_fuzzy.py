@@ -381,3 +381,37 @@ def test_blocking_coverage_counts_null_and_empty_names_as_orphans(spark):
     assert cov["orphaned_records"] == 3  # NULL, whitespace, empty
     assert cov["blocked_records"] == 2
     assert cov["orphaned_share"] == 0.6
+
+
+def test_qgram_blocking_short_string_boundary_vs_delete(spark):
+    """Pins the SCOPE of the prefix-mode guarantee (r12 ADVICE): q-gram
+    blocking (prefix or not) is complete only for len(normalized) >=
+    q*(max_dist+1). 'abcd'/'abxd' differ by one substitution yet share
+    NO 3-gram, so qgram+prefix must MISS the pair — while
+    block='delete' (truly lossless at any length) must find it. The
+    driver entries' delete==prefix equality is fixture-dependent
+    (TPC-H names are 18+ chars), not a theorem."""
+    rows = [(1, "abcd"), (2, "abxd"), (3, "unrelated")]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    prefix = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_pairs(
+            df, max_dist=1, block="qgram", selection="prefix"
+        ).collect()
+    }
+    delete = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_pairs(df, max_dist=1, block="delete").collect()
+    }
+    assert prefix == set()  # the documented blocking limit
+    assert delete == {(1, 2)}
+    # at/above the q*(d+1) length bound the q-gram pair IS found
+    rows2 = [(1, "abcdef"), (2, "abxdef")]
+    df2 = spark.createDataFrame(rows2, "id bigint, name string")
+    prefix2 = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_pairs(
+            df2, max_dist=1, block="qgram", selection="prefix"
+        ).collect()
+    }
+    assert prefix2 == {(1, 2)}
