@@ -1435,8 +1435,43 @@ def fuzzy_gated_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
 
 
+def fuzzy_prefix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ed-Join prefix filtering on its DESIGN-CORRECT corpus (r13,
+    verdict ask): long `documents` text with a SKEWED gram histogram,
+    where each record's q·max_dist + 1 = 13 globally-rarest 3-grams are
+    genuinely rare (posting lists track the gram-frequency tail, NOT
+    the corpus — the shape Xiao/Wang/Lin VLDB'08 analyze). Replaces the
+    r12 `fuzzy_prefix_customers` bench/driver entry, which ran prefix
+    mode on uniform key-like names — its own documented worst case
+    (SCALING §4p: postings ∝ corpus, hot-posting straggler, 34 s at
+    sf0.1 = 15% of the whole bench); names stay covered by the lossless
+    `fuzzy_delete_customers` twin, and the customers-corpus prefix mode
+    stays pytest-pinned (delete == prefix identity, test_fuzzy.py).
+    max_dist=4 matches the fixture's near-dup family (24 template pairs
+    at Levenshtein 4 per SF). Completeness bound: len(normalized) ≥
+    q·(d+1) = 15 — documents are 48+ chars. The oracle replays
+    selection (row_number over the (doc-freq ASC, gram ASC) total
+    order), candidate join, |len| prefilter, and verify. Reference
+    anchor: the dup-drilldown generalization the fuzzy family
+    implements (tests/drift_analysis.py:141-186)."""
+    from cdc_connector_spark.ops.fuzzy import fuzzy_pairs
+
+    return fuzzy_pairs(
+        _t(spark, sf_dir, "documents"),
+        text_col="text",
+        id_col="doc_id",
+        max_dist=4,
+        block="qgram",
+        selection="prefix",
+    ).select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+
+
 def fuzzy_prefix_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall-PRESERVING fuzzy blocking (NEW r12, verdict ask): Ed-Join
+    """PYTEST-ONLY since r13 (not in queries(): the r13 verdict re-pointed
+    the benched prefix-mode entry at its design-correct skewed-gram corpus
+    — see fuzzy_prefix_documents; this helper remains for the
+    delete == prefix identity pin in test_fuzzy.py, which needs both
+    modes on the SAME corpus). Recall-PRESERVING fuzzy blocking: Ed-Join
     prefix filtering — each record keeps only its q·max_dist + 1 = 4
     globally-RAREST 3-grams (doc-frequency ASC, gram ASC order), and any
     pair within the edit budget provably still shares a kept gram (the
@@ -3920,7 +3955,10 @@ _R13_WINDOW = [
     "corr_quantity_price",
     "cube_revenue_flags",
     "curriculum_plan_documents",
-    "dup_rate_by_source_documents",
+    # r13 addition (never driver-checked -> window-resident; displaces
+    # dup_rate_by_source_documents, which sits at the age-4 floor under
+    # tripwire coverage and rotates in r14)
+    "fuzzy_prefix_documents",
 ]
 
 
@@ -4157,7 +4195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-verified at sf0.001 on every commit and at 3 SFs at
         # creation, and rotate into the r13 window) ---
         "fuzzy_gated_customers": fuzzy_gated_customers,
-        "fuzzy_prefix_customers": fuzzy_prefix_customers,
+        "fuzzy_prefix_documents": fuzzy_prefix_documents,
         "fuzzy_delete_customers": fuzzy_delete_customers,
     }
     assert len(_R13_WINDOW) == 50 and set(_R13_WINDOW) <= set(base)
@@ -5645,11 +5683,11 @@ def oracle_sql() -> dict[str, str]:
         # (doc-frequency ASC, gram ASC) order, keep rn <= q*d+1 = 4,
         # then the same candidate join + |len| prefilter + verify. No
         # frequency cap anywhere (the recall guarantee).
-        "fuzzy_prefix_customers": """
+        "fuzzy_prefix_documents": """
             WITH b AS (
-                SELECT c_custkey AS id,
-                       regexp_replace(trim(lower(coalesce(c_name,''))), '\\s+', ' ', 'g') AS s
-                FROM customer
+                SELECT doc_id AS id,
+                       regexp_replace(trim(lower(coalesce(text,''))), '\\s+', ' ', 'g') AS s
+                FROM documents
             ), nb AS (
                 SELECT id, s FROM b WHERE s <> ''
             ), inv AS (
@@ -5667,15 +5705,15 @@ def oracle_sql() -> dict[str, str]:
                            row_number() OVER (PARTITION BY inv.id
                                               ORDER BY fr.f ASC, inv.g ASC) AS rn
                     FROM inv JOIN fr ON inv.g = fr.g
-                ) WHERE rn <= 4
+                ) WHERE rn <= 13
             ), cand AS (
                 SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
                 FROM sel a JOIN sel b ON a.g = b.g AND a.id < b.id
-                WHERE abs(len(a.s) - len(b.s)) <= 1
+                WHERE abs(len(a.s) - len(b.s)) <= 4
             )
             SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
             FROM cand
-            WHERE levenshtein(sa, sb) <= 1
+            WHERE levenshtein(sa, sb) <= 4
         """,
         # Deletion-neighborhood fuzzy matching (r12): SymSpell keys
         # replayed — the string itself plus every 1-deletion variant,

@@ -36,6 +36,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _char_qgrams(s, q: int):
+    """Distinct character ``q``-grams of ``s`` as array<string>, built
+    as a chain of shifted-slice ``zip_with``s over the char array —
+    O(len) per row and codegen-friendly. The obvious
+    ``transform(sequence(1, n-q+1), i -> substring(s, i, q))`` form
+    yields the same grams but evaluates ``substring`` inside an
+    interpreted lambda per position — O(len²) per document, harmless on
+    18-char names and lethal on 300-char documents (the
+    textstats.word_ngrams lesson, measured again here: the r13
+    documents entry spent most of its wall re-evaluating this).
+    Strings shorter than ``q`` key on their full text (parity with the
+    clamped-substring behavior of the old form)."""
+    chars = F.split(s, "")
+    out = chars
+    n = F.size(chars)
+    for j in range(2, q + 1):
+        m = F.greatest(n - F.lit(j - 1), F.lit(0))
+        out = F.zip_with(
+            F.slice(out, 1, m), F.slice(chars, j, m), lambda a, b: F.concat(a, b)
+        )
+    return F.when(F.length(s) < q, F.array(s)).otherwise(F.array_distinct(out))
+
+
 def _delete_neighborhood(s, max_dist: int):
     """Column expression: array of every string obtainable from ``s``
     by deleting up to ``max_dist`` characters (the SymSpell key set) —
@@ -56,6 +79,23 @@ def _delete_neighborhood(s, max_dist: int):
         prev = levels[-1]
         levels.append(F.flatten(F.transform(prev, lambda v: deletes(v))))
     return F.array_distinct(F.concat(*levels))
+
+
+def _normalized(
+    df: DataFrame, text_col: str, id_col: str, extra_block_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(__id, __s [, __x_*]) normalized base — lower + trim + whitespace
+    collapse, empty strings dropped. Factored out of ``_blocking_index``
+    so ``fuzzy_pairs`` can re-attach strings to the collapsed pair set
+    WITHOUT re-deriving the exploded key index (r13)."""
+    norm = F.regexp_replace(
+        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
+    )
+    return df.select(
+        F.col(id_col).alias("__id"),
+        norm.alias("__s"),
+        *[F.col(c).alias(f"__x_{c}") for c in extra_block_cols],
+    ).filter(F.col("__s") != "")
 
 
 def _blocking_index(
@@ -79,22 +119,11 @@ def _blocking_index(
     so the index is complete with NO cap and no selection step."""
     if block not in ("token", "qgram", "delete"):
         raise ValueError(f"block must be token/qgram/delete, got {block!r}")
-    norm = F.regexp_replace(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " ")
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        norm.alias("__s"),
-        *[F.col(c).alias(f"__x_{c}") for c in extra_block_cols],
-    ).filter(F.col("__s") != "")
+    base = _normalized(df, text_col, id_col, extra_block_cols)
     if block == "token":
         keys = F.array_distinct(F.split(F.col("__s"), " "))
     elif block == "qgram":
-        n = F.length("__s")
-        m = F.greatest(n - (qgram - 1), F.lit(1))
-        keys = F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), m), lambda i: F.substring(F.col("__s"), i, qgram)
-            )
-        )
+        keys = _char_qgrams(F.col("__s"), qgram)
     else:
         keys = _delete_neighborhood(F.col("__s"), max_dist)
     return base.select(
@@ -229,13 +258,23 @@ def _prefix_select(
     plen = (qgram if block == "qgram" else 2) * max_dist + 1
     freq = inv.groupBy("__k").agg(F.count(F.lit(1)).alias("__f"))
     # no broadcast hint: |distinct keys| is corpus-scale; co-partition
-    # on __k, then one record-keyed window picks the prefix
+    # on __k, then one record-keyed window picks the prefix. The text
+    # column is collapsed to its LENGTH before the window exchange —
+    # downstream only needs (id, len, key) for the candidate join (r13:
+    # on 300-char documents, carrying __s shuffled 200 MB per join side
+    # for a column the pair join never reads).
     w = Window.partitionBy("__id").orderBy(F.col("__f").asc(), F.col("__k").asc())
     return (
-        inv.join(freq, "__k")
+        inv.select(
+            "__id",
+            F.length("__s").alias("__len"),
+            *[f"__x_{c}" for c in extra_block_cols],
+            "__k",
+        )
+        .join(freq, "__k")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= plen)
-        .select("__id", "__s", *[f"__x_{c}" for c in extra_block_cols], "__k")
+        .select("__id", "__len", *[f"__x_{c}" for c in extra_block_cols], "__k")
     )
 
 
@@ -320,10 +359,12 @@ def fuzzy_pairs(
     inv = _blocking_index(
         df, text_col, id_col, block, qgram, extra_block_cols, max_dist=max_dist
     )
+    xcols = [f"__x_{c}" for c in extra_block_cols]
     if block == "delete":
-        pass  # complete, self-bounding index: no cap, no selection
+        # complete, self-bounding index: no cap, no selection
+        idx = inv.select("__id", F.length("__s").alias("__len"), "__k", *xcols)
     elif selection == "prefix":
-        inv = _prefix_select(inv, block, qgram, max_dist, extra_block_cols)
+        idx = _prefix_select(inv, block, qgram, max_dist, extra_block_cols)
     else:
         # anti-join the bounded HOT set (freq > cap, ≤ postings/cap keys —
         # the same set fuzzy_dropped_keys audits); the old form broadcast
@@ -336,22 +377,44 @@ def fuzzy_pairs(
             .filter(F.col("__f") > max_token_freq)
             .select("__k")
         )
-        inv = inv.join(hot, "__k", "left_anti")
-    xcols = [f"__x_{c}" for c in extra_block_cols]
-    l = inv.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"), "__k", *xcols)
-    r = inv.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"), "__k", *xcols)
+        idx = inv.join(hot, "__k", "left_anti").select(
+            "__id", F.length("__s").alias("__len"), "__k", *xcols
+        )
+    # the candidate self-join carries ONLY (id, len, key): at 100 TB the
+    # blocked join's shuffle must not haul document text through every
+    # key collision (and at any scale the post-join distinct dedupes
+    # 12-byte pair rows, not 2×text rows). Strings re-attach AFTER the
+    # pair set collapses — two id-keyed joins against the normalized
+    # base, whose side is |verified-candidate pairs|, not |collisions|
+    # (r13: measured 7× on the documents corpus together with the
+    # codegen q-gram derivation above).
+    l = idx.select(F.col("__id").alias("id_a"), F.col("__len").alias("__la"), "__k", *xcols)
+    r = idx.select(F.col("__id").alias("id_b"), F.col("__len").alias("__lb"), "__k", *xcols)
     cand = (
         l.join(r, ["__k", *xcols])
         .filter(
             (F.col("id_a") < F.col("id_b"))
             # length gap is a Levenshtein lower bound — prune pre-verify
-            & (F.abs(F.length("__sa") - F.length("__sb")) <= max_dist)
+            & (F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
         )
-        .select("id_a", "id_b", "__sa", "__sb")
+        .select("id_a", "id_b")
         .distinct()
     )
+    strs = _normalized(df, text_col, id_col)
+    sa = strs.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"))
+    sb = strs.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"))
+    # THRESHOLD levenshtein (banded DP, O(len·d) per pair, -1 past the
+    # budget) instead of the full O(len²) matrix: identical surviving
+    # values, ~len/d× less CPU — on 300-char documents the full form
+    # burned 90k DP cells/pair where the band needs ~2.7k, and because
+    # AQE sizes post-join partitions by BYTES, the O(len²) verify also
+    # ran on 1-2 coalesced partitions (90 MB of pairs) — the band makes
+    # verify cost byte-proportional again, so AQE's coalescing stays
+    # calibrated (r13: 166 s → sub-10 s on the documents corpus).
     return (
-        cand.withColumn("dist", F.levenshtein("__sa", "__sb"))
-        .filter(F.col("dist") <= max_dist)
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("dist", F.levenshtein("__sa", "__sb", max_dist))
+        .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", "dist")
     )
