@@ -3954,12 +3954,50 @@ _R13_WINDOW = [
     "corpus_inventory_documents",
     "corr_quantity_price",
     "cube_revenue_flags",
-    "curriculum_plan_documents",
-    # r13 addition (never driver-checked -> window-resident; displaces
-    # dup_rate_by_source_documents, which sits at the age-4 floor under
-    # tripwire coverage and rotates in r14)
+    # r13 additions (never driver-checked -> window-resident; they
+    # displace curriculum_plan_documents and dup_rate_by_source_documents,
+    # which sit at the age-4 floor under tripwire coverage and rotate in
+    # r14)
+    "metrics_snapshot_events",
     "fuzzy_prefix_documents",
 ]
+
+
+def metrics_snapshot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metrics-snapshot component, driver-level replay (NEW r13, verdict
+    #3 — the metrics.yaml:4-40 analogue): streaming/metrics.py turns
+    registered streams' StreamingQueryProgress into a queryable
+    DataFrame and ``report()`` rolls it up to per-stream gauges
+    (batches, rows, rows/sec over busy time, worst batch, frontier).
+    Live progress is nondeterministic, so — the lateness/HLL pattern —
+    this entry drives the component's REAL roll-up over a DETERMINISTIC
+    progress fixture: one synthetic micro-batch per (event_type stream,
+    6 h trigger window) with num_input_rows = the window's event count
+    and trigger_ms / state_rows as exact integer functions of it. The
+    oracle replays the fixture derivation and the exact roll-up
+    arithmetic (BIGINT sums, arg_max frontier, one double division,
+    round 6). The live path — a real ChangelogStream's query feeding
+    register/collect/snapshot, ring-dedupe idempotence, NaN/absent-field
+    normalization — is pinned end-to-end in test_streaming_metrics.py.
+    Value-verified."""
+    from cdc_connector_spark.streaming.metrics import report
+
+    ev = _t(spark, sf_dir, "events")
+    prog = (
+        ev.groupBy(
+            F.col("event_type").alias("stream"),
+            F.floor(F.unix_timestamp("ts") / 21600).cast("long").alias("batch_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("num_input_rows"))
+        .select(
+            "stream",
+            "batch_id",
+            "num_input_rows",
+            (F.lit(250) + F.col("num_input_rows") * 5).cast("long").alias("trigger_ms"),
+            F.pmod(F.col("num_input_rows"), F.lit(97)).cast("long").alias("state_rows"),
+        )
+    )
+    return report(prog)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4195,6 +4233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-verified at sf0.001 on every commit and at 3 SFs at
         # creation, and rotate into the r13 window) ---
         "fuzzy_gated_customers": fuzzy_gated_customers,
+        # --- NEW in round 13 (window-resident: never driver-checked) ---
+        "metrics_snapshot_events": metrics_snapshot_events,
         "fuzzy_prefix_documents": fuzzy_prefix_documents,
         "fuzzy_delete_customers": fuzzy_delete_customers,
     }
@@ -5683,6 +5723,32 @@ def oracle_sql() -> dict[str, str]:
         # (doc-frequency ASC, gram ASC) order, keep rn <= q*d+1 = 4,
         # then the same candidate join + |len| prefilter + verify. No
         # frequency cap anywhere (the recall guarantee).
+        "metrics_snapshot_events": """
+            WITH p AS (
+                SELECT event_type AS stream,
+                       CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) AS BIGINT)
+                           AS batch_id,
+                       COUNT(*) AS num_input_rows
+                FROM events
+                GROUP BY 1, 2
+            ), q AS (
+                SELECT stream, batch_id,
+                       CAST(num_input_rows AS BIGINT) AS num_input_rows,
+                       CAST(250 + num_input_rows * 5 AS BIGINT) AS trigger_ms,
+                       CAST(num_input_rows % 97 AS BIGINT) AS state_rows
+                FROM p
+            )
+            SELECT stream,
+                   COUNT(*) AS batches,
+                   CAST(SUM(num_input_rows) AS BIGINT) AS "rows",
+                   round(CAST(SUM(num_input_rows) AS DOUBLE)
+                         / (CAST(SUM(trigger_ms) AS DOUBLE) / 1000.0), 6)
+                       AS rows_per_sec,
+                   MAX(trigger_ms) AS max_trigger_ms,
+                   MAX(batch_id) AS last_batch_id,
+                   arg_max(state_rows, batch_id) AS last_state_rows
+            FROM q GROUP BY stream ORDER BY stream
+        """,
         "fuzzy_prefix_documents": """
             WITH b AS (
                 SELECT doc_id AS id,

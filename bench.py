@@ -273,8 +273,10 @@ def main() -> None:
     bench_order = HEADLINE + sorted(n for n in qs if n not in HEADLINE)
     # host variance floor (judge r6 #8): ±25% run-to-run swings dominate
     # sub-second comparisons; entries slower than this get a median-of-3
-    # so round-over-round diffs track the engine, not the box
-    slow_median_threshold = 0.7
+    # so round-over-round diffs track the engine, not the box. 0.5 since
+    # r13 (verdict #7): entries in the 0.5-0.7 s band flipped between
+    # 1-run and 3-run buckets across rounds and polluted the r-to-r diff.
+    slow_median_threshold = 0.5
 
     for name in bench_order:
         fn = qs[name]
