@@ -60,11 +60,16 @@ def standardize_embeddings(
     values) so the transform loses no precision before the final round.
     Rows with a NULL vector are ABSENT from the output (posexplode drops
     them — there is nothing to standardize; left-join the result back if
-    the caller needs the holes surfaced)."""
+    the caller needs the holes surfaced). ``id_col`` must be unique per
+    row: the exploded cells carry ONLY (id, dim, x) — replicating every
+    payload column ×dims through the explode shuffle was the pre-r13
+    shape (384-dim vectors meant 384 copies of each non-vector column
+    as groupBy keys); the other columns re-attach with one id-keyed
+    join after the per-id reassembly."""
     keep = [c for c in df.columns if c != vec_col]
     x = F.col("__x")
     cells = df.select(
-        *keep, F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "__x")
+        id_col, F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "__x")
     )
     sums = (
         df.filter(F.col(vec_col).isNotNull())
@@ -84,14 +89,12 @@ def standardize_embeddings(
     std = F.sqrt(F.greatest(var, F.lit(0.0)))
     z = F.when(std > 0, F.round((x - mean) / std, 6)).otherwise(F.lit(0.0))
     scored = cells.join(F.broadcast(sums), "dim").select(
-        *keep, "dim", z.alias("__z")
+        id_col, "dim", z.alias("__z")
     )
-    return (
-        scored.groupBy(*keep)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "__z"))),
-                lambda s: s["__z"],
-            ).alias("z")
-        )
+    zs = scored.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "__z"))),
+            lambda s: s["__z"],
+        ).alias("z")
     )
+    return df.filter(F.col(vec_col).isNotNull()).select(*keep).join(zs, id_col)

@@ -104,24 +104,38 @@ def bitemporal_as_of(
     that HAD a state valid at V known by T; keys with no qualifying row
     are absent (stated, not NULL-padded).
 
-    Shape: one filtered scan (both cutoffs push down to the parquet
-    scan) + one key-hash shuffle for the window. On a table partitioned
-    by recorded day — the natural CDC layout — the T cutoff prunes
-    partitions before the scan."""
+    Shape: one filtered scan + one key-hash shuffle for the window. The
+    cutoffs compare the RAW timestamp columns against timestamp
+    literals — on a TimestampType column the no-op cast is optimized
+    away and the comparison reaches PushedFilters (the pre-r13 form
+    filtered on ``unix_micros(cast(...))``, a computed expression the
+    scan cannot see: only IsNotNull pushed, and a recorded-day
+    partition layout — the natural CDC shape — pruned nothing;
+    pinned in test_plan_invariants). The micros conversion happens
+    AFTER the filter, for the output and the window order only."""
     from pyspark.sql import Window
 
     valid_us = F.unix_micros(F.col(valid_ts_col).cast("timestamp"))
     recorded_us = F.unix_micros(F.col(recorded_ts_col).cast("timestamp"))
     extra = [c for c in order_cols if c not in (valid_ts_col, key_col, state_col)]
     base = (
-        df.select(
+        df.filter(
+            (
+                F.col(recorded_ts_col).cast("timestamp")
+                <= F.timestamp_micros(F.lit(known_at_us))
+            )
+            & (
+                F.col(valid_ts_col).cast("timestamp")
+                <= F.timestamp_micros(F.lit(valid_at_us))
+            )
+        )
+        .select(
             F.col(key_col),
             F.col(state_col).alias("state"),
             valid_us.alias("__v"),
             recorded_us.alias("__r"),
             *[F.col(c) for c in extra],
         )
-        .filter((F.col("__r") <= F.lit(known_at_us)) & (F.col("__v") <= F.lit(valid_at_us)))
     )
     order = [F.col("__v").desc(), F.col("__r").desc()] + [
         F.col(c).desc() for c in extra

@@ -35,13 +35,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
-def merge_islands(ranges: DataFrame, group_col: str | None = None) -> DataFrame:
-    """Merge possibly-overlapping/adjacent (lo, hi) integer ranges into
-    maximal contiguous islands (adjacent = hi + 1 touches the next lo),
-    optionally per ``group_col``. The gaps-and-islands fold: one ordered
-    window for the running max hi, one boundary cumsum, one aggregation.
-    """
-    keys = [group_col] if group_col else []
+def _fold_islands(ranges: DataFrame, keys: list[str]) -> DataFrame:
+    """One gaps-and-islands fold over ``ranges`` ordered by (lo, hi)
+    within ``keys``: running max hi, boundary cumsum, aggregate."""
     w = (
         Window.partitionBy(*keys)
         .orderBy("lo", "hi")
@@ -59,6 +55,35 @@ def merge_islands(ranges: DataFrame, group_col: str | None = None) -> DataFrame:
     return marked.groupBy(*keys, "__isl").agg(
         F.min("lo").alias("lo"), F.max("hi").alias("hi")
     ).drop("__isl")
+
+
+def merge_islands(
+    ranges: DataFrame, group_col: str | None = None, block: int = 1 << 20
+) -> DataFrame:
+    """Merge possibly-overlapping/adjacent (lo, hi) integer ranges into
+    maximal contiguous islands (adjacent = hi + 1 touches the next lo),
+    optionally per ``group_col``.
+
+    TWO-PHASE (r13 review): the total-order fold over an UNGROUPED
+    monitor is a no-partition window — every range in the batch would
+    serialize through ONE task (the WindowExec single-partition
+    hazard; process_batch feeds this one row per distinct id, so a
+    million-row micro-batch meant a million-row single-task sort).
+    Phase 1 folds within fixed id-blocks (``floor(lo / block)`` joins
+    the window key — parallel across 32+ tasks), which preserves
+    COVERAGE exactly (islands are a function of the covered integer
+    set alone, and a partition-wise fold never changes the union);
+    phase 2 runs the same fold globally over the per-block islands —
+    on a healthy dense stream that is ~1 row per occupied block
+    (batch/2^20), and never more rows than the input. A range spanning
+    blocks is assigned to its lo-block; the global pass is what merges
+    across block boundaries."""
+    keys = [group_col] if group_col else []
+    pre = _fold_islands(
+        ranges.withColumn("__blk", F.floor(F.col("lo") / F.lit(block))),
+        keys + ["__blk"],
+    ).drop("__blk")
+    return _fold_islands(pre, keys)
 
 
 class StreamingGapMonitor:

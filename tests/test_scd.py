@@ -57,3 +57,36 @@ def test_scd2_intervals_duplicate_ts_tiebreak(spark):
     assert [r["state"] for r in got] == ["B", "C"]
     assert got[0]["effective_to_us"] == got[1]["effective_from_us"]
     assert got[1]["is_current"] and not got[0]["is_current"]
+
+
+def test_bitemporal_cutoffs_reach_parquet_scan(spark, tmp_path):
+    """r13 review pin: both bitemporal cutoffs must appear in
+    PushedFilters as raw-column comparisons — the pre-r13 form filtered
+    on unix_micros(cast(...)), a computed expression the scan cannot
+    see (only IsNotNull pushed; a recorded-day partition layout pruned
+    nothing)."""
+    import re
+
+    from cdc_connector_spark.ops.scd import bitemporal_as_of
+
+    df = spark.range(10).selectExpr(
+        "id as user_id",
+        "'a' as event_type",
+        "timestamp_micros(cast(id*1000000 as bigint)) as ts",
+        "timestamp_micros(cast(id*1000000 as bigint)) as recorded_ts",
+        "id as event_id",
+    )
+    p = str(tmp_path / "bt")
+    df.write.parquet(p)
+    out = bitemporal_as_of(
+        spark.read.parquet(p), valid_at_us=5_000_000, known_at_us=4_000_000
+    )
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+    assert "LessThanOrEqual(recorded_ts" in pushed, pushed
+    assert "LessThanOrEqual(ts" in pushed, pushed
+    # semantics unchanged: recorded cutoff 4s hides the 5s row
+    got = {(r["user_id"], r["valid_from_us"]) for r in out.collect()}
+    assert got == {(i, i * 1_000_000) for i in range(5)}

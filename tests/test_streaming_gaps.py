@@ -134,3 +134,39 @@ def test_streaming_gaps_healthy_stream_single_island(spark, tmp_path):
     assert not os.path.isdir(mon._islands_dir(0))
     assert os.path.isdir(mon._islands_dir(1)) and os.path.isdir(mon._islands_dir(2))
     assert mon.committed_batch_ids() == [0, 1, 2]
+
+
+def test_merge_islands_block_prefold_equivalence(spark):
+    """r13 two-phase pin: the parallel within-block pre-fold is coverage-
+    preserving, so islands equal the single-fold result on any fixture —
+    including adjacency and spans ACROSS block boundaries, which only
+    the global pass can merge."""
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    for _ in range(300):
+        lo = rng.randrange(0, 200)
+        rows.append((lo, lo + rng.randrange(0, 30)))
+    df = spark.createDataFrame(rows, "lo bigint, hi bigint")
+    # tiny blocks force many cross-block spans; huge block = single fold
+    small = {(r["lo"], r["hi"]) for r in merge_islands(df, block=8).collect()}
+    big = {(r["lo"], r["hi"]) for r in merge_islands(df, block=1 << 40).collect()}
+    assert small == big
+    # hand-checked boundary adjacency: 7 and 8 sit in different block-4
+    # blocks and MUST merge; a range spanning three blocks merges through
+    df2 = spark.createDataFrame(
+        [(7, 7), (8, 8), (2, 13), (20, 21)], "lo bigint, hi bigint"
+    )
+    got = {(r["lo"], r["hi"]) for r in merge_islands(df2, block=4).collect()}
+    assert got == {(2, 13), (20, 21)}
+
+
+def test_merge_islands_prefold_window_is_partitioned(spark):
+    """The phase-1 window must carry the block in its partition spec —
+    the whole point of the pre-fold is that an ungrouped monitor's batch
+    no longer serializes through a single WindowExec task."""
+    df = spark.createDataFrame([(1, 2), (4, 5)], "lo bigint, hi bigint")
+    plan = merge_islands(df)._jdf.queryExecution().toString()
+    # two Window operators; the first (inner/phase-1) partitions by __blk
+    assert "__blk" in plan
