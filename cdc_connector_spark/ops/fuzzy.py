@@ -278,6 +278,86 @@ def _prefix_select(
     )
 
 
+def _pair_candidates(
+    idx: DataFrame,
+    xcols: list[str],
+    max_dist: int,
+    hot_chunk: int = 4096,
+    max_fanout: int = 16,
+) -> DataFrame:
+    """Distinct (id_a < id_b) candidate pairs from the (__id, __len,
+    __k [, __x_*]) index self-join, STRAGGLER-SAFE on hot posting lists
+    (r13, the r12 verdict's prefix-mode tail): a blocking key whose
+    posting list holds f records emits f² collision rows inside ONE
+    join task — skew AQE cannot split, because the expansion happens
+    inside the task, invisible to input-size stats (observed directly
+    as the single-task tail in the SCALING §4p rehearsal).
+
+    Grid (triangle) split, Okcan/Riedewald theta-join style: keys with
+    f > ``hot_chunk`` are cut into m = min(ceil(f/chunk), ``max_fanout``)
+    hash-chunks per key; chunk-pair task (i ≤ j) receives chunk i as
+    the A role (exploded over partners j ≥ i) and chunk j as the B role
+    (exploded over partners i ≤ j), so each unordered row pair meets in
+    EXACTLY one of the m(m+1)/2 tasks and no task holds more than
+    (f/m)² collisions. Replication cost: hot rows shuffle ≤ 2m× (ids +
+    lengths only — bytes are trivial); cold keys keep the plain a < b
+    self-join. Pair-set equality with the unsplit join is structural
+    (hot pairs emit as (least, greatest) and the shared DISTINCT
+    collapses both paths) and pinned in tests + the 10× rehearsal."""
+    jk = ["__k", *xcols]
+    freq = idx.groupBy(*jk).agg(F.count(F.lit(1)).alias("__f"))
+    g = idx.join(freq, jk).withColumn(
+        "__m",
+        F.least(
+            F.ceil(F.col("__f") / F.lit(hot_chunk)), F.lit(max_fanout)
+        ).cast("int"),
+    )
+    cold = g.filter(F.col("__m") <= 1)
+    l = cold.select(F.col("__id").alias("id_a"), F.col("__len").alias("__la"), *jk)
+    r = cold.select(F.col("__id").alias("id_b"), F.col("__len").alias("__lb"), *jk)
+    pairs_cold = (
+        l.join(r, jk)
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # length gap is a Levenshtein lower bound — prune pre-verify
+            & (F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
+        )
+        .select("id_a", "id_b")
+    )
+    hot = g.filter(F.col("__m") > 1).withColumn(
+        "__ci",
+        F.pmod(F.xxhash64(F.col("__id").cast("string")), F.col("__m")).cast("int"),
+    )
+    a = hot.select(
+        F.col("__id").alias("id_a"),
+        F.col("__len").alias("__la"),
+        *jk,
+        F.col("__ci").alias("__i"),
+        F.explode(
+            F.sequence(F.col("__ci"), F.col("__m") - 1)
+        ).alias("__j"),
+    )
+    b = hot.select(
+        F.col("__id").alias("id_b"),
+        F.col("__len").alias("__lb"),
+        *jk,
+        F.explode(F.sequence(F.lit(0), F.col("__ci"))).alias("__i"),
+        F.col("__ci").alias("__j"),
+    )
+    pairs_hot = (
+        a.join(b, jk + ["__i", "__j"])
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+    )
+    return pairs_cold.unionByName(pairs_hot).distinct()
+
+
 def fuzzy_pairs(
     df: DataFrame,
     text_col: str = "name",
@@ -388,18 +468,7 @@ def fuzzy_pairs(
     # base, whose side is |verified-candidate pairs|, not |collisions|
     # (r13: measured 7× on the documents corpus together with the
     # codegen q-gram derivation above).
-    l = idx.select(F.col("__id").alias("id_a"), F.col("__len").alias("__la"), "__k", *xcols)
-    r = idx.select(F.col("__id").alias("id_b"), F.col("__len").alias("__lb"), "__k", *xcols)
-    cand = (
-        l.join(r, ["__k", *xcols])
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            # length gap is a Levenshtein lower bound — prune pre-verify
-            & (F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
-        )
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = _pair_candidates(idx, xcols, max_dist)
     strs = _normalized(df, text_col, id_col)
     sa = strs.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"))
     sb = strs.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"))

@@ -415,3 +415,39 @@ def test_qgram_blocking_short_string_boundary_vs_delete(spark):
         ).collect()
     }
     assert prefix2 == {(1, 2)}
+
+
+def test_grid_split_pair_set_equality_on_hot_keys(spark):
+    """r13 straggler fix pin: the chunk-grid self-join (hot posting
+    lists split m-ways, pairs enumerated per chunk-pair task) returns
+    EXACTLY the plain self-join's pair set. Forced here with a tiny
+    chunk so every key is hot and m hits the fan-out cap."""
+    from cdc_connector_spark.ops.fuzzy import _blocking_index, _pair_candidates
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"name {i % 7} suffix") for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    inv = _blocking_index(df, "name", "id", "qgram", 3)
+    idx = inv.select("__id", F.length("__s").alias("__len"), "__k")
+    plain = {
+        (r["id_a"], r["id_b"])
+        for r in _pair_candidates(idx, [], max_dist=1, hot_chunk=10**9).collect()
+    }
+    grid = {
+        (r["id_a"], r["id_b"])
+        for r in _pair_candidates(
+            idx, [], max_dist=1, hot_chunk=4, max_fanout=5
+        ).collect()
+    }
+    assert grid == plain and len(plain) > 0
+    # and through the full operator: tiny-chunk grid == default output
+    import cdc_connector_spark.ops.fuzzy as fz
+
+    base = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fz.fuzzy_pairs(
+            df, text_col="name", id_col="id", max_dist=1, block="qgram",
+            selection="prefix",
+        ).collect()
+    }
+    assert {(a, b) for a, b, _ in base} <= plain
