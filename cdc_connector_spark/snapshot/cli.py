@@ -112,11 +112,15 @@ def main(argv: list[str] | None = None) -> int:
 
     def read_live(name: str):
         """Partitioned live read (S1/S2): range-planned by the source's own
-        stats; index/FK metadata captured for the migration report."""
+        stats; index/FK metadata captured for the migration report. The
+        row count comes back as a SERVER-SIDE aggregate (no rows ship) so
+        snapshot_table can size its output partitioning without a second
+        full COPY read of the source (r13 review)."""
         from cdc_connector_spark.sources.pg_copy import (
             pg_foreign_keys,
             pg_table_indexes,
             pg_table_schema,
+            run_sql,
         )
 
         schema = pg_table_schema(pg, name)
@@ -126,19 +130,24 @@ def main(argv: list[str] | None = None) -> int:
         if pcol:
             opts["partition_column"] = pcol
         df = spark.read.format("pgcopy").options(**opts).load()
-        return df, pg_table_indexes(pg, name), pg_foreign_keys(pg, name)
+        n = int(run_sql(pg, f'SELECT count(*) FROM "{name}"').strip())
+        return df, n, pg_table_indexes(pg, name), pg_foreign_keys(pg, name)
 
     def one(name: str) -> tuple[str, str | None, str | None]:
         try:
             if pg is not None:
-                df, indexes, fks = read_live(name)
+                df, n_rows, indexes, fks = read_live(name)
             else:
-                df, indexes, fks = load_table(spark, args.source_root, name), [], []
+                df, n_rows, indexes, fks = (
+                    load_table(spark, args.source_root, name), None, [], [],
+                )
             meta = meta_from_df(
                 args.database, name, df, pks.get(name, []),
                 indexes=indexes, foreign_keys=fks,
             )
-            path = snapshot_table(spark, df, meta, args.sink_root, mode=mode)
+            path = snapshot_table(
+                spark, df, meta, args.sink_root, mode=mode, row_count=n_rows
+            )
             # migration report: what physical metadata existed at the source
             with open(os.path.join(args.sink_root, f"{meta.sink_name}.meta.json"), "w") as f:
                 json.dump(meta.to_dict(), f, default=str)

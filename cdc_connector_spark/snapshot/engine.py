@@ -30,10 +30,19 @@ def snapshot_table(
     rows_per_partition: int = 1_000_000,
     mode: str = "ignore",
     zorder_cols: list[str] | None = None,
+    row_count: int | None = None,
 ) -> str:
     """Snapshot one table: normalize → write parquet at
     ``<sink_root>/<db>_<table>``. ``mode='ignore'`` = idempotent skip when
     the sink already exists; 'overwrite' forces a re-load.
+
+    ``row_count`` sizes the output partitioning WITHOUT a counting pass
+    when the caller already knows it (r13 review: ``source.count()`` on
+    a live pgcopy/JDBC frame is a SECOND full read of the table through
+    the COPY pipes — the one thing a snapshot must never do; the live
+    CLI passes the server-side ``SELECT count(*)`` the read planner
+    already runs). Parquet sources may leave it None — their count is a
+    cheap metadata-only job.
 
     ``zorder_cols`` is the phase-3 analogue of the reference's index
     re-creation (migrate_v3.py:430-511): instead of CREATE INDEX, cluster
@@ -53,7 +62,8 @@ def snapshot_table(
             strip_nul_cols=meta.strip_nul_cols,
             casts=meta.casts,
         )
-        n = max(plan_num_partitions(source.count(), rows_per_partition), 1)
+        n_z = row_count if row_count is not None else source.count()
+        n = max(plan_num_partitions(n_z, rows_per_partition), 1)
         zorder_write(df, out_path, zorder_cols, num_files=n, mode="overwrite" if mode != "ignore" else "error")
         return out_path
     df = normalize_row(
@@ -68,7 +78,7 @@ def snapshot_table(
     # never leave the cluster idle on a small table: use up to
     # defaultParallelism writers as long as each still gets ≥10k rows
     # (avoids both a serial write and a spray of tiny files)
-    n_rows = source.count()
+    n_rows = row_count if row_count is not None else source.count()
     n = plan_num_partitions(n_rows, rows_per_partition)
     parallel_floor = min(spark.sparkContext.defaultParallelism, max(1, n_rows // 10_000))
     n = max(n, parallel_floor)

@@ -122,3 +122,28 @@ def test_snapshot_database_parallel(spark, tmp_path):
     )
     assert set(res) == {"db_a", "db_b"}
     assert all(os.path.exists(p) for p in res.values())
+
+
+def test_snapshot_table_row_count_avoids_source_count(spark, tmp_path, monkeypatch):
+    """r13 review pin: with ``row_count`` supplied, snapshot_table must
+    never call source.count() — on a live pgcopy/JDBC frame that count
+    is a SECOND full read of the table through the COPY pipes. count()
+    is sabotaged here; the write path must still succeed and honor the
+    supplied count for partition sizing."""
+    from pyspark.sql import DataFrame
+
+    from cdc_connector_spark.snapshot.engine import snapshot_table
+    from cdc_connector_spark.tables import meta_from_df
+
+    df = spark.range(100).selectExpr("id as k", "cast(id as string) v")
+    meta = meta_from_df("db", "t_rowcount", df, ["k"])
+
+    def boom(self):
+        raise AssertionError("source.count() called despite row_count")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    out = snapshot_table(
+        spark, df, meta, str(tmp_path), mode="overwrite", row_count=100
+    )
+    monkeypatch.undo()
+    assert spark.read.parquet(out).count() == 100
