@@ -22,6 +22,20 @@ from cdc_connector_spark.ops.dedup import minhash_dedup_pairs
 from cdc_connector_spark.ops.textstats import fingerprint, language_id, quality_score
 
 
+def _pin(df: DataFrame, enabled: bool = True) -> DataFrame:
+    """Stage-boundary materialization (r13 review): every optional gate
+    here computes statistics OVER the current corpus and semi-joins the
+    survivors back — so the upstream plan appears on BOTH sides of each
+    join, and without a cut the source-scan count grows MULTIPLICATIVELY
+    with enabled stages (measured: 578 parquet scans / 395 exchanges in
+    one composed pretrain_corpus plan with five optional stages; at
+    100 TB that plan re-reads the corpus hundreds of times). An eager
+    localCheckpoint at each enabled stage boundary makes the cost one
+    corpus-size local write per stage — the same linear trade txlog
+    compaction makes."""
+    return df.localCheckpoint(eager=True) if enabled else df
+
+
 def clean_corpus(
     docs: DataFrame,
     text_col: str = "text",
@@ -228,37 +242,44 @@ def pretrain_corpus(
             shard_col,
             "left_semi",
         )
+    # per-doc gates (gopher / compression / repetition / entropy) are
+    # DOCUMENT-LOCAL functions: each flag frame derives from the SAME
+    # base and the id-set semi-joins chain onto it once — identical kept
+    # set to the old progressive chaining (a doc's flags don't depend on
+    # other docs), but the base is scanned once per enabled gate instead
+    # of multiplicatively through nested joins (r13 review, see _pin)
     flags = gopher_quality(docs, text_col=text_col, id_col=id_col)
-    kept = docs.join(
-        flags.filter(F.col("keep")).select(id_col), id_col, "left_semi"
-    )
+    gate_ids = [flags.filter(F.col("keep")).select(id_col)]
     if compression_ratio_bounds is not None:
         from cdc_connector_spark.ops.textstats import compression_ratio
 
         lo, hi = compression_ratio_bounds
-        ok = compression_ratio(kept, text_col=text_col, id_col=id_col).filter(
-            F.col("ratio").isNotNull() & F.col("ratio").between(lo, hi)
+        gate_ids.append(
+            compression_ratio(docs, text_col=text_col, id_col=id_col)
+            .filter(F.col("ratio").isNotNull() & F.col("ratio").between(lo, hi))
+            .select(id_col)
         )
-        kept = kept.join(ok.select(id_col), id_col, "left_semi")
     if max_top_2gram_frac is not None or max_dup_line_frac is not None:
         from cdc_connector_spark.ops.textstats import repetition_stats
 
-        rep = repetition_stats(kept, text_col=text_col, id_col=id_col)
+        rep = repetition_stats(docs, text_col=text_col, id_col=id_col)
         cond = F.lit(True)
         if max_top_2gram_frac is not None:
             cond = cond & (F.col("top_2gram_frac") <= max_top_2gram_frac)
         if max_dup_line_frac is not None:
             cond = cond & (F.col("dup_line_frac") <= max_dup_line_frac)
-        kept = kept.join(rep.filter(cond).select(id_col), id_col, "left_semi")
+        gate_ids.append(rep.filter(cond).select(id_col))
     if min_entropy is not None:
         from cdc_connector_spark.ops.textstats import token_entropy
 
-        ok_ids = (
-            token_entropy(kept, text_col=text_col, id_col=id_col)
+        gate_ids.append(
+            token_entropy(docs, text_col=text_col, id_col=id_col)
             .filter(F.col("entropy") >= min_entropy)
             .select(id_col)
         )
-        kept = kept.join(ok_ids, id_col, "left_semi")
+    kept = docs
+    for ids in gate_ids:
+        kept = kept.join(ids, id_col, "left_semi")
     cleaned = clean_corpus(
         kept,
         text_col=text_col,
@@ -267,6 +288,8 @@ def pretrain_corpus(
         near_dup=near_dup,
         jaccard_threshold=jaccard_threshold,
     )
+    _post = (max_nll is not None or min_dsir is not None or quality_model is not None or eval_set is not None or winnow_min_shared is not None)
+    cleaned = _pin(cleaned, _post)
     if max_nll is not None:
         from cdc_connector_spark.ops.textstats import unigram_nll
 
@@ -275,7 +298,7 @@ def pretrain_corpus(
             .filter(F.col("nll") <= max_nll)
             .select(id_col)
         )
-        cleaned = cleaned.join(ok_ids, id_col, "left_semi")
+        cleaned = _pin(cleaned.join(ok_ids, id_col, "left_semi"), _post)
     if min_dsir is not None:
         if dsir_target is None:
             raise ValueError("min_dsir needs dsir_target (the target-domain column)")
@@ -286,7 +309,7 @@ def pretrain_corpus(
             .filter(F.col("dsir_score") >= min_dsir)
             .select(id_col)
         )
-        cleaned = cleaned.join(liked, id_col, "left_semi")
+        cleaned = _pin(cleaned.join(liked, id_col, "left_semi"), _post)
     if quality_model is not None:
         if (quality_pareto_alpha is None) == (min_quality_prob is None):
             raise ValueError(
@@ -303,7 +326,7 @@ def pretrain_corpus(
             kept_q = scores.filter(F.col("quality_prob") >= min_quality_prob)
         else:
             kept_q = pareto_quality_filter(scores, id_col=id_col, alpha=quality_pareto_alpha)
-        cleaned = cleaned.join(kept_q.select(id_col), id_col, "left_semi")
+        cleaned = _pin(cleaned.join(kept_q.select(id_col), id_col, "left_semi"), _post)
     if eval_set is not None:
         base = cleaned
         if bloom_prescreen:
@@ -336,7 +359,7 @@ def pretrain_corpus(
             .select(F.col("train_id").alias(id_col))
             .distinct()
         )
-        cleaned = cleaned.join(dirty, id_col, "left_anti")
+        cleaned = _pin(cleaned.join(dirty, id_col, "left_anti"), _post)
     if winnow_min_shared is not None:
         from cdc_connector_spark.ops.dedup import winnow_candidate_pairs
 
@@ -381,8 +404,9 @@ def pretrain_corpus(
             )
             .distinct()
         )
-        cleaned = cleaned.join(
-            losers, cleaned[id_col] == losers.loser, "left_anti"
+        cleaned = _pin(
+            cleaned.join(losers, cleaned[id_col] == losers.loser, "left_anti"),
+            _post,
         )
     if mix_temperature is not None:
         from cdc_connector_spark.ops.corpus import temperature_sample

@@ -408,3 +408,39 @@ def test_bloom_prescreen_is_lossless(spark):
     }
     assert screened == plain
     assert 6 not in plain and 7 not in plain and 1 in plain
+
+
+def test_pretrain_corpus_composed_plan_stays_bounded(spark, sf_dir):
+    """r13 review pin: with several optional stages enabled the composed
+    plan must NOT nest the corpus on both sides of every gate join — the
+    pre-r13 shape measured 578 parquet scans / 395 exchanges for five
+    stages (the upstream plan multiplied through each semi-join). Stage
+    pinning caps the FINAL plan at the post-checkpoint tail; without any
+    post-clean stage no checkpoint happens and the lazy plan still reads
+    parquet directly."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.plan_report import plan_facts
+
+    from cdc_connector_spark.ops.pipeline import pretrain_corpus
+    from cdc_connector_spark.tables import load_table
+
+    docs_df = load_table(spark, sf_dir, "documents")
+    ev = docs_df.limit(3).select("doc_id", "text")
+    out = pretrain_corpus(
+        docs_df,
+        eval_set=ev,
+        near_dup=False,
+        compression_ratio_bounds=(0.1, 0.99),
+        max_top_2gram_frac=0.9,
+        min_entropy=0.1,
+        max_nll=50.0,
+    )
+    f = plan_facts(out)
+    assert len(f["scans"]) <= 2, len(f["scans"])
+    assert f["exchanges"] <= 4, f["exchanges"]
+    assert out.count() > 0
+    # no post-clean stages -> no pin -> plan still scans the source lazily
+    lazy = pretrain_corpus(docs_df, near_dup=False)
+    assert len(plan_facts(lazy)["scans"]) > 0
