@@ -76,6 +76,10 @@ def clean_corpus(
     if not near_dup:
         return deduped
 
+    # the near-dup stage references `deduped` four ways (pair mining,
+    # two quality joins, the survivor anti-join) — pin it once so the
+    # scored/window upstream runs once, not per reference (see _pin)
+    deduped = _pin(deduped)
     pairs = minhash_dedup_pairs(
         deduped, text_col=text_col, id_col=id_col, jaccard_threshold=jaccard_threshold
     )

@@ -193,6 +193,34 @@ def check_freshness(
     )
 
 
+def _side_stats(
+    df: DataFrame, pk_cols: list[str], ts_col: str | None, approx: bool, rsd: float
+) -> dict:
+    """ONE aggregate pass per side for checks 2/3/4/6 (r13 review): the
+    sequential check functions each launched their own job — four full
+    scans per side at 100 TB for numbers one aggregation computes
+    together. Distinct semantics match the standalone checks exactly:
+    ``struct``-wrapped distinct counts NULL-keyed tuples (the
+    ``distinct().count()`` behavior check 3 had), bare ``count_distinct``
+    excludes them (check 4's dupe math)."""
+    any_null = reduce(or_, [F.col(c).isNull() for c in pk_cols])
+    dist = (
+        F.approx_count_distinct(F.struct(*pk_cols), rsd=rsd)
+        if approx
+        else F.count_distinct(F.struct(*pk_cols))
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("total"),
+        dist.alias("dist_all"),
+        F.count_distinct(*[F.col(c) for c in pk_cols]).alias("dist_nonnull"),
+        F.sum(F.when(any_null, 1).otherwise(0)).alias("null_pk"),
+    ]
+    if ts_col is not None:
+        aggs.append(F.max(ts_col).alias("ts_max"))
+    row = df.agg(*aggs).collect()[0]
+    return dict(row.asDict())
+
+
 def run_all_checks(
     table: str,
     source: DataFrame,
@@ -200,21 +228,102 @@ def run_all_checks(
     pk_cols: list[str],
     ts_col: str | None = None,
     approx: bool = False,
+    rsd: float = 0.01,
 ) -> TableReport:
-    """Checks 1→6 sequentially; verdict FAIL > WARN > PASS
-    (tests/validation.py:747-768). ``approx`` switches the distinct-PK
-    check to the HLL scale mode."""
+    """Checks 1→6; verdict FAIL > WARN > PASS (tests/validation.py:747-768).
+    ``approx`` switches the distinct-PK check to the HLL scale mode.
+
+    Fused execution (r13): the scalar statistics behind rowcount /
+    distinct-PK / duplication / freshness come from ONE aggregate job per
+    side (``_side_stats``) instead of a job per check — the orphan
+    anti-join stays its own (necessarily two-sided) job. Check results
+    are value-identical to the standalone check functions."""
     report = TableReport(table)
     exists = check_exists(sink)
     report.results.append(exists)
     if exists.status == FAIL or sink is None:
         return report
-    report.results.append(check_rowcount(source, sink))
-    report.results.append(check_distinct_pk(source, sink, pk_cols, approx=approx))
-    report.results.append(check_duplication(sink, pk_cols))
+    src = _side_stats(source, pk_cols, ts_col, approx, rsd)
+    snk = _side_stats(sink, pk_cols, ts_col, approx, rsd)
+
+    # check 2: rowcount drift
+    diff = abs(src["total"] - snk["total"])
+    pct = (diff / src["total"] * 100.0) if src["total"] else (100.0 if snk["total"] else 0.0)
+    report.results.append(
+        CheckResult(
+            "rowcount",
+            _status_from_pct(pct),
+            {"source_count": src["total"], "sink_count": snk["total"], "diff": diff, "diff_pct": pct},
+        )
+    )
+    # check 3: distinct-PK parity (struct-distinct: NULL tuples count)
+    d_diff = snk["dist_all"] - src["dist_all"]
+    d_pct = (abs(d_diff) / src["dist_all"] * 100.0) if src["dist_all"] else (100.0 if snk["dist_all"] else 0.0)
+    warn, fail = (
+        (max(ROWCOUNT_WARN_PCT, rsd * 100), max(ROWCOUNT_FAIL_PCT, 2 * rsd * 100))
+        if approx
+        else (ROWCOUNT_WARN_PCT, ROWCOUNT_FAIL_PCT)
+    )
+    report.results.append(
+        CheckResult(
+            "distinct_pk",
+            _status_from_pct(d_pct, warn, fail),
+            {
+                "source_distinct": src["dist_all"],
+                "sink_distinct": snk["dist_all"],
+                "diff": d_diff,
+                "diff_pct": d_pct,
+                "approx": approx,
+            },
+        )
+    )
+    # check 4: duplication + NULL-PK (non-null distinct, like the standalone)
+    null_pk = snk["null_pk"] or 0
+    dupes = (snk["total"] - null_pk) - snk["dist_nonnull"]
+    report.results.append(
+        CheckResult(
+            "duplication",
+            FAIL if (dupes > 0 or null_pk > 0) else PASS,
+            {
+                "total": snk["total"],
+                "distinct": snk["dist_nonnull"],
+                "duplicates": dupes,
+                "null_pk_rows": null_pk,
+            },
+        )
+    )
+    # check 5: orphans — inherently a two-sided join, unchanged
     report.results.append(check_orphans(source, sink, pk_cols))
-    report.results.append(check_freshness(source, sink, ts_col))
+    # check 6: freshness from the same aggregate's maxes
+    report.results.append(
+        _freshness_from_maxes(src.get("ts_max"), snk.get("ts_max"), ts_col)
+    )
     return report
+
+
+def _freshness_from_maxes(src_max, sink_max, ts_col: str | None) -> CheckResult:
+    """check_freshness's thresholding over already-computed maxes."""
+    if ts_col is None:
+        return CheckResult("freshness", SKIP, {}, "no timestamp column")
+    if src_max is None or sink_max is None:
+        return CheckResult("freshness", SKIP, {"source_max": str(src_max), "sink_max": str(sink_max)})
+    diff = src_max - sink_max
+    if hasattr(diff, "total_seconds"):
+        lag_min = diff.total_seconds() / 60.0
+    else:
+        divisor = 1000.0 if abs(float(src_max)) >= 1e12 else 1.0
+        lag_min = float(diff) / divisor / 60.0
+    if lag_min > FRESHNESS_FAIL_MINUTES:
+        status = FAIL
+    elif lag_min > FRESHNESS_FAIL_MINUTES * FRESHNESS_WARN_RATIO:
+        status = WARN
+    else:
+        status = PASS
+    return CheckResult(
+        "freshness",
+        status,
+        {"source_max": str(src_max), "sink_max": str(sink_max), "lag_minutes": lag_min},
+    )
 
 
 def summarize(reports: list[TableReport]) -> dict:
