@@ -77,7 +77,11 @@ def merge_islands(
     on a healthy dense stream that is ~1 row per occupied block
     (batch/2^20), and never more rows than the input. A range spanning
     blocks is assigned to its lo-block; the global pass is what merges
-    across block boundaries."""
+    across block boundaries. Measured (SCALING §4r): 1.6× on a dense
+    5M-id batch at 32 cores (the old single task is a hard ceiling at
+    any cluster size); the sparse worst case — every id its own island,
+    nothing collapses — pays 1.33× pre-fold overhead, priced and
+    accepted."""
     keys = [group_col] if group_col else []
     pre = _fold_islands(
         ranges.withColumn("__blk", F.floor(F.col("lo") / F.lit(block))),
