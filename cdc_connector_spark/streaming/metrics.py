@@ -179,3 +179,29 @@ def report(progress: DataFrame) -> DataFrame:
         )
         .orderBy("stream")
     )
+
+
+def prometheus_lines(report_df: DataFrame, prefix: str = "cdc_stream") -> list[str]:
+    """Render a ``report()`` frame in the Prometheus text exposition
+    format — the last mile of the metrics.yaml parity (the reference's
+    rule file exists to feed per-connector/task gauges to a Prometheus
+    scrape; here the gauges are already computed, this just labels and
+    prints them). One gauge per report column, labeled by stream:
+
+        cdc_stream_rows{stream="orders"} 1234
+
+    Driver-side and bounded: |streams| × |gauges| lines (the report is
+    a per-stream rollup, never per-batch). NULL gauges (e.g. rows/sec
+    with no trigger time) are omitted — absent beats NaN in PromQL."""
+    gauges = [c for c in report_df.columns if c != "stream"]
+    lines: list[str] = []
+    for g in gauges:
+        lines.append(f"# TYPE {prefix}_{g} gauge")
+    for row in report_df.collect():
+        label = str(row["stream"]).replace("\\", "\\\\").replace('"', '\\"')
+        for g in gauges:
+            v = row[g]
+            if v is None:
+                continue
+            lines.append(f'{prefix}_{g}{{stream="{label}"}} {v}')
+    return lines

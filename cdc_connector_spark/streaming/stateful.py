@@ -12,6 +12,16 @@ ordered by (ts_ms, seq) within key; op='d' deletes the key (emits a
 tombstone row with __deleted=true). State per key is one row — bounded by
 key cardinality, the same bound the reference's compacted Kafka topics give
 (connectors/sources/mariadb/trading.json:62).
+
+Tombstone memory (r13 review, stated): clearing state on delete forgets
+the delete's (ts, seq) — a LATER batch delivering a stale pre-delete
+event for that key would re-create it. That is the same contract as the
+batch MERGE plane (the sink holds no tombstones either): cross-batch
+per-key ordering is the SOURCE's responsibility (ST3 — the reference
+gets it from 1-partition topics, this engine from (commit_ts, lsn)
+ordering), and within a batch the sort makes the delete win. A source
+that can deliver stale per-key events across batch boundaries needs a
+tombstone-retention table in front of either plane.
 """
 
 from __future__ import annotations

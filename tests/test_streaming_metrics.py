@@ -165,3 +165,28 @@ def test_report_over_progress_dataframe_function(spark):
     )
     row = report(df).collect()[0]
     assert (row["batches"], row["rows"], row["rows_per_sec"]) == (2, 200, 100.0)
+
+
+def test_prometheus_lines_exposition_format(spark):
+    """The metrics.yaml last mile: report rows render as labeled gauges
+    in the Prometheus text format; NULL gauges are omitted (absent beats
+    NaN in PromQL); label values escape quotes/backslashes."""
+    from cdc_connector_spark.streaming.metrics import prometheus_lines
+
+    m = StreamingMetrics(spark)
+    m.register(
+        'or"ders',
+        _FakeQuery(
+            [{"batchId": 0, "numInputRows": 100, "durationMs": {"triggerExecution": 1000}}]
+        ),
+    )
+    m.register("idle", _FakeQuery([{"batchId": 0, "numInputRows": 0, "durationMs": {}}]))
+    m.collect()
+    lines = prometheus_lines(m.report())
+    body = "\n".join(lines)
+    assert '# TYPE cdc_stream_rows gauge' in body
+    assert 'cdc_stream_rows{stream="or\\"ders"} 100' in body
+    assert 'cdc_stream_rows_per_sec{stream="or\\"ders"} 100.0' in body
+    # idle stream: rows_per_sec is NULL -> no line for it
+    assert 'cdc_stream_rows_per_sec{stream="idle"}' not in body
+    assert 'cdc_stream_rows{stream="idle"} 0' in body
