@@ -80,6 +80,8 @@ def test_codegen_queries_have_no_python_nodes(q):
         "temperature_sample_documents",
         "vocab_documents",
         "q1_pricing_summary",
+        "metrics_snapshot_events",
+        "fuzzy_prefix_documents",
     ):
         assert not q(name)["has_python_udf"], name
 
@@ -97,6 +99,13 @@ def test_tail_query_shuffle_budgets(q):
         "vocab_documents": 2,
         "freshness_lag": 2,  # agg partials + single-partition final
         "pk_range_stats": 1,
+        # (stream, 6h-window) agg + per-stream rollup + ordered output —
+        # every exchange is over progress-summary-sized rows (r13)
+        "metrics_snapshot_events": 3,
+        # Ed-Join on documents: freq agg, prefix window, grid candidate
+        # joins (cold + hot roles), string re-attach; no Python, all
+        # joins keyed — the ceiling pins the r13 restructured plan
+        "fuzzy_prefix_documents": 24,
     }
     for name, ceiling in budgets.items():
         facts = q(name)
