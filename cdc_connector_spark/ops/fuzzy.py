@@ -282,7 +282,7 @@ def _pair_candidates(
     idx: DataFrame,
     xcols: list[str],
     max_dist: int,
-    hot_chunk: int = 4096,
+    hot_chunk: int | None = 4096,
     max_fanout: int = 16,
 ) -> DataFrame:
     """Distinct (id_a < id_b) candidate pairs from the (__id, __len,
@@ -305,6 +305,23 @@ def _pair_candidates(
     (hot pairs emit as (least, greatest) and the shared DISTINCT
     collapses both paths) and pinned in tests + the 10× rehearsal."""
     jk = ["__k", *xcols]
+    if hot_chunk is None:
+        # caller has already BOUNDED postings (cap mode with
+        # max_token_freq <= the hot threshold: no key can be hot, so the
+        # grid's freq join would be pure overhead — it cost cap-mode
+        # entries ~1.5x at fixture scale for zero protection, r13 bench
+        # diff). Plain a < b self-join.
+        l = idx.select(F.col("__id").alias("id_a"), F.col("__len").alias("__la"), *jk)
+        r = idx.select(F.col("__id").alias("id_b"), F.col("__len").alias("__lb"), *jk)
+        return (
+            l.join(r, jk)
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
     freq = idx.groupBy(*jk).agg(F.count(F.lit(1)).alias("__f"))
     g = idx.join(freq, jk).withColumn(
         "__m",
@@ -468,7 +485,18 @@ def fuzzy_pairs(
     # base, whose side is |verified-candidate pairs|, not |collisions|
     # (r13: measured 7× on the documents corpus together with the
     # codegen q-gram derivation above).
-    cand = _pair_candidates(idx, xcols, max_dist)
+    cand = _pair_candidates(
+        idx,
+        xcols,
+        max_dist,
+        # the cap mode's postings are bounded by max_token_freq: when the
+        # bound sits at/below the hot threshold the grid cannot trigger —
+        # skip its freq join entirely (delete/prefix modes keep it: their
+        # postings are corpus-dependent)
+        hot_chunk=None
+        if (block != "delete" and selection != "prefix" and max_token_freq <= 4096)
+        else 4096,
+    )
     strs = _normalized(df, text_col, id_col)
     sa = strs.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"))
     sb = strs.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"))
