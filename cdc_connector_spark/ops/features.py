@@ -97,4 +97,12 @@ def standardize_embeddings(
             lambda s: s["__z"],
         ).alias("z")
     )
-    return df.filter(F.col(vec_col).isNotNull()).select(*keep).join(zs, id_col)
+    # re-select in the ORIGINAL keep order plus z — the string-key join
+    # moves id_col to the front, and callers consuming rows positionally
+    # would see a silent ordering change (advisor, r14)
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(*keep)
+        .join(zs, id_col)
+        .select(*keep, "z")
+    )

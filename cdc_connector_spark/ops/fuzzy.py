@@ -278,11 +278,19 @@ def _prefix_select(
     )
 
 
+#: Posting-list size above which the straggler grid splits a hot key
+#: (and, in cap mode, the bound at/below which fuzzy_pairs can skip
+#: the grid's freq join entirely). ONE shared constant for both
+#: decisions: drifting either literal would silently leave cap-mode
+#: postings between the two values unprotected (advisor, r14).
+_HOT_CHUNK = 4096
+
+
 def _pair_candidates(
     idx: DataFrame,
     xcols: list[str],
     max_dist: int,
-    hot_chunk: int | None = 4096,
+    hot_chunk: int | None = _HOT_CHUNK,
     max_fanout: int = 16,
 ) -> DataFrame:
     """Distinct (id_a < id_b) candidate pairs from the (__id, __len,
@@ -494,8 +502,12 @@ def fuzzy_pairs(
         # skip its freq join entirely (delete/prefix modes keep it: their
         # postings are corpus-dependent)
         hot_chunk=None
-        if (block != "delete" and selection != "prefix" and max_token_freq <= 4096)
-        else 4096,
+        if (
+            block != "delete"
+            and selection != "prefix"
+            and max_token_freq <= _HOT_CHUNK
+        )
+        else _HOT_CHUNK,
     )
     strs = _normalized(df, text_col, id_col)
     sa = strs.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"))

@@ -22,18 +22,58 @@ from cdc_connector_spark.ops.dedup import minhash_dedup_pairs
 from cdc_connector_spark.ops.textstats import fingerprint, language_id, quality_score
 
 
-def _pin(df: DataFrame, enabled: bool = True) -> DataFrame:
+#: Stage-boundary pin strategies (r14, advisor follow-up).
+#:
+#: - ``"local"`` (default): eager ``localCheckpoint`` — fastest, but the
+#:   checkpointed blocks live UNREPLICATED on executors, so losing an
+#:   executor (crash, spot preemption, dynamic-allocation decommission)
+#:   makes the job unrecoverable because lineage was truncated. It also
+#:   triggers a Spark job EAGERLY at plan-construction time, even if the
+#:   caller never executes the result. Right for interactive/local runs.
+#: - ``"reliable"``: ``df.checkpoint(eager=True)`` to the configured
+#:   ``spark.sparkContext.setCheckpointDir`` (HDFS/S3) — survives any
+#:   executor loss; the 1000-executor-cluster choice. Raises a clear
+#:   error if no checkpoint dir is configured.
+#: - ``"persist"``: ``persist(DISK_ONLY_2)`` — LAZY (no job at
+#:   construction), lineage retained, blocks 2×-replicated so a single
+#:   executor loss recovers from the replica without recompute. The plan
+#:   still carries the full lineage, so re-reads re-materialize at most
+#:   once per stage; pair with an explicit action if eager behavior is
+#:   wanted.
+#: - ``"none"``: no pin — fully lazy, original multiplicative-scan plan
+#:   (only sane for tiny corpora or single-stage calls).
+PIN_STRATEGIES = ("local", "reliable", "persist", "none")
+
+
+def _pin(df: DataFrame, enabled: bool = True, strategy: str = "local") -> DataFrame:
     """Stage-boundary materialization (r13 review): every optional gate
     here computes statistics OVER the current corpus and semi-joins the
     survivors back — so the upstream plan appears on BOTH sides of each
     join, and without a cut the source-scan count grows MULTIPLICATIVELY
     with enabled stages (measured: 578 parquet scans / 395 exchanges in
     one composed pretrain_corpus plan with five optional stages; at
-    100 TB that plan re-reads the corpus hundreds of times). An eager
-    localCheckpoint at each enabled stage boundary makes the cost one
-    corpus-size local write per stage — the same linear trade txlog
-    compaction makes."""
-    return df.localCheckpoint(eager=True) if enabled else df
+    100 TB that plan re-reads the corpus hundreds of times). A pin at
+    each enabled stage boundary makes the cost one corpus-size
+    materialization per stage — the same linear trade txlog compaction
+    makes. See ``PIN_STRATEGIES`` for the durability/laziness choices;
+    the default eager localCheckpoint is the interactive-run trade and
+    is NOT safe under executor loss / dynamic allocation."""
+    if not enabled or strategy == "none":
+        return df
+    if strategy == "local":
+        return df.localCheckpoint(eager=True)
+    if strategy == "reliable":
+        if df.sparkSession.sparkContext.getCheckpointDir() is None:
+            raise ValueError(
+                "pin_strategy='reliable' needs spark.sparkContext."
+                "setCheckpointDir(...) configured (HDFS/S3 path)"
+            )
+        return df.checkpoint(eager=True)
+    if strategy == "persist":
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.DISK_ONLY_2)
+    raise ValueError(f"unknown pin_strategy {strategy!r}; one of {PIN_STRATEGIES}")
 
 
 def clean_corpus(
@@ -45,6 +85,7 @@ def clean_corpus(
     near_dup: bool = False,
     jaccard_threshold: float = 0.8,
     group_dedup: bool = False,
+    pin_strategy: str = "local",
 ) -> DataFrame:
     """Return the cleaned corpus with added ``lang_pred``/``quality`` cols.
 
@@ -79,7 +120,7 @@ def clean_corpus(
     # the near-dup stage references `deduped` four ways (pair mining,
     # two quality joins, the survivor anti-join) — pin it once so the
     # scored/window upstream runs once, not per reference (see _pin)
-    deduped = _pin(deduped)
+    deduped = _pin(deduped, strategy=pin_strategy)
     pairs = minhash_dedup_pairs(
         deduped, text_col=text_col, id_col=id_col, jaccard_threshold=jaccard_threshold
     )
@@ -147,6 +188,7 @@ def pretrain_corpus(
     bloom_prescreen: bool = False,
     bloom_m_bits: int = 1 << 20,
     bloom_k: int = 3,
+    pin_strategy: str = "local",
 ) -> DataFrame:
     """The full pretraining data recipe, composed from the engine's
     operators in the canonical order (cheapest-and-most-selective first,
@@ -218,6 +260,13 @@ def pretrain_corpus(
     the nll cut is a postings-aggregate join; packing is a per-shard
     window. The whole recipe is a handful of shuffles regardless of
     corpus size.
+
+    ``pin_strategy`` picks how stage boundaries are materialized (see
+    ``PIN_STRATEGIES``): the default ``"local"`` is eager and fast but
+    unsafe under executor loss / dynamic allocation; pass
+    ``"reliable"`` (checkpoint dir) on real clusters, ``"persist"``
+    for a lazy replicated pin, or ``"none"`` to keep the fully-lazy
+    multiplicative-scan plan.
     """
     from cdc_connector_spark.ops.corpus import decontaminate, pack_sequences
     from cdc_connector_spark.ops.textstats import gopher_quality
@@ -293,7 +342,7 @@ def pretrain_corpus(
         jaccard_threshold=jaccard_threshold,
     )
     _post = (max_nll is not None or min_dsir is not None or quality_model is not None or eval_set is not None or winnow_min_shared is not None)
-    cleaned = _pin(cleaned, _post)
+    cleaned = _pin(cleaned, _post, pin_strategy)
     if max_nll is not None:
         from cdc_connector_spark.ops.textstats import unigram_nll
 
@@ -302,7 +351,7 @@ def pretrain_corpus(
             .filter(F.col("nll") <= max_nll)
             .select(id_col)
         )
-        cleaned = _pin(cleaned.join(ok_ids, id_col, "left_semi"), _post)
+        cleaned = _pin(cleaned.join(ok_ids, id_col, "left_semi"), _post, pin_strategy)
     if min_dsir is not None:
         if dsir_target is None:
             raise ValueError("min_dsir needs dsir_target (the target-domain column)")
@@ -313,7 +362,7 @@ def pretrain_corpus(
             .filter(F.col("dsir_score") >= min_dsir)
             .select(id_col)
         )
-        cleaned = _pin(cleaned.join(liked, id_col, "left_semi"), _post)
+        cleaned = _pin(cleaned.join(liked, id_col, "left_semi"), _post, pin_strategy)
     if quality_model is not None:
         if (quality_pareto_alpha is None) == (min_quality_prob is None):
             raise ValueError(
@@ -330,7 +379,7 @@ def pretrain_corpus(
             kept_q = scores.filter(F.col("quality_prob") >= min_quality_prob)
         else:
             kept_q = pareto_quality_filter(scores, id_col=id_col, alpha=quality_pareto_alpha)
-        cleaned = _pin(cleaned.join(kept_q.select(id_col), id_col, "left_semi"), _post)
+        cleaned = _pin(cleaned.join(kept_q.select(id_col), id_col, "left_semi"), _post, pin_strategy)
     if eval_set is not None:
         base = cleaned
         if bloom_prescreen:
@@ -363,7 +412,7 @@ def pretrain_corpus(
             .select(F.col("train_id").alias(id_col))
             .distinct()
         )
-        cleaned = _pin(cleaned.join(dirty, id_col, "left_anti"), _post)
+        cleaned = _pin(cleaned.join(dirty, id_col, "left_anti"), _post, pin_strategy)
     if winnow_min_shared is not None:
         from cdc_connector_spark.ops.dedup import winnow_candidate_pairs
 
@@ -411,6 +460,7 @@ def pretrain_corpus(
         cleaned = _pin(
             cleaned.join(losers, cleaned[id_col] == losers.loser, "left_anti"),
             _post,
+            pin_strategy,
         )
     if mix_temperature is not None:
         from cdc_connector_spark.ops.corpus import temperature_sample

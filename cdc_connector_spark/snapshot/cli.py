@@ -130,7 +130,12 @@ def main(argv: list[str] | None = None) -> int:
         if pcol:
             opts["partition_column"] = pcol
         df = spark.read.format("pgcopy").options(**opts).load()
-        n = int(run_sql(pg, f'SELECT count(*) FROM "{name}"').strip())
+        # sizing-only count: its OWN statement (no shared snapshot with
+        # the COPY read), so on a live table it can drift from the rows
+        # actually copied — benign partition-size skew, never a
+        # correctness input. Identifier quoting escapes embedded quotes.
+        qname = name.replace('"', '""')
+        n = int(run_sql(pg, f'SELECT count(*) FROM "{qname}"').strip())
         return df, n, pg_table_indexes(pg, name), pg_foreign_keys(pg, name)
 
     def one(name: str) -> tuple[str, str | None, str | None]:

@@ -198,7 +198,13 @@ def prometheus_lines(report_df: DataFrame, prefix: str = "cdc_stream") -> list[s
     for g in gauges:
         lines.append(f"# TYPE {prefix}_{g} gauge")
     for row in report_df.collect():
-        label = str(row["stream"]).replace("\\", "\\\\").replace('"', '\\"')
+        label = (
+            str(row["stream"])
+            .replace("\\", "\\\\")
+            .replace('"', '\\"')
+            # exposition-spec label escaping includes newline
+            .replace("\n", "\\n")
+        )
         for g in gauges:
             v = row[g]
             if v is None:

@@ -50,3 +50,11 @@ def test_standardize_keeps_other_columns(spark):
     rows = standardize_embeddings(df).collect()
     assert {r["label"] for r in rows} == {7, 8}
     assert all(len(r["z"]) == 1 for r in rows)
+
+
+def test_standardize_output_column_order_is_stable(spark):
+    """Output schema = input keep-order + z: the id-keyed re-attach join
+    must not let the join key migrate to the front (advisor, r14)."""
+    df = _emb(spark, [(0, [1.0], 7), (1, [2.0], 8)])
+    out = standardize_embeddings(df)
+    assert out.columns == ["vec_id", "label", "z"]

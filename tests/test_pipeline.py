@@ -444,3 +444,30 @@ def test_pretrain_corpus_composed_plan_stays_bounded(spark, sf_dir):
     # no post-clean stages -> no pin -> plan still scans the source lazily
     lazy = pretrain_corpus(docs_df, near_dup=False)
     assert len(plan_facts(lazy)["scans"]) > 0
+
+
+def test_pin_strategy_variants_agree(corpus):
+    """persist (lazy, replicated) and none (fully lazy) produce the same
+    survivor set as the default eager localCheckpoint pin — the strategy
+    only changes materialization, never semantics (advisor, r14)."""
+    kw = dict(keep_langs=("en",), min_quality=0.0, near_dup=True, jaccard_threshold=0.5)
+    expect = sorted(r["doc_id"] for r in clean_corpus(corpus, **kw).collect())
+    for strat in ("persist", "none"):
+        got = clean_corpus(corpus, pin_strategy=strat, **kw)
+        assert sorted(r["doc_id"] for r in got.collect()) == expect, strat
+    with pytest.raises(ValueError, match="unknown pin_strategy"):
+        clean_corpus(corpus, pin_strategy="bogus", **kw)
+
+
+def test_pin_strategy_reliable_checkpoint(corpus, tmp_path):
+    """reliable = df.checkpoint() to a configured dir (the cluster-safe
+    pin): clear error when no dir is set, identical survivors once it is."""
+    kw = dict(keep_langs=("en",), min_quality=0.0, near_dup=True, jaccard_threshold=0.5)
+    sc = corpus.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            clean_corpus(corpus, pin_strategy="reliable", **kw)
+    expect = sorted(r["doc_id"] for r in clean_corpus(corpus, **kw).collect())
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    got = clean_corpus(corpus, pin_strategy="reliable", **kw)
+    assert sorted(r["doc_id"] for r in got.collect()) == expect

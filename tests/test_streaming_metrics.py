@@ -190,3 +190,21 @@ def test_prometheus_lines_exposition_format(spark):
     # idle stream: rows_per_sec is NULL -> no line for it
     assert 'cdc_stream_rows_per_sec{stream="idle"}' not in body
     assert 'cdc_stream_rows{stream="idle"} 0' in body
+
+
+def test_prometheus_lines_escape_newline(spark):
+    """A stream name containing a newline must render as the two-char
+    escape \\n, not a raw line break (exposition spec; advisor, r14)."""
+    from cdc_connector_spark.streaming.metrics import prometheus_lines
+
+    m = StreamingMetrics(spark)
+    m.register(
+        "or\nders",
+        _FakeQuery(
+            [{"batchId": 0, "numInputRows": 5, "durationMs": {"triggerExecution": 100}}]
+        ),
+    )
+    m.collect()
+    lines = prometheus_lines(m.report())
+    assert 'cdc_stream_rows{stream="or\\nders"} 5' in lines
+    assert all("\n" not in ln for ln in lines)
