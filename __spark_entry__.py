@@ -1083,6 +1083,10 @@ def golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_dist=1,
         block="qgram",
         extra_block_cols=("c_nationkey", "c_mktsegment"),
+        # short gated names: carry the text through the candidate join
+        # (r14 length-aware branch, measured −18% vs id re-attach);
+        # explicit flag skips the auto rule's corpus scan
+        carry_strings=True,
     ).select("id_a", "id_b")
     return golden_records(
         cust.select("c_custkey", "c_name", "c_acctbal"),
@@ -1432,6 +1436,9 @@ def fuzzy_gated_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_dist=1,
         block="qgram",
         extra_block_cols=("c_nationkey",),
+        # short gated names: carry branch (r14, measured −18%); the
+        # explicit flag also skips the auto rule's corpus scan
+        carry_strings=True,
     ).select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
 
 
@@ -1463,6 +1470,9 @@ def fuzzy_prefix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_dist=4,
         block="qgram",
         selection="prefix",
+        # long text: id-only candidates + re-attach (the 100 TB shape);
+        # explicit flag skips the auto rule's corpus scan
+        carry_strings=False,
     ).select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
 
 
@@ -1729,6 +1739,25 @@ def embedding_neardup_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: In-entry recall floors for the rows-only IVF probes (r14, verdict
+#: #5): measured matched@10 across the three fixture SFs is 8-9 (single)
+#: and 4-9 per query (batch) — the floors sit safely below every
+#: measured value, so they trip only on a REAL regression (collapsed
+#: cell, broken pruning, nondeterministic training), never on the
+#: fixture. The driver row stays rows-only, but the row count now
+#: carries a semantic guarantee: the entry RAISES below the floor.
+_IVF_MIN_MATCHED = 6
+_IVF_BATCH_MIN_MATCHED = 3
+
+
+def _assert_recall_floor(matched: int, floor: int, label: str) -> None:
+    if matched < floor:
+        raise AssertionError(
+            f"{label}: IVF matched@10 = {matched} below the documented "
+            f"floor {floor} — pruned-probe recall regressed"
+        )
+
+
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe over the PERSISTED layout (cells partitioned by
     centroid_id, centroids stored alongside): the production shape, where
@@ -1745,11 +1774,19 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     against exact top-k would be a bug, not a verification. The portable
     statement of correctness is the value-verified twin ivf_recall_topk
     (per-query matched-count pinned by the oracle), and pytest pins the
-    persisted-layout read path equal to the in-memory ivf_topk."""
+    persisted-layout read path equal to the in-memory ivf_topk. Since
+    r14 the entry additionally ASSERTS recall@10 >= _IVF_MIN_MATCHED/10
+    against the exact twin in-entry, so the driver's rows-only row
+    carries a semantic check, not just a count (verdict #5)."""
     import hashlib
     import tempfile
 
-    from cdc_connector_spark.ops.ann import ivf_read_topk, ivf_train_centroids, ivf_write
+    from cdc_connector_spark.ops.ann import (
+        brute_force_topk,
+        ivf_read_topk,
+        ivf_train_centroids,
+        ivf_write,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     q = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
@@ -1758,7 +1795,14 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{tag}")
     ivf_write(emb, path, C)
-    return ivf_read_topk(spark, path, q, k=10, n_probe=4)
+    out = ivf_read_topk(spark, path, q, k=10, n_probe=4)
+    matched = (
+        out.select("vec_id")
+        .join(brute_force_topk(emb, q, k=10).select("vec_id"), "vec_id")
+        .count()
+    )
+    _assert_recall_floor(matched, _IVF_MIN_MATCHED, "ivf_ann_topk")
+    return out
 
 
 def ivf_recall_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1790,11 +1834,19 @@ def ivf_ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned-probe recall < 1 is the operator's defined semantics, so no
     exact-SQL value oracle can exist. The portable correctness statement
     is ivf_batch_recall_topk (per-query matched counts, value-verified);
-    pytest pins persisted-read == in-memory probe."""
+    pytest pins persisted-read == in-memory probe. Since r14 the entry
+    additionally ASSERTS every query's recall@10 >=
+    _IVF_BATCH_MIN_MATCHED/10 against the exact batched twin in-entry
+    (verdict #5)."""
     import hashlib
     import tempfile
 
-    from cdc_connector_spark.ops.ann import ivf_read_topk_batch, ivf_train_centroids, ivf_write
+    from cdc_connector_spark.ops.ann import (
+        brute_force_topk_batch,
+        ivf_read_topk_batch,
+        ivf_train_centroids,
+        ivf_write,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     C = ivf_train_centroids(emb, n_centroids=16)
@@ -1805,6 +1857,19 @@ def ivf_ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     out = ivf_read_topk_batch(spark, path, queries, k=10, n_probe=4)
+    exact = brute_force_topk_batch(emb, queries, k=10).select("query_id", "vec_id")
+    per_query = {
+        r["query_id"]: r["m"]
+        for r in out.select("query_id", "vec_id")
+        .join(exact, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .collect()
+    }
+    for qid in [0, 1, 2]:
+        _assert_recall_floor(
+            per_query.get(qid, 0), _IVF_BATCH_MIN_MATCHED, f"ivf_ann_topk_batch[q{qid}]"
+        )
     return out.select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 

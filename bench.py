@@ -58,6 +58,87 @@ HEADLINE = [
 ]
 
 
+def _canary_time(spark) -> float:
+    """Fixed-cost CPU-bound probe (~0.3 s idle at local[32]): a count
+    over an arithmetic filter on a synthetic range — no IO, no shuffle,
+    deterministic work, so its wall-clock moves ONLY with host load.
+    Median of 3. Used to detect contention around the live/apply
+    sections (r14, verdict #1: two rounds of driver-host noise made the
+    official artifact contradict idle same-tree runs)."""
+    runs = []
+    for i in range(4):
+        if i == 0:  # untimed warm-up: the probe's own codegen must not
+            # inflate the baseline (a slow baseline makes the gate lax)
+            spark.range(0, 120_000_000, 1, 32).selectExpr(
+                "count(if(pmod(id, 7) = 0, 1, null)) AS n"
+            ).collect()
+            continue
+        t0 = time.time()
+        spark.range(0, 120_000_000, 1, 32).selectExpr(
+            "count(if(pmod(id, 7) = 0, 1, null)) AS n"
+        ).collect()
+        runs.append(time.time() - t0)
+    return statistics.median(runs)
+
+
+def _await_quiet(spark, baseline: float, label: str, bound: float = 1.35,
+                 attempts: int = 4, pause: float = 8.0) -> float:
+    """Re-measure the canary before a contention-sensitive section; if it
+    runs > ``bound``× the bench-start baseline the host is loaded — wait
+    and retry up to ``attempts`` times, then proceed with the measured
+    ratio recorded (the report carries it either way, so a contaminated
+    section is visible in the artifact instead of masquerading as an
+    engine regression)."""
+    ratio = _canary_time(spark) / baseline
+    for _ in range(attempts):
+        if ratio <= bound:
+            break
+        print(
+            f"# canary[{label}]: host loaded ({ratio:.2f}x baseline) — "
+            f"waiting {pause:.0f}s",
+            file=sys.stderr,
+        )
+        time.sleep(pause)
+        ratio = _canary_time(spark) / baseline
+    print(f"# canary[{label}]: {ratio:.2f}x baseline", file=sys.stderr)
+    return round(ratio, 3)
+
+
+def _stable_runs(run_once, n: int, spread_bound: float = 0.25,
+                 max_batches: int = 3, label: str = "") -> list[float]:
+    """``n`` timed runs with a variance bound (r14, verdict #1): if the
+    batch's relative spread (max−min)/median exceeds ``spread_bound``
+    the host was loaded mid-batch — run another batch (up to
+    ``max_batches``) and keep the tightest one. The returned batch's
+    median is what the caller reports; its spread lands in query_stats
+    so a still-noisy number is marked, not hidden."""
+    best = None
+    for b in range(max_batches):
+        runs = []
+        for _ in range(n):
+            t0 = time.time()
+            run_once()
+            runs.append(time.time() - t0)
+        med = statistics.median(runs)
+        spread = (max(runs) - min(runs)) / med if med > 0 else 0.0
+        if best is None or spread < best[0]:
+            best = (spread, runs)
+        if spread <= spread_bound:
+            break
+        if b + 1 < max_batches:
+            print(
+                f"# {label}: spread {spread:.0%} > {spread_bound:.0%} — "
+                "re-running batch",
+                file=sys.stderr,
+            )
+    return best[1]
+
+
+def _spread(runs: list[float]) -> float:
+    med = statistics.median(runs)
+    return round((max(runs) - min(runs)) / med, 3) if med > 0 else 0.0
+
+
 def bench_snapshot_throughput(spark, sf_dir: str) -> tuple[float, float]:
     """End-to-end snapshot load (S2→S10 analogue): lineitem → normalize →
     partitioned parquet write. Mirrors the reference's rows/sec progress
@@ -126,19 +207,23 @@ def bench_changelog_apply(spark, sf_dir: str, sink_cls=None, method: str = "appl
         sink = sink_cls(spark, os.path.join(root, "orders"), ["o_orderkey"], num_buckets=64)
         sink.overwrite(orders)
         do_apply = getattr(sink, "apply_delta") if method == "mor" else sink.apply
-        runs, runs_small = [], []
-        for _ in range(4):  # warm-up + median of 3; replay is idempotent
-            t0 = time.time()  # (same merge work each pass)
-            do_apply(changes)
-            runs.append(time.time() - t0)
-            t0 = time.time()
-            do_apply(small)
-            runs_small.append(time.time() - t0)
-        dt = statistics.median(runs[1:])
-        dt_small = statistics.median(runs_small[1:])
+        # warm-up once (codegen/file-listing), then variance-bounded
+        # batches per entry — replay is idempotent (same merge work each
+        # pass), so a noisy batch re-runs safely (r14, verdict #1)
+        do_apply(changes)
+        do_apply(small)
+        runs = _stable_runs(lambda: do_apply(changes), n=3, label=f"apply[{method}]")
+        runs_small = _stable_runs(
+            lambda: do_apply(small), n=3, label=f"apply_small[{method}]"
+        )
+        dt = statistics.median(runs)
+        dt_small = statistics.median(runs_small)
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return dt, n_events / dt, dt_small, n_small, len(runs) - 1
+    return (
+        dt, n_events / dt, dt_small, n_small, len(runs),
+        _spread(runs), _spread(runs_small),
+    )
 
 
 def bench_live_plane(spark, sf_dir: str):
@@ -159,7 +244,7 @@ def bench_live_plane(spark, sf_dir: str):
     runs (robust to a one-off stall, unlike best-of, but unlike best-of it
     still moves if every run regresses).
 
-    Returns (timings dict, rates dict, run-counts dict); empty when no
+    Returns (timings, rates, run-counts, spreads) dicts; empty when no
     server."""
     import shutil
     import tempfile
@@ -177,8 +262,8 @@ def bench_live_plane(spark, sf_dir: str):
     server = start_local_postgres()
     if server is None:
         print("# live plane: no postgres server binaries — skipped", file=sys.stderr)
-        return {}, {}, {}
-    timings, rates, run_counts = {}, {}, {}
+        return {}, {}, {}, {}
+    timings, rates, run_counts, spreads = {}, {}, {}, {}
     out = tempfile.mkdtemp(prefix="bench_live_")
     try:
         pg = server.conn
@@ -198,15 +283,15 @@ def bench_live_plane(spark, sf_dir: str):
             )
 
         snapshot_round_trip()  # warm-up: codegen, Arrow, relation cache
-        runs = []
-        for _ in range(5):  # 5 runs: the ~6 s round trip mixes PG COPY +
-            t0 = time.time()  # Spark scan + parquet write; 3 was not enough
-            snapshot_round_trip()  # to hold run-to-run spread under 10%
-            runs.append(time.time() - t0)
+        # 5 runs per batch (the ~6 s round trip mixes PG COPY + Spark scan
+        # + parquet write; 3 was not enough to hold spread under 10%),
+        # re-batched when the spread says the host was loaded (r14 #1)
+        runs = _stable_runs(snapshot_round_trip, n=5, label="snapshot_load_live")
         dt = statistics.median(runs)
         print(f"# snapshot_load_live runs: {[round(r, 2) for r in runs]}", file=sys.stderr)
         timings["snapshot_load_live"] = round(dt, 3)
         run_counts["snapshot_load_live"] = len(runs)
+        spreads["snapshot_load_live"] = _spread(runs)
         rates["live_snapshot_rows_per_sec"] = round(n_rows / dt)
         print(f"# snapshot_load_live: {dt:.2f}s ({n_rows / dt:,.0f} rows/s round trip)", file=sys.stderr)
 
@@ -226,21 +311,23 @@ def bench_live_plane(spark, sf_dir: str):
         n_events = changes.count()
         # idempotent: re-applying the same batch merges to the same state
         upsert_to_postgres(changes, pg, "ord_bench", key_cols=["o_orderkey"])  # warm-up
-        runs = []
-        for _ in range(5):  # 5 runs (was 3): the r9->r10 variance question
-            # needed a tighter median; ~1.2s per run keeps this cheap
-            t0 = time.time()
-            upsert_to_postgres(changes, pg, "ord_bench", key_cols=["o_orderkey"])
-            runs.append(time.time() - t0)
+        runs = _stable_runs(
+            lambda: upsert_to_postgres(
+                changes, pg, "ord_bench", key_cols=["o_orderkey"]
+            ),
+            n=5,
+            label="upsert_live",
+        )
         dt = statistics.median(runs)
         timings["upsert_live"] = round(dt, 3)
         run_counts["upsert_live"] = len(runs)
+        spreads["upsert_live"] = _spread(runs)
         rates["live_upsert_events_per_sec"] = round(n_events / dt)
         print(f"# upsert_live: {dt:.2f}s ({n_events / dt:,.0f} events/s)", file=sys.stderr)
     finally:
         shutil.rmtree(out, ignore_errors=True)
         server.stop()
-    return timings, rates, run_counts
+    return timings, rates, run_counts, spreads
 
 
 def main() -> None:
@@ -255,6 +342,13 @@ def main() -> None:
 
     for t in TESTDATA_TABLES:
         load_table(spark, sf_dir, t).count()
+
+    # contention canary baseline (r14, verdict #1): a fixed CPU-bound
+    # probe timed at bench start; re-measured before the apply and live
+    # sections, which wait for the host to go quiet and record the
+    # achieved ratio in the artifact either way
+    canary_base = _canary_time(spark)
+    print(f"# canary baseline: {canary_base:.3f}s", file=sys.stderr)
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
@@ -313,47 +407,53 @@ def main() -> None:
     total += bpe_dt
     print(f"# bpe_train_documents: {bpe_dt:.2f}s ({n_merges_done} merges)", file=sys.stderr)
 
+    canary_pre_apply = _await_quiet(spark, canary_base, "pre_apply")
+
     snap_dt, snap_rps, snap_runs = bench_snapshot_throughput(spark, sf_dir)
     timings["snapshot_load_lineitem"] = round(snap_dt, 3)
     query_stats["snapshot_load_lineitem"] = {"median": round(snap_dt, 3), "runs": snap_runs}
     total += snap_dt
     print(f"# snapshot_load_lineitem: {snap_dt:.2f}s ({snap_rps:,.0f} rows/s)", file=sys.stderr)
 
-    apply_dt, apply_eps, small_dt, n_small, apply_runs = bench_changelog_apply(spark, sf_dir)
+    apply_dt, apply_eps, small_dt, n_small, apply_runs, sp_big, sp_small = bench_changelog_apply(spark, sf_dir)
     timings["changelog_apply_orders"] = round(apply_dt, 3)
     timings["changelog_apply_small_batch"] = round(small_dt, 3)
-    query_stats["changelog_apply_orders"] = {"median": round(apply_dt, 3), "runs": apply_runs}
-    query_stats["changelog_apply_small_batch"] = {"median": round(small_dt, 3), "runs": apply_runs}
+    query_stats["changelog_apply_orders"] = {"median": round(apply_dt, 3), "runs": apply_runs, "spread": sp_big}
+    query_stats["changelog_apply_small_batch"] = {"median": round(small_dt, 3), "runs": apply_runs, "spread": sp_small}
     total += apply_dt + small_dt
     print(f"# changelog_apply_orders: {apply_dt:.2f}s ({apply_eps:,.0f} events/s)", file=sys.stderr)
     print(f"# changelog_apply_small_batch: {small_dt:.2f}s ({n_small} events, bucket-pruned)", file=sys.stderr)
 
     from cdc_connector_spark.changelog.txlog import TxLogMergeSink
 
-    tx_dt, tx_eps, tx_small_dt, _, tx_runs = bench_changelog_apply(spark, sf_dir, sink_cls=TxLogMergeSink)
+    tx_dt, tx_eps, tx_small_dt, _, tx_runs, tx_sp, tx_sp_small = bench_changelog_apply(spark, sf_dir, sink_cls=TxLogMergeSink)
     timings["changelog_apply_txlog"] = round(tx_dt, 3)
     timings["changelog_apply_txlog_small_batch"] = round(tx_small_dt, 3)
-    query_stats["changelog_apply_txlog"] = {"median": round(tx_dt, 3), "runs": tx_runs}
-    query_stats["changelog_apply_txlog_small_batch"] = {"median": round(tx_small_dt, 3), "runs": tx_runs}
+    query_stats["changelog_apply_txlog"] = {"median": round(tx_dt, 3), "runs": tx_runs, "spread": tx_sp}
+    query_stats["changelog_apply_txlog_small_batch"] = {"median": round(tx_small_dt, 3), "runs": tx_runs, "spread": tx_sp_small}
     total += tx_dt + tx_small_dt
     print(f"# changelog_apply_txlog: {tx_dt:.2f}s ({tx_eps:,.0f} events/s)", file=sys.stderr)
     print(f"# changelog_apply_txlog_small_batch: {tx_small_dt:.2f}s", file=sys.stderr)
 
-    mor_dt, mor_eps, mor_small_dt, _, mor_runs = bench_changelog_apply(
+    mor_dt, mor_eps, mor_small_dt, _, mor_runs, mor_sp, mor_sp_small = bench_changelog_apply(
         spark, sf_dir, sink_cls=TxLogMergeSink, method="mor"
     )
     timings["changelog_apply_mor"] = round(mor_dt, 3)
     timings["changelog_apply_mor_small_batch"] = round(mor_small_dt, 3)
-    query_stats["changelog_apply_mor"] = {"median": round(mor_dt, 3), "runs": mor_runs}
-    query_stats["changelog_apply_mor_small_batch"] = {"median": round(mor_small_dt, 3), "runs": mor_runs}
+    query_stats["changelog_apply_mor"] = {"median": round(mor_dt, 3), "runs": mor_runs, "spread": mor_sp}
+    query_stats["changelog_apply_mor_small_batch"] = {"median": round(mor_small_dt, 3), "runs": mor_runs, "spread": mor_sp_small}
     total += mor_dt + mor_small_dt
     print(f"# changelog_apply_mor: {mor_dt:.2f}s ({mor_eps:,.0f} events/s, write-side only)", file=sys.stderr)
     print(f"# changelog_apply_mor_small_batch: {mor_small_dt:.2f}s", file=sys.stderr)
 
-    live_timings, live_rates, live_runs = bench_live_plane(spark, sf_dir)
+    canary_pre_live = _await_quiet(spark, canary_base, "pre_live")
+
+    live_timings, live_rates, live_runs, live_spreads = bench_live_plane(spark, sf_dir)
     timings.update(live_timings)
     for k, v in live_timings.items():
         query_stats[k] = {"median": v, "runs": live_runs.get(k, 1)}
+        if k in live_spreads:
+            query_stats[k]["spread"] = live_spreads[k]
     total += sum(live_timings.values())
 
     report = {
@@ -363,6 +463,11 @@ def main() -> None:
         "queries": timings,
         "query_stats": query_stats,
         "sf": sf,
+        "canary": {
+            "baseline_sec": round(canary_base, 3),
+            "pre_apply_ratio": canary_pre_apply,
+            "pre_live_ratio": canary_pre_live,
+        },
         "snapshot_rows_per_sec": round(snap_rps),
         "apply_events_per_sec": round(apply_eps),
         **live_rates,

@@ -239,6 +239,7 @@ def _prefix_select(
     qgram: int,
     max_dist: int,
     extra_block_cols: tuple[str, ...],
+    carry: bool = False,
 ) -> DataFrame:
     """Ed-Join prefix selection over the inverted index: keep each
     record's ``plen`` rarest keys under the global total order
@@ -264,17 +265,21 @@ def _prefix_select(
     # on 300-char documents, carrying __s shuffled 200 MB per join side
     # for a column the pair join never reads).
     w = Window.partitionBy("__id").orderBy(F.col("__f").asc(), F.col("__k").asc())
+    # ``carry`` keeps __s alongside (short-string mode, see _CARRY_LEN):
+    # only sane when the strings are trivially small
+    scols = ["__s"] if carry else []
     return (
         inv.select(
             "__id",
             F.length("__s").alias("__len"),
+            *scols,
             *[f"__x_{c}" for c in extra_block_cols],
             "__k",
         )
         .join(freq, "__k")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= plen)
-        .select("__id", "__len", *[f"__x_{c}" for c in extra_block_cols], "__k")
+        .select("__id", "__len", *scols, *[f"__x_{c}" for c in extra_block_cols], "__k")
     )
 
 
@@ -285,6 +290,23 @@ def _prefix_select(
 #: postings between the two values unprotected (advisor, r14).
 _HOT_CHUNK = 4096
 
+#: Average normalized length at/below which ``fuzzy_pairs`` MAY carry
+#: the strings THROUGH the candidate join instead of re-attaching them
+#: by id afterwards (r14, verdict #3). The r13 id-only re-attach is the
+#: right 100 TB shape for LONG text (never haul documents through key
+#: collisions; measured 7× on the documents corpus) — but on short
+#: key-like strings the two id-keyed joins cost more than the few extra
+#: bytes riding the collision shuffle. Length is NECESSARY but not
+#: sufficient: carrying also replicates the text through every POSTING
+#: row (×keys-per-record through the index shuffle) and every COLLISION
+#: row (pre-distinct), so the auto rule additionally requires a mode
+#: whose postings-per-record or collision volume is bounded — measured
+#: at sf0.1 on 18-char names: token −31%, gated qgram/cap −18%,
+#: short-string prefix −19%, but UNGATED qgram/cap +46% (gram collisions
+#: dominate) and delete +75% (C(len,d) ≈ 170 postings/record each
+#: hauling the text). See the auto-decision block in ``fuzzy_pairs``.
+_CARRY_LEN = 32
+
 
 def _pair_candidates(
     idx: DataFrame,
@@ -292,6 +314,7 @@ def _pair_candidates(
     max_dist: int,
     hot_chunk: int | None = _HOT_CHUNK,
     max_fanout: int = 16,
+    carry: bool = False,
 ) -> DataFrame:
     """Distinct (id_a < id_b) candidate pairs from the (__id, __len,
     __k [, __x_*]) index self-join, STRAGGLER-SAFE on hot posting lists
@@ -311,23 +334,36 @@ def _pair_candidates(
     lengths only — bytes are trivial); cold keys keep the plain a < b
     self-join. Pair-set equality with the unsplit join is structural
     (hot pairs emit as (least, greatest) and the shared DISTINCT
-    collapses both paths) and pinned in tests + the 10× rehearsal."""
+    collapses both paths) and pinned in tests + the 10× rehearsal.
+
+    With ``carry`` the index also holds ``__s`` and the pairs come out
+    as (id_a, id_b, __sa, __sb) — the SHORT-string mode (see
+    _CARRY_LEN): the strings ride the collision shuffle and the
+    downstream re-attach joins disappear. __s is functionally dependent
+    on __id, so the DISTINCT cardinality is unchanged."""
     jk = ["__k", *xcols]
+    sa = [F.col("__s").alias("__sa")] if carry else []
+    sb = [F.col("__s").alias("__sb")] if carry else []
+    out_cols = ["id_a", "id_b", *(["__sa", "__sb"] if carry else [])]
     if hot_chunk is None:
         # caller has already BOUNDED postings (cap mode with
         # max_token_freq <= the hot threshold: no key can be hot, so the
         # grid's freq join would be pure overhead — it cost cap-mode
         # entries ~1.5x at fixture scale for zero protection, r13 bench
         # diff). Plain a < b self-join.
-        l = idx.select(F.col("__id").alias("id_a"), F.col("__len").alias("__la"), *jk)
-        r = idx.select(F.col("__id").alias("id_b"), F.col("__len").alias("__lb"), *jk)
+        l = idx.select(
+            F.col("__id").alias("id_a"), F.col("__len").alias("__la"), *sa, *jk
+        )
+        r = idx.select(
+            F.col("__id").alias("id_b"), F.col("__len").alias("__lb"), *sb, *jk
+        )
         return (
             l.join(r, jk)
             .filter(
                 (F.col("id_a") < F.col("id_b"))
                 & (F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
             )
-            .select("id_a", "id_b")
+            .select(*out_cols)
             .distinct()
         )
     freq = idx.groupBy(*jk).agg(F.count(F.lit(1)).alias("__f"))
@@ -338,8 +374,12 @@ def _pair_candidates(
         ).cast("int"),
     )
     cold = g.filter(F.col("__m") <= 1)
-    l = cold.select(F.col("__id").alias("id_a"), F.col("__len").alias("__la"), *jk)
-    r = cold.select(F.col("__id").alias("id_b"), F.col("__len").alias("__lb"), *jk)
+    l = cold.select(
+        F.col("__id").alias("id_a"), F.col("__len").alias("__la"), *sa, *jk
+    )
+    r = cold.select(
+        F.col("__id").alias("id_b"), F.col("__len").alias("__lb"), *sb, *jk
+    )
     pairs_cold = (
         l.join(r, jk)
         .filter(
@@ -347,7 +387,7 @@ def _pair_candidates(
             # length gap is a Levenshtein lower bound — prune pre-verify
             & (F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
         )
-        .select("id_a", "id_b")
+        .select(*out_cols)
     )
     hot = g.filter(F.col("__m") > 1).withColumn(
         "__ci",
@@ -356,6 +396,7 @@ def _pair_candidates(
     a = hot.select(
         F.col("__id").alias("id_a"),
         F.col("__len").alias("__la"),
+        *sa,
         *jk,
         F.col("__ci").alias("__i"),
         F.explode(
@@ -365,20 +406,30 @@ def _pair_candidates(
     b = hot.select(
         F.col("__id").alias("id_b"),
         F.col("__len").alias("__lb"),
+        *sb,
         *jk,
         F.explode(F.sequence(F.lit(0), F.col("__ci"))).alias("__i"),
         F.col("__ci").alias("__j"),
     )
+    ordered = F.col("id_a") < F.col("id_b")
+    hot_out = [
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    ]
+    if carry:
+        # swap the carried strings with the ids so __sa stays the
+        # smaller-id side's string (parity with the cold branch)
+        hot_out += [
+            F.when(ordered, F.col("__sa")).otherwise(F.col("__sb")).alias("__sa"),
+            F.when(ordered, F.col("__sb")).otherwise(F.col("__sa")).alias("__sb"),
+        ]
     pairs_hot = (
         a.join(b, jk + ["__i", "__j"])
         .filter(
             (F.col("id_a") != F.col("id_b"))
             & (F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
         )
-        .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
-        )
+        .select(*hot_out)
     )
     return pairs_cold.unionByName(pairs_hot).distinct()
 
@@ -393,6 +444,7 @@ def fuzzy_pairs(
     qgram: int = 3,
     extra_block_cols: tuple[str, ...] = (),
     selection: str = "cap",
+    carry_strings: bool | None = None,
 ) -> DataFrame:
     """(id_a < id_b, dist) pairs with Levenshtein(normalized names) ≤
     ``max_dist``. Normalization = lower + trim + whitespace collapse
@@ -445,7 +497,23 @@ def fuzzy_pairs(
     (where the candidates ARE the matches). No cap and no selection
     apply (both would void completeness; ``selection="prefix"`` is
     rejected, ``max_token_freq`` ignored). Built for short key-like
-    strings (names, codes); prefer qgram+prefix for long text."""
+    strings (names, codes); prefer qgram+prefix for long text.
+
+    ``carry_strings`` picks how the normalized strings reach the
+    verify: ``False`` = the r13 id-only candidate join + two id-keyed
+    re-attach joins (the 100 TB shape for LONG text — documents never
+    ride the key-collision shuffle); ``True`` = the strings ride the
+    candidate join and the re-attach joins disappear (cheaper when the
+    strings are tiny: on 18-char customer names the re-attach joins
+    cost 1.3–1.4× more than hauling the text). ``None`` (default)
+    decides per MODE and corpus: delete mode and ungated qgram/cap
+    never auto-carry (their postings-per-record / collision volume
+    make the carried bytes dominate — measured +75% / +46% at sf0.1);
+    the remaining modes carry when the corpus' average normalized
+    length is ≤ _CARRY_LEN, measured with ONE column-pruned scalar
+    scan — an EAGER job at plan-build time; pass an explicit bool to
+    stay fully lazy. Both branches produce the identical pair set
+    (pinned)."""
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
     if selection not in ("cap", "prefix"):
@@ -464,12 +532,32 @@ def fuzzy_pairs(
     inv = _blocking_index(
         df, text_col, id_col, block, qgram, extra_block_cols, max_dist=max_dist
     )
+    strs = _normalized(df, text_col, id_col)
+    carry = carry_strings
+    if carry is None:
+        if block == "delete" or (
+            block == "qgram" and selection == "cap" and not extra_block_cols
+        ):
+            # delete: text would ride every C(len,d) deletion-key posting
+            # (~170/record at len 18, d 2 — measured +75%); ungated
+            # qgram/cap: gram-collision volume dominates and every
+            # collision row hauls 2×text pre-distinct (measured +46%).
+            # Explicit carry_strings=True still honors the caller.
+            carry = False
+        else:
+            avg_len = strs.agg(F.avg(F.length("__s"))).first()[0]
+            carry = avg_len is not None and avg_len <= _CARRY_LEN
+    scols = ["__s"] if carry else []
     xcols = [f"__x_{c}" for c in extra_block_cols]
     if block == "delete":
         # complete, self-bounding index: no cap, no selection
-        idx = inv.select("__id", F.length("__s").alias("__len"), "__k", *xcols)
+        idx = inv.select(
+            "__id", F.length("__s").alias("__len"), *scols, "__k", *xcols
+        )
     elif selection == "prefix":
-        idx = _prefix_select(inv, block, qgram, max_dist, extra_block_cols)
+        idx = _prefix_select(
+            inv, block, qgram, max_dist, extra_block_cols, carry=carry
+        )
     else:
         # anti-join the bounded HOT set (freq > cap, ≤ postings/cap keys —
         # the same set fuzzy_dropped_keys audits); the old form broadcast
@@ -483,7 +571,7 @@ def fuzzy_pairs(
             .select("__k")
         )
         idx = inv.join(hot, "__k", "left_anti").select(
-            "__id", F.length("__s").alias("__len"), "__k", *xcols
+            "__id", F.length("__s").alias("__len"), *scols, "__k", *xcols
         )
     # the candidate self-join carries ONLY (id, len, key): at 100 TB the
     # blocked join's shuffle must not haul document text through every
@@ -508,8 +596,16 @@ def fuzzy_pairs(
             and max_token_freq <= _HOT_CHUNK
         )
         else _HOT_CHUNK,
+        carry=carry,
     )
-    strs = _normalized(df, text_col, id_col)
+    dist = F.levenshtein("__sa", "__sb", max_dist)
+    if carry:
+        # short-string branch: the strings arrived with the pairs
+        return (
+            cand.withColumn("dist", dist)
+            .filter(F.col("dist") >= 0)
+            .select("id_a", "id_b", "dist")
+        )
     sa = strs.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"))
     sb = strs.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"))
     # THRESHOLD levenshtein (banded DP, O(len·d) per pair, -1 past the
@@ -523,7 +619,7 @@ def fuzzy_pairs(
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("dist", F.levenshtein("__sa", "__sb", max_dist))
+        .withColumn("dist", dist)
         .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", "dist")
     )

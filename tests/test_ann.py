@@ -553,3 +553,26 @@ def test_hard_negatives_k_rows_per_probe_and_missing_probe(spark):
     for r in out:
         per.setdefault(r["probe_id"], []).append(r)
     assert set(per) == {0, 1} and all(len(v) == 3 for v in per.values())
+
+
+def test_ivf_entry_recall_floor_gate():
+    """r14 verdict #5 pin: the rows-only IVF driver entries now carry an
+    in-entry semantic gate — matched@10 below the documented floor
+    RAISES (so a collapsed cell / broken pruning can't hide behind a
+    correct-looking row count), at/above it passes. Floors sit below
+    every measured fixture value (8-9 single, 4-9 per batch query), so
+    the green entries exercised elsewhere prove the pass path."""
+    import pytest
+
+    import __spark_entry__ as entry_mod
+
+    with pytest.raises(AssertionError, match="below the documented floor"):
+        entry_mod._assert_recall_floor(
+            entry_mod._IVF_MIN_MATCHED - 1, entry_mod._IVF_MIN_MATCHED, "t"
+        )
+    entry_mod._assert_recall_floor(
+        entry_mod._IVF_MIN_MATCHED, entry_mod._IVF_MIN_MATCHED, "t"
+    )
+    # documented floors stay below the weakest measured fixture values
+    assert entry_mod._IVF_MIN_MATCHED <= 8
+    assert entry_mod._IVF_BATCH_MIN_MATCHED <= 4
