@@ -3943,26 +3943,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks only the FIRST 50 dict entries of
-# queries(). Round-13 window: 3 sentinels; the two sf0.01-PINNED ivf
+# queries(). Round-14 window: 3 sentinels; the two sf0.01-PINNED ivf
 # recall twins (must stay in-window: their oracles pin sf0.01 constants
 # — the driver's SF — and the sf0.001 tripwire would flag them by
-# construction; enforced by the assertion in queries()); ALL 24
-# r8-last-checked entries left at age 4 after r12 (the floor — they
-# would exceed it this round); and 21 of the 45-entry r9-checked
-# age-4 cohort, prioritizing (a) entries whose modules this round's
-# adversarial pass touches (ab_test / rfm / cms / basket-adjacent),
-# (b) the r12 bench-drift suspects (ivf_ann_topk{,_batch}), (c) the
-# simhash pair and hits (expensive plans worth fresh rows), then
-# alphabetical-oldest fill. Saturated: 3 + 2 + 24 + 21 = 50. The 24
-# r9 entries that did not fit sit at exactly age 4 (the floor) and
-# rotate in r14; every out-of-window entry is value-verified at
-# sf0.001 by the pre-commit tail tripwire on every commit. The
-# PERMANENTLY-rows-only ivf production pair (see their docstrings)
-# tails with pytest + recall-twin coverage. See STALENESS.md.
-# Expected CORRECTNESS_r13: 50/50 value-verified; the only rows-only
-# rows in-window are ivf_ann_topk{,_batch} (pruned-probe recall < 1 is
-# the IVF contract; their value-verified recall twins sit beside them).
-_R13_WINDOW = [
+# construction; enforced by the assertion in queries()); ALL 26 entries
+# left at the age-4 floor after r13 (the 24 r9-cohort leftovers plus
+# curriculum_plan/dup_rate_by_source, displaced by the r13 additions —
+# they would exceed the floor this round); the 2 entries whose PLANS
+# this round's length-aware fuzzy re-attach changed (fuzzy_gated,
+# golden_record — changed code gets a fresh driver row); and 17 of the
+# 45-entry r10-checked age-3 cohort, prioritizing (a) the r14
+# adversarial-pass modules (asof/rollup: asof_purchase_last_click,
+# bitemporal_asof_events, rollup_order_revenue,
+# incremental_rollup_events), (b) the r13 runs-bucket watch item
+# (watermark_sizing_events), then alphabetical fill. Saturated:
+# 3 + 2 + 26 + 2 + 17 = 50. The 28 age-3 entries that did not fit sit
+# at exactly age 4 (the floor) and rotate in r15; every out-of-window
+# entry is value-verified at sf0.001 by the pre-commit tail tripwire on
+# every commit. The PERMANENTLY-rows-only ivf production pair tails
+# with pytest + recall-twin coverage + the NEW in-entry recall floor
+# (r14, verdict #5). See STALENESS.md.
+# Expected CORRECTNESS_r14: 50/50 value-verified, 0 no_oracle rows
+# (both rows-only production ivf entries sit in the tail this round).
+_R14_WINDOW = [
     # sentinels
     "q1_pricing_summary",
     "changelog_latest_per_key",
@@ -3970,61 +3973,57 @@ _R13_WINDOW = [
     # sf0.01-pinned recall twins: window-resident by construction
     "ivf_recall_topk",
     "ivf_batch_recall_topk",
-    # r8-cohort at the age-4 floor after r12 — ALL 24 (would exceed
-    # the floor this round)
-    "triangle_count_parts",
-    "trend_events",
-    "transitions_events",
-    "subsequence_search_events",
-    "source_quality_report",
-    "scd2_user_states",
-    "rolling_activity_events",
-    "robust_anomaly_events",
-    "readability_documents",
-    "pmi_bigrams_documents",
-    "novelty_scores_documents",
-    "key_skew_events",
-    "ivm_join_orders_customer",
-    "histogram_order_totals",
-    "funnel_events_windowed",
-    "funnel_events",
-    "ewma_events",
-    "cusum_drift_events",
-    "corpus_diff_versions",
-    "cohort_retention_events",
-    "budget_mixture_documents",
-    "basket_rules_lineitem",
-    "attribution_events",
-    "anomaly_zscore_events",
-    # r9-cohort picks (age 4 after r13 either way; these 21 get fresh
-    # rows now, the other 24 rotate in r14): adversarial-pass modules +
-    # bench-drift suspects + expensive plans first
-    "ab_test_events",
-    "rfm_segments_customers",
-    "cms_heavy_hitters_events",
-    "ivf_ann_topk",
-    "ivf_ann_topk_batch",
-    "simhash_neardup",
-    "simhash_neardup_subset",
-    "hits_trade_graph",
-    # ...then alphabetical-oldest fill
-    "acf_events",
-    "assortativity_parts",
-    "benford_order_totals",
-    "bfs_hops_trade_graph",
-    "bloom_decontam_documents",
-    "canonical_docs_documents",
-    "chi_square_orders",
-    "clustering_coeff_parts",
-    "corpus_inventory_documents",
-    "corr_quantity_price",
-    "cube_revenue_flags",
-    # r13 additions (never driver-checked -> window-resident; they
-    # displace curriculum_plan_documents and dup_rate_by_source_documents,
-    # which sit at the age-4 floor under tripwire coverage and rotate in
-    # r14)
-    "metrics_snapshot_events",
-    "fuzzy_prefix_documents",
+    # the full age-4 cohort after r13 (24 r9 leftovers + the 2 entries
+    # the r13 additions displaced)
+    "window_user_sequence",
+    "sessionize_events",
+    "rolling_actives_events",
+    "sequence_gaps_lineitem",
+    "unpivot_lineitem_amounts",
+    "duplicate_spans_documents",
+    "substring_dedup_coverage",
+    "fk_integrity_all",
+    "session_window_stats_events",
+    "kcore_parts",
+    "prefix_jaccard_pairs_documents",
+    "weekday_profile_events",
+    "token_entropy_documents",
+    "zipf_slope_documents",
+    "interevent_stats_events",
+    "hard_negatives_embeddings",
+    "label_balance_embeddings",
+    "psi_order_totals",
+    "normalize_text_documents",
+    "standardize_embeddings_z",
+    "curriculum_plan_documents",
+    "session_summary_events",
+    "revenue_concentration_customers",
+    "dup_rate_by_source_documents",
+    "top_terms_per_source_documents",
+    "lang_agreement_documents",
+    # r14-changed plans: the length-aware fuzzy carry branch
+    "fuzzy_gated_customers",
+    "golden_record_customers",
+    # r10-cohort picks: adversarial-pass modules + the watch item...
+    "asof_purchase_last_click",
+    "bitemporal_asof_events",
+    "rollup_order_revenue",
+    "incremental_rollup_events",
+    "watermark_sizing_events",
+    # ...then alphabetical fill (the rest of the age-3 cohort sits at
+    # the floor and rotates in r15)
+    "association_orders",
+    "column_profile_diff_orders",
+    "cosine_pairs_bruteforce",
+    "daily_percentiles_events",
+    "date_arith_orders",
+    "embedding_neardup",
+    "embedding_neardup_subset",
+    "equidepth_histogram_orders",
+    "fk_sample_chain",
+    "fk_sample_customers",
+    "funnel_durations_events",
+    "hll_distinct_customers_orders",
 ]
 
 
@@ -4303,12 +4302,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_prefix_documents": fuzzy_prefix_documents,
         "fuzzy_delete_customers": fuzzy_delete_customers,
     }
-    assert len(_R13_WINDOW) == 50 and set(_R13_WINDOW) <= set(base)
+    assert len(_R14_WINDOW) == 50 and set(_R14_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
     # SF); in the tail the sf0.001 tripwire would flag them by
     # construction — keep them window-resident structurally
-    assert {"ivf_recall_topk", "ivf_batch_recall_topk"} <= set(_R13_WINDOW)
-    out = {n: base[n] for n in _R13_WINDOW}
+    assert {"ivf_recall_topk", "ivf_batch_recall_topk"} <= set(_R14_WINDOW)
+    out = {n: base[n] for n in _R14_WINDOW}
     out.update({n: f for n, f in base.items() if n not in out})
     return out
 

@@ -94,16 +94,79 @@ def asof_join(
         F.col("__side").asc(),  # right rows visible to equal-ts left rows
         F.col("__asof_seq").asc(),  # greatest seq wins in BOTH directions
     ]
-    w = (
-        Window.partitionBy(*by_cols)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
 
-    filled = u.select(
-        *[F.col(c) for c in u.columns],
-        F.last("__r", ignorenulls=True).over(w).alias("__f"),
-    ).filter(F.col("__side") == 1)
+    if by_cols:
+        w = (
+            Window.partitionBy(*by_cols)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = u.select(
+            *[F.col(c) for c in u.columns],
+            F.last("__r", ignorenulls=True).over(w).alias("__f"),
+        ).filter(F.col("__side") == 1)
+    else:
+        # GLOBAL as-of (no key): a bare no-partition window would move
+        # the entire union through ONE task (the merge_islands lesson,
+        # r13 — WindowExec warns and single-threads). Instead:
+        # range-bucket the direction-normalized order value (one
+        # approxQuantile pass — eager, bounded driver data), run the
+        # SAME window within each bucket, then fix up bucket boundaries
+        # with a per-bucket carry: the tiny (n_buckets-row) summary
+        # frame computes, for every bucket, the last right row of all
+        # PRIOR buckets; rows whose in-bucket fill is NULL coalesce to
+        # that carry. Equality with the one-task plan is pinned in
+        # tests/test_asof.py.
+        is_ts = "timestamp" in right.schema[on].dataType.simpleString()
+        ord_raw = (
+            F.unix_micros(F.col(on).cast("timestamp")).cast("double")
+            if is_ts
+            else F.col(on).cast("double")
+        )
+        ord_expr = ord_raw if asc else -ord_raw
+        u = u.withColumn("__ord", ord_expr)
+        n_buckets = 64
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        bnds = sorted(set(u.select(F.col("__ord").alias("v")).approxQuantile("v", probs, 0.001)))
+        bucket = F.lit(0)
+        for b in bnds:
+            bucket = bucket + F.when(F.lit(float(b)) < F.col("__ord"), 1).otherwise(0)
+        u = u.withColumn("__b", bucket.cast("int"))
+        wb = (
+            Window.partitionBy("__b")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # per-bucket last RIGHT row: max over the same (ord, seq) order
+        # among side-0 rows (ord is direction-normalized, so max == the
+        # window-order-last in both directions)
+        per_bucket = (
+            u.filter(F.col("__side") == 0)
+            .groupBy("__b")
+            .agg(F.max_by("__r", F.struct("__ord", "__asof_seq")).alias("__last"))
+        )
+        spark = left.sparkSession
+        all_buckets = spark.range(len(bnds) + 1).select(F.col("id").cast("int").alias("__b"))
+        # the no-partition window here is SAFE: the frame is <= 64 rows
+        carry = (
+            all_buckets.join(per_bucket, "__b", "left")
+            .withColumn(
+                "__carry",
+                F.last("__last", ignorenulls=True).over(
+                    Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+            )
+            .select("__b", "__carry")
+        )
+        filled = (
+            u.select(
+                *[F.col(c) for c in u.columns],
+                F.last("__r", ignorenulls=True).over(wb).alias("__if"),
+            )
+            .filter(F.col("__side") == 1)
+            .join(F.broadcast(carry), "__b")
+            .withColumn("__f", F.coalesce("__if", "__carry"))
+        )
 
     if tolerance_seconds is not None:
         if "timestamp" in right.schema[on].dataType.simpleString():

@@ -87,8 +87,14 @@ def merge_rollup(current: DataFrame | None, delta: DataFrame, key_cols: list[str
 
 
 def rollup_read(rollup: DataFrame) -> DataFrame:
-    """Read-time view: surface sums as DOUBLE + derived avg."""
+    """Read-time view: surface sums as DOUBLE + derived avg. A transient
+    retract-before-insert group (count 0, nonzero sum — legitimate state,
+    see merge_rollup) yields NULL avg, not IEEE Infinity (r14 review:
+    double/0 is Inf under ANSI, and Inf poisons downstream aggregates)."""
     return rollup.select(
         "*",
-        (F.col("sum_value").cast("double") / F.col("n_events")).alias("avg_value"),
+        F.when(
+            F.col("n_events") != 0,
+            F.col("sum_value").cast("double") / F.col("n_events"),
+        ).alias("avg_value"),
     ).withColumn("sum_value", F.col("sum_value").cast("double"))

@@ -34,7 +34,19 @@ def salted_join(
         raise ValueError("salted_join supports how='inner'|'left'")
     keys = [on] if isinstance(on, str) else list(on)
 
-    big_s = big.withColumn("__salt", F.pmod(F.abs(F.xxhash64(F.monotonically_increasing_id())), F.lit(salt)).cast("int"))
+    # salt must be DETERMINISTIC per row (r14 review): the pre-r14 form
+    # hashed monotonically_increasing_id(), which changes when a task is
+    # recomputed — and the salt decides the shuffle partition, so a
+    # fetch-failure retry could route recomputed rows to different
+    # buckets than the ones already fetched (the SPARK-23207 class of
+    # row loss/duplication). Hashing the FULL row is deterministic and
+    # still spreads a hot key's rows across buckets (only exact
+    # duplicate rows co-locate — they would collide under any
+    # content-derived salt).
+    big_s = big.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast("int"),
+    )
     small_s = small.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))).withColumn(
         "__salt", F.col("__salt").cast("int")
     )

@@ -28,9 +28,23 @@ _BITS = 16  # per-column rank resolution; 2 cols → 32-bit z-values
 
 
 def _interleave(cols: list, bits: int = _BITS):
-    """Bit-interleave k integer columns (each < 2^bits) into one long."""
-    z = F.lit(0).cast("long")
+    """Bit-interleave k integer columns (each < 2^bits) into one long.
+
+    k·bits must fit in the long's 63 value bits: one more and the top
+    bit lands in the SIGN position, making the hottest z-range negative
+    — range partitioning would then order it FIRST and break curve
+    locality exactly where clustering matters most (r14 review). Raise
+    instead of silently wrapping; callers lower ``bits`` (rank
+    resolution above ~10 bits per column adds nothing once files hold
+    millions of rows)."""
     k = len(cols)
+    if k * bits > 63:
+        raise ValueError(
+            f"{k} columns x {bits} bits = {k * bits} bits exceeds the "
+            "63 value bits of a long z-value; lower bits (e.g. "
+            f"bits={63 // k}) or cluster fewer columns"
+        )
+    z = F.lit(0).cast("long")
     for b in range(bits):
         for i, c in enumerate(cols):
             bit = F.shiftright(c, b).bitwiseAND(F.lit(1))

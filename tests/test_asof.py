@@ -181,3 +181,55 @@ def test_forward_equal_ts_seq_tiebreak(spark):
     )
     out = asof_join(left, right, on="ts", by="k", direction="forward", seq_col="seq")
     assert out.collect()[0]["v"] == "second"
+
+
+def test_global_asof_equals_keyed_formulation(spark):
+    """r14 review pin: the by=None path (range-bucketed window + carried
+    bucket boundary, never a whole-input one-task window) returns exactly
+    what the keyed one-shuffle formulation returns on a constant key —
+    randomized, both directions, with seq tie-break and tolerance."""
+    import random
+
+    rng = random.Random(14)
+    trades = [(i, float(rng.randrange(0, 500))) for i in range(400)]
+    quotes = [
+        (float(rng.randrange(0, 500)), float(i), i) for i in range(300)
+    ]
+    t = spark.createDataFrame(trades, "trade_id int, ts double")
+    q = spark.createDataFrame(quotes, "ts double, px double, seq int")
+    for direction in ("backward", "forward"):
+        for tol in (None, 7.0):
+            g = asof_join(
+                t, q, on="ts", by=None, direction=direction,
+                tolerance_seconds=tol, seq_col="seq",
+            )
+            k = asof_join(
+                t.withColumn("__k", F.lit(1)),
+                q.withColumn("__k", F.lit(1)),
+                on="ts", by="__k", direction=direction,
+                tolerance_seconds=tol, seq_col="seq",
+            ).drop("__k")
+            got = _rows(g, "trade_id", "ts", "px", "seq", "ts_right")
+            want = _rows(k, "trade_id", "ts", "px", "seq", "ts_right")
+            assert got == want, (direction, tol)
+
+
+def test_global_asof_plan_has_no_full_input_single_task_window(spark):
+    """The only no-partition window in the global-asof plan runs over the
+    <=65-row bucket-carry frame; the union itself is windowed per range
+    bucket (r14 review — the merge_islands one-task class)."""
+    t = spark.createDataFrame([(i, float(i)) for i in range(50)], "id int, ts double")
+    q = spark.createDataFrame([(float(i), float(i)) for i in range(50)], "ts double, px double")
+    plan = asof_join(t, q, on="ts")._jdf.queryExecution().optimizedPlan().toString()
+    # the big-side window must carry the __b bucket in its partition spec
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan[:2000]
+    unpartitioned = [s for s in specs if "__b" not in s and "__ord" not in s]
+    partitioned = [s for s in specs if "__b" in s]
+    assert partitioned, specs
+    # any unpartitioned spec belongs to the carry frame (ordered by __b only)
+    assert all("__b" in s for s in unpartitioned) or len(unpartitioned) == 0 or all(
+        s.strip().startswith("__b") for s in unpartitioned
+    ), specs

@@ -91,3 +91,57 @@ def test_audio_decode_stub(spark):
     rows = {r["media_id"]: r for r in decode_audio_features(df, fake=True).collect()}
     assert rows[1]["duration_ms"] == 30 and 8000 <= rows[1]["sample_rate"] <= 48000
     assert rows[2]["duration_ms"] == 0
+
+
+def test_rollup_read_zero_count_transient_group_gives_null_avg(spark):
+    """r14 review pin: a retract-before-insert group (count 0, nonzero
+    sum — legitimate transient state) reads back with NULL avg, not IEEE
+    Infinity (ANSI double/0 = Inf, which poisons downstream aggregates)."""
+    from cdc_connector_spark.ops.rollup import rollup_read
+
+    roll = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-01 01:00:00", 0, -5.0),
+         ("2024-01-01 00:00:00", "2024-01-01 01:00:00", 2, 10.0)],
+        "window_start string, window_end string, n_events long, sum_value double",
+    )
+    rows = {r["n_events"]: r["avg_value"] for r in rollup_read(roll).collect()}
+    assert rows[0] is None
+    assert rows[2] == 5.0
+
+
+def test_salted_join_salt_is_deterministic_row_hash(spark):
+    """r14 review pin: the salt derives from the row CONTENT (xxhash64 of
+    all columns), not monotonically_increasing_id — a recomputed task
+    must route every row to the same salt bucket or shuffle-retry can
+    lose/duplicate rows (the SPARK-23207 class). Same input therefore
+    always produces the same bucket assignment."""
+    from cdc_connector_spark.ops.skew import salted_join
+    from pyspark.sql import functions as F
+
+    big = spark.createDataFrame([(i % 3, i) for i in range(200)], "k int, v int")
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k int, name string")
+    out1 = sorted((r["k"], r["v"], r["name"]) for r in salted_join(big, small, "k").collect())
+    out2 = sorted((r["k"], r["v"], r["name"]) for r in salted_join(big, small, "k").collect())
+    plain = sorted(
+        (r["k"], r["v"], r["name"]) for r in big.join(small, "k").collect()
+    )
+    assert out1 == out2 == plain
+    # and the salt expression itself is reproducible run-to-run
+    salted = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(16))
+    )
+    a = {(r["k"], r["v"]): r["__salt"] for r in salted.collect()}
+    b = {(r["k"], r["v"]): r["__salt"] for r in salted.collect()}
+    assert a == b
+
+
+def test_zorder_interleave_rejects_sign_bit_overflow(spark):
+    """r14 review pin: k*bits > 63 raises (the top bit would land in the
+    long's sign position and order the hottest z-range FIRST)."""
+    import pytest
+
+    from cdc_connector_spark.ops.zorder import zvalue
+
+    df = spark.createDataFrame([(1, 2, 3, 4)], "a int, b int, c int, d int")
+    with pytest.raises(ValueError, match="63 value bits"):
+        zvalue(df, ["a", "b", "c", "d"], bits=16)
