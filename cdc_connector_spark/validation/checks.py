@@ -202,22 +202,46 @@ def _side_stats(
     together. Distinct semantics match the standalone checks exactly:
     ``struct``-wrapped distinct counts NULL-keyed tuples (the
     ``distinct().count()`` behavior check 3 had), bare ``count_distinct``
-    excludes them (check 4's dupe math)."""
+    excludes them (check 4's dupe math).
+
+    EXACT mode runs as a two-stage groupBy-PK aggregate (r14, verdict
+    #6 rehearsal): the r13 single-agg form put two exact distincts in
+    one aggregate, and Spark plans multi-distinct via Expand — every
+    input row shuffles ×3 (measured 134 → 269 MB at 10× lineitem,
+    wall-REGRESSING the fuse on a page-cached box). Grouping by the PK
+    first gets every statistic from ONE narrow map-side-combined
+    shuffle (key + count + ts_max): total = Σ counts, struct-distinct =
+    group count (groupBy, like struct-distinct, treats NULL keys as
+    equal), bare-distinct = groups with no NULL key, null_pk = Σ counts
+    over NULL-keyed groups. Approx mode keeps the single-pass sketch
+    aggregate — its point is to avoid shuffling keys at all."""
     any_null = reduce(or_, [F.col(c).isNull() for c in pk_cols])
-    dist = (
-        F.approx_count_distinct(F.struct(*pk_cols), rsd=rsd)
-        if approx
-        else F.count_distinct(F.struct(*pk_cols))
+    if approx:
+        aggs = [
+            F.count(F.lit(1)).alias("total"),
+            F.approx_count_distinct(F.struct(*pk_cols), rsd=rsd).alias("dist_all"),
+            F.count_distinct(*[F.col(c) for c in pk_cols]).alias("dist_nonnull"),
+            F.sum(F.when(any_null, 1).otherwise(0)).alias("null_pk"),
+        ]
+        if ts_col is not None:
+            aggs.append(F.max(ts_col).alias("ts_max"))
+        row = df.agg(*aggs).collect()[0]
+        return dict(row.asDict())
+    g = df.groupBy(*[F.col(c) for c in pk_cols]).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *([F.max(ts_col).alias("__ts")] if ts_col is not None else []),
     )
     aggs = [
-        F.count(F.lit(1)).alias("total"),
-        dist.alias("dist_all"),
-        F.count_distinct(*[F.col(c) for c in pk_cols]).alias("dist_nonnull"),
-        F.sum(F.when(any_null, 1).otherwise(0)).alias("null_pk"),
+        F.coalesce(F.sum("__n"), F.lit(0)).alias("total"),
+        F.count(F.lit(1)).alias("dist_all"),
+        F.count(F.when(~any_null, 1)).alias("dist_nonnull"),
+        F.coalesce(
+            F.sum(F.when(any_null, F.col("__n")).otherwise(0)), F.lit(0)
+        ).alias("null_pk"),
     ]
     if ts_col is not None:
-        aggs.append(F.max(ts_col).alias("ts_max"))
-    row = df.agg(*aggs).collect()[0]
+        aggs.append(F.max("__ts").alias("ts_max"))
+    row = g.agg(*aggs).collect()[0]
     return dict(row.asDict())
 
 
