@@ -622,6 +622,43 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(purchases, clicks, on="ts", by="user_id")
 
 
+def global_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS as-of join (NEW r14): every purchase matched with the
+    globally-latest click at-or-before it — no equality key at all.
+    Drives the r14 global-asof path in ops/asof.py (by=None): a bare
+    no-partition window would single-task the whole union, so the
+    operator range-buckets the order value (64 approxQuantile buckets)
+    and fixes bucket boundaries with a <=65-row carry frame; equality
+    with the keyed formulation is pytest-pinned. Clicks are first
+    deduplicated to one row per timestamp (greatest event_id — the
+    deterministic-pick convention), so the as-of match is unique in
+    both engines. Oracle: DuckDB native keyless ASOF LEFT JOIN over the
+    same deduped click set. Value-verified."""
+    from cdc_connector_spark.ops.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "ts",
+            F.col("value").alias("click_value"),
+            F.col("event_id").alias("click_event_id"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("ts").orderBy(F.col("click_event_id").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return asof_join(purchases, clicks, on="ts", by=None)
+
+
 def cosine_pairs_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-ops: exact all-pairs cosine ≥ threshold on a keyed subset — the
     value-verified baseline for embedding_neardup's LSH path."""
@@ -4023,7 +4060,10 @@ _R14_WINDOW = [
     "fk_sample_chain",
     "fk_sample_customers",
     "funnel_durations_events",
-    "hll_distinct_customers_orders",
+    # NEW in r14 (never driver-checked -> window-resident; displaces
+    # hll_distinct_customers_orders, which sits at the age-4 floor under
+    # tripwire coverage and rotates in r15)
+    "global_asof_purchase_click",
 ]
 
 
@@ -4301,6 +4341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_snapshot_events": metrics_snapshot_events,
         "fuzzy_prefix_documents": fuzzy_prefix_documents,
         "fuzzy_delete_customers": fuzzy_delete_customers,
+        # --- NEW in round 14 (window-resident: never driver-checked) ---
+        "global_asof_purchase_click": global_asof_purchase_click,
     }
     assert len(_R14_WINDOW) == 50 and set(_R14_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -4729,6 +4771,18 @@ def oracle_sql() -> dict[str, str]:
                    c.click_value, c.click_event_id, CAST(c.ts AS TIMESTAMP) AS ts_right
             FROM purchases p ASOF LEFT JOIN clicks c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "global_asof_purchase_click": """
+            WITH purchases AS (
+                SELECT event_id, ts, value FROM events WHERE event_type = 'purchase'
+            ), clicks AS (
+                SELECT ts, value AS click_value, event_id AS click_event_id
+                FROM events WHERE event_type = 'click'
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY ts ORDER BY event_id DESC) = 1
+            )
+            SELECT p.event_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
+                   c.click_value, c.click_event_id, CAST(c.ts AS TIMESTAMP) AS ts_right
+            FROM purchases p ASOF LEFT JOIN clicks c ON p.ts >= c.ts
         """,
         "cosine_pairs_bruteforce": """
             WITH sub AS (

@@ -328,3 +328,16 @@ def test_profile_hll_scans_pruned_no_cartesian(q):
     # multiplied scans by |cols| is pinned out (r11 review fix)
     assert len(facts["scans"]) <= 4, facts["scans"]
     assert "CartesianProduct" not in facts["joins"]
+
+
+def test_global_asof_plan_buckets_and_prunes(q):
+    """r14 entry pin: the keyless as-of pushes the event_type filters to
+    the parquet scan, carries the bucket fix-up as a BROADCAST join (the
+    carry frame is <=65 rows), and stays within a bounded shuffle budget
+    — no whole-input no-partition window (that plan shape is pinned
+    structurally in tests/test_asof.py)."""
+    facts = q("global_asof_purchase_click")
+    assert any("EqualTo(event_type" in s["pushed"] for s in facts["scans"]), facts["scans"]
+    assert "BroadcastHashJoin" in facts["joins"]
+    assert "CartesianProduct" not in facts["joins"]
+    assert facts["exchanges"] <= 6, facts["exchanges"]
