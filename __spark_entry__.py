@@ -622,6 +622,50 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(purchases, clicks, on="ts", by="user_id")
 
 
+def overlap_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap join (NEW r14): pairs of orders of the
+    SAME customer whose 30-day activity windows [o_orderdate,
+    o_orderdate + 30d] overlap — the contains/overlap rangejoin family's
+    driver entry (ops/rangejoin.py::interval_overlap_join; band_join and
+    the streaming interval join were already covered). Both sides
+    replicate to covering bins (width = the window length, the
+    documented sweet spot) and each pair is emitted exactly once from
+    its first shared bin — no dedup shuffle; the customer key rides the
+    equi-join via extra_keys, bounding candidates per bin. The oracle
+    replays the overlap predicate directly as a keyed self-join.
+    Value-verified."""
+    from cdc_connector_spark.ops.rangejoin import interval_overlap_join
+
+    orders = _t(spark, sf_dir, "orders")
+    lo = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date")).cast("double")
+    left = orders.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("id_a"),
+        lo.alias("lo_a"),
+        (lo + 30).alias("hi_a"),
+    )
+    right = orders.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("id_b"),
+        lo.alias("lo_b"),
+        (lo + 30).alias("hi_b"),
+    )
+    return (
+        interval_overlap_join(
+            left, right, "lo_a", "hi_a", "lo_b", "hi_b",
+            bin_width=30.0, extra_keys=["o_custkey"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "o_custkey",
+            "id_a",
+            "id_b",
+            F.col("lo_a").cast("long").alias("day_a"),
+            F.col("lo_b").cast("long").alias("day_b"),
+        )
+    )
+
+
 def global_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KEYLESS as-of join (NEW r14): every purchase matched with the
     globally-latest click at-or-before it — no equality key at all.
@@ -4059,11 +4103,11 @@ _R14_WINDOW = [
     "equidepth_histogram_orders",
     "fk_sample_chain",
     "fk_sample_customers",
-    "funnel_durations_events",
-    # NEW in r14 (never driver-checked -> window-resident; displaces
-    # hll_distinct_customers_orders, which sits at the age-4 floor under
-    # tripwire coverage and rotates in r15)
+    # NEW in r14 (never driver-checked -> window-resident; they displace
+    # hll_distinct_customers_orders and funnel_durations_events, which
+    # sit at the age-4 floor under tripwire coverage and rotate in r15)
     "global_asof_purchase_click",
+    "overlap_orders_per_customer",
 ]
 
 
@@ -4343,6 +4387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_delete_customers": fuzzy_delete_customers,
         # --- NEW in round 14 (window-resident: never driver-checked) ---
         "global_asof_purchase_click": global_asof_purchase_click,
+        "overlap_orders_per_customer": overlap_orders_per_customer,
     }
     assert len(_R14_WINDOW) == 50 and set(_R14_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -4771,6 +4816,17 @@ def oracle_sql() -> dict[str, str]:
                    c.click_value, c.click_event_id, CAST(c.ts AS TIMESTAMP) AS ts_right
             FROM purchases p ASOF LEFT JOIN clicks c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "overlap_orders_per_customer": """
+            SELECT a.o_custkey, a.o_orderkey AS id_a, b.o_orderkey AS id_b,
+                   datediff('day', DATE '1990-01-01', a.o_orderdate) AS day_a,
+                   datediff('day', DATE '1990-01-01', b.o_orderdate) AS day_b
+            FROM orders a JOIN orders b
+              ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+             AND datediff('day', DATE '1990-01-01', a.o_orderdate)
+                 <= datediff('day', DATE '1990-01-01', b.o_orderdate) + 30
+             AND datediff('day', DATE '1990-01-01', b.o_orderdate)
+                 <= datediff('day', DATE '1990-01-01', a.o_orderdate) + 30
         """,
         "global_asof_purchase_click": """
             WITH purchases AS (
