@@ -1164,10 +1164,9 @@ def golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_dist=1,
         block="qgram",
         extra_block_cols=("c_nationkey", "c_mktsegment"),
-        # short gated names: carry the text through the candidate join
-        # (r14 length-aware branch, measured −18% vs id re-attach);
-        # explicit flag skips the auto rule's corpus scan
-        carry_strings=True,
+        # id-only re-attach (the default): the r14b 10x rehearsal showed
+        # the carry branch 1.6x slower at scale even on short names
+        # (SCALING §4t) — its fixture win was stage overhead, not shape
     ).select("id_a", "id_b")
     return golden_records(
         cust.select("c_custkey", "c_name", "c_acctbal"),
@@ -1517,9 +1516,6 @@ def fuzzy_gated_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_dist=1,
         block="qgram",
         extra_block_cols=("c_nationkey",),
-        # short gated names: carry branch (r14, measured −18%); the
-        # explicit flag also skips the auto rule's corpus scan
-        carry_strings=True,
     ).select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
 
 
@@ -1551,9 +1547,6 @@ def fuzzy_prefix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_dist=4,
         block="qgram",
         selection="prefix",
-        # long text: id-only candidates + re-attach (the 100 TB shape);
-        # explicit flag skips the auto rule's corpus scan
-        carry_strings=False,
     ).select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
 
 

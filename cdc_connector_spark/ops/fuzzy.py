@@ -290,22 +290,20 @@ def _prefix_select(
 #: postings between the two values unprotected (advisor, r14).
 _HOT_CHUNK = 4096
 
-#: Average normalized length at/below which ``fuzzy_pairs`` MAY carry
-#: the strings THROUGH the candidate join instead of re-attaching them
-#: by id afterwards (r14, verdict #3). The r13 id-only re-attach is the
-#: right 100 TB shape for LONG text (never haul documents through key
-#: collisions; measured 7× on the documents corpus) — but on short
-#: key-like strings the two id-keyed joins cost more than the few extra
-#: bytes riding the collision shuffle. Length is NECESSARY but not
-#: sufficient: carrying also replicates the text through every POSTING
-#: row (×keys-per-record through the index shuffle) and every COLLISION
-#: row (pre-distinct), so the auto rule additionally requires a mode
-#: whose postings-per-record or collision volume is bounded — measured
-#: at sf0.1 on 18-char names: token −31%, gated qgram/cap −18%,
-#: short-string prefix −19%, but UNGATED qgram/cap +46% (gram collisions
-#: dominate) and delete +75% (C(len,d) ≈ 170 postings/record each
-#: hauling the text). See the auto-decision block in ``fuzzy_pairs``.
-_CARRY_LEN = 32
+#: fuzzy_pairs' string-carry mode is an EXPLICIT opt-in only (r14).
+#: History: the r14 verdict asked for a length-aware branch that carries
+#: short strings through the candidate join instead of re-attaching by
+#: id. Implemented, pinned (pair-set equality in all four mode combos),
+#: measured — and then REJECTED as a default by the 10× rehearsal
+#: (SCALING §4t, tools/scale_rehearsal_r14b.py): on 1.5M 18-char names
+#: the carry branch is 1.4–1.6× SLOWER than id-only re-attach in both
+#: token and gated-qgram modes (collision rows widen from 12 bytes to
+#: 50+, and the pair DISTINCT dedupes strings instead of ids — CPU that
+#: grows with candidate volume), while its fixture-scale "win" was two
+#: saved join STAGES (~0.3 s of per-stage overhead that vanishes at
+#: scale). The id-only candidate join is the right shape at every
+#: corpus size; carry_strings=True remains for interactive use on tiny
+#: frames where stage count dominates.
 
 
 def _pair_candidates(
@@ -444,7 +442,7 @@ def fuzzy_pairs(
     qgram: int = 3,
     extra_block_cols: tuple[str, ...] = (),
     selection: str = "cap",
-    carry_strings: bool | None = None,
+    carry_strings: bool = False,
 ) -> DataFrame:
     """(id_a < id_b, dist) pairs with Levenshtein(normalized names) ≤
     ``max_dist``. Normalization = lower + trim + whitespace collapse
@@ -500,19 +498,14 @@ def fuzzy_pairs(
     strings (names, codes); prefer qgram+prefix for long text.
 
     ``carry_strings`` picks how the normalized strings reach the
-    verify: ``False`` = the r13 id-only candidate join + two id-keyed
-    re-attach joins (the 100 TB shape for LONG text — documents never
-    ride the key-collision shuffle); ``True`` = the strings ride the
-    candidate join and the re-attach joins disappear (cheaper when the
-    strings are tiny: on 18-char customer names the re-attach joins
-    cost 1.3–1.4× more than hauling the text). ``None`` (default)
-    decides per MODE and corpus: delete mode and ungated qgram/cap
-    never auto-carry (their postings-per-record / collision volume
-    make the carried bytes dominate — measured +75% / +46% at sf0.1);
-    the remaining modes carry when the corpus' average normalized
-    length is ≤ _CARRY_LEN, measured with ONE column-pruned scalar
-    scan — an EAGER job at plan-build time; pass an explicit bool to
-    stay fully lazy. Both branches produce the identical pair set
+    verify: ``False`` (default — the scale shape at EVERY corpus size,
+    see the module-level history note and SCALING §4t) = id-only
+    candidate join + two id-keyed re-attach joins; ``True`` = the
+    strings ride the candidate join and the re-attach joins disappear —
+    an interactive-only trade: it saves two join stages (~fixed stage
+    overhead) but widens every collision row and makes the pair
+    DISTINCT dedupe strings, measured 1.4–1.6× slower at 10× even on
+    18-char names. Both settings produce the identical pair set
     (pinned)."""
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
@@ -534,19 +527,6 @@ def fuzzy_pairs(
     )
     strs = _normalized(df, text_col, id_col)
     carry = carry_strings
-    if carry is None:
-        if block == "delete" or (
-            block == "qgram" and selection == "cap" and not extra_block_cols
-        ):
-            # delete: text would ride every C(len,d) deletion-key posting
-            # (~170/record at len 18, d 2 — measured +75%); ungated
-            # qgram/cap: gram-collision volume dominates and every
-            # collision row hauls 2×text pre-distinct (measured +46%).
-            # Explicit carry_strings=True still honors the caller.
-            carry = False
-        else:
-            avg_len = strs.agg(F.avg(F.length("__s"))).first()[0]
-            carry = avg_len is not None and avg_len <= _CARRY_LEN
     scols = ["__s"] if carry else []
     xcols = [f"__x_{c}" for c in extra_block_cols]
     if block == "delete":

@@ -454,12 +454,12 @@ def test_grid_split_pair_set_equality_on_hot_keys(spark):
 
 
 def test_carry_strings_branch_pair_set_equality(spark):
-    """r14 length-aware re-attach pin (verdict #3): carrying the
-    normalized strings THROUGH the candidate join (short-string mode)
-    and the id-only candidate join + re-attach (long-text mode) return
-    the identical (id_a, id_b, dist) set in every blocking/selection
-    mode — including the hot-key grid path, where the carried strings
-    must swap sides with the ids."""
+    """r14 carry-mode pin (verdict #3, resolved as explicit-opt-in):
+    carrying the normalized strings THROUGH the candidate join and the
+    id-only candidate join + re-attach (the DEFAULT — the scale shape,
+    SCALING 4t) return the identical (id_a, id_b, dist) set in every
+    blocking/selection mode — including the hot-key grid path, where
+    the carried strings must swap sides with the ids."""
     rows = [
         (1, "Acme Corp"),
         (2, "Acme Corp."),
@@ -491,19 +491,19 @@ def test_carry_strings_branch_pair_set_equality(spark):
             ).collect()
         }
         assert carried == reattached and len(carried) > 0, kw
-    # auto mode resolves to the carry branch on this short-name corpus
-    # (avg normalized length well under the cutoff) — same set again
-    auto = {
+    # the DEFAULT is the id-only re-attach branch at every corpus size
+    # (the r14b 10x rehearsal rejected carry as a default, SCALING 4t)
+    default = {
         (r["id_a"], r["id_b"], r["dist"])
         for r in fuzzy_pairs(df, text_col="name", id_col="id", max_dist=2).collect()
     }
     explicit = {
         (r["id_a"], r["id_b"], r["dist"])
         for r in fuzzy_pairs(
-            df, text_col="name", id_col="id", max_dist=2, carry_strings=True
+            df, text_col="name", id_col="id", max_dist=2, carry_strings=False
         ).collect()
     }
-    assert auto == explicit
+    assert default == explicit
 
 
 def test_carry_strings_grid_side_swap(spark):
