@@ -622,6 +622,43 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(purchases, clicks, on="ts", by="user_id")
 
 
+def asof_forward_click_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (NEW r14): each click matched with the user's
+    EARLIEST purchase at-or-after it — the direction="forward" path of
+    ops/asof.py, which until r14 had only pytest coverage (the backward
+    path has q:asof_purchase_last_click). Purchases dedupe to one row
+    per (user, ts) (greatest event_id — the deterministic-pick
+    convention) so the match is unique in both engines. Oracle: DuckDB
+    native ASOF LEFT JOIN with the mirrored inequality
+    (c.ts <= p.ts picks the earliest at-or-after). Value-verified."""
+    from cdc_connector_spark.ops.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            F.col("value").alias("purchase_value"),
+            F.col("event_id").alias("purchase_event_id"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(
+                    F.col("purchase_event_id").desc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return asof_join(clicks, purchases, on="ts", by="user_id", direction="forward")
+
+
 def overlap_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval x interval overlap join (NEW r14): pairs of orders of the
     SAME customer whose 30-day activity windows [o_orderdate,
@@ -4095,12 +4132,13 @@ _R14_WINDOW = [
     "embedding_neardup_subset",
     "equidepth_histogram_orders",
     "fk_sample_chain",
-    "fk_sample_customers",
     # NEW in r14 (never driver-checked -> window-resident; they displace
-    # hll_distinct_customers_orders and funnel_durations_events, which
-    # sit at the age-4 floor under tripwire coverage and rotate in r15)
+    # hll_distinct_customers_orders, funnel_durations_events and
+    # fk_sample_customers, all at the age-4 floor under tripwire
+    # coverage; they rotate in r15)
     "global_asof_purchase_click",
     "overlap_orders_per_customer",
+    "asof_forward_click_next_purchase",
 ]
 
 
@@ -4381,6 +4419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in round 14 (window-resident: never driver-checked) ---
         "global_asof_purchase_click": global_asof_purchase_click,
         "overlap_orders_per_customer": overlap_orders_per_customer,
+        "asof_forward_click_next_purchase": asof_forward_click_next_purchase,
     }
     assert len(_R14_WINDOW) == 50 and set(_R14_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -4820,6 +4859,19 @@ def oracle_sql() -> dict[str, str]:
                  <= datediff('day', DATE '1990-01-01', b.o_orderdate) + 30
              AND datediff('day', DATE '1990-01-01', b.o_orderdate)
                  <= datediff('day', DATE '1990-01-01', a.o_orderdate) + 30
+        """,
+        "asof_forward_click_next_purchase": """
+            WITH clicks AS (
+                SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+            ), purchases AS (
+                SELECT user_id, ts, value AS purchase_value, event_id AS purchase_event_id
+                FROM events WHERE event_type = 'purchase'
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+            )
+            SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts, c.value,
+                   p.purchase_value, p.purchase_event_id, CAST(p.ts AS TIMESTAMP) AS ts_right
+            FROM clicks c ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.ts <= p.ts
         """,
         "global_asof_purchase_click": """
             WITH purchases AS (
