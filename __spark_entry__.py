@@ -4067,9 +4067,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # adversarial-pass modules (asof/rollup: asof_purchase_last_click,
 # bitemporal_asof_events, rollup_order_revenue,
 # incremental_rollup_events), (b) the r13 runs-bucket watch item
-# (watermark_sizing_events), then alphabetical fill. Saturated:
-# 3 + 2 + 26 + 2 + 17 = 50. The 28 age-3 entries that did not fit sit
-# at exactly age 4 (the floor) and rotate in r15; every out-of-window
+# (watermark_sizing_events), then alphabetical fill — 14 of those 17
+# fills survived, 3 were displaced by the round's NEW entries
+# (global_asof / overlap / asof_forward, never driver-checked ->
+# window-resident). Saturated: 3 + 2 + 26 + 2 + 14 + 3 = 50. The 31
+# age-3 entries that did not fit sit at exactly age 4 (the floor) and
+# rotate in r15; every out-of-window
 # entry is value-verified at sf0.001 by the pre-commit tail tripwire on
 # every commit. The PERMANENTLY-rows-only ivf production pair tails
 # with pytest + recall-twin coverage + the NEW in-entry recall floor
