@@ -1869,6 +1869,72 @@ def _assert_recall_floor(matched: int, floor: int, label: str) -> None:
         )
 
 
+def _ivf_gate_enabled() -> bool:
+    """r15 (advisor): bench.py sets SPARK_GRAFT_SKIP_RECALL_GATE=1 so the
+    TIMED entries exclude the verification join (keeping ivf_ann_topk{,_batch}
+    timings comparable across rounds); bench then computes matched@10 untimed
+    via ivf_matched_telemetry and records it in query_stats (verdict r14 #8),
+    asserting the same floors outside the timed section. Every other caller
+    (driver correctness runs, pytest) keeps the in-entry assertion."""
+    return os.environ.get("SPARK_GRAFT_SKIP_RECALL_GATE") != "1"
+
+
+def ivf_matched_telemetry(spark: SparkSession, sf_dir: str) -> dict:
+    """matched@10 of both rows-only IVF probes vs their exact twins, for
+    bench telemetry (verdict r14 #8: record per-run recall so floor drift
+    is visible before it trips). Same computation the in-entry gates run;
+    also asserts the documented floors so a skipped in-entry gate (bench
+    mode) still fails loudly on a real recall regression."""
+    import hashlib
+    import tempfile
+
+    from cdc_connector_spark.ops.ann import (
+        brute_force_topk,
+        brute_force_topk_batch,
+        ivf_read_topk,
+        ivf_read_topk_batch,
+        ivf_train_centroids,
+        ivf_write,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    C = ivf_train_centroids(emb, n_centroids=16)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{tag}")
+    ivf_write(emb, path, C)
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    single = (
+        ivf_read_topk(spark, path, q, k=10, n_probe=4)
+        .select("vec_id")
+        .join(brute_force_topk(emb, q, k=10).select("vec_id"), "vec_id")
+        .count()
+    )
+    _assert_recall_floor(single, _IVF_MIN_MATCHED, "ivf_matched_telemetry[single]")
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_read_topk_batch(spark, path, queries, k=10, n_probe=4)
+    exact = brute_force_topk_batch(emb, queries, k=10).select("query_id", "vec_id")
+    per_query = {
+        r["query_id"]: r["m"]
+        for r in out.select("query_id", "vec_id")
+        .join(exact, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .collect()
+    }
+    for qid in [0, 1, 2]:
+        _assert_recall_floor(
+            per_query.get(qid, 0),
+            _IVF_BATCH_MIN_MATCHED,
+            f"ivf_matched_telemetry[batch q{qid}]",
+        )
+    return {
+        "ivf_ann_topk": int(single),
+        "ivf_ann_topk_batch": {str(qid): int(per_query.get(qid, 0)) for qid in [0, 1, 2]},
+    }
+
+
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe over the PERSISTED layout (cells partitioned by
     centroid_id, centroids stored alongside): the production shape, where
@@ -1888,7 +1954,10 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted-layout read path equal to the in-memory ivf_topk. Since
     r14 the entry additionally ASSERTS recall@10 >= _IVF_MIN_MATCHED/10
     against the exact twin in-entry, so the driver's rows-only row
-    carries a semantic check, not just a count (verdict #5)."""
+    carries a semantic check, not just a count (verdict #5). Under
+    SPARK_GRAFT_SKIP_RECALL_GATE=1 (bench.py only) the gate is skipped
+    from the timed path and re-run untimed via ivf_matched_telemetry
+    (r15 advisor: keeps bench timings comparable across rounds)."""
     import hashlib
     import tempfile
 
@@ -1907,12 +1976,13 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{tag}")
     ivf_write(emb, path, C)
     out = ivf_read_topk(spark, path, q, k=10, n_probe=4)
-    matched = (
-        out.select("vec_id")
-        .join(brute_force_topk(emb, q, k=10).select("vec_id"), "vec_id")
-        .count()
-    )
-    _assert_recall_floor(matched, _IVF_MIN_MATCHED, "ivf_ann_topk")
+    if _ivf_gate_enabled():
+        matched = (
+            out.select("vec_id")
+            .join(brute_force_topk(emb, q, k=10).select("vec_id"), "vec_id")
+            .count()
+        )
+        _assert_recall_floor(matched, _IVF_MIN_MATCHED, "ivf_ann_topk")
     return out
 
 
@@ -1948,7 +2018,8 @@ def ivf_ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest pins persisted-read == in-memory probe. Since r14 the entry
     additionally ASSERTS every query's recall@10 >=
     _IVF_BATCH_MIN_MATCHED/10 against the exact batched twin in-entry
-    (verdict #5)."""
+    (verdict #5). Under SPARK_GRAFT_SKIP_RECALL_GATE=1 (bench.py only)
+    the gate moves out of the timed path into ivf_matched_telemetry."""
     import hashlib
     import tempfile
 
@@ -1968,19 +2039,20 @@ def ivf_ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     out = ivf_read_topk_batch(spark, path, queries, k=10, n_probe=4)
-    exact = brute_force_topk_batch(emb, queries, k=10).select("query_id", "vec_id")
-    per_query = {
-        r["query_id"]: r["m"]
-        for r in out.select("query_id", "vec_id")
-        .join(exact, ["query_id", "vec_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("m"))
-        .collect()
-    }
-    for qid in [0, 1, 2]:
-        _assert_recall_floor(
-            per_query.get(qid, 0), _IVF_BATCH_MIN_MATCHED, f"ivf_ann_topk_batch[q{qid}]"
-        )
+    if _ivf_gate_enabled():
+        exact = brute_force_topk_batch(emb, queries, k=10).select("query_id", "vec_id")
+        per_query = {
+            r["query_id"]: r["m"]
+            for r in out.select("query_id", "vec_id")
+            .join(exact, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .collect()
+        }
+        for qid in [0, 1, 2]:
+            _assert_recall_floor(
+                per_query.get(qid, 0), _IVF_BATCH_MIN_MATCHED, f"ivf_ann_topk_batch[q{qid}]"
+            )
     return out.select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
@@ -4054,32 +4126,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks only the FIRST 50 dict entries of
-# queries(). Round-14 window: 3 sentinels; the two sf0.01-PINNED ivf
+# queries(). Round-15 window: 3 sentinels; the two sf0.01-PINNED ivf
 # recall twins (must stay in-window: their oracles pin sf0.01 constants
 # — the driver's SF — and the sf0.001 tripwire would flag them by
-# construction; enforced by the assertion in queries()); ALL 26 entries
-# left at the age-4 floor after r13 (the 24 r9-cohort leftovers plus
-# curriculum_plan/dup_rate_by_source, displaced by the r13 additions —
-# they would exceed the floor this round); the 2 entries whose PLANS
-# this round's length-aware fuzzy re-attach changed (fuzzy_gated,
-# golden_record — changed code gets a fresh driver row); and 17 of the
-# 45-entry r10-checked age-3 cohort, prioritizing (a) the r14
-# adversarial-pass modules (asof/rollup: asof_purchase_last_click,
-# bitemporal_asof_events, rollup_order_revenue,
-# incremental_rollup_events), (b) the r13 runs-bucket watch item
-# (watermark_sizing_events), then alphabetical fill — 14 of those 17
-# fills survived, 3 were displaced by the round's NEW entries
-# (global_asof / overlap / asof_forward, never driver-checked ->
-# window-resident). Saturated: 3 + 2 + 26 + 2 + 14 + 3 = 50. The 31
-# age-3 entries that did not fit sit at exactly age 4 (the floor) and
-# rotate in r15; every out-of-window
-# entry is value-verified at sf0.001 by the pre-commit tail tripwire on
-# every commit. The PERMANENTLY-rows-only ivf production pair tails
-# with pytest + recall-twin coverage + the NEW in-entry recall floor
-# (r14, verdict #5). See STALENESS.md.
-# Expected CORRECTNESS_r14: 50/50 value-verified, 0 no_oracle rows
+# construction; enforced by the assertion in queries()); ALL 31 entries
+# at the age-4 floor after r14 (the r10-cohort leftovers plus the three
+# displaced by the r14 additions — they would exceed the floor this
+# round; verdict r14 #2); the 2 entries whose PLANS this round's ADVICE
+# fixes changed (global_asof_purchase_click — NULL-bucket routing + on-
+# type validation in the by=None branch; key_skew_events — hashable-
+# column salt selection; changed code gets a fresh driver row); and 12
+# of the 43-entry age-3 cohort, prioritizing the VALIDATION-PLANE family
+# the r14 groupBy-PK fuse (95f7446) reworked and the r14 verdict flagged
+# as a bench watch item (#4: rowcounts) — rowcounts,
+# distinct_pk_lineitem, dup_groups_topk, null_pk_count, pk_range_stats,
+# freshness_lag, anti_join_orphans, key_equality_compare, point_lookup,
+# topk_orders — then alphabetical fill (ann_cosine_topk,
+# ann_topk_batch). Saturated: 3 + 2 + 31 + 2 + 12 = 50. The 31 age-3
+# entries that did not fit sit at exactly age 4 (the floor) and rotate
+# in r16; every out-of-window entry is value-verified at sf0.001 by the
+# pre-commit tail tripwire on every commit. The PERMANENTLY-rows-only
+# ivf production pair tails with pytest + recall-twin coverage + the
+# in-entry recall floor (now also recorded per-run as matched@10 bench
+# telemetry, verdict r14 #8). See STALENESS.md.
+# Expected CORRECTNESS_r15: 50/50 value-verified, 0 no_oracle rows
 # (both rows-only production ivf entries sit in the tail this round).
-_R14_WINDOW = [
+_R15_WINDOW = [
     # sentinels
     "q1_pricing_summary",
     "changelog_latest_per_key",
@@ -4087,61 +4159,56 @@ _R14_WINDOW = [
     # sf0.01-pinned recall twins: window-resident by construction
     "ivf_recall_topk",
     "ivf_batch_recall_topk",
-    # the full age-4 cohort after r13 (24 r9 leftovers + the 2 entries
-    # the r13 additions displaced)
-    "window_user_sequence",
-    "sessionize_events",
-    "rolling_actives_events",
-    "sequence_gaps_lineitem",
-    "unpivot_lineitem_amounts",
-    "duplicate_spans_documents",
-    "substring_dedup_coverage",
-    "fk_integrity_all",
-    "session_window_stats_events",
-    "kcore_parts",
-    "prefix_jaccard_pairs_documents",
-    "weekday_profile_events",
-    "token_entropy_documents",
-    "zipf_slope_documents",
-    "interevent_stats_events",
-    "hard_negatives_embeddings",
-    "label_balance_embeddings",
-    "psi_order_totals",
-    "normalize_text_documents",
-    "standardize_embeddings_z",
-    "curriculum_plan_documents",
-    "session_summary_events",
-    "revenue_concentration_customers",
-    "dup_rate_by_source_documents",
-    "top_terms_per_source_documents",
-    "lang_agreement_documents",
-    # r14-changed plans: the length-aware fuzzy carry branch
-    "fuzzy_gated_customers",
-    "golden_record_customers",
-    # r10-cohort picks: adversarial-pass modules + the watch item...
-    "asof_purchase_last_click",
-    "bitemporal_asof_events",
-    "rollup_order_revenue",
-    "incremental_rollup_events",
-    "watermark_sizing_events",
-    # ...then alphabetical fill (the rest of the age-3 cohort sits at
-    # the floor and rotates in r15)
-    "association_orders",
-    "column_profile_diff_orders",
-    "cosine_pairs_bruteforce",
-    "daily_percentiles_events",
-    "date_arith_orders",
-    "embedding_neardup",
-    "embedding_neardup_subset",
-    "equidepth_histogram_orders",
-    "fk_sample_chain",
-    # NEW in r14 (never driver-checked -> window-resident; they displace
-    # hll_distinct_customers_orders, funnel_durations_events and
-    # fk_sample_customers, all at the age-4 floor under tripwire
-    # coverage; they rotate in r15)
+    # the full age-4 cohort after r14 (31 entries, STALENESS.md)
+    "top3_orders_per_segment",
+    "word_counts_documents",
+    "pivot_status_by_priority",
+    "q17_small_quantity_revenue",
+    "string_funcs_parts",
+    "ngram_jaccard_pairs_subset",
+    "multimodal_decode_documents",
+    "quality_score_documents",
+    "lsh_ann_topk",
+    "lang_id_documents",
+    "set_ops_active_customers",
+    "percentile_order_price",
+    "hll_distinct_customers_orders",
+    "kmv_distinct_customers_orders",
+    "kmv_jaccard_priorities_orders",
+    "pettitt_changepoint_events",
+    "seasonal_anomaly_events",
+    "link_prediction_parts",
+    "kmv_stream_merge_orders",
+    "hll_stream_merge_orders",
+    "mann_kendall_events",
+    "ks_drift_order_totals",
+    "shortest_paths_parts",
+    "fk_sample_customers",
+    "label_prop_parts",
+    "mmr_topk_embeddings",
+    "twap_events",
+    "retry_dedup_events",
+    "streaks_events",
+    "funnel_durations_events",
+    "profile_stream_merge_orders",
+    # r15-changed plans (ADVICE fixes): fresh driver rows
     "global_asof_purchase_click",
-    "overlap_orders_per_customer",
-    "asof_forward_click_next_purchase",
+    "key_skew_events",
+    # age-3 picks: the validation-plane family the r14 fuse reworked
+    # (bench watch item, verdict r14 #4) ...
+    "rowcounts",
+    "distinct_pk_lineitem",
+    "dup_groups_topk",
+    "null_pk_count",
+    "pk_range_stats",
+    "freshness_lag",
+    "anti_join_orphans",
+    "key_equality_compare",
+    "point_lookup",
+    "topk_orders",
+    # ...then alphabetical fill
+    "ann_cosine_topk",
+    "ann_topk_batch",
 ]
 
 
@@ -4424,12 +4491,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_orders_per_customer": overlap_orders_per_customer,
         "asof_forward_click_next_purchase": asof_forward_click_next_purchase,
     }
-    assert len(_R14_WINDOW) == 50 and set(_R14_WINDOW) <= set(base)
+    assert len(_R15_WINDOW) == 50 and set(_R15_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
     # SF); in the tail the sf0.001 tripwire would flag them by
     # construction — keep them window-resident structurally
-    assert {"ivf_recall_topk", "ivf_batch_recall_topk"} <= set(_R14_WINDOW)
-    out = {n: base[n] for n in _R14_WINDOW}
+    assert {"ivf_recall_topk", "ivf_batch_recall_topk"} <= set(_R15_WINDOW)
+    out = {n: base[n] for n in _R15_WINDOW}
     out.update({n: f for n, f in base.items() if n not in out})
     return out
 

@@ -333,6 +333,12 @@ def bench_live_plane(spark, sf_dir: str):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # r15 (advisor): move the IVF in-entry recall gates OUT of the timed
+    # path — matched@10 is recomputed untimed below (ivf_matched_telemetry)
+    # and recorded in query_stats with the same floors asserted, so the
+    # semantic guarantee survives while ivf_ann_topk{,_batch} timings stay
+    # comparable round-over-round (pre-r14 convention).
+    os.environ["SPARK_GRAFT_SKIP_RECALL_GATE"] = "1"
     spark = get_spark("cdc-connector-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -404,8 +410,17 @@ def main() -> None:
     n_merges_done = len(bpe_train(docs, n_merges=500, min_count=2, max_words=50_000))
     bpe_dt = time.time() - t0
     timings["bpe_train_documents"] = round(bpe_dt, 3)
+    query_stats["bpe_train_documents"] = {"median": round(bpe_dt, 3), "runs": 1}
     total += bpe_dt
     print(f"# bpe_train_documents: {bpe_dt:.2f}s ({n_merges_done} merges)", file=sys.stderr)
+
+    # IVF recall telemetry (verdict r14 #8): matched@10 per probe, untimed,
+    # floors asserted inside the helper — floor drift is now visible in the
+    # artifact before it trips a correctness run
+    ivf_matched = entry_mod.ivf_matched_telemetry(spark, sf_dir)
+    query_stats["ivf_ann_topk"]["matched_at_10"] = ivf_matched["ivf_ann_topk"]
+    query_stats["ivf_ann_topk_batch"]["matched_at_10"] = ivf_matched["ivf_ann_topk_batch"]
+    print(f"# ivf matched@10: {ivf_matched}", file=sys.stderr)
 
     canary_pre_apply = _await_quiet(spark, canary_base, "pre_apply")
 
@@ -456,12 +471,32 @@ def main() -> None:
             query_stats[k]["spread"] = live_spreads[k]
     total += sum(live_timings.values())
 
+    # entry-count convention (verdict r14 #5): query_stats carries EXACTLY
+    # the queries() surface + the 8 named throughput entries + whatever the
+    # live plane produced (0 when no live PG). Asserted, and the breakdown
+    # ships in the artifact so round-over-round diffs never depend on an
+    # undocumented counting convention.
+    named_throughput = 8  # bpe + snapshot + 3 apply flavors x (big, small)
+    n_expected = len(qs) + named_throughput + len(live_timings)
+    assert len(query_stats) == n_expected, (
+        f"query_stats carries {len(query_stats)} entries, expected "
+        f"{n_expected} = {len(qs)} queries() + {named_throughput} named "
+        f"throughput + {len(live_timings)} live"
+    )
+    entry_counts = {
+        "total": len(query_stats),
+        "queries_surface": len(qs),
+        "named_throughput": named_throughput,
+        "live": len(live_timings),
+    }
+
     report = {
         "metric": "headline_query_wall_clock",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "query_stats": query_stats,
+        "entry_counts": entry_counts,
         "sf": sf,
         "canary": {
             "baseline_sec": round(canary_base, 3),

@@ -117,12 +117,23 @@ def asof_join(
         # PRIOR buckets; rows whose in-bucket fill is NULL coalesce to
         # that carry. Equality with the one-task plan is pinned in
         # tests/test_asof.py.
-        is_ts = "timestamp" in right.schema[on].dataType.simpleString()
-        ord_raw = (
-            F.unix_micros(F.col(on).cast("timestamp")).cast("double")
-            if is_ts
-            else F.col(on).cast("double")
-        )
+        # ordering value for range-bucketing: must order IDENTICALLY to the
+        # window's native sort on `on`. Timestamps and dates go through
+        # unix_micros (DateType cannot CAST to double directly — r14
+        # advisor); numerics cast straight. Anything else (string, binary,
+        # ...) has no double embedding consistent with its native sort, so
+        # refuse loudly rather than mis-bucket silently.
+        on_type = right.schema[on].dataType
+        if isinstance(on_type, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            ord_raw = F.unix_micros(F.col(on).cast("timestamp")).cast("double")
+        elif isinstance(on_type, T.NumericType):
+            ord_raw = F.col(on).cast("double")
+        else:
+            raise TypeError(
+                f"global (by=None) as-of join requires a timestamp, date, or "
+                f"numeric `on` column for range bucketing; got {on_type.simpleString()!r}. "
+                f"Provide a `by` key, or pre-map the column to a numeric order value."
+            )
         ord_expr = ord_raw if asc else -ord_raw
         u = u.withColumn("__ord", ord_expr)
         n_buckets = 64
@@ -131,7 +142,16 @@ def asof_join(
         bucket = F.lit(0)
         for b in bnds:
             bucket = bucket + F.when(F.lit(float(b)) < F.col("__ord"), 1).otherwise(0)
-        u = u.withColumn("__b", bucket.cast("int"))
+        # NULL `on` rows: the keyed window sorts NULLs FIRST under asc
+        # (backward) and LAST under desc (forward) — route them to the
+        # matching edge bucket so the bucketed formulation agrees (r14
+        # advisor: otherwise(0) silently pinned them to bucket 0 in both
+        # directions, wrong for forward)
+        null_bucket = F.lit(0) if asc else F.lit(len(bnds))
+        u = u.withColumn(
+            "__b",
+            F.when(F.col("__ord").isNull(), null_bucket).otherwise(bucket).cast("int"),
+        )
         wb = (
             Window.partitionBy("__b")
             .orderBy(*order)

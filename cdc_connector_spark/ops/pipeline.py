@@ -39,10 +39,34 @@ from cdc_connector_spark.ops.textstats import fingerprint, language_id, quality_
 #:   executor loss recovers from the replica without recompute. The plan
 #:   still carries the full lineage, so re-reads re-materialize at most
 #:   once per stage; pair with an explicit action if eager behavior is
-#:   wanted.
+#:   wanted. Persisted stage boundaries are NOT auto-released (the
+#:   returned plan still references them lazily — r15 advisor): call
+#:   ``release_pins()`` after consuming the result, or they accumulate
+#:   disk-cache blocks across repeated clean_corpus/pretrain_corpus
+#:   calls in one session.
 #: - ``"none"``: no pin — fully lazy, original multiplicative-scan plan
 #:   (only sane for tiny corpora or single-stage calls).
 PIN_STRATEGIES = ("local", "reliable", "persist", "none")
+
+#: DataFrames pinned with strategy='persist' since the last release_pins().
+_PINNED: list[DataFrame] = []
+
+
+def release_pins(blocking: bool = False) -> int:
+    """Unpersist every stage boundary pinned with ``pin_strategy='persist'``
+    since the last call; returns how many were released. Safe to call after
+    the recipe's result has been fully consumed (persist retains lineage, so
+    a late re-read merely recomputes). localCheckpoint/checkpoint pins need
+    no release — their blocks are owned by the context/checkpoint dir."""
+    n = 0
+    while _PINNED:
+        df = _PINNED.pop()
+        try:
+            df.unpersist(blocking=blocking)
+            n += 1
+        except Exception:  # session already stopped — nothing to release
+            pass
+    return n
 
 
 def _pin(df: DataFrame, enabled: bool = True, strategy: str = "local") -> DataFrame:
@@ -72,7 +96,9 @@ def _pin(df: DataFrame, enabled: bool = True, strategy: str = "local") -> DataFr
     if strategy == "persist":
         from pyspark import StorageLevel
 
-        return df.persist(StorageLevel.DISK_ONLY_2)
+        pinned = df.persist(StorageLevel.DISK_ONLY_2)
+        _PINNED.append(pinned)  # released via release_pins() (r15 advisor)
+        return pinned
     raise ValueError(f"unknown pin_strategy {strategy!r}; one of {PIN_STRATEGIES}")
 
 

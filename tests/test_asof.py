@@ -191,9 +191,16 @@ def test_global_asof_equals_keyed_formulation(spark):
     import random
 
     rng = random.Random(14)
-    trades = [(i, float(rng.randrange(0, 500))) for i in range(400)]
+    # r15 (advisor): include NULL `on` rows on BOTH sides — the bucketed
+    # path must route them to the edge bucket matching the keyed window's
+    # nulls-first (asc/backward) / nulls-last (desc/forward) placement
+    trades = [
+        (i, None if i % 57 == 0 else float(rng.randrange(0, 500)))
+        for i in range(400)
+    ]
     quotes = [
-        (float(rng.randrange(0, 500)), float(i), i) for i in range(300)
+        (None if i % 71 == 0 else float(rng.randrange(0, 500)), float(i), i)
+        for i in range(300)
     ]
     t = spark.createDataFrame(trades, "trade_id int, ts double")
     q = spark.createDataFrame(quotes, "ts double, px double, seq int")
@@ -212,6 +219,38 @@ def test_global_asof_equals_keyed_formulation(spark):
             got = _rows(g, "trade_id", "ts", "px", "seq", "ts_right")
             want = _rows(k, "trade_id", "ts", "px", "seq", "ts_right")
             assert got == want, (direction, tol)
+
+
+def test_global_asof_date_on_column(spark):
+    """r15 (advisor, medium): DateType `on` must work on the by=None path —
+    CAST(date AS double) is illegal in Spark, so bucketing goes through
+    unix_micros(cast timestamp)."""
+    import datetime as dt
+
+    d = dt.date
+    t = spark.createDataFrame(
+        [(1, d(2024, 1, 10)), (2, d(2024, 3, 5)), (3, d(2024, 6, 1))],
+        "trade_id int, ts date",
+    )
+    q = spark.createDataFrame(
+        [(d(2024, 1, 1), 1.0), (d(2024, 2, 1), 2.0), (d(2024, 5, 1), 3.0)],
+        "ts date, px double",
+    )
+    got = _rows(asof_join(t, q, on="ts"), "trade_id", "px")
+    assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]
+
+
+def test_global_asof_rejects_unorderable_on_type(spark):
+    """String `on` has no double embedding consistent with its native sort;
+    the global path must refuse rather than silently mis-bucket."""
+    t = spark.createDataFrame([(1, "b")], "trade_id int, ts string")
+    q = spark.createDataFrame([("a", 1.0)], "ts string, px double")
+    with pytest.raises(TypeError, match="timestamp, date, or numeric"):
+        asof_join(t, q, on="ts")
+    # keyed path still accepts any orderable type
+    t2 = t.withColumn("k", F.lit(1))
+    q2 = q.withColumn("k", F.lit(1))
+    assert _rows(asof_join(t2, q2, on="ts", by="k"), "trade_id", "px") == [(1, 1.0)]
 
 
 def test_global_asof_plan_has_no_full_input_single_task_window(spark):

@@ -459,6 +459,30 @@ def test_pin_strategy_variants_agree(corpus):
         clean_corpus(corpus, pin_strategy="bogus", **kw)
 
 
+def test_release_pins_unpersists_persist_strategy(corpus):
+    """r15 advisor pin: persist-strategy stage boundaries are tracked and
+    release_pins() unpersists them all — repeated recipe calls in one
+    session must not accumulate disk-cache blocks forever."""
+    from cdc_connector_spark.ops.pipeline import _PINNED, release_pins
+
+    release_pins()  # drain anything a prior test pinned
+    kw = dict(keep_langs=("en",), min_quality=0.0, near_dup=True, jaccard_threshold=0.5)
+    out = clean_corpus(corpus, pin_strategy="persist", **kw)
+    n_rows = out.count()
+    assert len(_PINNED) >= 1
+    pinned = list(_PINNED)
+    assert all(df.storageLevel.useDisk for df in pinned)
+    released = release_pins(blocking=True)
+    assert released == len(pinned)
+    assert not _PINNED
+    assert all(not df.storageLevel.useDisk for df in pinned)
+    # lineage retained: the result is still computable after release
+    assert out.count() == n_rows
+    # localCheckpoint (default) pins are NOT tracked — nothing to release
+    clean_corpus(corpus, **kw).count()
+    assert release_pins() == 0
+
+
 def test_pin_strategy_reliable_checkpoint(corpus, tmp_path):
     """reliable = df.checkpoint() to a configured dir (the cluster-safe
     pin): clear error when no dir is set, identical survivors once it is."""

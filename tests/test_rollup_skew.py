@@ -135,6 +135,31 @@ def test_salted_join_salt_is_deterministic_row_hash(spark):
     assert a == b
 
 
+def test_salted_join_tolerates_unhashable_columns(spark):
+    """r15 advisor pin: xxhash64 raises on MapType columns at analysis
+    time, so the salt hashes only hashable columns — a big side carrying a
+    map payload must still join correctly."""
+    from cdc_connector_spark.ops.skew import salted_join
+    from pyspark.sql import functions as F
+
+    big = spark.createDataFrame(
+        [(i % 3, i) for i in range(60)], "k int, v int"
+    ).withColumn("props", F.create_map(F.lit("n"), F.col("v")))
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k int, name string")
+    got = sorted(
+        (r["k"], r["v"], r["props"]["n"], r["name"])
+        for r in salted_join(big, small, "k").collect()
+    )
+    want = sorted(
+        (r["k"], r["v"], r["props"]["n"], r["name"])
+        for r in big.join(small, "k").collect()
+    )
+    assert got == want
+    # nested map inside an array/struct is also excluded from the salt
+    big2 = big.withColumn("nested", F.array(F.col("props")))
+    assert salted_join(big2, small, "k").count() == 60
+
+
 def test_zorder_interleave_rejects_sign_bit_overflow(spark):
     """r14 review pin: k*bits > 63 raises (the top bit would land in the
     long's sign position and order the hottest z-range FIRST)."""
