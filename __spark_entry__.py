@@ -427,6 +427,32 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sessionize_scalable_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe sessionization (NEW r15, verdict #3): gap sessions via
+    per-(key, day-bucket) windows + a boundary chain repair over only the
+    first/last session of each bucket — the hot key's timeline splits
+    across tasks instead of single-tasking (the naive lag+cumsum window
+    measured a 2.24× straggler on a Zipf(1.2) fixture where one user
+    holds 13% of 20M events; this shape measured 1.00,
+    tools/skew_rehearsal_r15.py). ops/timeseries.py::sessionize_scalable.
+    Gap rule on EXACT µs epoch (unlike sessionize_events' whole-second
+    unix_timestamp form). The oracle replays the NAIVE single-window
+    formulation in SQL — the hash match proves bucket+repair ≡ naive on
+    the real fixture. Value-verified."""
+    from cdc_connector_spark.ops.timeseries import sessionize_scalable
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize_scalable(
+        ev, ["user_id"], ts_col="ts", order_col="event_id", gap_seconds=1800.0
+    )
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-N per group: rank() window + filter — the classic per-group
     leaderboard shape."""
@@ -4141,11 +4167,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # as a bench watch item (#4: rowcounts) — rowcounts,
 # distinct_pk_lineitem, dup_groups_topk, null_pk_count, pk_range_stats,
 # freshness_lag, anti_join_orphans, key_equality_compare, point_lookup,
-# topk_orders — then alphabetical fill (ann_cosine_topk,
-# ann_topk_batch). Saturated: 3 + 2 + 31 + 2 + 12 = 50. The 31 age-3
-# entries that did not fit sit at exactly age 4 (the floor) and rotate
-# in r16; every out-of-window entry is value-verified at sf0.001 by the
-# pre-commit tail tripwire on every commit. The PERMANENTLY-rows-only
+# topk_orders — then alphabetical fill (ann_cosine_topk; the 12th fill
+# slot went to the round's NEW entry sessionize_scalable_events, never
+# driver-checked -> window-resident, displacing ann_topk_batch to the
+# tripwire-covered tail). Saturated: 3 + 2 + 31 + 2 + 11 + 1 = 50. The
+# 32 age-3 entries that did not fit sit at exactly age 4 (the floor)
+# and rotate in r16; every out-of-window entry is value-verified at
+# sf0.001 by the pre-commit tail tripwire on every commit. The PERMANENTLY-rows-only
 # ivf production pair tails with pytest + recall-twin coverage + the
 # in-entry recall floor (now also recorded per-run as matched@10 bench
 # telemetry, verdict r14 #8). See STALENESS.md.
@@ -4208,7 +4236,10 @@ _R15_WINDOW = [
     "topk_orders",
     # ...then alphabetical fill
     "ann_cosine_topk",
-    "ann_topk_batch",
+    # NEW in r15 (never driver-checked -> window-resident; displaces the
+    # last alphabetical fill ann_topk_batch, which stays age-3-checked
+    # under tripwire coverage and rotates in r16)
+    "sessionize_scalable_events",
 ]
 
 
@@ -4490,6 +4521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_asof_purchase_click": global_asof_purchase_click,
         "overlap_orders_per_customer": overlap_orders_per_customer,
         "asof_forward_click_next_purchase": asof_forward_click_next_purchase,
+        # --- NEW in round 15 (window-resident: never driver-checked) ---
+        "sessionize_scalable_events": sessionize_scalable_events,
     }
     assert len(_R15_WINDOW) == 50 and set(_R15_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -4783,6 +4816,30 @@ def oracle_sql() -> dict[str, str]:
             FROM sess
             GROUP BY user_id, session_seq
             ORDER BY user_id, session_seq
+        """,
+        "sessionize_scalable_events": """
+            WITH b AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0 AS e
+                FROM events WHERE ts IS NOT NULL
+            ), marked AS (
+                SELECT user_id, ts, event_id, e,
+                       CASE WHEN LAG(e) OVER w IS NULL
+                                 OR e - LAG(e) OVER w > 1800.0
+                            THEN 1 ELSE 0 END AS is_new
+                FROM b
+                WINDOW w AS (PARTITION BY user_id ORDER BY e ASC, event_id ASC)
+            ), sess AS (
+                SELECT user_id, ts,
+                       SUM(is_new) OVER (PARTITION BY user_id ORDER BY e ASC, event_id ASC
+                                         ROWS UNBOUNDED PRECEDING) AS sq
+                FROM marked
+            )
+            SELECT user_id,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events
+            FROM sess
+            GROUP BY user_id, sq
         """,
         "top3_orders_per_segment": """
             SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (

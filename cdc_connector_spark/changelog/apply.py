@@ -10,7 +10,7 @@ tests/validation.py:8-12):
 3. Re-applying any suffix of the log is a no-op (idempotent MERGE) — this is
    what absorbs snapshot↔stream overlap (ST4) and replays.
 
-Implemented as pure DataFrame algebra (window + anti-join + union), so it is
+Implemented as pure DataFrame algebra (max_by aggregate + anti-join + union), so it is
 the same code path for batch backfill and ``foreachBatch`` streaming. On a
 cluster the anti-join shuffles by key once; with the sink bucketed by key
 (see ParquetMergeSink) the shuffle is one-sided.
@@ -18,7 +18,7 @@ cluster the anti-join shuffles by key once; with the sink bucketed by key
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cdc_connector_spark.changelog.envelope import META_COLS, OP_DELETE
@@ -34,12 +34,31 @@ def latest_per_key(
 
     Same-timestamp events are broken by ``seq`` (the log offset) — the
     documented danger case in SURVEY.md §7.
+
+    Shape (r15, skew rehearsal): a two-stage ``max_by(struct(payload),
+    struct(ts, seq))`` aggregate, NOT a row_number window. Both reduce
+    the hot key map-side (Spark 4 pushes the rn==1 filter down as a
+    partial WindowGroupLimit), but the aggregate skips the post-shuffle
+    per-partition SORT the window still needs — measured 1.7-1.9×
+    faster at 2M and 20M events on both uniform and Zipf(1.2) key
+    distributions (tools/skew_rehearsal_r15.py), identical output.
+    Tie/NULL semantics match the old window exactly: struct comparison
+    orders field-wise with NULL smallest, which is desc-NULLS-LAST's
+    preference for non-NULL ts; rows tied on (ts, seq) pick an
+    arbitrary winner in both formulations (pass a unique seq for full
+    determinism). Equivalence incl. NULLs/ties is pytest-pinned
+    (test_changelog_apply.py::test_latest_per_key_matches_window_form).
     """
-    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).desc(), F.col(seq_col).desc())
-    return (
-        changes.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    payload = [c for c in changes.columns if c not in key_cols]
+    agg = changes.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.max_by(F.struct(*payload), F.struct(ts_col, seq_col)).alias("__r")
+    )
+    # original column order, keys referenced plainly
+    return agg.select(
+        *[
+            F.col(c) if c in key_cols else F.col(f"__r.{c}").alias(c)
+            for c in changes.columns
+        ]
     )
 
 

@@ -189,13 +189,19 @@ def asof_join(
         )
 
     if tolerance_seconds is not None:
-        if "timestamp" in right.schema[on].dataType.simpleString():
+        if isinstance(
+            right.schema[on].dataType, (T.TimestampType, T.TimestampNTZType, T.DateType)
+        ):
             # microsecond distance (r12 review): unix_timestamp truncates
             # to whole seconds, so a 0.9s gap measured 0 or 1 depending on
-            # the boundary — sub-second tolerances misclassified
+            # the boundary — sub-second tolerances misclassified. DateType
+            # rides the same path (r15: CAST(date AS double) in the else
+            # arm is illegal — the same class the advisor found in the
+            # global bucketing).
             dist = (
                 F.abs(
-                    F.unix_micros(F.col(on)) - F.unix_micros(F.col("__f.__asof_on"))
+                    F.unix_micros(F.col(on).cast("timestamp"))
+                    - F.unix_micros(F.col("__f.__asof_on").cast("timestamp"))
                 ).cast("double")
                 / F.lit(1_000_000.0)
             )

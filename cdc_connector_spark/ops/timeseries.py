@@ -1804,3 +1804,147 @@ def equidepth_histogram(
         .agg(F.min("v").alias("lo"), F.max("v").alias("hi"), F.sum("c").alias("depth"))
         .orderBy("bucket")
     )
+
+
+def sessionize_scalable(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    order_col: str | None = None,
+    gap_seconds: float = 1800.0,
+    bucket_seconds: float | None = None,
+    hot_threshold: int | None = None,
+) -> DataFrame:
+    """Gap-based sessionization whose HOT KEYS parallelize (r15, skew
+    rehearsal): the classic lag+cumsum window puts every row of a key in
+    ONE task, and window partitions get no AQE skew splitting — on a
+    Zipf(1.2) fixture (hot user = 13% of 20M events) the naive form
+    measured a 2.24× straggler / 2.2× wall vs uniform keys
+    (tools/skew_rehearsal_r15.py). Here the window runs per
+    (key, time-bucket) — a hot key's timeline splits across buckets and
+    therefore tasks — and bucket-boundary sessions are repaired by a
+    chain merge over ONLY the first/last session of each bucket (≤ 2
+    rows per key-bucket; an interior session is already final: its
+    in-bucket neighbors sit > gap away on both sides, and any
+    cross-bucket session is even further). With ``bucket_seconds > gap``
+    a session can never silently span an EMPTY bucket (the jump exceeds
+    the bucket width > gap), so the boundary set is complete.
+
+    Same session rule as the naive form: a new session starts when
+    ts − prev_ts > ``gap_seconds`` (strictly greater; equal-gap events
+    stay in-session). Rows with NULL ``ts`` are EXCLUDED (documented
+    policy — a NULL timestamp has no place on a timeline; the naive
+    lag-window form would glue them into the previous session by SQL
+    three-valued logic, which is an accident, not a semantic).
+    ``order_col`` breaks equal-ts ordering deterministically inside a
+    bucket (equal-ts rows always land in the same bucket, so the
+    tie-break never crosses the repair path).
+
+    Returns one row per session: (*key_cols, session_start, session_end,
+    n_events), exactly equal to the naive single-window formulation
+    (pytest-pinned randomized; oracle-verified via the driver entry).
+
+    100 TB shape: two shuffles over events (bucket window + session
+    collapse) + one shuffle over SESSIONS (boundary repair, rows =
+    2×key-buckets at most). Default bucket = max(1 day, 48×gap).
+
+    ``hot_threshold`` (r15, measured): the bucket+repair machinery costs
+    ~2.9× the naive window when keys are UNIFORM (sessions ≈ events and
+    every pass re-touches them), while fixing a 2.2× straggler when one
+    key holds 13% of rows — so the right production shape is HYBRID:
+    keys with more than ``hot_threshold`` rows take the bucketed path,
+    the rest take the plain per-key window, results union (identical
+    semantics either way — pytest-pinned). The key census is one narrow
+    map-side-combined count shuffle. Set it to your per-task row budget
+    (e.g. 1-5M on a 1000-executor cluster); None = every key bucketed.
+    """
+    if not key_cols:
+        raise ValueError("sessionize_scalable needs at least one key column")
+    if bucket_seconds is None:
+        bucket_seconds = max(86_400.0, 48.0 * gap_seconds)
+    if not bucket_seconds > gap_seconds:
+        raise ValueError(
+            f"bucket_seconds ({bucket_seconds}) must exceed gap_seconds "
+            f"({gap_seconds}) or a session could span an empty bucket "
+            f"invisible to the boundary repair"
+        )
+    from pyspark.sql import types as T
+
+    dt = df.schema[ts_col].dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        epoch = F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double") / 1e6
+    else:
+        epoch = F.col(ts_col).cast("double")
+    base = df.filter(F.col(ts_col).isNotNull()).withColumn("__e", epoch)
+    if hot_threshold is not None:
+        # hybrid routing: the hot-key set is tiny by definition (keys
+        # whose row count exceeds a per-task budget) — broadcast it
+        hot_keys = (
+            base.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("__kc"))
+            .filter(F.col("__kc") > int(hot_threshold))
+            .select(*key_cols)
+        )
+        cold = base.join(F.broadcast(hot_keys), key_cols, "left_anti")
+        hot = base.join(F.broadcast(hot_keys), key_cols, "left_semi")
+        wc = Window.partitionBy(*key_cols).orderBy(
+            F.col("__e").asc(), *( [F.col(order_col).asc()] if order_col else [] )
+        )
+        prev_c = F.lag("__e").over(wc)
+        new_c = F.when(
+            prev_c.isNull() | (F.col("__e") - prev_c > F.lit(float(gap_seconds))), 1
+        ).otherwise(0)
+        cold_sessions = (
+            cold.withColumn("__sq", F.sum(new_c).over(wc))
+            .groupBy(*key_cols, "__sq")
+            .agg(
+                F.min(ts_col).alias("session_start"),
+                F.max(ts_col).alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .select(*key_cols, "session_start", "session_end", "n_events")
+        )
+        hot_sessions = sessionize_scalable(
+            hot.drop("__e"),
+            key_cols,
+            ts_col=ts_col,
+            order_col=order_col,
+            gap_seconds=gap_seconds,
+            bucket_seconds=bucket_seconds,
+            hot_threshold=None,
+        )
+        return cold_sessions.unionByName(hot_sessions)
+    d = base.withColumn("__b", F.floor(F.col("__e") / F.lit(float(bucket_seconds))))
+    order = [F.col("__e").asc()] + ([F.col(order_col).asc()] if order_col else [])
+    wb = Window.partitionBy(*key_cols, "__b").orderBy(*order)
+    prev_e = F.lag("__e").over(wb)
+    is_new = F.when(prev_e.isNull() | (F.col("__e") - prev_e > F.lit(float(gap_seconds))), 1).otherwise(0)
+    sess = d.withColumn("__sq", F.sum(is_new).over(wb))
+    per = sess.groupBy(*key_cols, "__b", "__sq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.min("__e").alias("__s"),
+        F.max("__e").alias("__t"),
+    )
+    n_sess = Window.partitionBy(*key_cols, "__b")
+    per = per.withColumn("__mx", F.max("__sq").over(n_sess))
+    is_boundary = (F.col("__sq") == 1) | (F.col("__sq") == F.col("__mx"))
+    interior = per.filter(~is_boundary).select(
+        *key_cols, "session_start", "session_end", "n_events"
+    )
+    boundary = per.filter(is_boundary)
+    wk = Window.partitionBy(*key_cols).orderBy(F.col("__s").asc(), F.col("__b").asc(), F.col("__sq").asc())
+    prev_t = F.lag("__t").over(wk)
+    new_chain = F.when(prev_t.isNull() | (F.col("__s") - prev_t > F.lit(float(gap_seconds))), 1).otherwise(0)
+    merged = (
+        boundary.withColumn("__chain", F.sum(new_chain).over(wk))
+        .groupBy(*key_cols, "__chain")
+        .agg(
+            F.min("session_start").alias("session_start"),
+            F.max("session_end").alias("session_end"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .select(*key_cols, "session_start", "session_end", "n_events")
+    )
+    return interior.unionByName(merged)

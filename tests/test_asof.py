@@ -238,6 +238,23 @@ def test_global_asof_date_on_column(spark):
     )
     got = _rows(asof_join(t, q, on="ts"), "trade_id", "px")
     assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]
+    # tolerance on a DateType column rides the unix_micros path too
+    # (r15 self-review: the else-arm CAST(date AS double) is illegal);
+    # 20 days > 9-day gap for trade 1, < 33/31-day gaps for trades 2,3
+    tol = _rows(
+        asof_join(t, q, on="ts", tolerance_seconds=20 * 86400.0), "trade_id", "px"
+    )
+    assert tol == [(1, 1.0), (2, None), (3, None)]
+    # keyed path, same DateType tolerance
+    tk = _rows(
+        asof_join(
+            t.withColumn("k", F.lit(1)),
+            q.withColumn("k", F.lit(1)),
+            on="ts", by="k", tolerance_seconds=20 * 86400.0,
+        ),
+        "trade_id", "px",
+    )
+    assert tk == tol
 
 
 def test_global_asof_rejects_unorderable_on_type(spark):

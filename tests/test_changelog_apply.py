@@ -66,6 +66,43 @@ def test_latest_per_key_ts_then_seq(spark):
     assert by_id[4]["val"] == "y"  # same ts, higher seq wins
 
 
+def test_latest_per_key_matches_window_form(spark):
+    """r15 pin (skew rehearsal): latest_per_key's max_by aggregate returns
+    exactly what the historical row_number window returned — randomized,
+    including NULL ts values, NULL payloads, and keys whose EVERY row has
+    NULL (ts); ties on (ts, seq) are excluded (both forms pick arbitrary
+    winners there — documented)."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(15)
+    rows = []
+    for i in range(600):
+        k = rng.randrange(40)
+        ts = None if rng.random() < 0.1 else rng.randrange(50)
+        # keys 37-39: every row NULL ts (the all-NULL group edge)
+        if k >= 37:
+            ts = None
+        val = None if rng.random() < 0.2 else f"v{i}"
+        rows.append((k, val, ts, i))  # seq=i unique -> no exact ties
+    df = spark.createDataFrame(rows, "id int, val string, __ts_ms long, __seq long")
+    got = latest_per_key(df, ["id"])
+    w = Window.partitionBy("id").orderBy(F.col("__ts_ms").desc(), F.col("__seq").desc())
+    want = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    key = lambda r: (r["id"], r["val"], r["__ts_ms"], r["__seq"])  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    assert got.columns == df.columns
+    # plan pin: partial max_by (map-side combine) — the hot key collapses
+    # BEFORE the exchange, which is the skew-safety property
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in plan, plan[:1500]
+
+
 def test_apply_changes_bootstrap_and_merge(spark):
     flat = flatten_envelope(_envelope_df(spark), key_cols=["id"])
     state = apply_changes(None, flat, ["id"])

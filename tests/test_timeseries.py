@@ -897,3 +897,108 @@ def test_seasonal_anomaly_skips_degenerate_cells(spark):
 
     # single week: every (type, weekday) cell has d == 1 -> no rows
     assert seasonal_anomalies(_daily_events(spark, [1, 2, 3, 4, 5, 6, 7])).count() == 0
+
+
+# --------------------------------------------------- sessionize_scalable
+
+
+def test_sessionize_scalable_equals_naive_window(spark):
+    """r15 skew-rehearsal pin: the bucketed+repaired sessionizer returns
+    EXACTLY the naive single-window formulation's sessions — randomized,
+    with a hot key (40% of rows), sessions straddling bucket boundaries,
+    one continuous chain spanning 3+ whole buckets, and equal-ts ties
+    broken by order_col."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cdc_connector_spark.ops.timeseries import sessionize_scalable
+
+    rng = random.Random(15)
+    rows, t = [], 0.0
+    for i in range(3000):
+        key = 1 if rng.random() < 0.4 else rng.randrange(2, 30)
+        # mixed gaps: mostly in-session, some > gap, some == gap (stay),
+        # occasional long silence; plus a continuous run crossing buckets
+        r = rng.random()
+        if r < 0.6:
+            t += rng.uniform(1, 50)
+        elif r < 0.75:
+            t += 60.0  # exactly the gap -> same session
+        elif r < 0.95:
+            t += rng.uniform(61, 400)
+        else:
+            t += rng.uniform(1000, 3000)
+        rows.append((key, t, i))
+    # duplicate-ts pair (tie broken by order_col)
+    rows.append((1, rows[10][1], 99991))
+    df = spark.createDataFrame(rows, "k int, e double, seq long")
+    got = sessionize_scalable(
+        df, ["k"], ts_col="e", order_col="seq", gap_seconds=60.0, bucket_seconds=500.0
+    )
+    w = Window.partitionBy("k").orderBy(F.col("e").asc(), F.col("seq").asc())
+    prev = F.lag("e").over(w)
+    is_new = F.when(prev.isNull() | (F.col("e") - prev > 60.0), 1).otherwise(0)
+    naive = (
+        df.withColumn("sq", F.sum(is_new).over(w))
+        .groupBy("k", "sq")
+        .agg(
+            F.min("e").alias("session_start"),
+            F.max("e").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    key = lambda r: (r["k"], r["session_start"], r["session_end"], r["n_events"])  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, naive.collect()))
+
+
+def test_sessionize_scalable_null_ts_and_validation(spark):
+    from cdc_connector_spark.ops.timeseries import sessionize_scalable
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, None), (1, 20.0)], "k int, e double"
+    )
+    out = sessionize_scalable(df, ["k"], ts_col="e", gap_seconds=60.0, bucket_seconds=100.0)
+    r = out.collect()
+    assert len(r) == 1 and r[0]["n_events"] == 2  # NULL ts excluded
+    with _pytest.raises(ValueError, match="must exceed gap_seconds"):
+        sessionize_scalable(df, ["k"], ts_col="e", gap_seconds=60.0, bucket_seconds=60.0)
+    with _pytest.raises(ValueError, match="at least one key"):
+        sessionize_scalable(df, [], ts_col="e")
+    # timestamp ts rides unix_micros
+    ts = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00")], "k int, s string"
+    ).select("k", F.col("s").cast("timestamp").alias("ts"))
+    out2 = sessionize_scalable(ts, ["k"], ts_col="ts", gap_seconds=1800.0).collect()
+    assert len(out2) == 1 and out2[0]["n_events"] == 2
+
+
+def test_sessionize_scalable_hybrid_routing(spark):
+    """hot_threshold routes only hot keys through the bucketed path; the
+    result is identical to the all-bucketed and the naive forms."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cdc_connector_spark.ops.timeseries import sessionize_scalable
+
+    rng = random.Random(7)
+    rows, t = [], 0.0
+    for i in range(2000):
+        key = 1 if rng.random() < 0.5 else rng.randrange(2, 20)
+        t += rng.uniform(1, 200)
+        rows.append((key, t, i))
+    df = spark.createDataFrame(rows, "k int, e double, seq long")
+    kw = dict(ts_col="e", order_col="seq", gap_seconds=60.0, bucket_seconds=700.0)
+    full = sessionize_scalable(df, ["k"], **kw)
+    hybrid = sessionize_scalable(df, ["k"], hot_threshold=300, **kw)
+    # threshold above every key count -> pure cold path
+    all_cold = sessionize_scalable(df, ["k"], hot_threshold=10_000_000, **kw)
+    key = lambda r: (r["k"], r["session_start"], r["session_end"], r["n_events"])  # noqa: E731
+    want = sorted(map(key, full.collect()))
+    assert sorted(map(key, hybrid.collect())) == want
+    assert sorted(map(key, all_cold.collect())) == want
