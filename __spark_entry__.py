@@ -1226,10 +1226,19 @@ def golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="c_custkey",
         max_dist=1,
         block="qgram",
+        selection="prefix",
         extra_block_cols=("c_nationkey", "c_mktsegment"),
         # id-only re-attach (the default): the r14b 10x rehearsal showed
         # the carry branch 1.6x slower at scale even on short names
-        # (SCALING §4t) — its fixture win was stage overhead, not shape
+        # (SCALING §4t) — its fixture win was stage overhead, not shape.
+        # selection="prefix" since r15: the 100x rehearsal's cap fix
+        # made cap mode COMPLETE here, but completeness via cap keeps
+        # the near-universal name-prefix grams as candidates (every
+        # same-(nation,segment) pair collides: 18s at sf0.1); Ed-Join
+        # prefix selection returns the IDENTICAL pair set (10,435 at
+        # sf0.1, measured equal) through the 4 rarest grams per record
+        # in 4.5s. The gated-CAP path keeps its own oracle coverage via
+        # q:fuzzy_gated_customers.
     ).select("id_a", "id_b")
     return golden_records(
         cust.select("c_custkey", "c_name", "c_acctbal"),
@@ -5652,21 +5661,33 @@ def oracle_sql() -> dict[str, str]:
         # to the smallest value)
         "golden_record_customers": """
             WITH RECURSIVE nb AS (
-                SELECT c_custkey AS id,
+                SELECT c_custkey AS id, c_nationkey AS nat, c_mktsegment AS seg,
                        regexp_replace(trim(lower(coalesce(c_name,''))), '\\s+', ' ', 'g') AS s
                 FROM customer
                 WHERE regexp_replace(trim(lower(coalesce(c_name,''))), '\\s+', ' ', 'g') <> ''
             ), inv AS (
-                SELECT DISTINCT id, s, g FROM (
-                    SELECT id, s,
+                SELECT DISTINCT id, nat, seg, s, g FROM (
+                    SELECT id, nat, seg, s,
                            unnest(list_transform(range(1, greatest(len(s) - 2, 1) + 1),
                                   i -> substring(s, CAST(i AS INT), 3))) AS g
                     FROM nb
                 )
-            ), ok AS (
-                SELECT g FROM inv GROUP BY g HAVING COUNT(*) <= 1000
+            ), fr AS (
+                -- r15: Ed-Join prefix selection (replaces the cap —
+                -- identical pair set on this corpus, measured, at a
+                -- fraction of the candidate volume): global
+                -- (doc-frequency ASC, gram ASC) order, keep each
+                -- record's q*d+1 = 4 rarest grams
+                SELECT g, COUNT(*) AS f FROM inv GROUP BY g
             ), iv AS (
-                SELECT inv.id, inv.s, inv.g FROM inv JOIN ok ON inv.g = ok.g
+                SELECT id, s, g FROM (
+                    SELECT inv.id, inv.s, inv.g,
+                           row_number() OVER (
+                               PARTITION BY inv.id
+                               ORDER BY fr.f ASC, inv.g ASC
+                           ) AS rn
+                    FROM inv JOIN fr ON inv.g = fr.g
+                ) WHERE rn <= 4
             ), cand AS (
                 SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
                 FROM iv a JOIN iv b ON a.g = b.g AND a.id < b.id
@@ -6034,8 +6055,10 @@ def oracle_sql() -> dict[str, str]:
         # Gated fuzzy matching (r12): the same blocked algorithm with
         # c_nationkey ANDed into the candidate join key — the gate runs
         # INSIDE blocking (candidates only between same-nation records);
-        # the gram-frequency cap stays GLOBAL (computed before the
-        # gate), exactly like the Spark side.
+        # the gram-frequency cap counts the FULL join key (gram, nation)
+        # since r15 — the 100x rehearsal showed the global-per-gram cap
+        # collapsing gated recall to zero (every gram hot, no join key
+        # hot) — exactly like the Spark side.
         "fuzzy_gated_customers": """
             WITH b AS (
                 SELECT c_custkey AS id, c_nationkey AS nat,
@@ -6051,9 +6074,10 @@ def oracle_sql() -> dict[str, str]:
                     FROM nb
                 )
             ), ok AS (
-                SELECT g FROM inv GROUP BY g HAVING COUNT(*) <= 1000
+                SELECT g, nat FROM inv GROUP BY g, nat HAVING COUNT(*) <= 1000
             ), iv AS (
-                SELECT inv.id, inv.nat, inv.s, inv.g FROM inv JOIN ok ON inv.g = ok.g
+                SELECT inv.id, inv.nat, inv.s, inv.g
+                FROM inv JOIN ok ON inv.g = ok.g AND inv.nat = ok.nat
             ), cand AS (
                 SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
                 FROM iv a JOIN iv b

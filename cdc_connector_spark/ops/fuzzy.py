@@ -141,6 +141,7 @@ def fuzzy_dropped_keys(
     max_token_freq: int = 1000,
     block: str = "token",
     qgram: int = 3,
+    extra_block_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The blocking keys ``fuzzy_pairs`` will DROP at the same
     ``max_token_freq`` — (key, n_records) rows, largest first, plus the
@@ -149,13 +150,16 @@ def fuzzy_dropped_keys(
     ``max_df``/simhash bucket-audit pattern applied to entity blocking;
     run it before trusting pair output on a new corpus — the r11 10×
     rehearsal measured cap=100 on a 10× TPC-H corpus dropping every
-    discriminative gram and returning 0 pairs (SCALING §4o)."""
-    inv = _blocking_index(df, text_col, id_col, block, qgram)
+    discriminative gram and returning 0 pairs (SCALING §4o). Pass the
+    SAME ``extra_block_cols`` as the fuzzy_pairs call being audited —
+    since r15 the cap counts the full join key (gram + attrs)."""
+    inv = _blocking_index(df, text_col, id_col, block, qgram, extra_block_cols)
+    cap_keys = ["__k", *[f"__x_{c}" for c in extra_block_cols]]
     return (
-        inv.groupBy("__k")
+        inv.groupBy(*cap_keys)
         .agg(F.count(F.lit(1)).alias("n_records"))
         .filter(F.col("n_records") > max_token_freq)
-        .select(F.col("__k").alias("key"), "n_records")
+        .select(F.col("__k").alias("key"), *[F.col(f"__x_{c}").alias(c) for c in extra_block_cols], "n_records")
         .orderBy(F.col("n_records").desc(), F.col("key").asc())
     )
 
@@ -167,6 +171,7 @@ def fuzzy_blocking_coverage(
     max_token_freq: int = 1000,
     block: str = "token",
     qgram: int = 3,
+    extra_block_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """ONE row: (records, blocked_records, orphaned_records,
     orphaned_share) at the given cap — ``orphaned_records`` have NO
@@ -177,13 +182,16 @@ def fuzzy_blocking_coverage(
     would report "full coverage" on exactly the corpus the audit exists
     to flag. The go/no-go summary on top of ``fuzzy_dropped_keys``: an
     orphaned_share above ~0 on a corpus with expected duplicates means
-    the cap over-binds (raise it or shrink qgram)."""
-    inv = _blocking_index(df, text_col, id_col, block, qgram)
-    freq = inv.groupBy("__k").agg(F.count(F.lit(1)).alias("__f"))
+    the cap over-binds (raise it or shrink qgram). Pass the SAME
+    ``extra_block_cols`` as the audited fuzzy_pairs call (r15: the cap
+    counts the full join key)."""
+    inv = _blocking_index(df, text_col, id_col, block, qgram, extra_block_cols)
+    cap_keys = ["__k", *[f"__x_{c}" for c in extra_block_cols]]
+    freq = inv.groupBy(*cap_keys).agg(F.count(F.lit(1)).alias("__f"))
     # no broadcast hint: the key-frequency table is |distinct keys| and
     # can be corpus-scale — the equi-join co-partitions on __k instead
     per_rec = (
-        inv.join(freq, "__k")
+        inv.join(freq, cap_keys)
         .groupBy("__id")
         .agg(F.sum((F.col("__f") <= max_token_freq).cast("long")).alias("__kept"))
     )
@@ -311,7 +319,7 @@ def _pair_candidates(
     xcols: list[str],
     max_dist: int,
     hot_chunk: int | None = _HOT_CHUNK,
-    max_fanout: int = 16,
+    max_fanout: int = 1024,
     carry: bool = False,
 ) -> DataFrame:
     """Distinct (id_a < id_b) candidate pairs from the (__id, __len,
@@ -330,7 +338,13 @@ def _pair_candidates(
     EXACTLY one of the m(m+1)/2 tasks and no task holds more than
     (f/m)² collisions. Replication cost: hot rows shuffle ≤ 2m× (ids +
     lengths only — bytes are trivial); cold keys keep the plain a < b
-    self-join. Pair-set equality with the unsplit join is structural
+    self-join. ``max_fanout`` is 1024 since r15: the old cap of 16 let
+    per-GROUP work grow quadratically again past f = 16·chunk ≈ 65k
+    (the r15 100× rehearsal hit a single join group grinding for 25+
+    minutes on a 38k-row posting amplified by a fixture artifact) — a
+    chunk pair is a shuffle GROUP, not a Spark task, so a large m costs
+    only the ≤2m× replication of 12-byte rows while keeping every
+    group's collision count ≤ chunk² regardless of f. Pair-set equality with the unsplit join is structural
     (hot pairs emit as (least, greatest) and the shared DISTINCT
     collapses both paths) and pinned in tests + the 10× rehearsal.
 
@@ -459,11 +473,21 @@ def fuzzy_pairs(
     every listed column (NULLs match nothing, the SQL gate convention),
     so a downstream exact-attribute gate moves INTO the blocking join
     and the candidate fan-out shrinks by the attribute cardinality.
-    The frequency cap stays GLOBAL per key on purpose: a per-(key,
-    attrs) cap would revive stop-grams whose per-block frequency dips
-    under it (Σ f² per block explodes at scale) — measured in the r11
-    rehearsal. Output equals
-    ``fuzzy_pairs(...)`` ∩ attribute-equality exactly.
+    The frequency cap counts the FULL join key (key + attrs) since r15
+    — REVERSING the r11 "global per gram on purpose" rule, which the
+    100× rehearsal refuted decisively: on 1.5M gated customers every
+    one of the 2,299 grams crossed the global cap (recall collapsed to
+    ZERO pairs) while ZERO (gram, nation, segment) join keys were hot
+    (tools/scale_rehearsal_r15.py). The join's Σf² cost and its
+    straggler risk are both properties of the FULL key's posting list —
+    the list the join actually expands — so that is the thing the cap
+    must bound; a "revived stop-gram" whose per-block posting sits
+    under the cap is by definition cheap in this join, and the
+    hot-chunk grid still bounds any task regardless. Without
+    ``extra_block_cols`` the rule is unchanged (the full key IS the
+    gram). Output equals the UNGATED pair set ∩ attribute-equality
+    only when neither run trips the cap; under pressure the gated run
+    keeps strictly more true pairs (its postings are smaller).
 
     ``selection`` picks the candidate-pruning strategy:
     - ``"cap"`` (default): drop keys with doc-frequency >
@@ -543,14 +567,20 @@ def fuzzy_pairs(
         # the same set fuzzy_dropped_keys audits); the old form broadcast
         # the KEPT set, which is the whole blocking vocabulary —
         # corpus-scale at 100 TB (r12 review). No forced hint: AQE
-        # broadcasts whichever side actually measures small
+        # broadcasts whichever side actually measures small.
+        # Frequency counted on the FULL join key (gram + extra attrs,
+        # r15): the candidate join expands per (gram, attrs) posting
+        # list, so that is what the cap must bound — counting the gram
+        # alone collapsed gated recall to ZERO at 100× (every gram
+        # globally hot, no actual join key hot; see docstring).
+        cap_keys = ["__k", *xcols]
         hot = (
-            inv.groupBy("__k")
+            inv.groupBy(*cap_keys)
             .agg(F.count(F.lit(1)).alias("__f"))
             .filter(F.col("__f") > max_token_freq)
-            .select("__k")
+            .select(*cap_keys)
         )
-        idx = inv.join(hot, "__k", "left_anti").select(
+        idx = inv.join(hot, cap_keys, "left_anti").select(
             "__id", F.length("__s").alias("__len"), *scols, "__k", *xcols
         )
     # the candidate self-join carries ONLY (id, len, key): at 100 TB the

@@ -1927,19 +1927,47 @@ def sessionize_scalable(
         F.min("__e").alias("__s"),
         F.max("__e").alias("__t"),
     )
+    # ONE downstream plan (r15 self-review: the first cut filtered `per`
+    # into interior/boundary branches and unioned them — Spark replays
+    # the whole scan+window+aggregate lineage per branch (4 scans, no
+    # exchange reuse). Instead: mark boundary sessions, chain them with
+    # a conditional lag (last BOUNDARY end before me) inside one per-key
+    # window over SESSIONS, and give interior sessions singleton group
+    # keys — one scan, and the extra exchange carries sessions, not
+    # events. The per-key session window concentrates a hot key's
+    # SESSIONS in one task — events/avg_session_size rows, i.e. the
+    # heavy per-event work stays split; only a pathological
+    # all-singleton-session hot key degrades to the naive shape.
     n_sess = Window.partitionBy(*key_cols, "__b")
-    per = per.withColumn("__mx", F.max("__sq").over(n_sess))
-    is_boundary = (F.col("__sq") == 1) | (F.col("__sq") == F.col("__mx"))
-    interior = per.filter(~is_boundary).select(
-        *key_cols, "session_start", "session_end", "n_events"
+    per = per.withColumn(
+        "__bd",
+        (F.col("__sq") == 1) | (F.col("__sq") == F.max("__sq").over(n_sess)),
     )
-    boundary = per.filter(is_boundary)
-    wk = Window.partitionBy(*key_cols).orderBy(F.col("__s").asc(), F.col("__b").asc(), F.col("__sq").asc())
-    prev_t = F.lag("__t").over(wk)
-    new_chain = F.when(prev_t.isNull() | (F.col("__s") - prev_t > F.lit(float(gap_seconds))), 1).otherwise(0)
-    merged = (
-        boundary.withColumn("__chain", F.sum(new_chain).over(wk))
-        .groupBy(*key_cols, "__chain")
+    wk = Window.partitionBy(*key_cols).orderBy(
+        F.col("__s").asc(), F.col("__b").asc(), F.col("__sq").asc()
+    )
+    prev_bt = F.last(F.when(F.col("__bd"), F.col("__t")), ignorenulls=True).over(
+        wk.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_chain = F.when(~F.col("__bd"), 0).when(
+        prev_bt.isNull() | (F.col("__s") - prev_bt > F.lit(float(gap_seconds))), 1
+    ).otherwise(0)
+    grouped = per.withColumn(
+        "__g",
+        F.when(
+            F.col("__bd"),
+            F.concat(F.lit("b"), F.sum(new_chain).over(wk).cast("string")),
+        ).otherwise(
+            F.concat(
+                F.lit("i"),
+                F.col("__b").cast("string"),
+                F.lit("_"),
+                F.col("__sq").cast("string"),
+            )
+        ),
+    )
+    return (
+        grouped.groupBy(*key_cols, "__g")
         .agg(
             F.min("session_start").alias("session_start"),
             F.max("session_end").alias("session_end"),
@@ -1947,4 +1975,3 @@ def sessionize_scalable(
         )
         .select(*key_cols, "session_start", "session_end", "n_events")
     )
-    return interior.unionByName(merged)

@@ -90,10 +90,15 @@ def test_fuzzy_dropped_keys_and_coverage_audit(spark):
 
 
 def test_fuzzy_extra_block_cols_equals_posthoc_gate(spark):
-    """extra_block_cols (r11): gating during blocking must return
-    EXACTLY plain fuzzy_pairs ∩ attribute-equality — the identity that
-    lets golden_record move its gate into the join without changing
-    results (the gram cap stays global, so kept grams are unchanged)."""
+    """extra_block_cols semantics (r15 revision of the r11 identity):
+    since the frequency cap counts the FULL join key (gram + attrs), a
+    gated run under cap pressure keeps STRICTLY MORE true pairs than
+    plain ∩ gate (the 100× rehearsal showed the old global-per-gram cap
+    collapsing gated recall to zero). Pins: (a) gated == the brute-force
+    equal-attr pair set when no per-cell posting exceeds the cap even
+    though grams are GLOBALLY hot; (b) gated ⊇ plain ∩ gate always;
+    (c) with the cap slack, gated == plain ∩ gate (the r11 identity
+    survives when the cap does not bind)."""
     import random
 
     rng = random.Random(3)
@@ -106,22 +111,42 @@ def test_fuzzy_extra_block_cols_equals_posthoc_gate(spark):
             s[rng.randrange(len(s))] = rng.choice("abcxyz")
         rows.append((i, "".join(s), rng.randint(0, 2), rng.choice(["A", "B"])))
     df = spark.createDataFrame(rows, "id bigint, name string, nat int, seg string")
-    plain = fuzzy_pairs(df, max_dist=1, block="qgram", max_token_freq=50)
     attrs = {r["id"]: (r["nat"], r["seg"]) for r in df.collect()}
-    want = sorted(
+    # ground truth: brute-force equal-attr pairs at dist <= 1 (names are
+    # 7 chars >= q*(d+1)=6, so qgram blocking is complete)
+    brute = _brute_pairs([(r["id"], r["name"]) for r in df.collect()], 1)
+    want_true = sorted(
+        (a, b, d) for (a, b), d in brute.items() if attrs[a] == attrs[b]
+    )
+    # cap=50 binds GLOBALLY ("nam"/"ame" appear ~120x) but no
+    # (gram, nat, seg) cell exceeds it -> full recall under the r15 rule
+    gated = fuzzy_pairs(
+        df, max_dist=1, block="qgram", max_token_freq=50,
+        extra_block_cols=("nat", "seg"),
+    )
+    got = sorted((p["id_a"], p["id_b"], p["dist"]) for p in gated.collect())
+    assert got == want_true and len(want_true) > 0
+    # plain run at the same cap loses pairs (global grams hot) — gated
+    # must be a superset of plain ∩ gate
+    plain = fuzzy_pairs(df, max_dist=1, block="qgram", max_token_freq=50)
+    plain_gate = sorted(
         (p["id_a"], p["id_b"], p["dist"])
         for p in plain.collect()
         if attrs[p["id_a"]] == attrs[p["id_b"]]
     )
-    gated = fuzzy_pairs(
-        df,
-        max_dist=1,
-        block="qgram",
-        max_token_freq=50,
+    assert set(plain_gate) <= set(got)
+    # slack cap: the r11 identity holds when nothing is hot either way
+    plain_hi = fuzzy_pairs(df, max_dist=1, block="qgram", max_token_freq=10_000)
+    want_id = sorted(
+        (p["id_a"], p["id_b"], p["dist"])
+        for p in plain_hi.collect()
+        if attrs[p["id_a"]] == attrs[p["id_b"]]
+    )
+    gated_hi = fuzzy_pairs(
+        df, max_dist=1, block="qgram", max_token_freq=10_000,
         extra_block_cols=("nat", "seg"),
     )
-    got = sorted((p["id_a"], p["id_b"], p["dist"]) for p in gated.collect())
-    assert got == want and len(want) > 0
+    assert sorted((p["id_a"], p["id_b"], p["dist"]) for p in gated_hi.collect()) == want_id
     # NULL attributes match nothing (the SQL gate convention)
     df_null = df.withColumn(
         "nat", F.when(F.col("id") < 60, None).otherwise(F.col("nat"))

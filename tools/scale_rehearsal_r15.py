@@ -59,11 +59,19 @@ KEY_OFFSET = 1_000_000_000
 
 
 def _marker(rep_col):
-    """4-char rep marker: doubled base-26 digits — any two distinct reps
-    differ in at least one doubled pair, so cross-rep edit distance >= 2."""
+    """4-char rep marker c1·c2·c1·c2 (base-26 digit pair, interleaved):
+    any two distinct reps differ in >= 2 positions (edit distance >= 2,
+    so cross-rep names never match at max_dist=1), and EVERY character
+    3-gram touching the marker contains both digits — no two reps share
+    ANY marker-derived gram. The first cut used c1·c1·c2·c2, whose
+    boundary grams (x, c1, c1) are shared by all reps with the same
+    tens digit: on this 30-word synthetic vocabulary that made the
+    'rarest' grams span ~10 reps (posting 38k instead of <=3.8k) and
+    inflated prefix-mode candidate volume ~100x beyond what linear
+    scaling produces — a fixture artifact, not an operator property."""
     hi = F.chr(F.lit(97) + (rep_col / 10).cast("int"))
     lo = F.chr(F.lit(97) + rep_col % 10)
-    return F.concat(hi, hi, lo, lo)
+    return F.concat(hi, lo, hi, lo)
 
 
 def _perturb_tokens(text_col, rep_col):
@@ -92,18 +100,21 @@ def build(spark) -> None:
         ).write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
 
         cust = load_table(spark, BASE_SF, "customer").crossJoin(r)
-        cust.select(
-            (F.col("c_custkey") + F.col("rep") * KEY_OFFSET).alias("c_custkey"),
-            F.concat(F.col("c_name"), _marker(F.col("rep"))).alias("c_name"),
-            "c_address",
-            (F.col("c_nationkey") + F.col("rep") * 100).alias("c_nationkey"),
-            "c_phone",
-            "c_acctbal",
-            "c_mktsegment",
-            "c_comment",
-        ).repartition(max(4, 4 * reps)).write.mode("overwrite").parquet(
-            os.path.join(out_dir, "customer.parquet")
-        )
+        cust_cols = []
+        for c in cust.columns:
+            if c == "rep":
+                continue
+            if c == "c_custkey":
+                cust_cols.append((F.col(c) + F.col("rep") * KEY_OFFSET).alias(c))
+            elif c == "c_name":
+                cust_cols.append(F.concat(F.col(c), _marker(F.col("rep"))).alias(c))
+            elif c == "c_nationkey":
+                cust_cols.append((F.col(c) + F.col("rep") * 100).alias(c))
+            else:
+                cust_cols.append(F.col(c))
+        cust.select(*cust_cols).repartition(max(4, 4 * reps)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "customer.parquet"))
 
         ev = load_table(spark, BASE_SF, "events").crossJoin(r)
         ev.select(
