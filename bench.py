@@ -378,20 +378,36 @@ def main() -> None:
     # 1-run and 3-run buckets across rounds and polluted the r-to-r diff.
     slow_median_threshold = 0.5
 
+    # timing protocol v2 (r15, verdict #4 follow-through): materialize via
+    # a noop-format write, NOT .count() — under count() Catalyst prunes
+    # every column the action doesn't need, which for some entries
+    # eliminates the query's actual work (fk_integrity_all's parent
+    # left-joins are join-eliminated: 0.98 s pruned vs 1.85 s real at
+    # sf0.1 — the r13/r14 "regression watch" on that entry was chasing
+    # noise on a plan that never ran the joins). The noop sink computes
+    # every output column distributed-side with zero driver transfer —
+    # the 100 TB semantics — so timings measure the plan the correctness
+    # gate verifies. Row counts are taken once, untimed, via the cheap
+    # pruned count. Entries whose plans count() could collapse
+    # re-baseline this round (announced in NOTES).
+    def _materialize(df):
+        df.write.format("noop").mode("overwrite").save()
+
     for name in bench_order:
         fn = qs[name]
+        n = fn(spark, sf_dir).count()  # untimed; pruned plan is fine here
         # run 1 pays Janino/codegen compile (irrelevant at 100 TB where
         # plans run for minutes); steady-state runs are what's reported
-        runs, n = [], 0
+        runs = []
         for _ in range(2):
             t0 = time.time()
-            n = fn(spark, sf_dir).count()
+            _materialize(fn(spark, sf_dir))
             runs.append(time.time() - t0)
         timed = [runs[1]]  # post-warmup (run 1 pays codegen — never reported)
         if min(runs) > slow_median_threshold:
             for _ in range(2):
                 t0 = time.time()
-                n = fn(spark, sf_dir).count()
+                _materialize(fn(spark, sf_dir))
                 timed.append(time.time() - t0)
         val = statistics.median(timed)
         timings[name] = round(val, 3)
