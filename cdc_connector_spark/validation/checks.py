@@ -888,32 +888,45 @@ def referential_integrity(
     (child keys with no parent — NULL fks are counted separately, not
     as orphans), and NULL fks. Returns one row per edge.
 
-    Each edge is an aggregate over the child's key column joined to the
-    parent's DISTINCT key set (broadcast when small; Catalyst/AQE picks
-    the strategy) — no child table is scanned more than once per edge,
-    and edges execute as independent unioned branches (one action,
-    parallel stages). The reference's validation loop runs one COUNT
+    Each edge pre-aggregates the child to (fk, count) BEFORE joining the
+    parent's DISTINCT key set (r15 — the bench protocol-v2 fix exposed
+    the real plan cost: the prior shape joined EVERY child row to the
+    parent keys, so at 100 TB a fact-table edge shuffles the whole fact
+    side once the parent outgrows broadcast; grouping first is map-side
+    combined and shuffles only |distinct fks| rows, a ~fanout× cut on
+    FK edges by construction). Orphan/NULL counts recover exactly from
+    the per-key counts. Edges execute as independent unioned branches
+    (one action, parallel stages); no child table is scanned more than
+    once per edge. The reference's validation loop runs one COUNT
     query per table per check (`migrate_v3.py` checksum/count mode);
     this rolls the whole FK graph into one plan."""
     parts = []
     for name, child, fk, parent, pk in edges:
         keys = parent.select(F.col(pk).alias("__pk")).distinct()
-        joined = child.select(F.col(fk).alias("__fk")).join(
-            keys, F.col("__fk") == F.col("__pk"), "left"
+        per_fk = (
+            child.select(F.col(fk).alias("__fk"))
+            .groupBy("__fk")
+            .agg(F.count(F.lit(1)).alias("__n"))
         )
+        joined = per_fk.join(keys, F.col("__fk") == F.col("__pk"), "left")
         parts.append(
             joined.agg(
                 F.lit(name).alias("relation"),
-                F.count(F.lit(1)).alias("child_rows"),
-                F.count_distinct("__fk").alias("distinct_fks"),
-                F.sum(
-                    F.when(
-                        F.col("__fk").isNotNull() & F.col("__pk").isNull(), 1
-                    ).otherwise(0)
+                F.coalesce(F.sum("__n"), F.lit(0)).alias("child_rows"),
+                F.count("__fk").alias("distinct_fks"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("__fk").isNotNull() & F.col("__pk").isNull(),
+                            F.col("__n"),
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
                 ).alias("orphan_rows"),
-                F.sum(F.when(F.col("__fk").isNull(), 1).otherwise(0)).alias(
-                    "null_fks"
-                ),
+                F.coalesce(
+                    F.sum(F.when(F.col("__fk").isNull(), F.col("__n")).otherwise(0)),
+                    F.lit(0),
+                ).alias("null_fks"),
             )
         )
     out = parts[0]

@@ -365,3 +365,8 @@ def test_referential_integrity_counts_orphans_and_nulls(spark):
     assert (r.child_rows, r.distinct_fks, r.orphan_rows, r.null_fks) == (5, 3, 1, 1)
     r2 = out["parent->parent"]
     assert (r2.child_rows, r2.orphan_rows, r2.null_fks) == (2, 0, 0)
+    # empty child: all-zero row, not NULLs (r15 — the groupBy-fk reshape
+    # coalesces explicitly, matching the oracle SQL's coalesce(...,0))
+    empty = child.filter("id < 0")
+    [r3] = referential_integrity([("empty->parent", empty, "fk", parent, "pk")]).collect()
+    assert (r3.child_rows, r3.distinct_fks, r3.orphan_rows, r3.null_fks) == (0, 0, 0, 0)
