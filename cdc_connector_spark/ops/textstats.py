@@ -188,16 +188,21 @@ def repetition_stats(
       slots it occupies — keyword stuffing concentrates mass in one n-gram
       even when overall dup fractions stay moderate
 
-    Execution: the line and dup-fraction metrics are pure higher-order
-    array expressions (one codegen projection, scan-bound; n-grams via the
-    O(n) ``word_ngrams`` zip chain). The top-bigram metric genuinely needs
-    a per-(doc, bigram) count, so it's explode → map-side-combined groupBy
-    → a per-doc ``min(struct(-n, bg))`` aggregate (hash agg — the same
-    (count desc, bigram asc) winner as a row_number window WITHOUT the
-    per-doc sort), joined back on ``id_col`` — one shuffle keyed by
-    (doc, bigram), one by doc; both are ~n_words·16-byte rows, never the
-    document text. Fractions are rounded to 6 so the engine-portable SQL
-    twin hash-matches.
+    Execution: ONE zero-shuffle projection (r15 — the bench protocol-v2
+    fix exposed the old plan's real cost: explode → groupBy(doc, bigram)
+    → groupBy(doc) → join back shuffled ~n_words rows per document
+    twice and re-scanned the text for the join side, ~6 s at sf0.1
+    against ~1 s for this form; at 100 TB that was a full-corpus
+    token-count shuffle for a per-document statistic). The top bigram
+    is found per row by sorting the bigram array and folding it with
+    ``F.aggregate``: runs of equal bigrams are contiguous after the
+    sort, the fold carries (prev, run, best_n, best_bg), and a strictly
+    greater run replaces the best — which IS the (count desc, bigram
+    asc) winner, because ascending order means the smaller of two
+    equally-frequent bigrams reaches any given count first. All other
+    metrics were already higher-order array expressions; the whole
+    operator is now scan-bound with no exchange. Fractions are rounded
+    to 6 so the engine-portable SQL twin hash-matches.
     """
     c = F.coalesce(F.col(text_col), F.lit(""))
     toks = tokenize(text_col)
@@ -221,53 +226,40 @@ def repetition_stats(
             6,
         )
 
-    base = df.select(
+    def _fold_step(acc, x):
+        nr = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            nr.alias("run"),
+            F.when(nr > acc["bestn"], nr).otherwise(acc["bestn"]).alias("bestn"),
+            F.when(nr > acc["bestn"], x).otherwise(acc["bestbg"]).alias("bestbg"),
+        )
+
+    top = F.aggregate(
+        F.array_sort(word_ngrams(toks, 2)),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("bestn"),
+            F.lit("").alias("bestbg"),
+        ),
+        _fold_step,
+    )
+    n_bigrams = F.greatest(n_toks - F.lit(1), F.lit(0))
+    return df.select(
         F.col(id_col),
         n_lines.cast("long").alias("n_lines"),
         F.round(dup_line, 6).alias("dup_line_frac"),
         dup_frac(2).alias("dup_2gram_frac"),
         dup_frac(3).alias("dup_3gram_frac"),
         dup_frac(4).alias("dup_4gram_frac"),
-        F.greatest(n_toks - F.lit(1), F.lit(0)).cast("long").alias("__n_bigrams"),
-        word_ngrams(toks, 2).alias("__bigrams"),
-    )
-    counts = (
-        base.select(id_col, F.explode("__bigrams").alias("bg"))
-        .groupBy(id_col, "bg")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    top = (
-        counts.groupBy(id_col)
-        .agg(
-            F.min(
-                F.struct((-F.col("n")).alias("negn"), F.col("bg").alias("bg"))
-            ).alias("__t")
-        )
-        .select(
-            id_col,
-            F.col("__t.bg").alias("top_2gram"),
-            (-F.col("__t.negn")).alias("__top_n"),
-        )
-    )
-    return (
-        base.drop("__bigrams")
-        .join(top, id_col, "left")
-        .select(
-            id_col,
-            "n_lines",
-            "dup_line_frac",
-            "dup_2gram_frac",
-            "dup_3gram_frac",
-            "dup_4gram_frac",
-            F.coalesce(F.col("top_2gram"), F.lit("")).alias("top_2gram"),
-            F.round(
-                F.when(
-                    F.col("__n_bigrams") > 0,
-                    F.coalesce(F.col("__top_n"), F.lit(0)) / F.col("__n_bigrams"),
-                ).otherwise(F.lit(0.0)),
-                6,
-            ).alias("top_2gram_frac"),
-        )
+        top["bestbg"].alias("top_2gram"),
+        F.round(
+            F.when(
+                n_bigrams > 0, top["bestn"] / n_bigrams.cast("double")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_2gram_frac"),
     )
 
 
@@ -787,48 +779,54 @@ def novelty_scores(
     docs sit near 0). Returns (id, n_grams, novelty∈[0,1], rounded 6);
     docs with fewer than ``n`` tokens report (0, 0.0).
 
-    Shape: ONE postings lineage — explode n-grams (shifted-slice
-    ``zip_with``, linear per doc) → per-(doc, gram) count; the gram's
-    first-doc is a window MIN over that same frame partitioned by gram
-    (re-using the aggregation's hash partitioning — no second derivation
-    of the postings, the unigram_nll lesson); the per-doc roll-up is one
-    more keyed aggregate. Two shuffles total (gram, then doc), both
-    map-side combined; novel/n_grams is an exact-integer ratio so the
-    value hash-matches any engine."""
-    from pyspark.sql import Window
-
+    Shape (r15 rework — the old form's "window re-uses the aggregation's
+    partitioning" claim was wrong: groupBy(id, g) hashes on (id, g), the
+    gram window needed its own hash(g) exchange plus a per-partition
+    SORT, and the final roll-up re-aggregated the full postings frame):
+    explode n-grams (shifted-slice ``zip_with``, linear per doc) →
+    per-(doc, gram) count [shuffle 1, map-side combined] → per-gram
+    ``min(struct(id, c))`` [shuffle 2, map-side combined, hash agg — no
+    sort; (id, g) is unique per row so the struct min IS the smallest
+    id's count] picks each gram's first owner AND how many occurrences
+    it owns in one pass → novel-per-doc rolls up |grams| rows, not
+    |postings| [shuffle 3, tiny]. ``n_grams`` per doc is
+    max(n_tokens − n + 1, 0) straight from the token count — no second
+    n-gram construction (building the gram strings twice cost more than
+    the old window saved; measured in the r15 A/B). The price is one
+    extra text scan for the token count (the old single-lineage window
+    amortized it); measured trade at sf0.1 docs: 1.4× slower at 1×
+    (1.9 s vs 1.3 s), equal-to-faster at 10×/100× (1.86/9.71 s vs
+    2.03/9.78 s) — the sort's growth cancels the scan, and the scan
+    can't spill where a hot-gram window sort can.
+    novel/n_grams is an exact-integer ratio so the value hash-matches
+    any engine."""
     toks = tokenize(F.lower(F.col(text_col)))
     postings = (
         df.select(F.col(id_col), F.explode(word_ngrams(toks, n)).alias("g"))
         .groupBy(id_col, "g")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    first = postings.withColumn(
-        "first_doc", F.min(id_col).over(Window.partitionBy("g"))
+    owners = postings.groupBy("g").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("c").alias("c"))).alias("__w")
     )
-    sc = (
-        first.groupBy(id_col)
-        .agg(
-            F.sum("c").alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col(id_col), F.col("c")).otherwise(
-                    F.lit(0)
-                )
-            ).alias("novel"),
-        )
+    novel = owners.groupBy(F.col("__w.i").alias(id_col)).agg(
+        F.sum("__w.c").alias("novel")
+    )
+    n_grams = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)).cast("bigint")
+    return (
+        df.select(F.col(id_col), n_grams.alias("n_grams"))
+        .join(novel, id_col, "left")
         .select(
             id_col,
             "n_grams",
-            F.round(F.col("novel") / F.col("n_grams"), 6).alias("novelty"),
-        )
-    )
-    return (
-        df.select(id_col)
-        .join(sc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
-            F.coalesce("novelty", F.lit(0.0)).alias("novelty"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    F.coalesce(F.col("novel"), F.lit(0)) / F.col("n_grams"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("novelty"),
         )
     )
 
