@@ -341,3 +341,45 @@ def test_global_asof_plan_buckets_and_prunes(q):
     assert "BroadcastHashJoin" in facts["joins"]
     assert "CartesianProduct" not in facts["joins"]
     assert facts["exchanges"] <= 6, facts["exchanges"]
+
+
+def test_repetition_stats_is_zero_shuffle(q):
+    """r15 rework pin: the top-bigram fold made repetition_stats a single
+    scan-bound projection — NO exchange, NO window, NO join may creep
+    back in (the old explode → groupBy → groupBy → join pipeline
+    shuffled ~n_tokens rows per document twice for a per-document
+    statistic)."""
+    facts = q("repetition_stats_documents")
+    assert facts["exchanges"] == 0, facts
+    assert not facts["window"], facts
+    assert not facts["joins"], facts
+    assert not facts["has_python_udf"], facts
+
+
+def test_novelty_scores_sort_free_and_bounded(q):
+    """r15 rework pin: novelty's per-gram first-owner arbitration is a
+    min(struct) HASH aggregate, not a window (the window needed its own
+    hash(g) exchange plus a per-partition sort — the hot-gram spill
+    hazard); the whole plan stays within the 3-shuffle budget the
+    docstring states (plus the final per-doc join, which AQE may
+    broadcast)."""
+    facts = q("novelty_scores_documents")
+    assert not facts["window"], facts
+    assert facts["exchanges"] <= 4, facts
+    assert "CartesianProduct" not in facts["joins"]
+
+
+def test_fk_integrity_preaggregates_children(q):
+    """r15 rework pin: every FK edge groups the child to (fk, count)
+    BEFORE the parent join, so the join input is distinct keys — at
+    100 TB the old shape shuffled the whole fact table once the parent
+    outgrew broadcast. Pinned via scan pruning (each child scan reads
+    only its FK column) and the per-edge exchange budget (7 edges ×
+    [child partial agg + parent distinct + final agg] = at most 21
+    single-column exchanges, never a row-level join shuffle of wide
+    rows)."""
+    facts = q("fk_integrity_all")
+    for scan in facts["scans"]:
+        assert scan["read_cols"] <= 1, scan
+    assert facts["exchanges"] <= 21, facts
+    assert "CartesianProduct" not in facts["joins"]
