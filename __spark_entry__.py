@@ -1848,6 +1848,25 @@ def neardup_groups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_groups(pairs)
 
 
+def leakage_safe_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ops (NEW r15): leakage-safe train/val/test split — near-dup
+    components (the value-verified MinHash pair graph closed by
+    distributed CC) split as UNITS via the component representative's
+    Knuth hash, so near-duplicates never straddle train/test; docs in
+    no pair hash their own key (== split_corpus on them). The
+    dedup-aware split of Lee et al. 2022's contamination analyses.
+    VALUE-VERIFIED: the oracle recomputes the pair set, closes it with
+    a recursive CTE, and replays the identical bucket arithmetic."""
+    from cdc_connector_spark.ops.corpus import leakage_safe_split
+    from cdc_connector_spark.ops.dedup import minhash_verified_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_verified_pairs(
+        docs, num_hashes=64, bands=32, jaccard_threshold=0.5
+    )
+    return leakage_safe_split(docs, pairs)
+
+
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH near-dup pairs, OR-amplified across 16 hash tables —
     VALUE-VERIFIED against DuckDB exact all-pairs cosine at the same
@@ -4243,12 +4262,14 @@ _R15_WINDOW = [
     "key_equality_compare",
     "point_lookup",
     "topk_orders",
-    # ...then alphabetical fill
-    "ann_cosine_topk",
     # NEW in r15 (never driver-checked -> window-resident; displaces the
     # last alphabetical fill ann_topk_batch, which stays age-3-checked
     # under tripwire coverage and rotates in r16)
     "sessionize_scalable_events",
+    # NEW in r15 batch 2 (never-checked -> window-resident per the
+    # staleness guard; displaces the alphabetical fill ann_cosine_topk,
+    # age-1 driver-green at r14, tripwire-covered until r16)
+    "leakage_safe_split_documents",
 ]
 
 
@@ -4532,6 +4553,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward_click_next_purchase": asof_forward_click_next_purchase,
         # --- NEW in round 15 (window-resident: never driver-checked) ---
         "sessionize_scalable_events": sessionize_scalable_events,
+        # --- NEW in round 15, batch 2 (tail: 3-SF local verification +
+        #     tripwire until the r16 rotation) ---
+        "leakage_safe_split_documents": leakage_safe_split_documents,
     }
     assert len(_R15_WINDOW) == 50 and set(_R15_WINDOW) <= set(base)
     # the ivf recall twins' oracles pin sf0.01 CONSTANTS (the driver's
@@ -6515,6 +6539,56 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lab.id, lab.rep_id, sizes.group_size
             FROM lab JOIN sizes ON lab.rep_id = sizes.rep_id
+        """,
+        # Leakage-safe split: the FULL pipeline replayed — exact-Jaccard
+        # pair set (== the verified MinHash pairs on these fixtures),
+        # recursive-CTE transitive closure, min-id representative, and
+        # the identical Knuth bucket arithmetic on the representative
+        # (docs in no pair bucket on their own id).
+        "leakage_safe_split_documents": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text,'')) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                            ELSE [array_to_string(toks, ' ')] END AS sh
+                FROM t
+            ), prs AS (
+                SELECT id_a, id_b FROM (
+                    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+                    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                )
+                WHERE jaccard >= 0.5
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM prs
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM prs
+            ), cc(id, comp) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, cc.comp FROM edges e JOIN cc ON e.dst = cc.id
+            ), lab AS (
+                SELECT id, MIN(comp) AS rep_id FROM cc GROUP BY id
+            ), rep AS (
+                SELECT d.doc_id, coalesce(lab.rep_id, d.doc_id) AS rep_id
+                FROM documents d LEFT JOIN lab ON d.doc_id = lab.id
+            )
+            SELECT doc_id, rep_id,
+                   CASE WHEN b < 90 THEN 'train'
+                        WHEN b < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id, rep_id,
+                       (((rep_id + 1) % 2147483648) * 2654435761) % 4294967296 % 100 AS b
+                FROM rep
+            )
         """,
         "embedding_neardup": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -267,6 +267,64 @@ def split_corpus(
     return df.withColumn("split", expr)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, int] | None = None,
+    key_col: str = "doc_id",
+    salt: int = 1,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Group-aware train/val/test assignment: every near-dup component
+    splits as a UNIT, so near-duplicate documents can never straddle a
+    train/test boundary — the leakage mode a doc-level hash split
+    (``split_corpus``) cannot prevent, and the reason dedup-aware
+    corpora (Lee et al. 2022's ExactSubstr/NearDup analyses) split by
+    duplicate cluster, not by document. ``pairs`` is any (id_a, id_b)
+    near-dup pair set (MinHash, SimHash, embedding-cosine, fuzzy — all
+    of this repo's generators qualify); transitive closure makes the
+    decision cluster-complete.
+
+    Assignment rule: a component's REPRESENTATIVE (minimum member id —
+    ``connected_components``' canonical label) is hashed with the same
+    engine-portable Knuth arithmetic as ``split_corpus``; every member
+    inherits that split. Docs in no pair hash their own key, so on a
+    pair-free corpus the output equals ``split_corpus`` exactly, and
+    the assignment stays STABLE UNDER CORPUS GROWTH except where
+    growth genuinely merges components (a new bridge doc re-labels its
+    group — unavoidable under cluster-completeness; the alternative is
+    leakage).
+
+    Returns (key_col, rep_id, split) — an assignment table to join
+    back, not a widened df (keeps the shuffle payload to ids).
+
+    Scale shape: hash-min CC over the pair graph (O(E) per round,
+    ops/components.py's large/small-star fallback for deep chains) +
+    one id-keyed equi-join of the |docs-in-pairs| label table against
+    the corpus keys + a codegen projection for the bucket arithmetic.
+    No window, no driver materialization."""
+    from .components import connected_components
+
+    weights = weights or {"train": 90, "val": 5, "test": 5}
+    if sum(weights.values()) != 100:
+        raise ValueError(f"split weights must sum to 100, got {weights}")
+    comp = connected_components(pairs, id_a, id_b)
+    rep = (
+        df.select(F.col(key_col))
+        .join(comp, df[key_col] == comp["id"], "left")
+        .select(F.col(key_col), F.coalesce("comp", F.col(key_col)).alias("rep_id"))
+    )
+    bucket = _knuth_bucket("rep_id", salt)
+    expr = None
+    lo = 0
+    for name, pct in weights.items():
+        cond = (bucket >= lo) & (bucket < lo + pct)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += pct
+    return rep.withColumn("split", expr)
+
+
 def remove_duplicated_spans(
     df: DataFrame,
     k: int = 10,

@@ -659,3 +659,50 @@ def test_knuth_hash_ansi_safe_at_long_max(spark):
     # both ops default to a positive salt path somewhere — just execute
     assert split_corpus(df).count() == 3
     hash_sample(df, 50).count()  # must not raise under ANSI
+
+
+# ------------------------------------------------------- leakage_safe_split
+def test_leakage_safe_split_groups_never_straddle(spark):
+    """Every near-dup component gets ONE split (the leakage guarantee);
+    docs in no pair match split_corpus exactly (the fallback identity);
+    chains split transitively (A-B, B-C => A,B,C together even when A,C
+    share no pair)."""
+    from cdc_connector_spark.ops.corpus import leakage_safe_split, split_corpus
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(0, 150), (150, 77), (5, 6), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    out = leakage_safe_split(docs, pairs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == 200
+    # chain 0-150-77 is one unit with rep 0
+    assert {by_id[i]["rep_id"] for i in (0, 150, 77)} == {0}
+    assert len({by_id[i]["split"] for i in (0, 150, 77)}) == 1
+    assert by_id[5]["split"] == by_id[6]["split"] and by_id[5]["rep_id"] == 5
+    # fallback identity: unpaired docs == split_corpus
+    base = {r["doc_id"]: r["split"] for r in split_corpus(docs).collect()}
+    paired = {0, 150, 77, 5, 6, 10, 11}
+    for i in range(200):
+        if i not in paired:
+            assert by_id[i]["split"] == base[i], i
+            assert by_id[i]["rep_id"] == i
+    # members inherit the REPRESENTATIVE's doc-level split
+    assert by_id[150]["split"] == base[0]
+
+
+def test_leakage_safe_split_weights_and_validation(spark):
+    from cdc_connector_spark.ops.corpus import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(500)], "doc_id bigint")
+    empty_pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    out = leakage_safe_split(
+        docs, empty_pairs, weights={"fit": 50, "holdout": 50}
+    )
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert set(counts) == {"fit", "holdout"} and sum(counts.values()) == 500
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        leakage_safe_split(docs, empty_pairs, weights={"a": 60, "b": 30})
