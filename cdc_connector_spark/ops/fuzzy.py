@@ -457,6 +457,7 @@ def fuzzy_pairs(
     extra_block_cols: tuple[str, ...] = (),
     selection: str = "cap",
     carry_strings: bool = False,
+    cap_prune: bool | None = None,
 ) -> DataFrame:
     """(id_a < id_b, dist) pairs with Levenshtein(normalized names) ≤
     ``max_dist``. Normalization = lower + trim + whitespace collapse
@@ -492,7 +493,22 @@ def fuzzy_pairs(
     ``selection`` picks the candidate-pruning strategy:
     - ``"cap"`` (default): drop keys with doc-frequency >
       ``max_token_freq`` — cheap, but records whose EVERY key is hot
-      become invisible (audit with ``fuzzy_blocking_coverage``).
+      become invisible (audit with ``fuzzy_blocking_coverage``). Since
+      the r15 optimization round, GATED cap mode (``extra_block_cols``
+      non-empty) additionally keeps only each record's
+      (u·max_dist + 1) rarest SURVIVING keys before the candidate join
+      — the Ed-Join prune composed on top of the cap, which provably
+      returns the identical pair set (see the inline proof in the cap
+      branch) while the join fans out on the prefix postings instead
+      of every under-cap posting. The prune defaults ON exactly when a
+      gate is present because the gate is what re-creates quadratic
+      postings under the cap (it splits globally-hot keys into
+      under-cap per-block lists: 16.5 s → 2.5 s on the gated sf0.1
+      customers entry), while ungated corpora have those keys dropped
+      by the cap itself and the prune's two extra index exchanges
+      measured pure overhead (2.8 s → 4.6 s, zero candidate
+      reduction). ``cap_prune`` overrides the auto rule in either
+      direction (output identical either way).
     - ``"prefix"``: Ed-Join prefix filtering — keep each record's
       (q·max_dist + 1) globally-rarest keys; ZERO recall loss RELATIVE
       TO the underlying blocking by the prefix-intersection theorem
@@ -535,6 +551,11 @@ def fuzzy_pairs(
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
     if selection not in ("cap", "prefix"):
         raise ValueError(f"selection must be cap/prefix, got {selection!r}")
+    if cap_prune is not None and (selection != "cap" or block == "delete"):
+        raise ValueError(
+            "cap_prune applies only to selection='cap' with token/qgram "
+            "blocking (prefix and delete modes have their own pruning rules)"
+        )
     if block == "delete":
         if max_dist > 2:
             raise ValueError(
@@ -562,17 +583,54 @@ def fuzzy_pairs(
         idx = _prefix_select(
             inv, block, qgram, max_dist, extra_block_cols, carry=carry
         )
+    elif cap_prune if cap_prune is not None else bool(extra_block_cols):
+        # cap + Ed-Join prune composed (r15 optimization round). The cap
+        # drops keys whose FULL-join-key posting (gram + extra attrs,
+        # r15: the list the join actually expands) exceeds
+        # ``max_token_freq``; then each record keeps only its
+        # (u·max_dist + 1) RAREST surviving keys. Output is PROVABLY the
+        # cap-mode pair set: for two records a, b that share ≥ 1
+        # surviving key (the gate implies equal attrs, so both lose the
+        # SAME hot keys) and sit within the edit budget,
+        # |surv(a) ∖ surv(b)| ≤ |keys(a) ∖ keys(b)| ≤ u·d, so by the
+        # prefix-intersection theorem their (u·d + 1)-rarest surviving
+        # keys intersect — every cap-mode pair survives the prune; and
+        # pruned candidates share a surviving key by construction, so
+        # nothing new enters before the levenshtein verify. Candidate
+        # volume drops from Σf² over ALL surviving postings to Σf² over
+        # the plen-prefix postings. The kept-key frequencies arrive via
+        # one co-partitioned equi-join against the full-key census
+        # (never a forced broadcast of the kept vocabulary —
+        # corpus-scale at 100 TB, the r12 review rule; AQE may still
+        # broadcast the census when it measures small). Rare-first
+        # ordering is LOAD-BEARING: a hash-random order keeps ~uniform
+        # slices of every under-cap posting and saved almost nothing
+        # (14.8 s → 13.1 s on the gated sf0.1 entry, vs 2.5 s
+        # freq-ordered — measured in the r15 optimization round).
+        cap_keys = ["__k", *xcols]
+        plen = (qgram if block == "qgram" else 2) * max_dist + 1
+        freq = inv.groupBy(*cap_keys).agg(F.count(F.lit(1)).alias("__f"))
+        w = Window.partitionBy("__id").orderBy(F.col("__f").asc(), F.col("__k").asc())
+        idx = (
+            inv.select(
+                "__id", F.length("__s").alias("__len"), *scols, "__k", *xcols
+            )
+            .join(freq, cap_keys)
+            .filter(F.col("__f") <= max_token_freq)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= plen)
+            .select("__id", "__len", *scols, "__k", *xcols)
+        )
     else:
-        # anti-join the bounded HOT set (freq > cap, ≤ postings/cap keys —
-        # the same set fuzzy_dropped_keys audits); the old form broadcast
-        # the KEPT set, which is the whole blocking vocabulary —
-        # corpus-scale at 100 TB (r12 review). No forced hint: AQE
-        # broadcasts whichever side actually measures small.
-        # Frequency counted on the FULL join key (gram + extra attrs,
-        # r15): the candidate join expands per (gram, attrs) posting
-        # list, so that is what the cap must bound — counting the gram
-        # alone collapsed gated recall to ZERO at 100× (every gram
-        # globally hot, no actual join key hot; see docstring).
+        # plain cap (anti-join the bounded HOT set — freq > cap,
+        # ≤ postings/cap keys, the same set fuzzy_dropped_keys audits;
+        # the old form broadcast the KEPT set, corpus-scale at 100 TB,
+        # r12 review). The UNGATED default: without an attribute gate
+        # the cap itself drops the quadratic postings, candidates track
+        # true matches, and the prune's per-record window (two extra
+        # exchanges of the exploded index — the self-join duplicates
+        # the subtree) measured pure overhead at sf0.1: 2.8 s → 4.6 s
+        # with ZERO candidate reduction on the customers corpus.
         cap_keys = ["__k", *xcols]
         hot = (
             inv.groupBy(*cap_keys)

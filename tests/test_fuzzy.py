@@ -548,3 +548,127 @@ def test_carry_strings_grid_side_swap(spark):
     for r in got:
         assert r["id_a"] < r["id_b"]
         assert r["__sa"] == strs[r["id_a"]] and r["__sb"] == strs[r["id_b"]]
+
+
+def _brute_cap_pairs(rows, max_dist, cap, q=3, block="qgram", gate=None):
+    """Exact replay of CAP-MODE semantics: pairs within the edit budget
+    that share >= 1 SURVIVING blocking key (full-join-key frequency <=
+    cap; r15 full-key rule), optionally gated on equal ``gate`` values.
+    The reference for the r15 cap+Ed-Join-prune composition: the prune
+    is a plan optimization and must never change this set."""
+    import re
+    from collections import Counter
+
+    def norm(s):
+        return re.sub(r"\s+", " ", (s or "").strip().lower())
+
+    def keys(s):
+        if block == "token":
+            return set(s.split(" "))
+        if len(s) < q:
+            return {s}
+        return {s[i : i + q] for i in range(len(s) - q + 1)}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    recs = []
+    for row in rows:
+        i, s = row[0], norm(row[1])
+        g = row[2] if gate else None
+        if s:
+            recs.append((i, s, keys(s), g))
+    freq = Counter()
+    for _, _, ks, g in recs:
+        for k in ks:
+            freq[(k, g)] += 1
+    out = {}
+    for x in range(len(recs)):
+        for y in range(x + 1, len(recs)):
+            (ia, sa, ka, ga), (ib, sb, kb, gb) = recs[x], recs[y]
+            if gate and (ga is None or ga != gb):
+                continue
+            shared = {k for k in ka & kb if freq[(k, ga)] <= cap}
+            if not shared:
+                continue
+            d = lev(sa, sb)
+            if d <= max_dist:
+                lo, hi = (ia, ib) if ia < ib else (ib, ia)
+                out[(lo, hi)] = d
+    return out
+
+
+def test_cap_prune_composition_equals_cap_semantics(spark):
+    """r15 optimization-round pin: cap mode's Ed-Join prune (keep each
+    record's u*d+1 rarest SURVIVING keys before the candidate join) is
+    output-invariant — on a corpus where the cap BINDS (hot shared
+    grams dropped), with and without an attribute gate, and for token
+    blocking, the pair set equals the brute-force replay of cap
+    semantics."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    # templated names: a near-universal stem (hot grams at cap=20) plus
+    # a rare numeric tail; ~30% get a 1-edit twin
+    for i in range(120):
+        tail = f"{rng.randint(0, 999):03d}"
+        name = f"customer#{tail}{rng.choice('abcdef')}"
+        rows.append((2 * i, name, i % 5))
+        if i % 3 == 0:
+            s = list(name)
+            s[rng.randrange(len(s))] = rng.choice("xyz0123")
+            rows.append((2 * i + 1, "".join(s), i % 5))
+    df = spark.createDataFrame(rows, "id bigint, name string, nat int")
+
+    for cap in (20, 60, 10**6):
+        # prune forced ON and OFF (the auto rule picks OFF here —
+        # ungated): both plans must return the identical cap-mode set
+        for prune in (True, False, None):
+            got = {
+                (r["id_a"], r["id_b"]): r["dist"]
+                for r in fuzzy_pairs(
+                    df, max_dist=1, block="qgram", max_token_freq=cap,
+                    cap_prune=prune,
+                ).collect()
+            }
+            assert got == _brute_cap_pairs(rows, 1, cap), f"qgram cap={cap} prune={prune}"
+
+    # gated: frequencies count the FULL (gram, nat) key; prune forced
+    # OFF and ON (the auto rule picks ON here) — identical set
+    for prune in (True, False, None):
+        got = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in fuzzy_pairs(
+                df,
+                max_dist=1,
+                block="qgram",
+                max_token_freq=12,
+                extra_block_cols=("nat",),
+                cap_prune=prune,
+            ).collect()
+        }
+        assert got == _brute_cap_pairs(rows, 1, 12, gate=True), f"gated cap prune={prune}"
+    # guard: cap_prune composes only with cap selection
+    with pytest.raises(ValueError, match="cap_prune"):
+        fuzzy_pairs(df, max_dist=1, block="qgram", selection="prefix", cap_prune=True)
+    with pytest.raises(ValueError, match="cap_prune"):
+        fuzzy_pairs(df, max_dist=1, block="delete", cap_prune=True)
+
+    # token blocking (u = 2): two-token names, hot second token
+    trows = [(i, f"vendor{i // 4:02d} gmbh", 0) for i in range(80)]
+    tdf = spark.createDataFrame(trows, "id bigint, name string, nat int")
+    for cap in (10, 10**6):
+        got = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in fuzzy_pairs(
+                tdf, max_dist=2, block="token", max_token_freq=cap
+            ).collect()
+        }
+        assert got == _brute_cap_pairs(trows, 2, cap, block="token"), f"token cap={cap}"

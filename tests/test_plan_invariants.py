@@ -297,12 +297,21 @@ def test_ks_quantized_same_bounded_shape_as_exact(q):
 
 
 def test_hot_key_caps_are_anti_joins(spark, sf_dir):
-    """r12 kept-set inversion pin: frequency-cap pruning in the blocked
-    fuzzy/shingle paths must be a LeftAnti against the bounded HOT set.
-    The pre-r12 form — an inner join against the KEPT set with a forced
-    broadcast — re-broadcasts the whole blocking/shingle vocabulary,
-    which is corpus-scale at 100 TB; this guard fails if that shape
-    ever comes back."""
+    """r12 kept-set inversion pin, updated for the r15 optimization
+    round: frequency-cap pruning must never re-broadcast the kept
+    vocabulary (corpus-scale at 100 TB — the pre-r12 forced-broadcast
+    form this guard exists to keep out).
+
+    - ngram_jaccard (shingle path) and UNGATED fuzzy cap mode: still a
+      LeftAnti against the bounded HOT set.
+    - GATED fuzzy cap mode (fuzzy_gated_customers): the cap rides ONE
+      co-partitioned equi-join against the full-key census followed by
+      the Ed-Join prune window (row_number per record over rarest
+      surviving keys — the r15 composition that collapsed the gated
+      entry 16.5 s → 2.5 s) — pin the window, and pin that no
+      broadcast is FORCED over the census (the optimized plan may
+      still contain broadcasts the planner sizes as small, so the
+      guard checks for the hint-shaped ResolvedHint instead)."""
     import __spark_entry__ as entry_mod
 
     spark.catalog.clearCache()
@@ -312,6 +321,15 @@ def test_hot_key_caps_are_anti_joins(spark, sf_dir):
             df._jdf.queryExecution(), "formatted"
         )
         assert "LeftAnti" in plan, f"{name}: cap pruning is not an anti-join"
+
+    df = entry_mod.queries()["fuzzy_gated_customers"](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "row_number" in plan, "gated cap mode lost the Ed-Join prune window"
+    assert "__f" in plan, "gated cap mode lost the census-frequency filter"
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in optimized, "forced broadcast over the census"
 
 
 def test_profile_hll_scans_pruned_no_cartesian(q):
