@@ -1082,24 +1082,38 @@ def duplicate_span_anchors(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Positional gram anchors for exact duplicated-span detection:
-    (id, pos, gh) rows — the portable 60-bit hash of every ``length``-token
+    (id, pos, gh) rows — a 64-bit hash of every ``length``-token
     window, with its 1-based token start position. Shared building block
     for ``duplicate_spans`` / ``duplicate_span_coverage``.
+
+    ``gh`` is the chained-``xxhash64`` combine over the window's token
+    hashes (r15 optimization round: the old form built every gram as a
+    CONCATENATED STRING and md5'd it — one hash pass over the token
+    array plus ``length−1`` long-to-long zip_withs replaces ~len·length
+    bytes of string building per document, measured 3.3 s → 1.6 s on
+    the sf0.1 spans entry). Hash values are engine-internal: no
+    consumer exposes ``gh`` to an oracle — spans compare by position
+    and length — and a collision can only MERGE two gram groups
+    (~n²/2⁻⁶⁴, the ``remove_duplicated_spans`` argument; the
+    value-verified oracles pin the fixtures).
 
     ``max_df`` drops gram hashes with more than that many OCCURRENCES
     corpus-wide BEFORE any self-join (boilerplate grams fan out
     quadratically in the anchor join — same stop-shingle rule as
     ``ngram_jaccard_pairs``; audit with ``duplicate_span_dropped_grams``).
     Docs with fewer than ``length`` tokens contribute no anchors."""
-    from cdc_connector_spark.ops.textstats import word_ngrams
-
     if length < 2:
         raise ValueError(f"length must be >= 2, got {length}")
-    grams = word_ngrams(tokenize(F.lower(F.col(text_col))), length)
-    gh = F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
-    )
+    toks = tokenize(F.lower(F.col(text_col)))
+    h = F.transform(toks, lambda t: F.xxhash64(t))
+    m = F.greatest(F.size(toks) - F.lit(length - 1), F.lit(0))
+    gh = F.slice(h, 1, m)
+    for i in range(1, length):
+        gh = F.zip_with(
+            gh,
+            F.slice(h, i + 1, m),
+            lambda a, b: F.xxhash64(a, F.coalesce(b, F.lit(0).cast("long"))),
+        )
     anchors = df.select(F.col(id_col).alias("id"), gh.alias("__gh")).select(
         "id", F.posexplode("__gh").alias("pos0", "gh")
     ).select("id", (F.col("pos0") + 1).alias("pos"), "gh")

@@ -199,15 +199,27 @@ def repetition_stats(
     sort, the fold carries (prev, run, best_n, best_bg), and a strictly
     greater run replaces the best — which IS the (count desc, bigram
     asc) winner, because ascending order means the smaller of two
-    equally-frequent bigrams reaches any given count first. All other
-    metrics were already higher-order array expressions; the whole
-    operator is now scan-bound with no exchange. Fractions are rounded
-    to 6 so the engine-portable SQL twin hash-matches.
+    equally-frequent bigrams reaches any given count first. Fractions
+    are rounded to 6 so the engine-portable SQL twin hash-matches.
+
+    r15 optimization round (6.6 s → 1.2 s at sf0.1, byte-identical
+    output): the dup fractions only need DISTINCT-vs-total COUNTS, so
+    the 2/3/4-gram arrays are built as chained ``xxhash64`` combines
+    (fixed-width longs instead of concatenated strings — the
+    ``hashed_shingles`` rule; a collision can only merge two gram
+    groups, ~n²/2⁻⁶⁴, and the value-verified oracle pins the fixture),
+    and each gram level EXTENDS the previous one (3 zip_withs total
+    instead of 6). Because Catalyst's subexpression elimination does
+    not reach across higher-order functions, the shared intermediates
+    (token array, hash array, each gram level) are bound ONCE via
+    single-element ``transform(array(x), λ)`` scopes — a let-binding:
+    the lambda argument is evaluated once and every reference inside
+    the lambda reads the bound value. The old form re-evaluated
+    tokenize ~6× and built every gram level from scratch. The top
+    bigram still folds the sorted STRING bigrams (it is an output
+    column).
     """
     c = F.coalesce(F.col(text_col), F.lit(""))
-    toks = tokenize(text_col)
-    n_toks = F.size(toks)
-
     lines = F.filter(
         F.transform(F.split(c, "\n"), lambda x: F.trim(x)), lambda x: x != ""
     )
@@ -216,8 +228,7 @@ def repetition_stats(
         n_lines > 0, F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines
     ).otherwise(F.lit(0.0))
 
-    def dup_frac(n: int) -> Column:
-        g = word_ngrams(toks, n)
+    def frac(g: Column) -> Column:
         total = F.size(g)
         return F.round(
             F.when(
@@ -235,31 +246,64 @@ def repetition_stats(
             F.when(nr > acc["bestn"], x).otherwise(acc["bestbg"]).alias("bestbg"),
         )
 
-    top = F.aggregate(
-        F.array_sort(word_ngrams(toks, 2)),
-        F.struct(
-            F.lit("").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("bestn"),
-            F.lit("").alias("bestbg"),
-        ),
-        _fold_step,
-    )
-    n_bigrams = F.greatest(n_toks - F.lit(1), F.lit(0))
+    def inner(T):
+        H = F.transform(T, lambda t: F.xxhash64(t))
+
+        def level(prev, j):
+            # k-gram hashes from the (k-1)-gram level: combine with the
+            # token hash at offset j (same chain as hashed_shingles)
+            m = F.greatest(F.size(T) - F.lit(j - 1), F.lit(0))
+            return F.zip_with(
+                F.slice(prev, 1, m),
+                F.slice(H, j, m),
+                lambda a, b: F.xxhash64(a, F.coalesce(b, F.lit(0).cast("long"))),
+            )
+
+        def g2scope(G2):
+            def g3scope(G3):
+                def g4scope(G4):
+                    n_toks = F.size(T)
+                    top = F.aggregate(
+                        F.array_sort(word_ngrams(T, 2)),
+                        F.struct(
+                            F.lit("").alias("prev"),
+                            F.lit(0).alias("run"),
+                            F.lit(0).alias("bestn"),
+                            F.lit("").alias("bestbg"),
+                        ),
+                        _fold_step,
+                    )
+                    n_bigrams = F.greatest(n_toks - F.lit(1), F.lit(0))
+                    return F.struct(
+                        frac(G2).alias("d2"),
+                        frac(G3).alias("d3"),
+                        frac(G4).alias("d4"),
+                        top["bestbg"].alias("topbg"),
+                        F.round(
+                            F.when(
+                                n_bigrams > 0,
+                                top["bestn"] / n_bigrams.cast("double"),
+                            ).otherwise(F.lit(0.0)),
+                            6,
+                        ).alias("topfrac"),
+                    )
+
+                return F.transform(F.array(level(G3, 4)), g4scope)[0]
+
+            return F.transform(F.array(level(G2, 3)), g3scope)[0]
+
+        return F.transform(F.array(level(H, 2)), g2scope)[0]
+
+    s = F.transform(F.array(tokenize(text_col)), inner)[0]
     return df.select(
         F.col(id_col),
         n_lines.cast("long").alias("n_lines"),
         F.round(dup_line, 6).alias("dup_line_frac"),
-        dup_frac(2).alias("dup_2gram_frac"),
-        dup_frac(3).alias("dup_3gram_frac"),
-        dup_frac(4).alias("dup_4gram_frac"),
-        top["bestbg"].alias("top_2gram"),
-        F.round(
-            F.when(
-                n_bigrams > 0, top["bestn"] / n_bigrams.cast("double")
-            ).otherwise(F.lit(0.0)),
-            6,
-        ).alias("top_2gram_frac"),
+        s["d2"].alias("dup_2gram_frac"),
+        s["d3"].alias("dup_3gram_frac"),
+        s["d4"].alias("dup_4gram_frac"),
+        s["topbg"].alias("top_2gram"),
+        s["topfrac"].alias("top_2gram_frac"),
     )
 
 
