@@ -1226,19 +1226,23 @@ def golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="c_custkey",
         max_dist=1,
         block="qgram",
-        selection="prefix",
         extra_block_cols=("c_nationkey", "c_mktsegment"),
         # id-only re-attach (the default): the r14b 10x rehearsal showed
         # the carry branch 1.6x slower at scale even on short names
         # (SCALING §4t) — its fixture win was stage overhead, not shape.
-        # selection="prefix" since r15: the 100x rehearsal's cap fix
-        # made cap mode COMPLETE here, but completeness via cap keeps
-        # the near-universal name-prefix grams as candidates (every
-        # same-(nation,segment) pair collides: 18s at sf0.1); Ed-Join
-        # prefix selection returns the IDENTICAL pair set (10,435 at
-        # sf0.1, measured equal) through the 4 rarest grams per record
-        # in 4.5s. The gated-CAP path keeps its own oracle coverage via
-        # q:fuzzy_gated_customers.
+        # Mode history: r15 switched this call to selection="prefix"
+        # because completeness via the (fixed) cap kept the
+        # near-universal name-prefix grams as candidates (every
+        # same-(nation,segment) pair collided: 18s at sf0.1). The r15
+        # OPTIMIZATION round composed the Ed-Join prune INTO gated cap
+        # mode (ops/fuzzy.py cap_prune — freq over the FULL join key,
+        # so the selection is rarest-in-block instead of
+        # rarest-globally, and the grid's census join is skipped since
+        # cap-bounded postings cannot go hot), which returns the
+        # IDENTICAL pair set on this corpus (pair-set diff 0 at sf0.1,
+        # oracle hash-green at 3 SFs) in 1.6s vs prefix mode's 2.4s.
+        # The gated-CAP semantics keep their own oracle coverage via
+        # q:fuzzy_gated_customers (same call minus the segment attr).
     ).select("id_a", "id_b")
     return golden_records(
         cust.select("c_custkey", "c_name", "c_acctbal"),

@@ -518,28 +518,54 @@ def simhash_portable(col, bits: int = 60):
     )
 
 
+def _simhash_votes_np(hs) -> "np.ndarray":
+    """Whole-batch SimHash vote kernel: pandas Series of token-hash arrays
+    → int64 signature per row. The per-document numpy loop paid ~len(batch)
+    numpy-call overheads per batch (the ``_minhash_sig_matrix`` lesson);
+    here the batch is ONE flat uint64 array and each bit position does a
+    single vectorized shift/mask plus a per-doc segment sum
+    (``np.add.reduceat``) — 64 O(total_tokens) passes regardless of row
+    count (measured ~2× end-to-end on the sf0.1 near-dup entries, r15
+    optimization round). Bit b is set iff the ±1 vote sum is positive,
+    i.e. 2·ones_b > len — ties stay unset, matching the expression form.
+    ``reduceat`` repeats the NEXT segment's head for empty segments, so
+    empty docs are zeroed explicitly (same as the old loop's ``continue``).
+    """
+    n_docs = len(hs)
+    lens = np.fromiter((len(h) for h in hs), dtype=np.int64, count=n_docs)
+    total = int(lens.sum())
+    sig = np.zeros(n_docs, dtype=np.uint64)
+    if total == 0:
+        return sig.view(np.int64)
+    flat = np.concatenate(
+        [np.asarray(h, dtype=np.int64) for h in hs if len(h)]
+    ).view(np.uint64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    nonempty = lens > 0
+    for b in range(64):
+        ones = np.add.reduceat(
+            ((flat >> np.uint64(b)) & np.uint64(1)).astype(np.int64), starts
+        )
+        bit = (2 * ones > lens) & nonempty
+        sig |= bit.astype(np.uint64) << np.uint64(b)
+    return sig.view(np.int64)
+
+
 def simhash_arrow(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """SimHash via Arrow: token hashing stays JVM-side (xxhash64 in the scan
     stage), the 64 bit-votes vectorize in numpy over Arrow batches.
 
     BIT-IDENTICAL to ``simhash()`` (asserted in tests) — the expression form
     exists for pure-SQL contexts; this one is ~4× faster because the
-    per-token × per-bit work runs as one numpy matrix op instead of an
-    interpreted higher-order expression. Returns (id, sig).
+    per-token × per-bit work runs as whole-batch numpy ops
+    (``_simhash_votes_np``) instead of an interpreted higher-order
+    expression. Returns (id, sig).
     """
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
     def votes(hs: pd.Series) -> pd.Series:
-        bits = np.arange(64, dtype=np.uint64)
-        out = np.zeros(len(hs), dtype=np.int64)
-        for j, h in enumerate(hs):
-            a = np.asarray(h, dtype=np.uint64)
-            if a.size == 0:
-                continue
-            v = (((a[:, None] >> bits) & np.uint64(1)).astype(np.int32) * 2 - 1).sum(axis=0)
-            out[j] = np.int64(np.uint64(((v > 0).astype(np.uint64) << bits).sum(dtype=np.uint64)))
-        return pd.Series(out)
+        return pd.Series(_simhash_votes_np(hs))
 
     hashes = F.transform(tokenize(text_col), lambda t: F.xxhash64(t))
     return df.select(F.col(id_col).alias("id"), votes(hashes).alias("sig"))
@@ -557,20 +583,15 @@ def simhash_portable_arrow(
     interpreted per-token × per-bit zip_with chain (~2× measured on the
     full-corpus near-dup entry). Use THIS for the value-verified
     production path; ``simhash_portable`` remains the SQL-shaped
-    reference the oracle mirrors. Returns (id, sig)."""
+    reference the oracle mirrors. Returns (id, sig). Votes run through
+    the same whole-batch ``_simhash_votes_np`` kernel as
+    ``simhash_arrow`` (the 60-bit hashes occupy bits 0..59, so bits
+    60..63 stay zero exactly like the 60-bit fold)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
     def votes(hs: pd.Series) -> pd.Series:
-        bits = np.arange(64, dtype=np.uint64)
-        out = np.zeros(len(hs), dtype=np.int64)
-        for j, h in enumerate(hs):
-            a = np.asarray(h, dtype=np.uint64)
-            if a.size == 0:
-                continue
-            v = (((a[:, None] >> bits) & np.uint64(1)).astype(np.int32) * 2 - 1).sum(axis=0)
-            out[j] = np.int64(np.uint64(((v > 0).astype(np.uint64) << bits).sum(dtype=np.uint64)))
-        return pd.Series(out)
+        return pd.Series(_simhash_votes_np(hs))
 
     hashes = F.transform(
         tokenize(text_col),
@@ -653,14 +674,21 @@ def simhash_pairs_from_sigs(
     m = _simhash_combo_m(max_hamming, blocks)
     chunked = _simhash_chunked(sig, blocks, m)
     cand = _bucket_pairs(chunked, ["key"], "__rec", max_bucket=max_bucket)
+    # verify BEFORE the pair dedup (r15 optimization round): hamming is
+    # functionally dependent on the pair, so the filter commutes with
+    # dropDuplicates — but on a near-dup-dense corpus the candidate
+    # stream is ~Σbucket² rows (2M at sf0.1) of which only the true
+    # pairs survive (~8k incl. combo-key duplicates); filtering first
+    # means the dedup exchange carries the survivors, not the
+    # collision stream (measured −0.8 s on the sf0.1 entry, same rows)
     return (
         cand.select(
             F.col("id_a.id").alias("id_a"),
             F.col("id_b.id").alias("id_b"),
             hamming64(F.col("id_a.sig"), F.col("id_b.sig")).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 
@@ -1293,9 +1321,19 @@ def prefix_jaccard_pairs(
     Exactness: the threshold is a RATIONAL (num/den) and every
     comparison is integer (``inter·den ≥ union·num``) — float ceil/comp
     misrounding (0.7·10 → 7.000…01) can silently shorten a prefix and
-    drop true pairs; integers can't. Shingle hashes are the portable
-    60-bit md5 fold, so the all-pairs SQL oracle replays the IDENTICAL
-    sets and the theorem (not the prefix code) guarantees equal output.
+    drop true pairs; integers can't. Shingle hashes are the chained
+    ``xxhash64`` combine over token hashes (r15 optimization round —
+    the old md5-of-gram-string fold built and hashed every shingle
+    STRING: 1.2 s vs 0.5 s for the hash chain on the sf0.1 shingle
+    projection alone). The outputs only expose COUNTS of distinct
+    shingles, which are hash-agnostic: the all-pairs SQL oracle replays
+    its own portable fold and the counts agree unless a 64-bit
+    collision lands inside one document pair (~n²/2⁻⁶⁴ — the
+    ``remove_duplicated_spans`` argument; the value-verified oracle
+    pins the fixtures). Short docs (< shingle_n tokens) contribute NO
+    shingles and are excluded — exactly the old form's semantics (do
+    not swap in ``hashed_shingles``, whose whole-text fallback would
+    ADMIT tiny docs the oracle excludes).
 
     Returns (id_a, id_b, shared, n_a, n_b, jaccard) with id_a < id_b;
     jaccard is one IEEE division rounded 6 for reporting — the FILTER is
@@ -1310,32 +1348,37 @@ def prefix_jaccard_pairs(
         raise ValueError(
             f"threshold must be in (0, 1]: got {threshold_num}/{threshold_den}"
         )
-    grams = word_ngrams(tokenize(F.col(text_col)), shingle_n)
-    hashes = F.array_distinct(
-        F.transform(
-            grams,
-            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    th = F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t))
+    m = F.greatest(F.size(th) - F.lit(shingle_n - 1), F.lit(0))
+    comb = F.slice(th, 1, m)
+    for i in range(1, shingle_n):
+        comb = F.zip_with(
+            comb,
+            F.slice(th, i + 1, m),
+            lambda a, b: F.xxhash64(a, F.coalesce(b, F.lit(0).cast("long"))),
         )
-    )
+    hashes = F.array_distinct(comb)
     sh = _barrier(
         df.select(F.col(id_col).alias("__id"), hashes.alias("__sh")).filter(
             F.size("__sh") > 0
         )
     )
-    sizes = sh.select("__id", F.size("__sh").alias("__n"))
     inv = sh.select("__id", F.explode("__sh").alias("h"))
     census = inv.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
+    # the per-doc shingle count rides the SAME __id-keyed window exchange
+    # as the prefix rank (r15 optimization round: the old form joined a
+    # separate sizes frame back on __id — one more shuffle + join for a
+    # count the window already has in hand)
+    wid = Window.partitionBy("__id")
     ranked = (
         inv.join(census, "h")
         .withColumn(
             "__rn",
             F.row_number().over(
-                Window.partitionBy("__id").orderBy(
-                    F.col("__df").asc(), F.col("h").asc()
-                )
+                wid.orderBy(F.col("__df").asc(), F.col("h").asc())
             ),
         )
-        .join(sizes, "__id")
+        .withColumn("__n", F.count(F.lit(1)).over(wid))
         # p = n - ceil(t*n) + 1, all-integer ceil
         .filter(
             F.col("__rn")
