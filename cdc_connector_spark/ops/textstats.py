@@ -84,23 +84,38 @@ def language_id(col: Column | str, langs: tuple[str, ...] = ("en", "es", "fr", "
     character instead of token hits.
     """
     c = F.col(col) if isinstance(col, str) else col
-    toks = tokenize(F.lower(c))
-    scores: list[tuple[str, Column]] = []
-    for lang in langs:
-        if lang == "zh":
-            s = sum(
-                (F.length(c) - F.length(F.replace(c, F.lit(w), F.lit("")))).cast("long")
-                for w in STOPWORDS["zh"]
-            )
-        else:
-            s = stopword_count(toks, lang).cast("long")
-        scores.append((lang, s))
-    best = F.greatest(*[s for _, s in scores]) if len(scores) > 1 else scores[0][1]
-    expr = F.lit("und")
-    # build reversed CASE chain so earlier langs win ties
-    for lang, s in reversed(scores):
-        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
-    return expr
+
+    # r15 optimization round: the token array AND the per-language score
+    # vector are each bound once via single-element transform(array(x))
+    # let-scopes — the old form re-ran tokenize per language and every
+    # stopword filter twice (once inside greatest(), once in the CASE
+    # chain), because CSE does not reach across higher-order functions.
+    # Identical expressions otherwise → identical output.
+    def score_vec(T):
+        scores = []
+        for lang in langs:
+            if lang == "zh":
+                s = sum(
+                    (F.length(c) - F.length(F.replace(c, F.lit(w), F.lit("")))).cast("long")
+                    for w in STOPWORDS["zh"]
+                )
+            else:
+                s = stopword_count(T, lang).cast("long")
+            scores.append(s)
+        return F.array(*scores)
+
+    def pick(S):
+        best = F.array_max(S)
+        expr = F.lit("und")
+        # build reversed CASE chain so earlier langs win ties
+        for i, lang in reversed(list(enumerate(langs))):
+            expr = F.when(
+                (F.element_at(S, i + 1) == best) & (best > 0), F.lit(lang)
+            ).otherwise(expr)
+        return expr
+
+    scores_arr = F.transform(F.array(tokenize(F.lower(c))), score_vec)[0]
+    return F.transform(F.array(scores_arr), pick)[0]
 
 
 def quality_score(col: Column | str) -> Column:
@@ -112,17 +127,24 @@ def quality_score(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     n_chars = F.length(F.coalesce(c, F.lit("")))
-    toks = tokenize(c)
-    n_toks = F.size(toks)
-    mean_tok = F.when(n_toks > 0, n_chars / n_toks).otherwise(F.lit(0.0))
-    sw = stopword_count(toks, "en")
     alpha = F.length(F.regexp_replace(F.coalesce(c, F.lit("")), r"[^A-Za-z ]", ""))
     alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
 
-    length_f = F.least(n_chars / F.lit(200.0), F.lit(1.0))
-    tok_f = F.when((mean_tok >= 3) & (mean_tok <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
-    sw_f = F.when(n_toks > 0, F.least(sw / (n_toks * F.lit(0.02)), F.lit(1.0))).otherwise(F.lit(0.0))
-    return (length_f * 0.3 + tok_f * 0.2 + sw_f * 0.2 + alpha_ratio * 0.3).cast("double")
+    # token array bound once via a let-scope (r15 optimization round:
+    # CSE does not reach across higher-order functions — the old form
+    # re-ran tokenize for n_toks, mean_tok and the stopword filter)
+    def inner(T):
+        n_toks = F.size(T)
+        mean_tok = F.when(n_toks > 0, n_chars / n_toks).otherwise(F.lit(0.0))
+        sw = stopword_count(T, "en")
+        length_f = F.least(n_chars / F.lit(200.0), F.lit(1.0))
+        tok_f = F.when((mean_tok >= 3) & (mean_tok <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
+        sw_f = F.when(
+            n_toks > 0, F.least(sw / (n_toks * F.lit(0.02)), F.lit(1.0))
+        ).otherwise(F.lit(0.0))
+        return length_f * 0.3 + tok_f * 0.2 + sw_f * 0.2 + alpha_ratio * 0.3
+
+    return F.transform(F.array(tokenize(c)), inner)[0].cast("double")
 
 
 def gopher_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -140,34 +162,61 @@ def gopher_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     no Python, no shuffle, scan-bound at any corpus size. Thresholds are
     arguments in spirit; fixed here so the engine-portable SQL twin (the
     correctness oracle) states the same rule set.
+
+    r15 optimization round: the token array is bound ONCE via a
+    single-element ``transform(array(x), λ)`` let-scope (Catalyst CSE
+    does not reach across higher-order functions — the old projection
+    re-evaluated tokenize per metric), and the trigram dup ratio counts
+    DISTINCT chained-xxhash64 gram hashes instead of building gram
+    strings (counts are hash-agnostic; the ``repetition_stats``
+    argument). Byte-identical output, same zero-shuffle plan.
     """
     c = F.coalesce(F.col(text_col), F.lit(""))
-    toks = tokenize(text_col)
-    n_words = F.size(toks)
     non_ws = F.length(F.regexp_replace(c, r"\s+", ""))
-    mean_wl = F.when(n_words > 0, non_ws / n_words).otherwise(F.lit(0.0))
-    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
-    alpha_ratio = F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0))
-    n_tri = F.greatest(n_words - F.lit(2), F.lit(0))
-    tri = word_ngrams(toks, 3)  # O(n) zip chain; same strings as the
-    # transform(sequence)+slice form, which is O(n²) interpreted
-    dup_ratio = F.when(
-        n_tri > 0, F.lit(1.0) - F.size(F.array_distinct(tri)) / n_tri
-    ).otherwise(F.lit(0.0))
-    keep = (
-        (n_words >= 30)  # Gopher's 50-word floor scaled to the fixture's 10..99 range
-        & (mean_wl >= 2.0)
-        & (mean_wl <= 12.0)
-        & (alpha_ratio > 0.7)
-        & (dup_ratio < 0.6)
-    )
+
+    def inner(T):
+        n_words = F.size(T)
+        mean_wl = F.when(n_words > 0, non_ws / n_words).otherwise(F.lit(0.0))
+        alpha_words = F.size(F.filter(T, lambda t: t.rlike("[A-Za-z]")))
+        alpha_ratio = F.when(n_words > 0, alpha_words / n_words).otherwise(
+            F.lit(0.0)
+        )
+        n_tri = F.greatest(n_words - F.lit(2), F.lit(0))
+        h = F.transform(T, lambda t: F.xxhash64(t))
+        m = F.greatest(n_words - F.lit(2), F.lit(0))
+        tri = F.slice(h, 1, m)
+        for j in range(2, 4):
+            tri = F.zip_with(
+                tri,
+                F.slice(h, j, m),
+                lambda a, b: F.xxhash64(a, F.coalesce(b, F.lit(0).cast("long"))),
+            )
+        dup_ratio = F.when(
+            n_tri > 0, F.lit(1.0) - F.size(F.array_distinct(tri)) / n_tri
+        ).otherwise(F.lit(0.0))
+        keep = (
+            (n_words >= 30)  # Gopher's 50-word floor scaled to the fixture
+            & (mean_wl >= 2.0)
+            & (mean_wl <= 12.0)
+            & (alpha_ratio > 0.7)
+            & (dup_ratio < 0.6)
+        )
+        return F.struct(
+            n_words.cast("long").alias("n_words"),
+            F.round(mean_wl, 6).alias("mean_word_len"),
+            F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+            F.round(dup_ratio, 6).alias("trigram_dup_ratio"),
+            keep.alias("keep"),
+        )
+
+    s = F.transform(F.array(tokenize(text_col)), inner)[0]
     return df.select(
         F.col(id_col),
-        n_words.cast("long").alias("n_words"),
-        F.round(mean_wl, 6).alias("mean_word_len"),
-        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
-        F.round(dup_ratio, 6).alias("trigram_dup_ratio"),
-        keep.alias("keep"),
+        s["n_words"].alias("n_words"),
+        s["mean_word_len"].alias("mean_word_len"),
+        s["alpha_word_ratio"].alias("alpha_word_ratio"),
+        s["trigram_dup_ratio"].alias("trigram_dup_ratio"),
+        s["keep"].alias("keep"),
     )
 
 
