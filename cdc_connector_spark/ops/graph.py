@@ -84,6 +84,14 @@ def pagerank(
     )
     n_total = nodes.agg(F.count(F.lit(1)).alias("__n"))
     outdeg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__out"))
+    # NOTE (r15 optimization round): hoisting the loop-invariant
+    # e⋈outdeg join out of the loop behind an eager localCheckpoint was
+    # tried and REVERTED — measured 4.25 s → 6.8 s on the sf0.1 trade
+    # graph (within-session A/B): the per-iteration join is a broadcast
+    # of the node-sized degree table fused into the rank join's stage
+    # (near-free), while the checkpoint materializes an |E|-sized frame
+    # per call. The lazy form is the right one at any scale where the
+    # degree table broadcasts; revisit only if outdeg outgrows that.
     # rank_0 = 1/N for every node (single double division, portable)
     rank = nodes.crossJoin(F.broadcast(n_total)).select(
         "node", (F.lit(1.0) / F.col("__n").cast("double")).alias("rank")
