@@ -528,26 +528,29 @@ def _simhash_votes_np(hs) -> "np.ndarray":
     count (measured ~2× end-to-end on the sf0.1 near-dup entries, r15
     optimization round). Bit b is set iff the ±1 vote sum is positive,
     i.e. 2·ones_b > len — ties stay unset, matching the expression form.
-    ``reduceat`` repeats the NEXT segment's head for empty segments, so
-    empty docs are zeroed explicitly (same as the old loop's ``continue``).
+    Segments are built over the NON-EMPTY docs only and scattered back
+    (empty docs keep sig 0, same as the old loop's ``continue``): a segment
+    start equal to ``len(flat)`` — which a trailing empty doc would produce —
+    is rejected by ``reduceat``, and clamping it would steal the last element
+    from the preceding doc's segment.
     """
     n_docs = len(hs)
     lens = np.fromiter((len(h) for h in hs), dtype=np.int64, count=n_docs)
-    total = int(lens.sum())
     sig = np.zeros(n_docs, dtype=np.uint64)
-    if total == 0:
+    if int(lens.sum()) == 0:
         return sig.view(np.int64)
     flat = np.concatenate(
         [np.asarray(h, dtype=np.int64) for h in hs if len(h)]
     ).view(np.uint64)
-    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-    nonempty = lens > 0
+    ne_idx = np.flatnonzero(lens)
+    ne_lens = lens[ne_idx]
+    starts = np.concatenate(([0], np.cumsum(ne_lens)[:-1]))
     for b in range(64):
         ones = np.add.reduceat(
             ((flat >> np.uint64(b)) & np.uint64(1)).astype(np.int64), starts
         )
-        bit = (2 * ones > lens) & nonempty
-        sig |= bit.astype(np.uint64) << np.uint64(b)
+        hot = ne_idx[2 * ones > ne_lens]
+        sig[hot] |= np.uint64(1) << np.uint64(b)
     return sig.view(np.int64)
 
 

@@ -623,6 +623,50 @@ def test_simhash_portable_arrow_bit_identical(spark):
     assert all(0 <= s < (1 << 60) for _, s in arrow)
 
 
+def test_simhash_arrow_trailing_empty_doc_single_partition(spark):
+    """ADVICE r15 (high): `_simhash_votes_np` crashed with IndexError when an
+    Arrow batch's LAST document tokenized to empty while the batch held at
+    least one non-empty doc — that doc's reduceat segment start equals
+    len(flat), which np.add.reduceat rejects. The earlier bit-identity tests
+    only passed by partition-layout luck; this pins the layout: one coalesced
+    partition with the empty/NULL rows last, through both Arrow paths."""
+    import numpy as np
+    import pandas as pd
+
+    from cdc_connector_spark.ops.dedup import (
+        _simhash_votes_np,
+        simhash,
+        simhash_arrow,
+        simhash_portable,
+        simhash_portable_arrow,
+    )
+
+    # Kernel-level reproduction: non-empty doc followed by a trailing empty.
+    sig = _simhash_votes_np(
+        pd.Series([np.array([1, 2, 3], dtype=np.int64), np.array([], dtype=np.int64)])
+    )
+    assert len(sig) == 2 and sig[1] == 0
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"), (2, ""), (3, None)],
+        "doc_id int, text string",
+    ).coalesce(1)
+    expr = {
+        (r["id"], r["sig"])
+        for r in df.select(F.col("doc_id").alias("id"), simhash("text").alias("sig")).collect()
+    }
+    arrow = {(r["id"], r["sig"]) for r in simhash_arrow(df).collect()}
+    assert arrow == expr
+    pexpr = {
+        (r["id"], r["sig"])
+        for r in df.select(
+            F.col("doc_id").alias("id"), simhash_portable("text").alias("sig")
+        ).collect()
+    }
+    parrow = {(r["id"], r["sig"]) for r in simhash_portable_arrow(df).collect()}
+    assert parrow == pexpr
+
+
 def test_minhash_verified_pairs_max_bucket_is_honored(spark):
     """max_bucket must be a real parameter (r11 review): the streaming
     corpus dedup configures its cap and the in-batch step silently used
