@@ -188,10 +188,11 @@ def fuzzy_blocking_coverage(
     inv = _blocking_index(df, text_col, id_col, block, qgram, extra_block_cols)
     cap_keys = ["__k", *[f"__x_{c}" for c in extra_block_cols]]
     freq = inv.groupBy(*cap_keys).agg(F.count(F.lit(1)).alias("__f"))
-    # no broadcast hint: the key-frequency table is |distinct keys| and
-    # can be corpus-scale — the equi-join co-partitions on __k instead
+    # shuffle_hash-pinned: the key-frequency table is |distinct keys| and
+    # can be corpus-scale — co-partition on __k, never let AQE
+    # runtime-broadcast it (the 100x-measured hazard, see _prefix_select)
     per_rec = (
-        inv.join(freq, cap_keys)
+        inv.join(freq.hint("shuffle_hash"), cap_keys)
         .groupBy("__id")
         .agg(F.sum((F.col("__f") <= max_token_freq).cast("long")).alias("__kept"))
     )
@@ -266,12 +267,20 @@ def _prefix_select(
     the matcher aligned."""
     plen = (qgram if block == "qgram" else 2) * max_dist + 1
     freq = inv.groupBy("__k").agg(F.count(F.lit(1)).alias("__f"))
-    # no broadcast hint: |distinct keys| is corpus-scale; co-partition
-    # on __k, then one record-keyed window picks the prefix. The text
-    # column is collapsed to its LENGTH before the window exchange —
-    # downstream only needs (id, len, key) for the candidate join (r13:
-    # on 300-char documents, carrying __s shuffled 200 MB per join side
-    # for a column the pair join never reads).
+    # shuffle_hash-PINNED census join (r16): |distinct keys| is
+    # corpus-scale, and it is not enough to avoid a forced broadcast —
+    # AQE's runtime re-planning judges the census by its COMPRESSED
+    # shuffle bytes and happily broadcasts a relation whose deserialized
+    # HashedRelation is GBs (measured at the 100x rehearsal: the r15
+    # 776.8 s fuzzy_prefix cell was driver broadcast-build time, not
+    # candidate volume — 116 s with the census joins pinned off
+    # broadcast, and the 28 GB driver OOMed outright once the census
+    # grew past it). shuffle_hash co-partitions on __k with no sort and
+    # no driver collect at ANY census size.
+    # The text column is collapsed to its LENGTH before the window
+    # exchange — downstream only needs (id, len, key) for the candidate
+    # join (r13: on 300-char documents, carrying __s shuffled 200 MB
+    # per join side for a column the pair join never reads).
     w = Window.partitionBy("__id").orderBy(F.col("__f").asc(), F.col("__k").asc())
     # ``carry`` keeps __s alongside (short-string mode, see _CARRY_LEN):
     # only sane when the strings are trivially small
@@ -284,7 +293,7 @@ def _prefix_select(
             *[f"__x_{c}" for c in extra_block_cols],
             "__k",
         )
-        .join(freq, "__k")
+        .join(freq.hint("shuffle_hash"), "__k")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= plen)
         .select("__id", "__len", *scols, *[f"__x_{c}" for c in extra_block_cols], "__k")
@@ -379,7 +388,10 @@ def _pair_candidates(
             .distinct()
         )
     freq = idx.groupBy(*jk).agg(F.count(F.lit(1)).alias("__f"))
-    g = idx.join(freq, jk).withColumn(
+    # shuffle_hash-pinned: the grid census is |distinct join keys| =
+    # corpus-scale, the AQE-runtime-broadcast hazard measured at the
+    # 100x rehearsal (see _prefix_select) — co-partition, never collect
+    g = idx.join(freq.hint("shuffle_hash"), jk).withColumn(
         "__m",
         F.least(
             F.ceil(F.col("__f") / F.lit(hot_chunk)), F.lit(max_fanout)
@@ -601,8 +613,10 @@ def fuzzy_pairs(
         # the plen-prefix postings. The kept-key frequencies arrive via
         # one co-partitioned equi-join against the full-key census
         # (never a forced broadcast of the kept vocabulary —
-        # corpus-scale at 100 TB, the r12 review rule; AQE may still
-        # broadcast the census when it measures small). Rare-first
+        # corpus-scale at 100 TB, the r12 review rule; since r16 the
+        # join is shuffle_hash-PINNED so AQE cannot runtime-broadcast
+        # the census either — the 100x-measured driver hazard, see
+        # _prefix_select). Rare-first
         # ordering is LOAD-BEARING: a hash-random order keeps ~uniform
         # slices of every under-cap posting and saved almost nothing
         # (14.8 s → 13.1 s on the gated sf0.1 entry, vs 2.5 s
@@ -615,7 +629,7 @@ def fuzzy_pairs(
             inv.select(
                 "__id", F.length("__s").alias("__len"), *scols, "__k", *xcols
             )
-            .join(freq, cap_keys)
+            .join(freq.hint("shuffle_hash"), cap_keys)
             .filter(F.col("__f") <= max_token_freq)
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= plen)
@@ -638,7 +652,10 @@ def fuzzy_pairs(
             .filter(F.col("__f") > max_token_freq)
             .select(*cap_keys)
         )
-        idx = inv.join(hot, cap_keys, "left_anti").select(
+        # the hot set is bounded by Σpostings/cap — still corpus-scale
+        # at 100 TB, so the anti-join is shuffle_hash-pinned too (the
+        # AQE-runtime-broadcast hazard, see _prefix_select)
+        idx = inv.join(hot.hint("shuffle_hash"), cap_keys, "left_anti").select(
             "__id", F.length("__s").alias("__len"), *scols, "__k", *xcols
         )
     # the candidate self-join carries ONLY (id, len, key): at 100 TB the

@@ -672,3 +672,81 @@ def test_cap_prune_composition_equals_cap_semantics(spark):
             ).collect()
         }
         assert got == _brute_cap_pairs(trows, 2, cap, block="token"), f"token cap={cap}"
+
+
+def test_positional_prefix_banding_equals_brute_force(spark):
+    """r16 optimization-round pin: adversarial prefix-mode shapes the
+    randomized parity test doesn't guarantee to hit. (History: written for
+    the positional Ed-Join location-filter experiment — occurrence index +
+    (key, position-band) candidate join + |Δpos| <= d filter — which was
+    REVERTED after same-session A/Bs measured it slower at sf0.1, 10x AND
+    100x; see OPTIMIZATION_r16.md. The corpora remain the right lossless-
+    recall boundary pins for ANY prefix-selection implementation.)
+
+    - matched grams sitting exactly max_dist positions apart (a positional
+      filter's |Δp| = d boundary);
+    - repeated gram content at many positions (occurrence multiset != set);
+    - leading indels that SHIFT every downstream occurrence by d;
+    - the documents-entry shape q=3, d=4 on long strings, and d=0.
+
+    Each corpus is checked against the exact all-pairs Levenshtein brute
+    force — prefix mode is lossless for len >= q*(d+1), which all rows here
+    satisfy."""
+    # (a) d-position shifts via leading indels + 1-char edits mid-string;
+    # repeated 'abcabcabc...' stems make hot repeated grams
+    rows_a = []
+    for i in range(40):
+        stem = "abc" * 6 + f"{i % 7:01d}" + "xyzw"
+        pad = "q" * (i % 5)  # 0..4 leading chars -> positional shift
+        rows_a.append((2 * i, pad + stem))
+        if i % 2 == 0:
+            s = list(pad + stem)
+            s[len(s) // 2] = "z"
+            rows_a.append((2 * i + 1, "".join(s)))
+    df_a = spark.createDataFrame(rows_a, "id bigint, name string")
+    for d in (1, 2, 4):
+        got = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in fuzzy_pairs(
+                df_a, max_dist=d, block="qgram", selection="prefix"
+            ).collect()
+        }
+        assert got == _brute_pairs(rows_a, d), f"shifted corpus d={d}"
+
+    # (b) d = 0: the band is the position itself; equal strings only
+    rows_b = [(i, f"supplier {i % 9} gmbh") for i in range(30)]
+    df_b = spark.createDataFrame(rows_b, "id bigint, name string")
+    got0 = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_pairs(
+            df_b, max_dist=0, block="qgram", selection="prefix"
+        ).collect()
+    }
+    assert got0 == _brute_pairs(rows_b, 0)
+    assert got0  # duplicates exist by construction
+
+    # (c) token blocking positional: token index is the position; a leading
+    # extra token shifts all downstream tokens by 1 = max_dist
+    rows_c = []
+    for i in range(30):
+        base = f"alpha beta gamma {i % 6:02d} corp"
+        rows_c.append((2 * i, base))
+        if i % 3 == 0:
+            rows_c.append((2 * i + 1, "zz " + base[: -1] + "x"))
+    df_c = spark.createDataFrame(rows_c, "id bigint, name string")
+    got_c = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_pairs(
+            df_c, max_dist=2, block="token", selection="prefix"
+        ).collect()
+    }
+    # token mode is not lossless vs raw Levenshtein (token grams), but must
+    # be a superset-consistent subset: verify dist values on the pairs found
+    brute = _brute_pairs(rows_c, 2)
+    assert set(got_c) <= set(brute)
+    assert all(brute[k] == v for k, v in got_c.items())
+    # the 1-token-shift twins must be found (they share every base token at
+    # |Δpos| = 1 <= d): each (2i, 2i+1) twin pair is within 2 edits only if
+    # the suffix edit kept it close; check at least the exact-dup families
+    dup_pairs = {k for k in brute if brute[k] <= 2}
+    assert set(got_c) == dup_pairs

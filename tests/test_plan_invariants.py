@@ -104,8 +104,14 @@ def test_tail_query_shuffle_budgets(q):
         "metrics_snapshot_events": 3,
         # Ed-Join on documents: freq agg, prefix window, grid candidate
         # joins (cold + hot roles), string re-attach; no Python, all
-        # joins keyed — the ceiling pins the r13 restructured plan
-        "fuzzy_prefix_documents": 24,
+        # joins keyed — pins the r13 restructured plan, re-based r16:
+        # the census joins are shuffle_hash-pinned (each former
+        # broadcast census now co-partitions BOTH sides, +9 static
+        # exchanges of census-sized frames; AQE reuses them at runtime)
+        # because AQE's runtime broadcast of the corpus-scale census
+        # was the measured 100x driver hazard — 776.8 s → 115 s, and
+        # sf0.1 got faster too (5.7 → 5.5 s). See OPTIMIZATION_r16.md.
+        "fuzzy_prefix_documents": 33,
     }
     for name, ceiling in budgets.items():
         facts = q(name)
@@ -311,7 +317,13 @@ def test_hot_key_caps_are_anti_joins(spark, sf_dir):
       entry 16.5 s → 2.5 s) — pin the window, and pin that no
       broadcast is FORCED over the census (the optimized plan may
       still contain broadcasts the planner sizes as small, so the
-      guard checks for the hint-shaped ResolvedHint instead)."""
+      guard checks for a broadcast-strategy ResolvedHint instead).
+      Since r16 the census joins carry a shuffle_hash hint — the
+      OPPOSITE direction (it FORBIDS the runtime broadcast whose
+      driver-side HashedRelation build was measured as the 100x
+      super-linear cost) — so the guard now bans only
+      strategy=broadcast hints and additionally asserts the
+      shuffle_hash pin is present."""
     import __spark_entry__ as entry_mod
 
     spark.catalog.clearCache()
@@ -328,8 +340,9 @@ def test_hot_key_caps_are_anti_joins(spark, sf_dir):
     )
     assert "row_number" in plan, "gated cap mode lost the Ed-Join prune window"
     assert "__f" in plan, "gated cap mode lost the census-frequency filter"
-    optimized = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "ResolvedHint" not in optimized, "forced broadcast over the census"
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "strategy=broadcast" not in analyzed, "forced broadcast over the census"
+    assert "shuffle_hash" in analyzed, "census join lost its shuffle_hash pin"
 
 
 def test_profile_hll_scans_pruned_no_cartesian(q):
